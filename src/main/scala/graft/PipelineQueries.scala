@@ -1,12 +1,295 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
 
 /** Driver-mandated training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over `documents` / `embeddings`.
-  * Filled in as each operator lands (see graft.functions.*).
+  *
+  * Every query has a DuckDB oracle twin generated from the SAME constants
+  * (marker lists, thresholds, band counts), and every metric is an
+  * oracle-stable integer or md5 hex (see [[graft.functions.TextFunctions]]
+  * determinism notes) — so the driver's hash compare is exact.
   */
 object PipelineQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  // ---- text analysis ----
+
+  /** p1 — token counting + basic stats (whitespace + BPE-ish regex). */
+  private def p1(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
+      .withColumn("ws", TF.words(col("norm")))
+    d.select(col("doc_id"),
+      TF.wordCount(col("ws")).as("word_cnt"),
+      TF.alphaChars(col("norm")).as("alpha_chars"),
+      TF.wsTokenCount(col("text")).as("ws_tokens"),
+      TF.bpeTokenCount(col("text")).as("bpe_tokens"),
+      TF.centi(TF.alphaChars(col("norm")), TF.wordCount(col("ws"))).as("avg_wlen_centi"))
+      .orderBy("doc_id")
+  }
+
+  /** p2 — quality scoring (length / stopword-ratio / word-shape rules). */
+  private def p2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
+      .withColumn("ws", TF.words(col("norm")))
+      .withColumn("word_cnt", TF.wordCount(col("ws")))
+      .withColumn("stop_milli", TF.milli(TF.setHits(col("ws"), TF.Stopwords), col("word_cnt")))
+      .withColumn("avg_wlen_centi", TF.centi(TF.alphaChars(col("norm")), col("word_cnt")))
+    d.select(col("doc_id"), col("word_cnt"), col("stop_milli"),
+      TF.qualityScore(col("word_cnt"), col("stop_milli"), col("avg_wlen_centi")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** p3 — language-ID heuristic (marker-word argmax). */
+  private def p3(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("ws", TF.words(TF.normText(col("text"))))
+      .select(col("doc_id"), TF.langGuess(col("ws")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** p4 — document fingerprinting: md5 content hash + 16-bit SimHash. */
+  private def p4(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("norm", TF.normText(col("text")))
+      .select(col("doc_id"), TF.fingerprint(col("norm")).as("fp"),
+        TF.simhash16(TF.words(col("norm"))).as("simhash"))
+      .orderBy("doc_id")
+
+  // ---- dedup ----
+
+  private val JaccThreshold = 800
+  private val Bands = 8
+
+  /** p5 — exact dedup by content fingerprint. */
+  private def p5(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir)).orderBy("canonical_id")
+
+  /** p6 — n-gram (word-trigram) Jaccard near-dup pairs. */
+  private def p6(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), JaccThreshold).orderBy("doc_a", "doc_b")
+
+  /** p7 — MinHash+LSH near-dup (banded md5-min signatures + verify). */
+  private def p7(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), Bands, JaccThreshold).orderBy("doc_a", "doc_b")
+
+  /** p8 — SimHash bucket dedup. */
+  private def p8(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBuckets(docs(s, dir)).orderBy("simhash")
+
+  // ---- similarity search ----
+
+  private val K = 3
+  private val QueryPredSql = "vec_id < 20"
+
+  /** p9 — brute-force cosine top-k (exact ANN baseline). */
+  private def p9(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteKnn(embs(s, dir), col("vec_id") < 20, K).orderBy("q_id", "n_id")
+
+  /** p10 — multi-table sign-LSH approximate top-k (scale path). */
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshKnn(embs(s, dir), col("vec_id") < 20, K).orderBy("q_id", "n_id")
+
+  // ---- multimodal ----
+
+  /** p11 — multimodal metadata decode over the binary payload. */
+  private def p11(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMetaColumns(docs(s, dir)).orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_text_stats" -> p1 _,
+    "p2_quality_score" -> p2 _,
+    "p3_langid" -> p3 _,
+    "p4_fingerprint" -> p4 _,
+    "p5_dedup_exact" -> p5 _,
+    "p6_dedup_ngram" -> p6 _,
+    "p7_dedup_minhash" -> p7 _,
+    "p8_dedup_simhash" -> p8 _,
+    "p9_embed_knn" -> p9 _,
+    "p10_embed_lsh_knn" -> p10 _,
+    "p11_media_meta" -> p11 _,
+  )
+
+  // ---- DuckDB oracle twins ----
+
+  /** Shared CTE: normalized text + word list. */
+  private val NormCte =
+    """t AS (SELECT doc_id, text,
+      |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |      FROM documents),
+      |w AS (SELECT doc_id, text, norm,
+      |        CASE WHEN norm = '' THEN []::VARCHAR[]
+      |             ELSE string_split(norm, ' ') END AS ws
+      |      FROM t)""".stripMargin
+
+  private def orChain(v: String, set: Seq[String]): String =
+    set.map(m => s"$v = '$m'").mkString(" OR ")
+
+  /** Shared CTE: distinct word-trigram shingles per doc (+ set sizes). */
+  private val ShingleCte =
+    s"""$NormCte,
+       |sh AS (SELECT doc_id AS sid,
+       |         unnest(list_distinct(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+       |           ELSE list_transform(range(1, len(ws)-1),
+       |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh
+       |       FROM w),
+       |sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid)""".stripMargin
+
+  private def jaccSelect(interCte: String): String =
+    s"""SELECT i.da AS doc_a, i.db AS doc_b,
+       |       CAST(floor(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) AS jacc_milli
+       |FROM $interCte i JOIN sizes sa ON i.da = sa.sid JOIN sizes sb ON i.db = sb.sid
+       |WHERE CAST(floor(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) >= $JaccThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashSumSql: String = (1 to 16).map { j =>
+    s"COALESCE(list_sum(list_transform(ws, x -> CASE WHEN substr(md5(x), $j, 1) >= '8' THEN 1 ELSE -1 END)), 0) AS s$j"
+  }.mkString(",\n        ")
+
+  private val simhashBitsSql: String = (1 to 16).map { j =>
+    s"(CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val SimhashCte =
+    s"""$NormCte,
+       |sums AS (SELECT doc_id, norm,
+       |        $simhashSumSql
+       |      FROM w),
+       |fps AS (SELECT doc_id, norm, CAST($simhashBitsSql AS BIGINT) AS simhash FROM sums)""".stripMargin
+
+  /** Shared CTE: double-cast embeddings + norms (strict left-fold dot). */
+  private val VecCte =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, vd,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(vd, x -> x * x)),
+      |             (a, b) -> a + b)) AS nrm
+      |      FROM v)""".stripMargin
+
+  private val DotSql =
+    """list_reduce(list_prepend(0.0,
+      |          list_transform(range(1, len(q.vd) + 1), i -> q.vd[i] * e.vd[i])),
+      |          (a, b) -> a + b)""".stripMargin
+
+  private def knnSql(pairsCte: String): String =
+    s"""SELECT q_id, n_id, sim_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY sim_micro DESC, n_id) AS rn FROM $pairsCte)
+       |WHERE rn <= $K
+       |ORDER BY q_id, n_id""".stripMargin
+
+  private val langScoreSql: String = TF.LangMarkers.map { case (lang, markers) =>
+    s"len(list_filter(ws, x -> ${orChain("x", markers)})) AS s_$lang"
+  }.mkString(",\n        ")
+
+  private val langArgmaxSql: String = {
+    val langs = TF.LangMarkers.map(_._1)
+    val branches = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    s"CASE WHEN $allZero THEN 'und' $branches ELSE 'und' END"
+  }
+
+  /** Per-table signature selects mirroring [[Similarity.signatures]]. */
+  private val lshSigsSql: String = (0 until Similarity.DefaultTables).map { t =>
+    val bucket = Similarity.tableDims(t, Similarity.DefaultBits, 64).zipWithIndex.map {
+      case (d, j) => s"(CASE WHEN vd[$d] >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM n"
+  }.mkString("\n  UNION ALL ")
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_text_stats" ->
+      s"""WITH $NormCte
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS word_cnt,
+         |  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS alpha_chars,
+         |  CAST(CASE WHEN trim(text) = '' THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         |  CAST(CASE WHEN len(ws) = 0 THEN 0
+         |       ELSE floor(100.0 * length(replace(norm, ' ', '')) / len(ws)) END AS BIGINT) AS avg_wlen_centi
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "p2_quality_score" ->
+      s"""WITH $NormCte,
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS word_cnt,
+         |        CAST(CASE WHEN len(ws) = 0 THEN 0
+         |             ELSE floor(1000.0 * len(list_filter(ws, x -> ${orChain("x", TF.Stopwords)})) / len(ws)) END AS BIGINT) AS stop_milli,
+         |        CAST(CASE WHEN len(ws) = 0 THEN 0
+         |             ELSE floor(100.0 * length(replace(norm, ' ', '')) / len(ws)) END AS BIGINT) AS awc
+         |      FROM w)
+         |SELECT doc_id, word_cnt, stop_milli,
+         |  CAST((CASE WHEN word_cnt BETWEEN 30 AND 1000 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN stop_milli BETWEEN 10 AND 400 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN awc BETWEEN 150 AND 1000 THEN 1 ELSE 0 END) AS INT) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "p3_langid" ->
+      s"""WITH $NormCte,
+         |sc AS (SELECT doc_id,
+         |        $langScoreSql
+         |      FROM w)
+         |SELECT doc_id, $langArgmaxSql AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "p4_fingerprint" ->
+      s"""WITH $SimhashCte
+         |SELECT doc_id, md5(norm) AS fp, simhash FROM fps ORDER BY doc_id""".stripMargin,
+    "p5_dedup_exact" ->
+      s"""WITH $NormCte
+         |SELECT md5(norm) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_cnt
+         |FROM w GROUP BY md5(norm) ORDER BY canonical_id""".stripMargin,
+    "p6_dedup_ngram" ->
+      s"""WITH $ShingleCte,
+         |inter AS (SELECT a.sid AS da, b.sid AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.sid < b.sid
+         |          GROUP BY 1, 2)
+         |${jaccSelect("inter")}""".stripMargin,
+    "p7_dedup_minhash" ->
+      s"""WITH $ShingleCte,
+         |bands AS (SELECT unnest(${(0 until Bands).map(b => s"'$b'").mkString("[", ", ", "]")}) AS band),
+         |sig AS (SELECT sid, band, min(md5(band || '|' || sh)) AS sig
+         |        FROM sh CROSS JOIN bands GROUP BY sid, band),
+         |cand AS (SELECT DISTINCT a.sid AS da, b.sid AS db
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.sid < b.sid),
+         |inter AS (SELECT a.sid AS da, b.sid AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.sid < b.sid
+         |          JOIN cand c ON c.da = a.sid AND c.db = b.sid
+         |          GROUP BY 1, 2)
+         |${jaccSelect("inter")}""".stripMargin,
+    "p8_dedup_simhash" ->
+      s"""WITH $SimhashCte
+         |SELECT simhash, count(*) AS dup_cnt, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM fps GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
+    "p9_embed_knn" ->
+      s"""WITH $VecCte,
+         |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+         |      FROM n q JOIN n e ON e.vec_id != q.vec_id
+         |      WHERE q.$QueryPredSql)
+         |${knnSql("p")}""".stripMargin,
+    "p10_embed_lsh_knn" ->
+      s"""WITH $VecCte,
+         |sigs AS (
+         |  $lshSigsSql
+         |),
+         |cand AS (SELECT DISTINCT sq.vec_id AS cq, sc.vec_id AS cn
+         |         FROM sigs sq JOIN sigs sc ON sq.t = sc.t AND sq.bucket = sc.bucket
+         |              AND sc.vec_id != sq.vec_id
+         |         WHERE sq.$QueryPredSql),
+         |p AS (SELECT cq AS q_id, cn AS n_id,
+         |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+         |      FROM cand JOIN n q ON q.vec_id = cq JOIN n e ON e.vec_id = cn)
+         |${knnSql("p")}""".stripMargin,
+    "p11_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 30 AS BIGINT) AS n_frames,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
 }

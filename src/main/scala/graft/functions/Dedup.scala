@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash buckets.
+  *
+  * Scale design (100 TB): every path is shuffle-minimal —
+  *   - exact dedup: one hash aggregation on the 128-bit fingerprint (never
+  *     the full text), so the shuffle carries 16 bytes + ids per row;
+  *   - MinHash: ONE explode of shingles, then a single aggregation
+  *     computing all band minima at once (map-side partial min), then an
+  *     equi-join on (band, signature) — candidate volume is bounded by
+  *     true-similar pairs plus the band false-positive rate, never O(n²);
+  *   - Jaccard verify runs only on candidate pairs (semi-join pattern);
+  *   - SimHash: pure map-side fingerprint + one groupBy on a 16-bit key.
+  *
+  * All hashes are md5-derived so a SQL oracle reproduces them exactly.
+  */
+object Dedup {
+
+  /** Docs + derived `norm`, `ws`, `fp` columns (shared prep). */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = TextFunctions.normText(col(textCol))
+    docs.withColumn("norm", norm)
+      .withColumn("fp", TextFunctions.fingerprint(col("norm")))
+  }
+
+  /** Exact dedup: group by content fingerprint; canonical = min id.
+    * Output: (fp, canonical_id, dup_cnt). */
+  def exact(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    withFingerprint(docs)
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_cnt"))
+
+  /** (id, shingle) exploded distinct word-trigram shingles. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = TextFunctions.words(TextFunctions.normText(col(textCol)))
+    docs.select(col(idCol).as("sid"), explode(TextFunctions.trigramShingles(ws)).as("sh"))
+  }
+
+  /** Shingle-set sizes per doc. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+
+  /** All-pairs n-gram Jaccard over docs sharing ≥1 shingle, keeping pairs
+    * with `floor(1000*|A∩B|/|A∪B|) >= thresholdMilli`.
+    * Output: (doc_a, doc_b, jacc_milli), doc_a < doc_b. */
+  def ngramJaccardPairs(docs: DataFrame, thresholdMilli: Int): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = shingleSizes(sh)
+    val a = sh.select(col("sid").as("doc_a"), col("sh"))
+    val b = sh.select(col("sid").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, thresholdMilli)
+  }
+
+  private def jaccardFilter(inter: DataFrame, sizes: DataFrame, thresholdMilli: Int): DataFrame = {
+    val sa = sizes.select(col("sid").as("doc_a"), col("n").as("na"))
+    val sb = sizes.select(col("sid").as("doc_b"), col("n").as("nb"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jacc_milli",
+        floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .where(col("jacc_milli") >= thresholdMilli)
+      .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
+  }
+
+  /** MinHash signatures: for band b in [0, bands), sig_b =
+    * min(md5(b || '|' || shingle)). One aggregation computes every band
+    * (map-side combinable), then `stack` unpivots to (sid, band, sig). */
+  def minhashSignatures(sh: DataFrame, bands: Int): DataFrame = {
+    val aggs = (0 until bands).map(b =>
+      min(md5(concat_ws("|", lit(b.toString), col("sh")))).as(s"mh$b"))
+    val wide = sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until bands).map(b => s"$b, mh$b").mkString(", ")
+    wide.select(col("sid"), expr(s"stack($bands, $stackArgs) as (band, sig)"))
+  }
+
+  /** LSH candidate pairs: equal signature in ≥1 band. */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    val a = sig.select(col("sid").as("doc_a"), col("band"), col("sig"))
+    val b = sig.select(col("sid").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** MinHash+LSH near-dup: LSH candidates verified by exact trigram
+    * Jaccard ≥ thresholdMilli. Output: (doc_a, doc_b, jacc_milli). */
+  def minhashLsh(docs: DataFrame, bands: Int, thresholdMilli: Int): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = shingleSizes(sh)
+    val cands = lshCandidates(minhashSignatures(sh, bands))
+    val a = sh.select(col("sid").as("doc_a"), col("sh"))
+    val b = sh.select(col("sid").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, thresholdMilli)
+  }
+
+  /** SimHash bucket dedup: 16-bit simhash per doc, report buckets holding
+    * >1 doc. Output: (simhash, dup_cnt, min_doc, max_doc). */
+  def simhashBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = TextFunctions.words(TextFunctions.normText(col(textCol)))
+    docs.select(col(idCol), TextFunctions.simhash16(ws).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .where(col("dup_cnt") > 1)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteKnn]]: exact cosine top-k — broadcast the (small) query set
+  *     against the corpus; the corpus never shuffles, k results per query
+  *     come back through a tiny window. The 100 TB shape: queries are
+  *     broadcast, similarity is computed inside the scan stage, only
+  *     (q, neighbor, sim) tuples move.
+  *   - [[lshKnn]]: sign-projection LSH — bucket every vector by the sign
+  *     bits of its leading dimensions (a random-rotation-free projection
+  *     that is deterministic and oracle-checkable), then search only
+  *     within the bucket via an equi-join. Candidate volume drops by
+  *     ~2^bits; recall measured against brute force in the spec.
+  *
+  * Float discipline: embeddings are cast to double element-wise BEFORE any
+  * arithmetic, and the dot product is a strict left fold (`aggregate`), so
+  * any engine replaying the same fold gets bit-identical doubles;
+  * similarities are exposed as `floor(1e6 * cos)` integers.
+  */
+object Similarity {
+
+  /** Element-wise cast to `array<double>`. */
+  def toDoubleVec(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Strict left-fold dot product of two double vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double vectors. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** `floor(1e6 * cosine)` as long — the quantized, oracle-stable sim. */
+  def simMicro(a: Column, b: Column): Column = floor(lit(1e6) * cosine(a, b)).cast("long")
+
+  /** Corpus with precomputed double vector + norm. */
+  def prep(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("vd", toDoubleVec(col(vecCol)))
+      .withColumn("nrm", l2norm(col("vd")))
+
+  /** Exact cosine top-k: for each query vector (filtered by `queryPred`),
+    * the k nearest other vectors. Output: (q_id, n_id, sim_micro). */
+  def bruteKnn(emb: DataFrame, queryPred: Column, k: Int,
+               idCol: String = "vec_id"): DataFrame = {
+    val corpus = prep(emb).select(col(idCol).as("n_id"), col("vd").as("nvd"), col("nrm").as("nnrm"))
+    val queries = prep(emb).where(queryPred)
+      .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"))
+    val sims = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        floor(lit(1e6) * dot(col("qvd"), col("nvd")) / (col("qnrm") * col("nnrm")))
+          .cast("long").as("sim_micro"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("sim_micro"))
+  }
+
+  /** Default multi-table LSH shape: 16 tables x 6 sign-bits, table t
+    * reading dimensions ((t*Stride + j) mod dim) + 1 for j in [0, bits).
+    * Multiple tables multiply recall (1-(1-p^b)^T) while each table's b
+    * bits keep per-table collision rate ~2^-b — the standard
+    * hyperplane-LSH layout, here with deterministic (oracle-checkable)
+    * axis-aligned planes. */
+  val DefaultTables = 16
+  val DefaultBits = 6
+  val Stride = 4
+
+  /** The dims (1-indexed) table `t` reads. */
+  def tableDims(t: Int, bits: Int, dim: Int): Seq[Int] =
+    (0 until bits).map(j => (t * Stride + j) % dim + 1)
+
+  /** Sign-bucket id of table `t`: sum of 2^j over its dims with value >= 0. */
+  def signBucket(vd: Column, t: Int, bits: Int, dim: Int): Column =
+    tableDims(t, bits, dim).zipWithIndex.map { case (d, j) =>
+      when(element_at(vd, d) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+
+  /** (id, t, bucket) signature rows for all tables — one posexplode, no
+    * per-table passes over the corpus. */
+  def signatures(p: DataFrame, tables: Int, bits: Int, dim: Int,
+                 idCol: String): DataFrame = {
+    val sigArray = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), signBucket(col("vd"), t, bits, dim).as("bucket"))): _*)
+    p.select(col(idCol), explode(sigArray).as("s"))
+      .select(col(idCol), col("s.t").as("t"), col("s.bucket").as("bucket"))
+  }
+
+  /** Multi-table LSH approximate top-k: candidates collide with the query
+    * in >= 1 table; exact cosine + top-k on candidates only.
+    * Output: (q_id, n_id, sim_micro). At scale: signatures are one narrow
+    * shuffle on (t, bucket); the expensive dot product touches only the
+    * candidate set (~tables/2^bits of the corpus per query). */
+  def lshKnn(emb: DataFrame, queryPred: Column, k: Int,
+             tables: Int = DefaultTables, bits: Int = DefaultBits, dim: Int = 64,
+             idCol: String = "vec_id"): DataFrame = {
+    val p = prep(emb).cache()
+    val corpusSig = signatures(p, tables, bits, dim, idCol)
+      .toDF("n_id", "t", "bucket")
+    val querySig = signatures(p.where(queryPred), tables, bits, dim, idCol)
+      .toDF("q_id", "t", "bucket")
+    val cands = corpusSig.join(broadcast(querySig), Seq("t", "bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val corpus = p.select(col(idCol).as("n_id"), col("vd").as("nvd"), col("nrm").as("nnrm"))
+    val queries = p.where(queryPred)
+      .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"))
+    val sims = cands.join(broadcast(queries), "q_id").join(corpus, "n_id")
+      .select(col("q_id"), col("n_id"),
+        floor(lit(1e6) * dot(col("qvd"), col("nvd")) / (col("qnrm") * col("nnrm")))
+          .cast("long").as("sim_micro"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("sim_micro"))
+  }
+}

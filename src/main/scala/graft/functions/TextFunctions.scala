@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for the training-data pipeline (driver-mandated
+  * extension ops; SURVEY §7.1 step 8): normalization, token counting,
+  * quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Determinism-by-construction: every ratio is a scaled integer
+  * (`floor(1000 * a / b)`), every hash is md5 (identical hex in Spark and
+  * DuckDB), so the DuckDB oracle matches bit-for-bit — no float drift.
+  * Everything is a pure `Column` expression (whole-stage codegen, no UDFs),
+  * so at 100 TB these run embarrassingly parallel inside the scan stage
+  * with zero shuffles.
+  *
+  * The paired DuckDB SQL fragments live in
+  * [[graft.PipelineQueries]] — each metric here has a 1:1 SQL twin.
+  */
+object TextFunctions {
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Tie-break priority is the Seq order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** English stopword set for the quality-score stopword ratio. */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Lowercase, strip non-alphanumerics to single spaces, trim. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Word array of the normalized text (empty text → empty array). */
+  def words(norm: Column): Column =
+    when(norm === "", array().cast("array<string>")).otherwise(split(norm, " "))
+
+  def wordCount(ws: Column): Column = size(ws).cast("long")
+
+  /** Total non-space characters of the normalized text. */
+  def alphaChars(norm: Column): Column =
+    length(regexp_replace(norm, " ", "")).cast("long")
+
+  /** Whitespace tokenizer count on the RAW text (reference-free token
+    * counting for LLM budget estimation). */
+  def wsTokenCount(text: Column): Column =
+    when(trim(text) === "", lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Count of `ws` members inside `set`. */
+  def setHits(ws: Column, set: Seq[String]): Column = {
+    val inSet = (w: Column) => set.map(w === _).reduce(_ || _)
+    size(filter(ws, inSet)).cast("long")
+  }
+
+  /** `floor(1000 * num / den)` as long; 0 when den = 0. */
+  def milli(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(floor(lit(1000.0) * num / den).cast("long"))
+
+  /** Average word length in centi-chars: `floor(100 * chars / words)`. */
+  def centi(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(floor(lit(100.0) * num / den).cast("long"))
+
+  /** Heuristic quality score 0–3: word count in [30, 1000] (+1), stopword
+    * ratio in [10, 400] milli (+1), avg word length in [150, 1000] centi
+    * (+1). Mirrors C4/Gopher-style length+stopword quality rules. */
+  def qualityScore(wordCnt: Column, stopMilli: Column, avgWlenCenti: Column): Column =
+    (when(wordCnt.between(30, 1000), 1).otherwise(0) +
+      when(stopMilli.between(10, 400), 1).otherwise(0) +
+      when(avgWlenCenti.between(150, 1000), 1).otherwise(0)).cast("int")
+
+  /** Language guess: argmax of marker-word hits with Seq-order tie-break;
+    * all-zero → "und". */
+  def langGuess(ws: Column): Column = {
+    val scores = LangMarkers.map { case (lang, markers) => lang -> setHits(ws, markers) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    val pick = scores.zipWithIndex.foldRight(lit("und")) { case (((lang, score), i), elseCol) =>
+      val isMax = scores.zipWithIndex.collect { case ((_, other), j) if j != i => score >= other }
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    when(allZero, lit("und")).otherwise(pick)
+  }
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprint(norm: Column): Column = md5(norm)
+
+  /** 16-bit SimHash over the word multiset. Bit j (1-based) uses the top
+    * bit of hex digit j of md5(word) (`substr(md5(w), j, 1) >= '8'`), so
+    * the same fingerprint is computable in any engine with md5. Weighted
+    * fold over the array — no explode, no shuffle. */
+  def simhash16(ws: Column): Column = {
+    val bits = (1 to 16).map { j =>
+      val contrib = aggregate(ws, lit(0L),
+        (acc, w) => acc + when(substring(md5(w), j, 1) >= "8", 1L).otherwise(-1L))
+      when(contrib > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection. */
+  def trigramShingles(ws: Column): Column = {
+    val grams = transform(sequence(lit(1), size(ws) - 2), i =>
+      concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+    array_distinct(when(size(ws) < 3, array().cast("array<string>")).otherwise(grams))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator semantics: dedup paths agree, LSH recall vs brute
+  * force, multimodal Dataset plumbing. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  test("exact dedup: fingerprint groups partition the corpus") {
+    val d = Dedup.exact(docs)
+    assert(d.agg(sum("dup_cnt")).as[Long].head === docs.count())
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exhaustive jaccard") {
+    val exhaustive = Dedup.ngramJaccardPairs(docs, 800)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, 8, 800)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exhaustive)
+    assert(exhaustive.nonEmpty) // sf0.001 also plants near-dups
+  }
+
+  test("near-dup pairs are truly similar: shared trigram ratio high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 800)
+    pairs.select("jacc_milli").as[Long].collect()
+      .foreach(j => assert(j >= 800 && j <= 1000))
+  }
+
+  test("simhash of identical text is identical; buckets well-formed") {
+    val fp = docs.limit(5)
+      .select(TextFunctions.simhash16(
+        TextFunctions.words(TextFunctions.normText(col("text")))).as("s"))
+      .as[Long].collect()
+    fp.foreach(s => assert(s >= 0 && s < (1 << 16)))
+  }
+
+  test("multi-table LSH knn: recall >= 0.4 with real candidate pruning") {
+    val brute = Similarity.bruteKnn(embs, col("vec_id") < 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshKnn(embs, col("vec_id") < 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // candidate volume actually pruned vs brute force
+    val p = Similarity.prep(embs)
+    val sig = Similarity.signatures(p, Similarity.DefaultTables, Similarity.DefaultBits, 64, "vec_id")
+    val qSig = sig.where(col("vec_id") < 20).toDF("q_id", "t", "bucket")
+    val nCand = sig.toDF("n_id", "t", "bucket").join(qSig, Seq("t", "bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct().count()
+    val nBrute = 20L * (embs.count() - 1)
+    val pruning = nCand.toDouble / nBrute
+    info(f"lsh recall=$recall%.2f candidateRate=$pruning%.2f (vs brute 1.0)")
+    assert(recall >= 0.4)   // near-random vectors: sim(top3)~0.35 -> p_bit~0.61
+    assert(pruning <= 0.6)  // candidates must be a strict subset
+  }
+
+  test("cosine of a vector with itself is 1.0 (sim_micro == 999999 or 1000000)") {
+    val self = Similarity.prep(embs.limit(10))
+      .select(floor(lit(1e6) * Similarity.dot(col("vd"), col("vd")) /
+        (col("nrm") * col("nrm"))).cast("long").as("s"))
+      .as[Long].collect()
+    self.foreach(s => assert(s === 999999L || s === 1000000L))
+  }
+
+  test("multimodal: Dataset[MediaFile] decode plumbing (mapPartitions batch)") {
+    val media = Multimodal.documentsAsMedia(docs.limit(20))
+      .as[Multimodal.MediaFile]
+    val meta = Multimodal.decodeMeta(media)
+    val rows = meta.collect()
+    assert(rows.length === 20)
+    rows.foreach { m =>
+      assert(m.byte_len > 0)
+      assert(m.width === 64 + (m.byte_len % 512).toInt)
+      assert(m.content_md5.length === 32)
+    }
+    // columnar twin agrees with the Dataset path
+    val colTwin = Multimodal.mediaMetaColumns(docs.limit(20))
+      .select("media_id", "content_md5").as[(Long, String)].collect().toMap
+    rows.foreach(m => assert(colTwin(m.media_id) === m.content_md5))
+  }
+
+  test("multimodal: frame sampling strides the payload") {
+    val media = Multimodal.documentsAsMedia(docs.limit(3)).as[Multimodal.MediaFile]
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    val byDoc = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc.size === 3)
+    byDoc.values.foreach(n => assert(n >= 1))
+    frames.select("frame_no").as[Int].collect().foreach(f => assert(f % 4 === 0))
+  }
+
+  test("langGuess is deterministic and falls back to und") {
+    val out = Seq("le le le les et", "xyz qrs", "the a of", "")
+      .toDF("text")
+      .select(TextFunctions.langGuess(
+        TextFunctions.words(TextFunctions.normText(col("text")))).as("g"))
+      .as[String].collect()
+    assert(out.toSeq === Seq("fr", "und", "en", "und"))
+  }
+
+  test("token counts: ws vs bpe-ish on punctuation-bearing text") {
+    val out = Seq("Hello, world! 42 times.").toDF("text")
+      .select(TextFunctions.wsTokenCount(col("text")).as("ws"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe"))
+      .as[(Long, Long)].head()
+    assert(out._1 === 4) // whitespace tokens
+    assert(out._2 === 7) // hello , world ! 42 times . => letters/digits/punct runs
+  }
+}
