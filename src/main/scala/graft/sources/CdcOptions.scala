@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.util.matching.Regex
+
+/** CDC source option parsing + validation — the connector config compiler
+  * (reference `util/CDCSourceUtil.java:36-259`) and parameter validation
+  * (`CDCSource.java:784-823`, `CDCSourceUtil.java:261-278`) re-expressed
+  * as a typed options object for the DataSource V2 `TableProvider`.
+  *
+  * Reference option names are kept verbatim (`mode`, `url`, `table.name`,
+  * `polling.column`, `polling.interval`, `wait.on.missed.record`,
+  * `missed.record.waiting.timeout`, `operation`, `connector.properties`).
+  */
+final case class CdcOptions(
+    mode: String,
+    url: String,
+    username: Option[String],
+    password: Option[String],
+    table: String,
+    operation: Seq[String],
+    pollingColumn: Option[String],
+    pollingIntervalSec: Long,
+    waitOnMissedRecord: Boolean,
+    missedRecordTimeoutSec: Long,
+    cronExpression: Option[String],
+    numPartitions: Int,
+    connectorProperties: Map[String, String]) {
+
+  def jdbcProperties: java.util.Properties = {
+    val p = new java.util.Properties()
+    username.foreach(p.setProperty("user", _))
+    password.foreach(p.setProperty("password", _))
+    connectorProperties.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+}
+
+object CdcOptions {
+  val ModeListening = "listening"
+  val ModePolling = "polling"
+  val ValidOps = Set("insert", "update", "delete")
+
+  /** Vendor URL patterns (listening mode), mirroring the reference's
+    * per-vendor regexes (`CDCSourceUtil.java:57-204`). */
+  val VendorPatterns: Map[String, Regex] = Map(
+    "mysql" -> "jdbc:mysql://(\\S+):(\\d+)/(\\S+)".r,
+    "postgresql" -> "jdbc:postgresql://(\\S+):(\\d+)/(\\S+)".r,
+    "sqlserver" -> "jdbc:sqlserver://(\\S+):(\\d+);databaseName=(\\S+)".r,
+    "oracle" -> "jdbc:oracle:thin:@(\\S+):(\\d+):(\\S+)".r,
+    "mongodb" -> "mongodb://(\\S+)".r)
+
+  final case class VendorInfo(vendor: String, host: String, port: Int, database: String)
+
+  /** Parse a listening-mode URL into vendor info; unknown vendor → error
+    * (`CDCSourceUtil.java:52-55`). */
+  def parseUrl(url: String): VendorInfo =
+    VendorPatterns.collectFirst {
+      case (v, re) if re.pattern.matcher(url).matches() =>
+        url match {
+          case re(host, port, db) => VendorInfo(v, host, port.toInt, db)
+          case re(rest) => VendorInfo(v, rest, -1, "")
+        }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"Unsupported JDBC url for listening mode: $url (supported: ${VendorPatterns.keys.mkString(", ")})"))
+
+  /** `k1=v1,k2=v2` pairs (`CDCSourceUtil.java:261-278`). */
+  def parseConnectorProperties(s: String): Map[String, String] =
+    if (s.trim.isEmpty) Map.empty
+    else s.split(",").map { pair =>
+      pair.split("=") match {
+        case Array(k, v) => k.trim -> v.trim
+        case _ => throw new IllegalArgumentException(
+          s"connector.properties entry '$pair' is not a key=value pair")
+      }
+    }.toMap
+
+  def apply(options: CaseInsensitiveStringMap): CdcOptions = {
+    def req(key: String): String = {
+      val v = options.get(key)
+      require(v != null && v.nonEmpty, s"option '$key' is required")
+      v
+    }
+    val mode = options.getOrDefault("mode", ModeListening).toLowerCase
+    require(mode == ModeListening || mode == ModePolling,
+      s"unsupported mode '$mode' (listening|polling)")
+
+    val url = req("url")
+    val table = req("table.name")
+    val cron = Option(options.get("cron.expression")).filter(_.nonEmpty)
+    val waitOnMissed = options.getBoolean("wait.on.missed.record", false)
+    val opts = new CdcOptions(
+      mode = mode,
+      url = url,
+      username = Option(options.get("username")),
+      password = Option(options.get("password")),
+      table = table,
+      operation = Option(options.get("operation")).map(
+        _.split(",").toSeq.map(_.trim.toLowerCase)).getOrElse(Seq.empty),
+      pollingColumn = Option(options.get("polling.column")),
+      pollingIntervalSec = options.getLong("polling.interval", 1L),
+      waitOnMissedRecord = waitOnMissed,
+      missedRecordTimeoutSec = options.getLong("missed.record.waiting.timeout", -1L),
+      cronExpression = cron,
+      numPartitions = options.getInt("numpartitions", 4),
+      connectorProperties = parseConnectorProperties(
+        options.getOrDefault("connector.properties", "")))
+    validate(opts)
+    opts
+  }
+
+  /** Mirrors `CDCSource.java:784-823` rules. */
+  def validate(o: CdcOptions): Unit = o.mode match {
+    case ModeListening =>
+      require(o.operation.nonEmpty, "listening mode requires 'operation'")
+      require(o.operation.forall(ValidOps.contains),
+        s"unsupported operation(s) ${o.operation.filterNot(ValidOps.contains).mkString(",")}")
+      require(o.cronExpression.isEmpty, "cron.expression is not allowed in listening mode")
+      parseUrl(o.url) // vendor whitelist check
+    case ModePolling =>
+      require(o.pollingColumn.nonEmpty, "polling mode requires 'polling.column'")
+      require(o.pollingIntervalSec >= 0, "polling.interval must be >= 0")
+      require(!(o.waitOnMissedRecord && o.cronExpression.nonEmpty),
+        "cron.expression cannot be used with wait.on.missed.record")
+  }
+}

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import scala.collection.mutable.ArrayBuffer
+
+/** Polling-source round-trips over embedded Derby — the Spark analog of
+  * the reference's H2/MySQL polling tests (TestCaseOfCDCPollingMode):
+  * insert capture, offset bootstrap, checkpoint recovery, gap hold-back. */
+class PollingSourceSpec extends SparkSpec {
+
+  private lazy val dbDir = {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val root = java.nio.file.Paths.get("/tmp/graft-derby")
+    if (Files.exists(root)) { // stale DBs from a previous run
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(root)
+    "/tmp/graft-derby"
+  }
+
+  private def withDb[A](name: String)(f: (String, java.sql.Connection) => A): A = {
+    val url = s"jdbc:derby:$dbDir/$name;create=true"
+    val conn = DriverManager.getConnection(url)
+    try f(url.stripSuffix(";create=true"), conn) finally conn.close()
+  }
+
+  private def readCdc(url: String, table: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.readStream.format("cdc")
+      .option("mode", "polling").option("url", url)
+      .option("table.name", table).option("polling.column", "id")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** Run a query until processAllAvailable, collecting batch rows. */
+  private def collectStream(df: DataFrame, checkpoint: String,
+                            during: => Unit = ()): Seq[(Long, String)] = {
+    val rows = ArrayBuffer.empty[(Long, String)]
+    val q = df.writeStream
+      .trigger(Trigger.ProcessingTime(50))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= batch.collect().map(r =>
+            (r.getInt(r.fieldIndex("id")).toLong, r.getString(r.fieldIndex("name"))))
+        }
+        ()
+      }.start()
+    // drain once first so the source's initial offset is established
+    // BEFORE `during` mutates the table (otherwise the inserts race the
+    // MAX() bootstrap and are treated as pre-existing)
+    try { q.processAllAvailable(); during; q.processAllAvailable() } finally q.stop()
+    rows.synchronized(rows.toSeq)
+  }
+
+  test("insert capture: pre-existing rows skipped, new rows streamed, lowercase cols") {
+    withDb("db_ins") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE LOGIN (ID INT, NAME VARCHAR(32))")
+      conn.createStatement().execute("INSERT INTO LOGIN VALUES (1, 'pre1'), (2, 'pre2')")
+      val df = readCdc(url, "LOGIN")
+      assert(df.columns.toSeq === Seq("id", "name")) // lowercased (O14)
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      val got = collectStream(df, ckpt, during = {
+        conn.createStatement().execute("INSERT INTO LOGIN VALUES (3, 'e003'), (4, 'e004')")
+      })
+      assert(got.toSet === Set((3L, "e003"), (4L, "e004"))) // 1,2 skipped (O13 bootstrap)
+    }
+  }
+
+  test("checkpoint recovery: rows inserted while stopped are replayed (O17)") {
+    withDb("db_rec") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE LOGINR (ID INT, NAME VARCHAR(32))")
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      val first = collectStream(readCdc(url, "LOGINR"), ckpt, during = {
+        conn.createStatement().execute("INSERT INTO LOGINR VALUES (1, 'a')")
+      })
+      assert(first.toSet === Set((1L, "a")))
+      // while the query is DOWN:
+      conn.createStatement().execute("INSERT INTO LOGINR VALUES (2, 'missed')")
+      val second = collectStream(readCdc(url, "LOGINR"), ckpt, during = {
+        conn.createStatement().execute("INSERT INTO LOGINR VALUES (3, 'c')")
+      })
+      assert(second.toSet === Set((2L, "missed"), (3L, "c"))) // replay + new
+    }
+  }
+
+  test("gap hold-back (O15): stream waits at a sequence hole until the row arrives") {
+    withDb("db_gap") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE STUDENTS (ID INT, NAME VARCHAR(32))")
+      val opts = Map("wait.on.missed.record" -> "true")
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      val got1 = collectStream(readCdc(url, "STUDENTS", opts), ckpt, during = {
+        conn.createStatement().execute("INSERT INTO STUDENTS VALUES (1,'a'), (2,'b'), (4,'d')")
+      })
+      assert(got1.toSet === Set((1L, "a"), (2L, "b"))) // held at the 3-hole
+      val got2 = collectStream(readCdc(url, "STUDENTS", opts), ckpt, during = {
+        conn.createStatement().execute("INSERT INTO STUDENTS VALUES (3,'c')")
+      })
+      assert(got2.toSet === Set((3L, "c"), (4L, "d"))) // resumed through the gap
+    }
+  }
+
+  test("gap hold-back timeout: advances past the hole after missed.record.waiting.timeout") {
+    withDb("db_gapto") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE STUDT (ID INT, NAME VARCHAR(32))")
+      val opts = Map("wait.on.missed.record" -> "true", "missed.record.waiting.timeout" -> "0")
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      val got = collectStream(readCdc(url, "STUDT", opts), ckpt, during = {
+        conn.createStatement().execute("INSERT INTO STUDT VALUES (1,'a'), (2,'b'), (4,'d')")
+      })
+      assert(got.toSet === Set((1L, "a"), (2L, "b"), (4L, "d"))) // 3 skipped after timeout
+    }
+  }
+
+  test("schema normalization (O8) at inference: narrow ints, decimals") {
+    withDb("db_types") { (url, conn) =>
+      conn.createStatement().execute(
+        """CREATE TABLE TYPED (ID INT, S SMALLINT, D0 NUMERIC(10,0), D2 NUMERIC(10,2),
+          |N VARCHAR(8), T TIMESTAMP, B BOOLEAN)""".stripMargin.replaceAll("\n", " "))
+      val df = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "TYPED").option("polling.column", "id").load()
+      val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      assert(types("s") === "int")       // SMALLINT -> int
+      assert(types("d0") === "bigint")   // scale 0 -> long
+      assert(types("d2") === "double")   // scale 2 -> double
+      assert(types("n") === "string")
+      assert(types("t") === "timestamp")
+      assert(types("b") === "boolean")
+    }
+  }
+
+  test("batch (snapshot) read returns full table with values intact") {
+    withDb("db_batch") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE SNAP (ID INT, NAME VARCHAR(32), V DOUBLE)")
+      conn.createStatement().execute("INSERT INTO SNAP VALUES (1,'x',1.5), (2,'y',2.5)")
+      val df = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "SNAP").option("polling.column", "id").load()
+      val rows = df.orderBy("id").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getInt(0) === 1 && rows(0).getString(1) === "x" && rows(0).getDouble(2) === 1.5)
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import graft.core.ChangeEnvelope
+import graft.sources.Jdbc
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Listening-mode round-trips via envelope replay — the Spark analog of
+  * TestCaseOfCDCListeningMode (insert :72-144, delete :150-241,
+  * update :247-334) plus the downstream table-apply queries and O20
+  * metrics. */
+class ListeningModeSpec extends SparkSpec {
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType)))
+
+  private def writeEnvelopes(dir: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, s"batch_${System.nanoTime()}.json"),
+      lines.mkString("\n"))
+  }
+
+  private def env(op: String, before: String, after: String, ts: Long = 200L): String = {
+    val b = if (before == null) "null" else before
+    val a = if (after == null) "null" else after
+    s"""{"op":"$op","before":$b,"after":$a,"source":{"ts_ms":100},"ts_ms":$ts}"""
+  }
+
+  private def runToMemory(dir: String, operation: String, sink: String): Unit = {
+    val flat = EnvelopeStream.flatten(
+      EnvelopeStream.replay(spark, dir, rowSchema), rowSchema, operation)
+    val q = flat.writeStream.format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("insert round-trip: after-image payload equality (ref :136-139)") {
+    val dir = Files.createTempDirectory("env_ins").toString
+    writeEnvelopes(dir, Seq(
+      env("c", null, """{"id":"e001","name":"empName"}"""),
+      env("u", """{"id":"e001","name":"empName"}""", """{"id":"e001","name":"newName"}"""),
+      env("r", null, """{"id":"e999","name":"snap"}""")))
+    runToMemory(dir, "insert", "ins_sink")
+    val rows = spark.sql("SELECT id, name, _op FROM ins_sink").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "e001" && rows.head.getString(1) === "empName")
+    assert(rows.head.getString(2) === "insert")
+  }
+
+  test("delete round-trip: before_ payload (ref :233-236)") {
+    val dir = Files.createTempDirectory("env_del").toString
+    writeEnvelopes(dir, Seq(
+      env("d", """{"id":"e001","name":"empName"}""", null),
+      env("c", null, """{"id":"e002","name":"x"}""")))
+    runToMemory(dir, "delete", "del_sink")
+    val rows = spark.sql("SELECT before_id, before_name FROM del_sink").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "e001" && rows.head.getString(1) === "empName")
+  }
+
+  test("update round-trip: [before_id, id, before_name, name] (ref :328-329)") {
+    val dir = Files.createTempDirectory("env_upd").toString
+    writeEnvelopes(dir, Seq(
+      env("u", """{"id":"e001","name":"empName"}""", """{"id":"e001","name":"newName"}""")))
+    runToMemory(dir, "update", "upd_sink")
+    val df = spark.table("upd_sink")
+    assert(df.columns.take(4).toSeq === Seq("before_id", "id", "before_name", "name"))
+    val r = df.collect().head
+    assert(Seq(r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ===
+      Seq("e001", "e001", "empName", "newName"))
+  }
+
+  test("change application sink: insert/update/delete land in the JDBC table") {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:/tmp/graft-derby/db_apply;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute("CREATE TABLE LOGIN (ID VARCHAR(16), NAME VARCHAR(32))")
+    try {
+      val dir = Files.createTempDirectory("env_apply").toString
+      writeEnvelopes(dir, Seq(
+        env("c", null, """{"id":"e001","name":"empName"}""", ts = 1),
+        env("c", null, """{"id":"e002","name":"other"}""", ts = 2),
+        env("u", """{"id":"e001","name":"empName"}""", """{"id":"e001","name":"newName"}""", ts = 3),
+        env("d", """{"id":"e002","name":"other"}""", null, ts = 4)))
+      val flat = EnvelopeStream.flatten(
+        EnvelopeStream.replay(spark, dir, rowSchema), rowSchema, "insert,update,delete")
+      val spec = Jdbc.ConnectionSpec("jdbc:derby:/tmp/graft-derby/db_apply", Map.empty)
+      val q = flat.coalesce(1) // preserve change order within the batch
+        .writeStream.foreachBatch(JdbcApply(spec, "LOGIN", Seq("id")))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rs = conn.createStatement().executeQuery("SELECT ID, NAME FROM LOGIN ORDER BY ID")
+      val got = Iterator.continually(rs).takeWhile(_.next()).map(r => (r.getString(1), r.getString(2))).toList
+      assert(got === List(("e001", "newName"))) // e002 deleted, e001 updated
+    } finally conn.close()
+  }
+
+  test("O20 metrics: per-op counters + IDLE status via observe/listener") {
+    val dir = Files.createTempDirectory("env_metrics").toString
+    writeEnvelopes(dir, Seq(
+      env("c", null, """{"id":"1","name":"a"}"""),
+      env("c", null, """{"id":"2","name":"b"}"""),
+      env("u", """{"id":"1","name":"a"}""", """{"id":"1","name":"a2"}"""),
+      env("d", """{"id":"2","name":"b"}""", null)))
+    val listener = new CdcMetrics.Listener
+    spark.streams.addListener(listener)
+    try {
+      val flat = CdcMetrics.observed(EnvelopeStream.flatten(
+        EnvelopeStream.replay(spark, dir, rowSchema), rowSchema, "insert,update,delete"))
+      val q = flat.writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // listener events are async
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+        assert(listener.totalReads.get === 4)
+      }
+      assert(listener.inserts.get === 2)
+      assert(listener.updates.get === 1)
+      assert(listener.deletes.get === 1)
+      assert(listener.errors.get === 0)
+    } finally spark.streams.removeListener(listener)
+  }
+}
