@@ -51,11 +51,13 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   /** p4 — document fingerprinting: md5 content hash + 16-bit SimHash. */
-  private def p4(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("norm", TF.normText(col("text")))
-      .select(col("doc_id"), TF.fingerprint(col("norm")).as("fp"),
-        TF.simhash16(TF.words(col("norm"))).as("simhash"))
+  private def p4(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
+      .withColumn("ws", TF.words(col("norm")))
+    TF.withSimhash16(d, col("ws"), "simhash")
+      .select(col("doc_id"), TF.fingerprint(col("norm")).as("fp"), col("simhash"))
       .orderBy("doc_id")
+  }
 
   // ---- dedup ----
 

@@ -28,9 +28,16 @@ object Similarity {
   /** Element-wise cast to `array<double>`. */
   def toDoubleVec(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Strict left-fold dot product of two double vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+  /** Strict left-fold dot product of two double vectors. Uses the
+    * codegen'd [[graft.functions.expr.VecDot]] when the session has
+    * [[graft.GraftExtensions]] loaded (GraftSession always does); both
+    * paths accumulate left-to-right — bit-identical results. */
+  def dot(a: Column, b: Column): Column = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val hasNative = session.catalog.functionExists("vec_dot")
+    if (hasNative) call_function("vec_dot", a, b)
+    else aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+  }
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -98,14 +98,25 @@ object TextFunctions {
   /** 16-bit SimHash over the word multiset. Bit j (1-based) uses the top
     * bit of hex digit j of md5(word) (`substr(md5(w), j, 1) >= '8'`), so
     * the same fingerprint is computable in any engine with md5. Weighted
-    * fold over the array — no explode, no shuffle. */
-  def simhash16(ws: Column): Column = {
-    val bits = (1 to 16).map { j =>
-      val contrib = aggregate(ws, lit(0L),
-        (acc, w) => acc + when(substring(md5(w), j, 1) >= "8", 1L).otherwise(-1L))
-      when(contrib > 0, lit(1L << (j - 1))).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _).cast("long")
+    * fold over the array — no explode, no shuffle.
+    *
+    * DataFrame-level on purpose: the per-word md5 array and the 16 bit
+    * sums are materialized as intermediate columns, because referencing an
+    * unmaterialized expression from 16 fold lambdas re-evaluates it 16x
+    * per row (higher-order functions don't share subexpressions). */
+  def withSimhash16(df: org.apache.spark.sql.DataFrame, ws: Column, out: String)
+  : org.apache.spark.sql.DataFrame = {
+    val sums = array((1 to 16).map { j =>
+      aggregate(col("_sh_md5s"), lit(0L),
+        (acc, m) => acc + when(substring(m, j, 1) >= "8", 1L).otherwise(-1L))
+    }: _*)
+    val fp = (1 to 16).map { j =>
+      when(element_at(col("_sh_sums"), j) > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+    df.withColumn("_sh_md5s", transform(ws, w => md5(w)))
+      .withColumn("_sh_sums", sums)
+      .withColumn(out, fp)
+      .drop("_sh_md5s", "_sh_sums")
   }
 
   /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection. */

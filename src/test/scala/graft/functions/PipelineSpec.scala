@@ -32,10 +32,10 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash of identical text is identical; buckets well-formed") {
-    val fp = docs.limit(5)
-      .select(TextFunctions.simhash16(
-        TextFunctions.words(TextFunctions.normText(col("text")))).as("s"))
-      .as[Long].collect()
+    val withWs = docs.limit(5)
+      .withColumn("ws", TextFunctions.words(TextFunctions.normText(col("text"))))
+    val fp = TextFunctions.withSimhash16(withWs, col("ws"), "s")
+      .select("s").as[Long].collect()
     fp.foreach(s => assert(s >= 0 && s < (1 << 16)))
   }
 
