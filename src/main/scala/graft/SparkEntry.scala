@@ -72,17 +72,14 @@ object CoreQueries {
       .orderBy("event_id")
 
   /** Q5 — gap detection (O15): missing ranges in a numeric sequence.
+    * Distributed via [[graft.operators.SequenceGaps]] — a range shuffle +
+    * per-partition scan + O(numPartitions) seam pass, instead of the
+    * naive single-partition global window.
     * Ref: WaitOnMissingRecordPollingStrategy.java:116-132. */
-  private def q5(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-    Tables.events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), lead(col("event_id"), 1).over(w).as("next_id"))
-      .filter(col("next_id") - col("event_id") > 1)
-      .select((col("event_id") + 1).as("missing_from"),
-        (col("next_id") - 1).as("missing_to"))
+  private def q5(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequenceGaps.detect(
+      Tables.events(s, dir).filter(col("event_type") === "purchase"), "event_id")
       .orderBy("missing_from")
-  }
 
   /** Q6 — offset recovery + update application (O17): latest state per key.
     * Ref: CDCSource.java:842-870 (replay) + update semantics. */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Distributed gap detection vs the naive global-window formulation. */
+class SequenceGapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gapsOf(ids: Seq[Long], parts: Int = 4): Set[(Long, Long)] =
+    SequenceGaps.detect(ids.toDF("event_id"), "event_id", parts)
+      .as[(Long, Long)].collect().toSet
+
+  test("simple holes") {
+    assert(gapsOf(Seq(1, 2, 4, 7)) === Set((3L, 3L), (5L, 6L)))
+  }
+
+  test("no gaps") {
+    assert(gapsOf(Seq(5, 6, 7, 8)) === Set.empty)
+  }
+
+  test("single element / empty") {
+    assert(gapsOf(Seq(42)) === Set.empty)
+    assert(gapsOf(Seq.empty[Long]) === Set.empty)
+  }
+
+  test("gaps across partition seams (more partitions than values)") {
+    assert(gapsOf(Seq(1, 10, 20, 21), parts = 8) === Set((2L, 9L), (11L, 19L)))
+  }
+
+  test("matches the naive global-window formulation on real data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(spark, sf()).filter(col("event_type") === "purchase")
+    val w = Window.orderBy("event_id")
+    val naive = e.select(col("event_id"), lead(col("event_id"), 1).over(w).as("n"))
+      .where(col("n") - col("event_id") > 1)
+      .select((col("event_id") + 1).as("f"), (col("n") - 1).as("t"))
+      .as[(Long, Long)].collect().toSet
+    val dist = SequenceGaps.detect(e, "event_id").as[(Long, Long)].collect().toSet
+    assert(dist === naive)
+    assert(dist.nonEmpty)
+  }
+}
