@@ -136,6 +136,29 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("cron semantics (O16): Trigger.AvailableNow drains once and stops") {
+    withDb("db_cron") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE CRONT (ID INT, NAME VARCHAR(32))")
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      // fire 1: establishes the MAX() bootstrap offset, sees nothing new
+      val q1 = readCdc(url, "CRONT").writeStream
+        .option("checkpointLocation", ckpt).format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      conn.createStatement().execute("INSERT INTO CRONT VALUES (1,'a'), (2,'b')")
+      // fire 2: one-shot sweep of everything newer than the stored offset
+      val rows = ArrayBuffer.empty[Int]
+      val q2 = readCdc(url, "CRONT").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          rows.synchronized { rows ++= b.collect().map(_.getInt(0)) }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination() // terminates by itself = one cron fire
+      assert(rows.synchronized(rows.toSet) === Set(1, 2))
+    }
+  }
+
   test("batch (snapshot) read returns full table with values intact") {
     withDb("db_batch") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE SNAP (ID INT, NAME VARCHAR(32), V DOUBLE)")
