@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expr.VecDot
+import graft.functions.expr.{Simhash16, VecDot}
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
@@ -14,5 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
+      (children: Seq[Expression]) => Simhash16(children.head)))
   }
 }

@@ -252,7 +252,9 @@ object PipelineQueries {
     "p7_dedup_minhash" ->
       s"""WITH $ShingleCte,
          |bands AS (SELECT unnest(${(0 until Bands).map(b => s"'$b'").mkString("[", ", ", "]")}) AS band),
-         |sig AS (SELECT sid, band, min(md5(band || '|' || sh)) AS sig
+         |sig AS (SELECT sid, band,
+         |          ${(0 until Dedup.RowsPerBand)
+                      .map(r => s"min(md5(band || '.$r|' || sh))").mkString(" || ")} AS sig
          |        FROM sh CROSS JOIN bands GROUP BY sid, band),
          |cand AS (SELECT DISTINCT a.sid AS da, b.sid AS db
          |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.sid < b.sid),

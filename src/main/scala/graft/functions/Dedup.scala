@@ -71,14 +71,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
   }
 
-  /** MinHash signatures: for band b in [0, bands), sig_b =
-    * min(md5(b || '|' || shingle)). One aggregation computes every band
-    * (map-side combinable), then `stack` unpivots to (sid, band, sig). */
+  /** Rows per MinHash band: a band collides when ALL `RowsPerBand`
+    * min-hashes agree (collision prob j^r), which keeps random-pair false
+    * candidates near zero while j≈1 near-dups still collide in some band
+    * with probability 1-(1-j^r)^bands. */
+  val RowsPerBand = 2
+
+  /** MinHash signatures: for band b, sig_b = concat over r in
+    * [0, RowsPerBand) of min(md5("b.r|" || shingle)). ONE aggregation
+    * computes every (band, row) minimum (map-side combinable), then
+    * `stack` unpivots to (sid, band, sig). */
   def minhashSignatures(sh: DataFrame, bands: Int): DataFrame = {
-    val aggs = (0 until bands).map(b =>
-      min(md5(concat_ws("|", lit(b.toString), col("sh")))).as(s"mh$b"))
+    val aggs = for (b <- 0 until bands; r <- 0 until RowsPerBand)
+      yield min(md5(concat_ws("|", lit(s"$b.$r"), col("sh")))).as(s"mh_${b}_$r")
     val wide = sh.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = (0 until bands).map(b => s"$b, mh$b").mkString(", ")
+    val stackArgs = (0 until bands).map { b =>
+      val sig = (0 until RowsPerBand).map(r => s"mh_${b}_$r").mkString("concat(", ", ", ")")
+      s"$b, $sig"
+    }.mkString(", ")
     wide.select(col("sid"), expr(s"stack($bands, $stackArgs) as (band, sig)"))
   }
 
@@ -91,15 +101,20 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup: LSH candidates verified by exact trigram
-    * Jaccard ≥ thresholdMilli. Output: (doc_a, doc_b, jacc_milli). */
+    * Jaccard ≥ thresholdMilli. Output: (doc_a, doc_b, jacc_milli).
+    *
+    * The verify stage joins candidates → shingles, never shingles →
+    * shingles: intersection counting touches only candidate pairs'
+    * shingle sets (|candidates| × shingles-per-doc rows), so verify cost
+    * scales with LSH collisions, not with the corpus pair count. */
   def minhashLsh(docs: DataFrame, bands: Int, thresholdMilli: Int): DataFrame = {
     val sh = shingles(docs).cache()
     val sizes = shingleSizes(sh)
     val cands = lshCandidates(minhashSignatures(sh, bands))
     val a = sh.select(col("sid").as("doc_a"), col("sh"))
     val b = sh.select(col("sid").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    val inter = cands.join(a, Seq("doc_a"))      // (doc_a, doc_b, sh of a)
+      .join(b, Seq("doc_b", "sh"))               // keep shingles b shares
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     jaccardFilter(inter, sizes, thresholdMilli)
   }

@@ -106,17 +106,23 @@ object TextFunctions {
     * per row (higher-order functions don't share subexpressions). */
   def withSimhash16(df: org.apache.spark.sql.DataFrame, ws: Column, out: String)
   : org.apache.spark.sql.DataFrame = {
-    val sums = array((1 to 16).map { j =>
-      aggregate(col("_sh_md5s"), lit(0L),
-        (acc, m) => acc + when(substring(m, j, 1) >= "8", 1L).otherwise(-1L))
-    }: _*)
-    val fp = (1 to 16).map { j =>
-      when(element_at(col("_sh_sums"), j) > 0, lit(1L << (j - 1))).otherwise(lit(0L))
-    }.reduce(_ + _).cast("long")
-    df.withColumn("_sh_md5s", transform(ws, w => md5(w)))
-      .withColumn("_sh_sums", sums)
-      .withColumn(out, fp)
-      .drop("_sh_md5s", "_sh_sums")
+    val session = org.apache.spark.sql.SparkSession.active
+    if (session.catalog.functionExists("simhash16"))
+      // single-pass codegen'd expression (GraftExtensions loaded)
+      df.withColumn(out, call_function("simhash16", ws))
+    else {
+      val sums = array((1 to 16).map { j =>
+        aggregate(col("_sh_md5s"), lit(0L),
+          (acc, m) => acc + when(substring(m, j, 1) >= "8", 1L).otherwise(-1L))
+      }: _*)
+      val fp = (1 to 16).map { j =>
+        when(element_at(col("_sh_sums"), j) > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+      }.reduce(_ + _).cast("long")
+      df.withColumn("_sh_md5s", transform(ws, w => md5(w)))
+        .withColumn("_sh_sums", sums)
+        .withColumn(out, fp)
+        .drop("_sh_md5s", "_sh_sums")
+    }
   }
 
   /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection. */

@@ -93,6 +93,26 @@ class PipelineSpec extends SparkSpec {
     frames.select("frame_no").as[Int].collect().foreach(f => assert(f % 4 === 0))
   }
 
+  test("codegen simhash16 is bit-identical to the composable md5-fold form") {
+    import org.apache.spark.sql.functions.{aggregate => fold, _}
+    val withWs = docs
+      .withColumn("ws", TextFunctions.words(TextFunctions.normText(col("text"))))
+    val native = TextFunctions.withSimhash16(withWs, col("ws"), "s")
+      .select("doc_id", "s").as[(Long, Long)].collect().toMap
+    // composable reference form, built inline (bypasses the native branch)
+    val sums = array((1 to 16).map { j =>
+      fold(col("_m"), lit(0L),
+        (acc, m) => acc + when(substring(m, j, 1) >= "8", 1L).otherwise(-1L))
+    }: _*)
+    val fp = (1 to 16).map { j =>
+      when(element_at(col("_s"), j) > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+    val composable = withWs.withColumn("_m", transform(col("ws"), w => md5(w)))
+      .withColumn("_s", sums).withColumn("s", fp)
+      .select("doc_id", "s").as[(Long, Long)].collect().toMap
+    assert(native === composable)
+  }
+
   test("langGuess is deterministic and falls back to und") {
     val out = Seq("le le le les et", "xyz qrs", "the a of", "")
       .toDF("text")
