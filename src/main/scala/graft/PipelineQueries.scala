@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, IvfIndex, Multimodal, Similarity, TextFunctions => TF}
 
 /** Driver-mandated training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over `documents` / `embeddings`.
@@ -99,6 +99,15 @@ object PipelineQueries {
   private def p11(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMetaColumns(docs(s, dir)).orderBy("media_id")
 
+  /** p12 — IVF approximate top-k (coarse-quantizer scale path; k-means
+    * codebook is not SQL-expressible → driver records rows-only check;
+    * recall vs brute force asserted in PipelineSpec). */
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val model = IvfIndex.train(e, k = 16, iters = 3)
+    IvfIndex.knn(e, model, col("vec_id") < 20, K, nprobe = 4).orderBy("q_id", "n_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -111,6 +120,7 @@ object PipelineQueries {
     "p9_embed_knn" -> p9 _,
     "p10_embed_lsh_knn" -> p10 _,
     "p11_media_meta" -> p11 _,
+    "p12_embed_ivf_knn" -> p12 _,
   )
 
   // ---- DuckDB oracle twins ----

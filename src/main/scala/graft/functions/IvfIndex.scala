@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for similarity search (complement to the sign-LSH variant in
+  * [[Similarity.lshKnn]]).
+  *
+  * Index build = deterministic Lloyd's k-means run with DataFrame ops:
+  *   - init: the k lowest-id vectors are the seed centroids;
+  *   - assign: broadcast the k centroids (k x dim doubles — trivially
+  *     small), pick argmin distance via the codegen'd `vec_dot`;
+  *   - update: per-dimension means via posexplode + one groupBy
+  *     (k*dim rows collected to the driver — bounded by the codebook,
+  *     never by the corpus).
+  * Search probes the `nprobe` nearest cells: an equi-join on cell id, so
+  * the expensive dot products touch ~nprobe/k of the corpus.
+  *
+  * Everything is deterministic (fixed seeds, fixed iteration count,
+  * double arithmetic) — same index on every run at any parallelism.
+  */
+object IvfIndex {
+
+  /** Trained coarse quantizer: centroid vectors by cell id. */
+  case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def centroidCol(c: Array[Double]): Column =
+    array(c.map(lit(_)).toSeq: _*)
+
+  /** Distance rank: cell = argmin_j ||x - c_j||^2 = argmin_j (||c_j||^2 - 2 x·c_j). */
+  private def cellOf(vd: Column, model: Model): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c))).as("d"),
+        lit(j).as("j"))
+    }
+    array_min(array(scored.toSeq: _*)).getField("j")
+  }
+
+  /** Lloyd's iterations over the corpus; `emb` must have (idCol, vecCol). */
+  def train(emb: DataFrame, k: Int, iters: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val p = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
+    val dim = p.select(size(col("vd"))).head().getInt(0)
+    var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val model = Model(centroids)
+      val assigned = p.withColumn("cell", cellOf(col("vd"), model))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      centroids = next
+    }
+    Model(centroids)
+  }
+
+  /** Corpus with cell assignment (the "inverted file"). */
+  def index(emb: DataFrame, model: Model,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.prep(emb, vecCol)
+      .withColumn("cell", cellOf(col("vd"), model))
+      .select(col(idCol), col("vd"), col("nrm"), col("cell"))
+
+  /** The `nprobe` nearest cells of a query vector, as an array column. */
+  private def probeCells(vd: Column, model: Model, nprobe: Int): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c))).as("d"),
+        lit(j).as("j"))
+    }
+    slice(transform(array_sort(array(scored.toSeq: _*)), _.getField("j")), 1, nprobe)
+  }
+
+  /** Approximate top-k: probe `nprobe` cells per query, exact cosine
+    * within the probed cells. Output: (q_id, n_id, sim_micro). */
+  def knn(emb: DataFrame, model: Model, queryPred: Column, kNeighbors: Int,
+          nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val idx = index(emb, model, idCol, vecCol)
+    val queries = Similarity.prep(emb.where(queryPred), vecCol)
+      .withColumn("cell", explode(probeCells(col("vd"), model, nprobe)))
+      .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"), col("cell"))
+    val sims = idx.join(broadcast(queries), Seq("cell"))
+      .where(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        floor(lit(1e6) * Similarity.dot(col("qvd"), col("vd")) / (col("qnrm") * col("nrm")))
+          .cast("long").as("sim_micro"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= kNeighbors)
+      .select(col("q_id"), col("n_id"), col("sim_micro"))
+  }
+}

@@ -8,9 +8,13 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries with no SQL-expressible oracle (driver records a rows-only
+    * check); each must have a dedicated equivalence/recall spec instead. */
+  private val rowsOnlyQueries = Set("p12_embed_ivf_knn") // k-means codebook
+
   test("every declared query runs and matches its oracle's column names") {
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(missing.isEmpty, s"queries without oracle: $missing")
+    assert(missing === rowsOnlyQueries, s"queries without oracle: $missing")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf())
       val n = df.count()

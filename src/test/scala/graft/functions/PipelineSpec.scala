@@ -59,6 +59,22 @@ class PipelineSpec extends SparkSpec {
     assert(pruning <= 0.6)  // candidates must be a strict subset
   }
 
+  test("IVF knn: deterministic codebook, recall >= 0.4 probing 4/16 cells") {
+    val m1 = IvfIndex.train(embs, k = 16, iters = 3)
+    val m2 = IvfIndex.train(embs, k = 16, iters = 3)
+    assert(m1.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
+    val brute = Similarity.bruteKnn(embs, col("vec_id") < 20, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.knn(embs, m1, col("vec_id") < 20, 3, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"ivf recall=$recall%.2f (probing 4 of 16 cells)")
+    assert(recall >= 0.4)
+    // cells partition the corpus
+    val cellCnt = IvfIndex.index(embs, m1).groupBy("cell").count()
+    assert(cellCnt.agg(sum("count")).as[Long].head === embs.count())
+  }
+
   test("cosine of a vector with itself is 1.0 (sim_micro == 999999 or 1000000)") {
     val self = Similarity.prep(embs.limit(10))
       .select(floor(lit(1e6) * Similarity.dot(col("vd"), col("vd")) /
