@@ -159,6 +159,33 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("non-numeric polling column (timestamp): string-offset capture like the reference") {
+    withDb("db_ts") { (url, conn) =>
+      conn.createStatement().execute(
+        "CREATE TABLE TLOG (ID INT, NAME VARCHAR(32), UPDATED_AT TIMESTAMP)")
+      conn.createStatement().execute(
+        "INSERT INTO TLOG VALUES (1, 'old', TIMESTAMP('2026-01-01 10:00:00'))")
+      val df = spark.readStream.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "TLOG").option("polling.column", "updated_at").load()
+      val rows = ArrayBuffer.empty[Int]
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      val q = df.writeStream.trigger(Trigger.ProcessingTime(50))
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          rows.synchronized { rows ++= b.collect().map(_.getInt(0)) }; ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        conn.createStatement().execute(
+          "INSERT INTO TLOG VALUES (2, 'new', TIMESTAMP('2026-02-03 11:30:00'))," +
+            "(3, 'newer', TIMESTAMP('2026-02-03 12:00:00'))")
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(rows.synchronized(rows.toSet) === Set(2, 3)) // row 1 pre-existing
+    }
+  }
+
   test("batch (snapshot) read returns full table with values intact") {
     withDb("db_batch") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE SNAP (ID INT, NAME VARCHAR(32), V DOUBLE)")
