@@ -22,10 +22,19 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(exec(_, "/root/testdata/sf0.001")) // warm-up
-    val results = names.map(n => n -> exec(n, sfDir))
+    spark.catalog.clearCache() // drop warm-up caches: measure steady state
+    val results = names.map { n =>
+      val t = n -> exec(n, sfDir)
+      spark.catalog.clearCache() // operator-level caches must not leak across queries
+      t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures carry a -1 sentinel per query; keep them OUT of the total
+    // (a failing run must never report a better aggregate than a clean one)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    if (failed.nonEmpty) System.err.println(s"[bench] FAILED: ${failed.mkString(",")}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

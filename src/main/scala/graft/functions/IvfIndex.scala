@@ -41,11 +41,17 @@ object IvfIndex {
     array_min(array(scored.toSeq: _*)).getField("j")
   }
 
+  /** Fixed-point scale for centroid accumulation: summing longs is
+    * order-independent, so the trained codebook is bit-identical at ANY
+    * partitioning/parallelism (a double `avg` would accumulate in shuffle
+    * order and drift between local[4] and a 1000-executor run). Inputs
+    * are unit-ish floats: |v|·2^40 · corpus ≪ 2^63. */
+  private val FixedPointScale = 1L << 40
+
   /** Lloyd's iterations over the corpus; `emb` must have (idCol, vecCol). */
   def train(emb: DataFrame, k: Int, iters: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     val p = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
-    val dim = p.select(size(col("vd"))).head().getInt(0)
     var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
       .collect().map(_.getSeq[Double](0).toArray)
     (1 to iters).foreach { _ =>
@@ -54,14 +60,17 @@ object IvfIndex {
       val sums = assigned
         .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum((col("v") * FixedPointScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          r.getAs[Long]("s").toDouble / FixedPointScale / r.getAs[Long]("n")
       }
       centroids = next
     }
+    p.unpersist()
     Model(centroids)
   }
 

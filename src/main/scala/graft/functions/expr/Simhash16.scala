@@ -49,14 +49,21 @@ object Simhash16 {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      digestFn.reset()
-      val digest = digestFn.digest(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 16) {
-        val b = digest(j >> 1) & 0xff
-        val nib = if ((j & 1) == 0) b >>> 4 else b & 0xf
-        sums(j) += (if (nib >= 8) 1 else -1)
-        j += 1
+      if (arr.isNullAt(i)) {
+        // null word: the composable form's `when(substr(md5(null)..) >= '8')`
+        // is null -> otherwise branch -> -1 on every bit; match it exactly
+        var j = 0
+        while (j < 16) { sums(j) -= 1; j += 1 }
+      } else {
+        digestFn.reset()
+        val digest = digestFn.digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 16) {
+          val b = digest(j >> 1) & 0xff
+          val nib = if ((j & 1) == 0) b >>> 4 else b & 0xf
+          sums(j) += (if (nib >= 8) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }

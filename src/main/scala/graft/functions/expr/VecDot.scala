@@ -39,13 +39,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: two VecDot calls can land unbraced in one codegen
+      // scope (non-nullable operands), where fixed locals would collide
+      // and Janino failure silently falls back to interpreted eval
+      val n = ctx.freshName("vdN")
+      val s = ctx.freshName("vdS")
+      val i = ctx.freshName("vdI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-         |${ev.value} = s;
-       """.stripMargin)
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -37,8 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - offsets live in the Structured Streaming checkpoint (replaces
   *     `InMemoryOffsetBackingStore` + `CdcState`, exactly-once not
   *     at-least-once);
-  *   - `polling.interval` maps to `Trigger.ProcessingTime`, cron (O16) to
-  *     externally-scheduled `Trigger.AvailableNow` runs.
+  *   - `polling.interval` / cron (O16) are honored at the query level via
+  *     [[graft.streaming.CdcPoll.trigger]] (ProcessingTime(interval) /
+  *     AvailableNow) — a V2 source cannot set its own query trigger.
   *
   * Scale design: the reference polls single-threaded on one JVM; here each
   * micro-batch splits the (last, latest] numeric range into

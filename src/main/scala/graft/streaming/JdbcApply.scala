@@ -36,35 +36,49 @@ object JdbcApply {
     }
   }
 
+  /** Rows apply in STREAM ORDER: consecutive same-op rows batch into one
+    * executeBatch, and the batch flushes whenever the op changes — so a
+    * delete(k) followed by insert(k) re-creation lands in that order
+    * (per-op regrouping would silently corrupt such interleavings).
+    * Statements are prepared lazily: an all-key table has no valid UPDATE
+    * statement, which must not break insert/delete-only batches. */
   private def applyPartition(conn: Connection, table: String, keys: Seq[String],
                              nonKeys: Seq[String], cols: Seq[String], rows: Iterator[Row]): Unit = {
-    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val updateSql = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
-      s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
-    val deleteSql = s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}"
-    val ins = conn.prepareStatement(insertSql)
-    val upd = conn.prepareStatement(updateSql)
-    val del = conn.prepareStatement(deleteSql)
-    var nIns, nUpd, nDel = 0
+    lazy val ins = conn.prepareStatement(
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
+    lazy val upd = {
+      require(nonKeys.nonEmpty,
+        s"cannot apply updates to $table: every column is a key")
+      conn.prepareStatement(s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}")
+    }
+    lazy val del = conn.prepareStatement(
+      s"DELETE FROM $table WHERE ${keys.map(c => s"$c = ?").mkString(" AND ")}")
+
+    var pending: PreparedStatement = null
+    var pendingN = 0
+    def flush(): Unit = if (pendingN > 0) { pending.executeBatch(); pendingN = 0 }
+    def enqueue(ps: PreparedStatement): Unit = {
+      if (!(ps eq pending)) { flush(); pending = ps }
+      ps.addBatch(); pendingN += 1
+    }
     rows.foreach { r =>
       r.getAs[String]("_op") match {
         case ChangeEnvelope.Insert =>
           cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
-          ins.addBatch(); nIns += 1
+          enqueue(ins)
         case ChangeEnvelope.Update =>
           nonKeys.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, r.getAs[Any](c)) }
           keys.zipWithIndex.foreach { case (c, i) => upd.setObject(nonKeys.size + i + 1, r.getAs[Any](c)) }
-          upd.addBatch(); nUpd += 1
+          enqueue(upd)
         case ChangeEnvelope.Delete =>
           keys.zipWithIndex.foreach { case (c, i) =>
             del.setObject(i + 1, r.getAs[Any](ChangeEnvelope.BeforePrefix + c))
           }
-          del.addBatch(); nDel += 1
+          enqueue(del)
         case _ => // snapshot reads dropped upstream
       }
     }
-    if (nIns > 0) ins.executeBatch()
-    if (nUpd > 0) upd.executeBatch()
-    if (nDel > 0) del.executeBatch()
+    flush()
   }
 }

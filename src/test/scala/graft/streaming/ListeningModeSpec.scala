@@ -100,6 +100,44 @@ class ListeningModeSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("change application preserves stream order: delete then re-insert same key") {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:/tmp/graft-derby/db_order;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute("CREATE TABLE LOGINO (ID VARCHAR(16), NAME VARCHAR(32))")
+    try {
+      val dir = Files.createTempDirectory("env_order").toString
+      writeEnvelopes(dir, Seq(
+        env("c", null, """{"id":"k1","name":"v1"}""", ts = 1),
+        env("d", """{"id":"k1","name":"v1"}""", null, ts = 2),
+        env("c", null, """{"id":"k1","name":"v2"}""", ts = 3))) // re-created after delete
+      val flat = EnvelopeStream.flatten(
+        EnvelopeStream.replay(spark, dir, rowSchema), rowSchema, "insert,update,delete")
+      val spec = Jdbc.ConnectionSpec("jdbc:derby:/tmp/graft-derby/db_order", Map.empty)
+      val q = flat.coalesce(1)
+        .writeStream.foreachBatch(JdbcApply(spec, "LOGINO", Seq("id")))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rs = conn.createStatement().executeQuery("SELECT ID, NAME FROM LOGINO")
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString(1), r.getString(2))).toList
+      // per-op batching would run the DELETE after both INSERTs -> empty table
+      assert(got === List(("k1", "v2")))
+    } finally conn.close()
+  }
+
+  test("CdcPoll.trigger honors polling.interval and cron") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Map("mode" -> "polling", "url" -> "jdbc:derby:/tmp/x",
+      "table.name" -> "t", "polling.column" -> "id")
+    assert(CdcPoll.trigger(base + ("polling.interval" -> "60")) ===
+      Trigger.ProcessingTime(60000))
+    assert(CdcPoll.trigger(base) === Trigger.ProcessingTime(1000)) // reference default 1 s
+    assert(CdcPoll.trigger(base + ("cron.expression" -> "0 0 * * * ?")) ===
+      Trigger.AvailableNow())
+  }
+
   test("O20 metrics: per-op counters + IDLE status via observe/listener") {
     val dir = Files.createTempDirectory("env_metrics").toString
     writeEnvelopes(dir, Seq(
