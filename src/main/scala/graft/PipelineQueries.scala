@@ -108,6 +108,13 @@ object PipelineQueries {
     IvfIndex.knn(e, model, col("vec_id") < 20, K, nprobe = 4).orderBy("q_id", "n_id")
   }
 
+  private val CosDupThresholdMicro = 450000L
+
+  /** p13 — embedding-cosine near-dup pairs (exact baseline). */
+  private def p13(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(embs(s, dir), CosDupThresholdMicro)
+      .orderBy("vec_a", "vec_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -121,6 +128,7 @@ object PipelineQueries {
     "p10_embed_lsh_knn" -> p10 _,
     "p11_media_meta" -> p11 _,
     "p12_embed_ivf_knn" -> p12 _,
+    "p13_dedup_embed" -> p13 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -297,6 +305,13 @@ object PipelineQueries {
          |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
          |      FROM cand JOIN n q ON q.vec_id = cq JOIN n e ON e.vec_id = cn)
          |${knnSql("p")}""".stripMargin,
+    "p13_dedup_embed" ->
+      s"""WITH $VecCte
+         |SELECT q.vec_id AS vec_a, e.vec_id AS vec_b,
+         |       CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+         |FROM n q JOIN n e ON q.vec_id < e.vec_id
+         |WHERE CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) >= $CosDupThresholdMicro
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "p11_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

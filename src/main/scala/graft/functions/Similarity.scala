@@ -78,6 +78,23 @@ object Similarity {
   val DefaultBits = 6
   val Stride = 4
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * `floor(1e6*cos) >= thresholdMicro`. This is the EXACT O(n²) baseline
+    * (fine up to ~10^5 vectors with the codegen'd dot product); at corpus
+    * scale the same verify predicate runs on LSH/IVF candidates instead
+    * (see [[lshKnn]] / [[graft.functions.IvfIndex]]).
+    * Output: (vec_a, vec_b, sim_micro). */
+  def cosineNearDupPairs(emb: DataFrame, thresholdMicro: Long,
+                         idCol: String = "vec_id"): DataFrame = {
+    val a = prep(emb).select(col(idCol).as("vec_a"), col("vd").as("avd"), col("nrm").as("anrm"))
+    val b = prep(emb).select(col(idCol).as("vec_b"), col("vd").as("bvd"), col("nrm").as("bnrm"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        floor(lit(1e6) * dot(col("avd"), col("bvd")) / (col("anrm") * col("bnrm")))
+          .cast("long").as("sim_micro"))
+      .where(col("sim_micro") >= thresholdMicro)
+  }
+
   /** The dims (1-indexed) table `t` reads. */
   def tableDims(t: Int, bits: Int, dim: Int): Seq[Int] =
     (0 until bits).map(j => (t * Stride + j) % dim + 1)
