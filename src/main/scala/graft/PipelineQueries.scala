@@ -50,12 +50,14 @@ object PipelineQueries {
       .select(col("doc_id"), TF.langGuess(col("ws")).as("lang_guess"))
       .orderBy("doc_id")
 
-  /** p4 — document fingerprinting: md5 content hash + 16-bit SimHash. */
+  /** p4 — document fingerprinting: md5 content hash, 16-bit SimHash,
+    * Rabin–Karp rolling hash. */
   private def p4(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
       .withColumn("ws", TF.words(col("norm")))
     TF.withSimhash16(d, col("ws"), "simhash")
-      .select(col("doc_id"), TF.fingerprint(col("norm")).as("fp"), col("simhash"))
+      .select(col("doc_id"), TF.fingerprint(col("norm")).as("fp"), col("simhash"),
+        TF.rollingHash(col("norm")).as("rollhash"))
       .orderBy("doc_id")
   }
 
@@ -256,7 +258,11 @@ object PipelineQueries {
          |FROM sc ORDER BY doc_id""".stripMargin,
     "p4_fingerprint" ->
       s"""WITH $SimhashCte
-         |SELECT doc_id, md5(norm) AS fp, simhash FROM fps ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, md5(norm) AS fp, simhash,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % ${TF.RollHashMod}) AS rollhash
+         |FROM fps ORDER BY doc_id""".stripMargin,
     "p5_dedup_exact" ->
       s"""WITH $NormCte
          |SELECT md5(norm) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_cnt

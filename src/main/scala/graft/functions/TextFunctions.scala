@@ -95,6 +95,16 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(norm: Column): Column = md5(norm)
 
+  /** Polynomial rolling hash (Rabin–Karp style) of the normalized text:
+    * fold over characters of `acc*31 + code (mod 1e9+7)`. The modulus
+    * keeps every intermediate < 3.2e10, so the fold never overflows a
+    * long even under ANSI arithmetic — and the same fold runs verbatim
+    * in the DuckDB oracle. */
+  val RollHashMod = 1000000007L
+  def rollingHash(norm: Column): Column =
+    aggregate(split(norm, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % RollHashMod)
+
   /** 16-bit SimHash over the word multiset. Bit j (1-based) uses the top
     * bit of hex digit j of md5(word) (`substr(md5(w), j, 1) >= '8'`), so
     * the same fingerprint is computable in any engine with md5. Weighted
