@@ -4,7 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact
-  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash buckets.
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH (Broder 1997, "On the
+  * resemblance and containment of documents"; banding per Leskovec/
+  * Rajaraman/Ullman, Mining of Massive Datasets ch. 3), SimHash buckets
+  * (Charikar 2002, "Similarity estimation techniques from rounding
+  * algorithms").
   *
   * Scale design (100 TB): every path is shuffle-minimal —
   *   - exact dedup: one hash aggregation on the 128-bit fingerprint (never

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis kernel for the training-data pipeline (driver-mandated
   * extension ops; SURVEY §7.1 step 8): normalization, token counting,
-  * quality scoring, language-ID heuristic, fingerprinting.
+  * quality scoring (length/stopword/word-shape rules in the spirit of
+  * C4 (Raffel et al. 2020) and Gopher (Rae et al. 2021) filtering),
+  * language-ID heuristic (stopword/marker profiling à la Cavnar–Trenkle
+  * 1994), fingerprinting (md5, Rabin–Karp rolling hash).
   *
   * Determinism-by-construction: every ratio is a scaled integer
   * (`floor(1000 * a / b)`), every hash is md5 (identical hex in Spark and
