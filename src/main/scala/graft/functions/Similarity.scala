@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise cast to `array<double>`. */
-  def toDoubleVec(a: Column): Column = transform(a, _.cast("double"))
+  /** Element-wise cast to `array<double>` — a plain Cast, not
+    * `transform(_, _.cast(...))`: higher-order functions are
+    * CodegenFallback and would evict every downstream projection
+    * (including the codegen'd vec_dot) from whole-stage codegen. */
+  def toDoubleVec(a: Column): Column = a.cast("array<double>")
 
   /** Strict left-fold dot product of two double vectors. Uses the
     * codegen'd [[graft.functions.expr.VecDot]] when the session has
