@@ -36,8 +36,23 @@ object CdcMetrics {
       sum(when(op === ChangeEnvelope.Delete, 1L).otherwise(0L)).as("deletes"))
   }
 
+  /** One poll/micro-batch detail record (the reference keeps a ring of
+    * the last `polling.history.size` of these —
+    * `PollingMetrics.java:139-149`, default 10 `CDCSource.java:302-309`). */
+  case class PollDetail(batchId: Long, events: Long, durationMs: Long, ok: Boolean)
+
+  val DefaultHistorySize = 10
+
   /** Listener accumulating the reference's counter/gauge set. */
-  class Listener extends StreamingQueryListener {
+  class Listener(historySize: Int = DefaultHistorySize) extends StreamingQueryListener {
+    private val ring = new java.util.ArrayDeque[PollDetail](historySize)
+    /** Last `historySize` micro-batch details, newest last. */
+    def pollHistory: Seq[PollDetail] =
+      ring.synchronized { scala.jdk.CollectionConverters.IteratorHasAsScala(ring.iterator).asScala.toSeq }
+    private def record(d: PollDetail): Unit = ring.synchronized {
+      if (ring.size >= historySize) ring.removeFirst()
+      ring.addLast(d)
+    }
     val totalReads = new AtomicLong(0)
     val inserts = new AtomicLong(0)
     val updates = new AtomicLong(0)
@@ -65,6 +80,8 @@ object CdcMetrics {
           deletes.addAndGet(row.getAs[Long]("deletes"))
           lastReceiveTimeMs.set(System.currentTimeMillis())
         }
+        record(PollDetail(e.progress.batchId, n,
+          e.progress.batchDuration, ok = true))
       }
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =

@@ -18,6 +18,12 @@ class ListeningModeSpec extends SparkSpec {
   private val rowSchema = StructType(Seq(
     StructField("id", StringType), StructField("name", StringType)))
 
+  /** Derby lacks IF EXISTS: drop leftovers from prior runs quietly. */
+  private def recreateTable(conn: java.sql.Connection, ddl: String, table: String): Unit = {
+    try conn.createStatement().execute(s"DROP TABLE $table") catch { case _: Exception => () }
+    conn.createStatement().execute(ddl)
+  }
+
   private def writeEnvelopes(dir: String, lines: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, s"batch_${System.nanoTime()}.json"),
@@ -79,7 +85,7 @@ class ListeningModeSpec extends SparkSpec {
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val url = "jdbc:derby:/tmp/graft-derby/db_apply;create=true"
     val conn = DriverManager.getConnection(url)
-    conn.createStatement().execute("CREATE TABLE LOGIN (ID VARCHAR(16), NAME VARCHAR(32))")
+    recreateTable(conn, "CREATE TABLE LOGIN (ID VARCHAR(16), NAME VARCHAR(32))", "LOGIN")
     try {
       val dir = Files.createTempDirectory("env_apply").toString
       writeEnvelopes(dir, Seq(
@@ -105,7 +111,7 @@ class ListeningModeSpec extends SparkSpec {
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val url = "jdbc:derby:/tmp/graft-derby/db_order;create=true"
     val conn = DriverManager.getConnection(url)
-    conn.createStatement().execute("CREATE TABLE LOGINO (ID VARCHAR(16), NAME VARCHAR(32))")
+    recreateTable(conn, "CREATE TABLE LOGINO (ID VARCHAR(16), NAME VARCHAR(32))", "LOGINO")
     try {
       val dir = Files.createTempDirectory("env_order").toString
       writeEnvelopes(dir, Seq(
@@ -161,6 +167,10 @@ class ListeningModeSpec extends SparkSpec {
       assert(listener.updates.get === 1)
       assert(listener.deletes.get === 1)
       assert(listener.errors.get === 0)
+      // poll-history ring (reference default size 10): batches recorded
+      val hist = listener.pollHistory
+      assert(hist.nonEmpty && hist.size <= CdcMetrics.DefaultHistorySize)
+      assert(hist.map(_.events).sum === 4)
     } finally spark.streams.removeListener(listener)
   }
 }
