@@ -102,8 +102,7 @@ object IvfIndex {
     val sims = idx.join(broadcast(queries), Seq("cell"))
       .where(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),
-        floor(lit(1e6) * Similarity.dot(col("qvd"), col("vd")) / (col("qnrm") * col("nrm")))
-          .cast("long").as("sim_micro"))
+        Similarity.simMicroPre(col("qvd"), col("vd"), col("qnrm"), col("nrm")).as("sim_micro"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= kNeighbors)
       .select(col("q_id"), col("n_id"), col("sim_micro"))

@@ -50,6 +50,12 @@ object Similarity {
   /** `floor(1e6 * cosine)` as long — the quantized, oracle-stable sim. */
   def simMicro(a: Column, b: Column): Column = floor(lit(1e6) * cosine(a, b)).cast("long")
 
+  /** Same quantization with PRECOMPUTED norms — the single definition
+    * every search path (brute/LSH/IVF/near-dup) must share, or a future
+    * quantization change would silently diverge from the oracle. */
+  def simMicroPre(aVd: Column, bVd: Column, aNrm: Column, bNrm: Column): Column =
+    floor(lit(1e6) * dot(aVd, bVd) / (aNrm * bNrm)).cast("long")
+
   /** Corpus with precomputed double vector + norm. */
   def prep(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb.withColumn("vd", toDoubleVec(col(vecCol)))
@@ -64,8 +70,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"))
     val sims = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        floor(lit(1e6) * dot(col("qvd"), col("nvd")) / (col("qnrm") * col("nnrm")))
-          .cast("long").as("sim_micro"))
+        simMicroPre(col("qvd"), col("nvd"), col("qnrm"), col("nnrm")).as("sim_micro"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim_micro"))
@@ -93,8 +98,7 @@ object Similarity {
     val b = prep(emb).select(col(idCol).as("vec_b"), col("vd").as("bvd"), col("nrm").as("bnrm"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        floor(lit(1e6) * dot(col("avd"), col("bvd")) / (col("anrm") * col("bnrm")))
-          .cast("long").as("sim_micro"))
+        simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm")).as("sim_micro"))
       .where(col("sim_micro") >= thresholdMicro)
   }
 
@@ -139,8 +143,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"))
     val sims = cands.join(broadcast(queries), "q_id").join(corpus, "n_id")
       .select(col("q_id"), col("n_id"),
-        floor(lit(1e6) * dot(col("qvd"), col("nvd")) / (col("qnrm") * col("nnrm")))
-          .cast("long").as("sim_micro"))
+        simMicroPre(col("qvd"), col("nvd"), col("qnrm"), col("nnrm")).as("sim_micro"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim_micro"))

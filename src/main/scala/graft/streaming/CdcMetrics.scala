@@ -45,6 +45,7 @@ object CdcMetrics {
 
   /** Listener accumulating the reference's counter/gauge set. */
   class Listener(historySize: Int = DefaultHistorySize) extends StreamingQueryListener {
+    require(historySize > 0, s"historySize must be positive, got $historySize")
     private val ring = new java.util.ArrayDeque[PollDetail](historySize)
     /** Last `historySize` micro-batch details, newest last. */
     def pollHistory: Seq[PollDetail] =
@@ -85,6 +86,10 @@ object CdcMetrics {
       }
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      e.exception.foreach { ex => lastError.set(ex); errors.incrementAndGet() }
+      e.exception.foreach { ex =>
+        lastError.set(ex)
+        errors.incrementAndGet()
+        record(PollDetail(batchId = -1L, events = 0L, durationMs = 0L, ok = false))
+      }
   }
 }

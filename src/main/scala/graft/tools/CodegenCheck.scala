@@ -15,8 +15,9 @@ object CodegenCheck {
       .select(call_function("vec_dot", col("a"), col("a")).as("d"))
     val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     assert(gen.contains("vdN"), "vec_dot loop missing from generated code")
-    println("[codegen] vec_dot generates + compiles: " +
-      (df.agg(sum("d")).collect().head.getDouble(0) == 50.0))
+    val total = df.agg(sum("d")).collect().head.getDouble(0)
+    assert(total == 50.0, s"vec_dot produced wrong sum: $total (expected 50.0)")
+    println("[codegen] vec_dot generates, compiles, and computes correctly")
     spark.stop()
   }
 }

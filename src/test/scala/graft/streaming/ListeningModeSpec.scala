@@ -167,10 +167,15 @@ class ListeningModeSpec extends SparkSpec {
       assert(listener.updates.get === 1)
       assert(listener.deletes.get === 1)
       assert(listener.errors.get === 0)
-      // poll-history ring (reference default size 10): batches recorded
-      val hist = listener.pollHistory
-      assert(hist.nonEmpty && hist.size <= CdcMetrics.DefaultHistorySize)
-      assert(hist.map(_.events).sum === 4)
+      // poll-history ring (reference default size 10): batches recorded.
+      // Inside eventually: record() runs after the counter updates, so the
+      // ring can lag totalReads by a beat on the listener thread.
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+        val hist = listener.pollHistory
+        assert(hist.nonEmpty && hist.size <= CdcMetrics.DefaultHistorySize)
+        assert(hist.map(_.events).sum === 4)
+      }
     } finally spark.streams.removeListener(listener)
   }
 }
