@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Undecorated stdout for forked runs: the driver parses Bench's single
+// JSON line from stdout, and sbt's default LoggedOutput prefixes every
+// line with "[info] " (round-1 BENCH had parsed:null because of it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

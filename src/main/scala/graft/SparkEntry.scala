@@ -103,12 +103,17 @@ object CoreQueries {
       .orderBy("event_type")
 
   /** Q8 — micro-batch/interval bucketing (O14/O16): per-day batch rollup.
+    * The decimal(18,2) sum makes the aggregate order-independent; the final
+    * projection exposes only driver-safe output types (VARCHAR day, DOUBLE
+    * total — DATE/DECIMAL columns hash differently between pyarrow's
+    * `Decimal`/`date` objects and DuckDB's float64/datetime64 path).
     * Ref: CDCCronExecutor.java:91-96 (one sweep per interval). */
   private def q8(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(col("ts").cast("date").as("d"))
+      .groupBy(col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("cnt"), col("total"))
       .orderBy("d")
 
   /** Q9 — semi-structured decode (O10): typed field out of JSON props.
@@ -201,9 +206,9 @@ object CoreQueries {
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q8_batch_rollup" ->
-      """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
-        |FROM events GROUP BY CAST(ts AS DATE)
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1
         |ORDER BY d""".stripMargin,
     "q9_json_decode" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -56,7 +56,10 @@ object Dedup {
     * with `floor(1000*|A∩B|/|A∪B|) >= thresholdMilli`.
     * Output: (doc_a, doc_b, jacc_milli), doc_a < doc_b. */
   def ngramJaccardPairs(docs: DataFrame, thresholdMilli: Int): DataFrame = {
-    val sh = shingles(docs).cache()
+    // localCheckpoint, not cache(): reused 3x below, but freed by the
+    // ContextCleaner when unreferenced (cache() would leak across a
+    // long-lived session — library operators must clean up after themselves)
+    val sh = shingles(docs).localCheckpoint()
     val sizes = shingleSizes(sh)
     val a = sh.select(col("sid").as("doc_a"), col("sh"))
     val b = sh.select(col("sid").as("doc_b"), col("sh"))
@@ -112,7 +115,8 @@ object Dedup {
     * shingle sets (|candidates| × shingles-per-doc rows), so verify cost
     * scales with LSH collisions, not with the corpus pair count. */
   def minhashLsh(docs: DataFrame, bands: Int, thresholdMilli: Int): DataFrame = {
-    val sh = shingles(docs).cache()
+    // localCheckpoint, not cache() — see ngramJaccardPairs
+    val sh = shingles(docs).localCheckpoint()
     val sizes = shingleSizes(sh)
     val cands = lshCandidates(minhashSignatures(sh, bands))
     val a = sh.select(col("sid").as("doc_a"), col("sh"))

@@ -52,26 +52,27 @@ object IvfIndex {
   def train(emb: DataFrame, k: Int, iters: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     val p = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
-    var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    (1 to iters).foreach { _ =>
-      val model = Model(centroids)
-      val assigned = p.withColumn("cell", cellOf(col("vd"), model))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum((col("v") * FixedPointScale).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
-          r.getAs[Long]("s").toDouble / FixedPointScale / r.getAs[Long]("n")
+    try {
+      var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      (1 to iters).foreach { _ =>
+        val model = Model(centroids)
+        val assigned = p.withColumn("cell", cellOf(col("vd"), model))
+        val sums = assigned
+          .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum((col("v") * FixedPointScale).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+            r.getAs[Long]("s").toDouble / FixedPointScale / r.getAs[Long]("n")
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    p.unpersist()
-    Model(centroids)
+      Model(centroids)
+    } finally p.unpersist()
   }
 
   /** Corpus with cell assignment (the "inverted file"). */

@@ -34,12 +34,19 @@ object Similarity {
   /** Strict left-fold dot product of two double vectors. Uses the
     * codegen'd [[graft.functions.expr.VecDot]] when the session has
     * [[graft.GraftExtensions]] loaded (GraftSession always does); both
-    * paths accumulate left-to-right — bit-identical results. */
+    * paths accumulate left-to-right over the first `min(len(a), len(b))`
+    * elements — bit-identical results INCLUDING on length-mismatched
+    * inputs (a bare zip_with would null-pad the shorter vector and
+    * propagate NULL through the fold, diverging from the native path). */
   def dot(a: Column, b: Column): Column = {
     val session = org.apache.spark.sql.SparkSession.active
     val hasNative = session.catalog.functionExists("vec_dot")
     if (hasNative) call_function("vec_dot", a, b)
-    else aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+    else {
+      val n = least(size(a), size(b))
+      aggregate(zip_with(slice(a, lit(1), n), slice(b, lit(1), n), _ * _),
+        lit(0.0), (acc, x) => acc + x)
+    }
   }
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -130,7 +137,9 @@ object Similarity {
   def lshKnn(emb: DataFrame, queryPred: Column, k: Int,
              tables: Int = DefaultTables, bits: Int = DefaultBits, dim: Int = 64,
              idCol: String = "vec_id"): DataFrame = {
-    val p = prep(emb).cache()
+    // localCheckpoint, not cache(): reused 4x below, freed by the
+    // ContextCleaner when unreferenced (cache() leaks in long sessions)
+    val p = prep(emb).localCheckpoint()
     val corpusSig = signatures(p, tables, bits, dim, idCol)
       .toDF("n_id", "t", "bucket")
     val querySig = signatures(p.where(queryPred), tables, bits, dim, idCol)

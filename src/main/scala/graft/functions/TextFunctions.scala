@@ -133,7 +133,11 @@ object TextFunctions {
       }.reduce(_ + _).cast("long")
       df.withColumn("_sh_md5s", transform(ws, w => md5(w)))
         .withColumn("_sh_sums", sums)
-        .withColumn(out, fp)
+        // null word array (null text) → NULL fingerprint, matching the
+        // native Simhash16's null-safety. Tested on _sh_md5s (transform
+        // propagates null); _sh_sums itself is array(null,…), not null,
+        // and the per-bit whens would collapse it to simhash = 0.
+        .withColumn(out, when(col("_sh_md5s").isNull, lit(null).cast("long")).otherwise(fp))
         .drop("_sh_md5s", "_sh_sums")
     }
   }

@@ -51,7 +51,11 @@ object SequenceGaps {
         }
         gaps.iterator ++ Iterator((1, first, prev, pid))
       }
-    }.toDF("kind", "a", "b", "pid").cache()
+    // localCheckpoint, not cache(): both branches below read this twice,
+    // but CacheManager entries outlive the query and accumulate in a
+    // long-lived session; a localCheckpoint is freed by the ContextCleaner
+    // as soon as the plan is unreferenced.
+    }.toDF("kind", "a", "b", "pid").localCheckpoint()
 
     val inPartGaps = scanned.where(col("kind") === 0)
       .select(col("a").as("missing_from"), col("b").as("missing_to"))

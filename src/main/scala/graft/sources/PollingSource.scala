@@ -181,14 +181,18 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions) extends MicroBat
     val last = Option(lastPlanned.get()).map(_.asLong).getOrElse(-1L)
     val maxV = max.asLong
     if (maxV <= last) { gapReset(); return CdcOffset(Some(last.toString), numericCol) }
-    val minNew = queryMinAbove(last).get // exists: maxV > last
-    if (last >= 0 && minNew > last + 1) {
-      // hole immediately after last (reference: current - last > 1)
-      holdOrRelease(holdAt = last, hole = last + 1)
-    } else {
-      val end = runEnd(minNew)
-      if (end >= maxV) { gapReset(); max } // unbroken run to max
-      else holdOrRelease(holdAt = end, hole = end + 1)
+    queryMinAbove(last) match {
+      // queryMax saw a larger value on a SEPARATE connection; a concurrent
+      // delete in between can make the min query come back empty — degrade
+      // to a no-op poll (hold the offset) instead of failing the query
+      case None => CdcOffset(Some(last.toString), numericCol)
+      case Some(minNew) if last >= 0 && minNew > last + 1 =>
+        // hole immediately after last (reference: current - last > 1)
+        holdOrRelease(holdAt = last, hole = last + 1)
+      case Some(minNew) =>
+        val end = runEnd(minNew)
+        if (end >= maxV) { gapReset(); max } // unbroken run to max
+        else holdOrRelease(holdAt = end, hole = end + 1)
     }
   }
 
@@ -202,10 +206,13 @@ class CdcMicroBatchStream(schema: StructType, opts: CdcOptions) extends MicroBat
     val timedOut = opts.missedRecordTimeoutSec >= 0 &&
       now - gapFirstSeenMs >= opts.missedRecordTimeoutSec * 1000
     if (!timedOut) CdcOffset(Some(holdAt.toString), numericCol)
-    else {
-      gapReset()
-      val resume = queryMinAbove(holdAt).get // next present row after the hole
-      CdcOffset(Some(runEnd(resume).toString), numericCol)
+    else queryMinAbove(holdAt) match {
+      // concurrent delete between queryMax and here: keep holding; the
+      // next poll re-evaluates from a fresh max
+      case None => CdcOffset(Some(holdAt.toString), numericCol)
+      case Some(resume) =>
+        gapReset()
+        CdcOffset(Some(runEnd(resume).toString), numericCol)
     }
   }
 

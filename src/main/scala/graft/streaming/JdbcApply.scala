@@ -22,12 +22,36 @@ import graft.sources.Jdbc
   */
 object JdbcApply {
 
-  /** foreachBatch handler: `df.writeStream.foreachBatch(JdbcApply(spec, "login", Seq("id")))`. */
-  def apply(spec: Jdbc.ConnectionSpec, table: String, keyCols: Seq[String])
+  /** foreachBatch handler: `df.writeStream.foreachBatch(JdbcApply(spec, "login", Seq("id")))`.
+    *
+    * Ordering at parallelism > 1: the reference applies events
+    * single-threaded, but `foreachPartition` runs partitions concurrently —
+    * so the batch is first hash-repartitioned on the EFFECTIVE key (the
+    * before-image key for deletes, the after-image key otherwise: in
+    * multi-op mode a delete's after columns are default-padded and would
+    * hash to the wrong partition) and sorted within each partition by
+    * `orderCol` (+ original batch position as tiebreak). All operations on
+    * one key land in one partition in stream order; different keys apply
+    * concurrently, which is safe because row-level ops on distinct keys
+    * commute. */
+  def apply(spec: Jdbc.ConnectionSpec, table: String, keyCols: Seq[String],
+            orderCol: String = "_ts_ms")
   : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val cols = batch.columns.filter(c => !c.startsWith("_") && !c.startsWith(ChangeEnvelope.BeforePrefix))
     val nonKeys = cols.filterNot(keyCols.contains)
-    batch.foreachPartition { rows: Iterator[Row] =>
+    val hasBefore = keyCols.forall(k => batch.columns.contains(ChangeEnvelope.BeforePrefix + k))
+    val effKeys = keyCols.map { k =>
+      if (hasBefore)
+        when(col("_op") === ChangeEnvelope.Delete, col(ChangeEnvelope.BeforePrefix + k))
+          .otherwise(col(k)).as(s"_gk_$k")
+      else col(k).as(s"_gk_$k")
+    }
+    val ordered = batch
+      .withColumn("_seq", monotonically_increasing_id())
+      .select(batch.columns.map(col) :+ col("_seq") :+ struct(effKeys: _*).as("_gk"): _*)
+      .repartition(col("_gk"))
+      .sortWithinPartitions(col(orderCol), col("_seq"))
+    ordered.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = Jdbc.connect(spec)
         try applyPartition(conn, table, keyCols.toSeq, nonKeys.toSeq, cols.toSeq, rows)

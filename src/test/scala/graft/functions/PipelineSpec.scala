@@ -129,6 +129,57 @@ class PipelineSpec extends SparkSpec {
     assert(native === composable)
   }
 
+  test("vec_dot native and fallback agree on length-mismatched and null vectors") {
+    import org.apache.spark.sql.functions.{aggregate => fold, _}
+    // fallback form as built by Similarity.dot when vec_dot is absent
+    def fb(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val n = least(size(a), size(b))
+      fold(zip_with(slice(a, lit(1), n), slice(b, lit(1), n), _ * _),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),          // mismatched: truncate to min
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),               // matched
+      (Seq.empty[Double], Seq(1.0)),                // empty
+    ).toDF("a", "b")
+    val both = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      fb(col("a"), col("b")).as("fallback")).as[(Double, Double)].collect()
+    assert(both.forall { case (n, f) => n === f })
+    assert(both(0)._1 === 14.0) // 1*4 + 2*5, third element ignored
+    // null input → null on both paths
+    val nulls = df.limit(1)
+      .select(call_function("vec_dot", lit(null).cast("array<double>"), col("b")).as("n"),
+        fb(lit(null).cast("array<double>"), col("b")).as("f"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("simhash16 native and fallback both yield NULL for null word array") {
+    import org.apache.spark.sql.functions.{aggregate => fold, _}
+    val df = Seq((1L, Some("the quick fox")), (2L, None))
+      .toDF("doc_id", "text")
+      .withColumn("ws", when(col("text").isNotNull,
+        TextFunctions.words(TextFunctions.normText(col("text")))))
+    val native = TextFunctions.withSimhash16(df, col("ws"), "s")
+      .select("doc_id", "s").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // fallback form, built inline (bypasses the native branch)
+    val sums = array((1 to 16).map { j =>
+      fold(col("_m"), lit(0L),
+        (acc, m) => acc + when(substring(m, j, 1) >= "8", 1L).otherwise(-1L))
+    }: _*)
+    val fp = (1 to 16).map { j =>
+      when(element_at(col("_s"), j) > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+    val fallback = df.withColumn("_m", transform(col("ws"), w => md5(w)))
+      .withColumn("_s", sums)
+      .withColumn("s", when(col("_m").isNull, lit(null).cast("long")).otherwise(fp))
+      .select("doc_id", "s").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(native === fallback)
+    assert(native(2L) === None)   // null text → NULL fingerprint, not 0
+    assert(native(1L).nonEmpty)
+  }
+
   test("langGuess is deterministic and falls back to und") {
     val out = Seq("le le le les et", "xyz qrs", "the a of", "")
       .toDF("text")

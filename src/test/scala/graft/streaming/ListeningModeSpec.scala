@@ -96,7 +96,7 @@ class ListeningModeSpec extends SparkSpec {
       val flat = EnvelopeStream.flatten(
         EnvelopeStream.replay(spark, dir, rowSchema), rowSchema, "insert,update,delete")
       val spec = Jdbc.ConnectionSpec("jdbc:derby:/tmp/graft-derby/db_apply", Map.empty)
-      val q = flat.coalesce(1) // preserve change order within the batch
+      val q = flat // handler itself key-partitions + orders by _ts_ms
         .writeStream.foreachBatch(JdbcApply(spec, "LOGIN", Seq("id")))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -121,7 +121,10 @@ class ListeningModeSpec extends SparkSpec {
       val flat = EnvelopeStream.flatten(
         EnvelopeStream.replay(spark, dir, rowSchema), rowSchema, "insert,update,delete")
       val spec = Jdbc.ConnectionSpec("jdbc:derby:/tmp/graft-derby/db_order", Map.empty)
-      val q = flat.coalesce(1)
+      // NO coalesce(1): the handler must key-partition and _ts_ms-order the
+      // multi-partition batch itself (delete at ts=2 must precede the ts=3
+      // re-insert even when they arrive in different source partitions)
+      val q = flat.repartition(4)
         .writeStream.foreachBatch(JdbcApply(spec, "LOGINO", Seq("id")))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
