@@ -155,6 +155,51 @@ object CoreQueries {
       .select("user_id", "event_type").distinct()
       .orderBy("user_id", "event_type")
 
+  // CEP pattern surface (north star: the Siddhi host-language capability
+  // the reference's streams feed — `from every a=S -> b=S within T ...`).
+  // Implemented by graft.operators.Patterns; streaming analogs in
+  // graft.streaming.StreamPatterns.
+
+  // Pattern queries run on µs-precision time (`ts_us` = ts_ns div 1000):
+  // DuckDB reads the TIMESTAMP(NANOS) parquet column truncated to µs, so µs
+  // is the finest unit both engines see identically. Ordering stays total
+  // via the (ts, event_id) tie-break inside Patterns.
+  private val Hours12Us = 12L * 3600 * 1000000L
+  private val Hours24Us = 24L * 3600 * 1000000L
+  private val Hours6Us = 6L * 3600 * 1000000L
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+
+  /** Q13 — sequence pattern: every signup followed by its first purchase
+    * within 12 h (Siddhi `every a -> b within T`, first-match). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.followedBy(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "signup", "purchase", Hours12Us)
+      .withColumnRenamed("gap", "gap_us")
+      .orderBy("user_id", "a_id")
+
+  /** Q14 — absence pattern: signups NOT followed by a purchase within 12 h
+    * (Siddhi `a -> not b for T`). */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.absence(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "signup", "purchase", Hours12Us)
+      .orderBy("user_id", "a_id")
+
+  /** Q15 — count pattern: the 3rd-or-later error of a user within a
+    * trailing 24 h sliding window (Siddhi `#window.time(T) having count>=n`). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.burst(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "error", Hours24Us, 3L)
+      .orderBy("user_id", "event_id")
+
+  /** Q16 — session windows: per-user sessions with a 6 h inactivity gap
+    * (Siddhi `#window.session(gap, key)`). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.sessionize(eventsUs(s, dir), "user_id", "ts_us", Hours6Us)
+      .withColumnRenamed("session_start", "session_start_us")
+      .orderBy("user_id", "session_start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -168,6 +213,10 @@ object CoreQueries {
     "q10_hydration_join" -> q10 _,
     "q11_delete_apply" -> q11 _,
     "q12_dedup" -> q12 _,
+    "q13_pattern_seq" -> q13 _,
+    "q14_pattern_absence" -> q14 _,
+    "q15_pattern_burst" -> q15 _,
+    "q16_sessionize" -> q16 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -229,5 +278,49 @@ object CoreQueries {
       """SELECT DISTINCT user_id, event_type
         |FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q13_pattern_seq" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tns FROM events),
+         |n AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+         |        THEN lpad(CAST(tns AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+         |        OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+         |      FROM e)
+         |SELECT user_id, event_id AS a_id,
+         |       CAST(substr(nb, 21, 12) AS BIGINT) AS b_id,
+         |       CAST(substr(nb, 1, 20) AS BIGINT) - tns AS gap_us
+         |FROM n
+         |WHERE event_type = 'signup' AND nb IS NOT NULL
+         |  AND CAST(substr(nb, 1, 20) AS BIGINT) - tns <= $Hours12Us
+         |ORDER BY user_id, a_id""".stripMargin,
+    "q14_pattern_absence" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tns FROM events),
+         |n AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+         |        THEN lpad(CAST(tns AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+         |        OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+         |      FROM e)
+         |SELECT user_id, event_id AS a_id
+         |FROM n
+         |WHERE event_type = 'signup'
+         |  AND (nb IS NULL OR CAST(substr(nb, 1, 20) AS BIGINT) - tns > $Hours12Us)
+         |ORDER BY user_id, a_id""".stripMargin,
+    "q15_pattern_burst" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tns FROM events
+         |           WHERE event_type = 'error')
+         |SELECT user_id, event_id, cnt FROM (
+         |  SELECT user_id, event_id,
+         |         count(*) OVER (PARTITION BY user_id ORDER BY tns
+         |           RANGE BETWEEN CAST($Hours24Us AS BIGINT) PRECEDING AND CURRENT ROW) AS cnt
+         |  FROM e)
+         |WHERE cnt >= 3 ORDER BY user_id, event_id""".stripMargin,
+    "q16_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tns FROM events),
+         |l AS (SELECT *, CASE WHEN tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns) <= $Hours6Us
+         |                     THEN 0 ELSE 1 END AS new_sess FROM e),
+         |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM l)
+         |SELECT user_id, min(tns) AS session_start_us, count(*) AS n_events
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, session_start_us""".stripMargin,
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CEP-style pattern detection over a change/event stream — the Siddhi
+  * host-language surface the reference extension feeds
+  * (`@source(type='cdc')` streams are consumed by Siddhi pattern queries:
+  * `from every a=S -> b=S[cond] within T select ...`). The BASELINE.json
+  * north star calls this out as the partially-covered capability, so the
+  * engine provides it as first-class batch operators (streaming analogs in
+  * [[graft.streaming.StreamPatterns]]).
+  *
+  * All three detectors are ONE pass over a per-key window — shuffle once on
+  * the key, sort within partitions, no self-join, no global window — so at
+  * 100 TB they scale like any keyed aggregation (the dominant cost is the
+  * single hash exchange on `key`).
+  *
+  * Determinism: event order is the total order (ts, id); the "first B
+  * after A" is picked via a lexicographic min over zero-padded
+  * `(ts, id)` strings, which any SQL engine reproduces bit-for-bit
+  * (no argmin/struct-ordering divergence).
+  */
+object Patterns {
+
+  private val TsPad = 20 // fits epoch ns (19 digits through year 2262) or any smaller unit
+  private val IdPad = 12
+
+  /** Zero-padded sortable "ts:id" key (non-negative inputs). */
+  private def seqKey(ts: Column, id: Column): Column =
+    concat(lpad(ts.cast("string"), TsPad, "0"), lpad(id.cast("string"), IdPad, "0"))
+
+  /** Events + `_next_b` = seqKey of the FIRST following `typeB` event for
+    * the same key (strictly after in (ts, id) order), or null. */
+  private def withNextB(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, typeCol: String, typeB: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    events.withColumn("_next_b",
+      min(when(col(typeCol) === typeB, seqKey(col(tsCol), col(idCol)))).over(w))
+  }
+
+  private def nextBTs(c: Column): Column = substring(c, 1, TsPad).cast("long")
+  private def nextBId(c: Column): Column = substring(c, TsPad + 1, IdPad).cast("long")
+
+  /** Sequence pattern `every A -> B within T` (first-match): for every
+    * `typeA` event, the earliest `typeB` event of the same key within
+    * `within` time units after it.
+    * Output: (key, a_id, b_id, gap).
+    *
+    * Siddhi analog: `from every a=s[type=='A'] -> b=s[type=='B'] within T`.
+    */
+  def followedBy(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 typeCol: String, typeA: String, typeB: String, within: Long): DataFrame =
+    withNextB(events, keyCol, tsCol, idCol, typeCol, typeB)
+      .where(col(typeCol) === typeA && col("_next_b").isNotNull &&
+        nextBTs(col("_next_b")) - col(tsCol) <= within)
+      .select(col(keyCol), col(idCol).as("a_id"),
+        nextBId(col("_next_b")).as("b_id"),
+        (nextBTs(col("_next_b")) - col(tsCol)).as("gap"))
+
+  /** Absence pattern `A not followed by B within T`: every `typeA` event
+    * with NO `typeB` event of the same key in the next `within` time units.
+    * Output: (key, a_id).
+    *
+    * Siddhi analog: `from a=s[type=='A'] -> not s[type=='B'] for T`.
+    */
+  def absence(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+              typeCol: String, typeA: String, typeB: String, within: Long): DataFrame =
+    withNextB(events, keyCol, tsCol, idCol, typeCol, typeB)
+      .where(col(typeCol) === typeA &&
+        (col("_next_b").isNull || nextBTs(col("_next_b")) - col(tsCol) > within))
+      .select(col(keyCol), col(idCol).as("a_id"))
+
+  /** Count pattern (burst): every `typeX` event that is the `minCount`-th
+    * or later of its key within the trailing `windowLen` time units (sliding
+    * range-window count — "3 failed logins in 10 minutes").
+    * Output: (key, id, cnt).
+    *
+    * Siddhi analog: `from s[type=='X']#window.time(T) ... having count >= n`.
+    */
+  def burst(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+            typeCol: String, typeX: String, windowLen: Long, minCount: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(-windowLen, 0)
+    events.where(col(typeCol) === typeX)
+      .withColumn("cnt", count(lit(1)).over(w))
+      .where(col("cnt") >= minCount)
+      .select(col(keyCol), col(idCol), col("cnt"))
+  }
+
+  /** Session windows: consecutive same-key events merge while the gap to
+    * the previous event is <= `gap`; emits one row per session.
+    * Output: (key, session_start, n_events) — the start is min(ts)
+    * of the session, an exact integer any engine reproduces (built-in
+    * `session_window` would expose µs-truncated timestamps instead).
+    *
+    * Single pass: lag + conditional cumulative-sum assigns session ids
+    * within the per-key sort — same one-exchange shape as the detectors
+    * above. Siddhi analog: `s#window.session(gap, key)`.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String, gap: Long): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_new_sess",
+        when(col(tsCol) - lag(col(tsCol), 1).over(order) <= gap, 0L).otherwise(1L))
+      .withColumn("_sess", sum(col("_new_sess")).over(cum))
+      .groupBy(col(keyCol), col("_sess"))
+      .agg(min(col(tsCol)).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_start"), col("n_events"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** CEP pattern detectors (Siddhi `a -> b within T`, `not b for T`,
+  * `#window.time having count`, `#window.session`). */
+class PatternsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  // (key, ts_ns, id, type) — two users, hand-computable patterns
+  private lazy val events = {
+    import spark.implicits._
+    Seq(
+      // u1: A@10 -> B@15 (first match; B@18 ignored), A@20 -> B@25=boundary
+      ("u1", 10L, 1L, "A"), ("u1", 15L, 2L, "B"), ("u1", 18L, 3L, "B"),
+      ("u1", 20L, 4L, "A"), ("u1", 25L, 5L, "B"),
+      // u2: A@10 with B@16 one past the window (gap 6 > 5) -> absence;
+      // C burst: 3 C's within range-5 at ts 30..34, one C far later
+      ("u2", 10L, 6L, "A"), ("u2", 16L, 7L, "B"),
+      ("u2", 30L, 8L, "C"), ("u2", 32L, 9L, "C"), ("u2", 34L, 10L, "C"),
+      ("u2", 100L, 11L, "C"),
+    ).toDF("key", "ts", "id", "type")
+  }
+
+  test("followedBy picks the FIRST following B within the window (inclusive bound)") {
+    val out = Patterns.followedBy(events, "key", "ts", "id", "type", "A", "B", 5L)
+      .orderBy("key", "a_id").collect().toSeq
+    assert(out == Seq(
+      Row("u1", 1L, 2L, 5L),  // first B (id=2, gap 5 == within: inclusive)
+      Row("u1", 4L, 5L, 5L)))
+  }
+
+  test("absence keeps A events whose next B is absent or past the window") {
+    val out = Patterns.absence(events, "key", "ts", "id", "type", "A", "B", 5L)
+      .collect().toSeq
+    assert(out == Seq(Row("u2", 6L))) // B@16 is 6 ns later: outside
+  }
+
+  test("absence window bound is strict (gap == within still matches B)") {
+    val out = Patterns.absence(events, "key", "ts", "id", "type", "A", "B", 6L)
+      .collect().toSeq
+    assert(out.isEmpty)
+  }
+
+  test("burst counts events in the trailing range window per key") {
+    val out = Patterns.burst(events, "key", "ts", "id", "type", "C", 5L, 3L)
+      .collect().toSeq
+    // C@30,32,34 -> counts 1,2,3; only the third fires; C@100 restarts at 1
+    assert(out == Seq(Row("u2", 10L, 3L)))
+  }
+
+  test("sessionize merges events within the gap and splits on silence") {
+    val out = Patterns.sessionize(events, "key", "ts", 5L)
+      .orderBy("key", "session_start").collect().toSeq
+    assert(out == Seq(
+      Row("u1", 10L, 5L),          // 10,15,18,20,25: all gaps <= 5
+      Row("u2", 10L, 1L),          // 10 alone (16 is 6 away)
+      Row("u2", 16L, 1L),
+      Row("u2", 30L, 3L),          // 30,32,34
+      Row("u2", 100L, 1L)))
+  }
+
+  test("sf0.001 pattern queries are plan-sane (single key exchange, no global window)") {
+    val df = Patterns.followedBy(
+      graft.Tables.events(spark, sf()), "user_id", "ts_ns", "event_id",
+      "event_type", "signup", "purchase", 12L * 3600 * 1000000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the window must be partitioned by user_id — never a single-partition sort
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(df.count() > 0)
+  }
+}
