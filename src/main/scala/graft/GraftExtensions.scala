@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expr.{Simhash16, VecDot}
+import graft.functions.expr.{MinhashBands, Simhash16, VecDot}
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
       (children: Seq[Expression]) => Simhash16(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => MinhashBands(children.head,
+        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact
@@ -13,18 +13,25 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): every path is shuffle-minimal —
   *   - exact dedup: one hash aggregation on the 128-bit fingerprint (never
   *     the full text), so the shuffle carries 16 bytes + ids per row;
-  *   - MinHash: ONE explode of shingles, then a single aggregation
-  *     computing all band minima at once (map-side partial min), then an
-  *     equi-join on (band, signature) — candidate volume is bounded by
-  *     true-similar pairs plus the band false-positive rate, never O(n²);
+  *   - MinHash: signatures AND shingle-set sizes are pure map-side
+  *     expressions over the per-doc shingle array ([[expr.MinhashBands]]
+  *     computes every band minimum in one pass per row — no explode, no
+  *     aggregation exchange), so the only shuffles are the candidate
+  *     equi-join on (band, sig) and the verify joins;
   *   - Jaccard verify runs only on candidate pairs (semi-join pattern);
   *   - SimHash: pure map-side fingerprint + one groupBy on a 16-bit key.
+  *
+  * No operator persists state: reused subplans are map-side projections of
+  * the source scan, so recomputation costs a re-scan (which Catalyst
+  * dedupes via ReusedExchange where an exchange exists) and lineage stays
+  * intact — a lost executor recomputes instead of failing the query, and
+  * no CacheManager entries survive the call (asserted in DedupSpec).
   *
   * All hashes are md5-derived so a SQL oracle reproduces them exactly.
   */
 object Dedup {
 
-  /** Docs + derived `norm`, `ws`, `fp` columns (shared prep). */
+  /** Docs + derived `norm`, `fp` columns (shared prep). */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = TextFunctions.normText(col(textCol))
     docs.withColumn("norm", norm)
@@ -38,34 +45,44 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_cnt"))
 
-  /** (id, shingle) exploded distinct word-trigram shingles.
+  /** (sid, shs) — per-doc distinct word-trigram shingle ARRAY (map-side;
+    * the explode-free base every MinHash/Jaccard stage derives from).
     *
-    * `ws` is materialized via withColumn BEFORE the trigram lambda touches
+    * `_ws` is materialized via withColumn BEFORE the trigram lambda touches
     * it: `element_at(ws, i)` inside a higher-order function re-evaluates
     * its argument expression per element, so an unmaterialized
     * regexp+split would run 3x per trigram (measured 30x slowdown). */
-  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def shingleArrays(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.withColumn("_ws", TextFunctions.words(TextFunctions.normText(col(textCol))))
-      .select(col(idCol).as("sid"), explode(TextFunctions.trigramShingles(col("_ws"))).as("sh"))
+      .select(col(idCol).as("sid"), TextFunctions.trigramShingles(col("_ws")).as("shs"))
 
-  /** Shingle-set sizes per doc. */
-  private def shingleSizes(sh: DataFrame): DataFrame =
-    sh.groupBy(col("sid")).agg(count(lit(1)).as("n"))
+  /** (sid, sh) exploded distinct word-trigram shingles. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleArrays(docs, idCol, textCol).select(col("sid"), explode(col("shs")).as("sh"))
+
+  /** Shingle-set sizes per doc — `size(shs)`, no explode/aggregation. */
+  private def shingleSizes(shArr: DataFrame): DataFrame =
+    shArr.select(col("sid"), size(col("shs")).cast("long").as("n"))
 
   /** All-pairs n-gram Jaccard over docs sharing ≥1 shingle, keeping pairs
     * with `floor(1000*|A∩B|/|A∪B|) >= thresholdMilli`.
-    * Output: (doc_a, doc_b, jacc_milli), doc_a < doc_b. */
+    * Output: (doc_a, doc_b, jacc_milli), doc_a < doc_b.
+    *
+    * This is the exhaustive oracle baseline — O(shared-shingle pairs) by
+    * contract; [[minhashLsh]] is the scale route. */
   def ngramJaccardPairs(docs: DataFrame, thresholdMilli: Int): DataFrame = {
-    // localCheckpoint, not cache(): reused 3x below, but freed by the
-    // ContextCleaner when unreferenced (cache() would leak across a
-    // long-lived session — library operators must clean up after themselves)
-    val sh = shingles(docs).localCheckpoint()
-    val sizes = shingleSizes(sh)
+    val shArr = shingleArrays(docs)
+    // merge hint: the exploded shingle stream is |docs| x |shingles| rows,
+    // but Catalyst's Generate estimate still reads as the (small) parquet
+    // scan underneath — without the hint it happily BROADCASTS the blown-up
+    // side (measured 17x slower at sf0.1, and a guaranteed OOM at scale).
+    // Sort-merge on `sh` is the strategy that survives 100 TB.
+    val sh = shArr.select(col("sid"), explode(col("shs")).as("sh")).hint("merge")
     val a = sh.select(col("sid").as("doc_a"), col("sh"))
     val b = sh.select(col("sid").as("doc_b"), col("sh"))
     val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, sizes, thresholdMilli)
+    jaccardFilter(inter, shingleSizes(shArr), thresholdMilli)
   }
 
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame, thresholdMilli: Int): DataFrame = {
@@ -84,10 +101,38 @@ object Dedup {
     * with probability 1-(1-j^r)^bands. */
   val RowsPerBand = 2
 
-  /** MinHash signatures: for band b, sig_b = concat over r in
-    * [0, RowsPerBand) of min(md5("b.r|" || shingle)). ONE aggregation
-    * computes every (band, row) minimum (map-side combinable), then
-    * `stack` unpivots to (sid, band, sig). */
+  /** Per-doc band-signature ARRAY: element b = concat over r of
+    * min(md5("b.r|" || shingle)). Uses the single-pass codegen'd
+    * [[expr.MinhashBands]] when the session has [[graft.GraftExtensions]]
+    * loaded; the composable fallback (one md5 transform + array_min per
+    * (band, row)) produces identical bytes (parity-tested in DedupSpec). */
+  def minhashBandsCol(shs: Column, bands: Int): Column = {
+    val session = SparkSession.active
+    if (session.catalog.functionExists("minhash_bands"))
+      call_function("minhash_bands", shs, lit(bands), lit(RowsPerBand))
+    else minhashBandsFallback(shs, bands)
+  }
+
+  /** Composable twin of [[expr.MinhashBands]] — built-in functions only,
+    * identical bytes (parity-asserted in DedupSpec). */
+  def minhashBandsFallback(shs: Column, bands: Int): Column = {
+    val sigs = (0 until bands).map { b =>
+      concat((0 until RowsPerBand).map { r =>
+        array_min(transform(shs, s => md5(concat(lit(s"$b.$r|"), s))))
+      }: _*)
+    }
+    when(size(shs) > 0, array(sigs: _*)).otherwise(array().cast("array<string>"))
+  }
+
+  /** (sid, band, sig) signature rows — posexplode of the map-side band
+    * array; shingle-less docs emit no rows. */
+  def minhashSignatureRows(shArr: DataFrame, bands: Int): DataFrame =
+    shArr.select(col("sid"),
+        posexplode(minhashBandsCol(col("shs"), bands)).as(Seq("band", "sig")))
+
+  /** MinHash signatures from an exploded (sid, sh) stream — the
+    * aggregation formulation (kept for the parity spec and profiling
+    * tools; [[minhashSignatureRows]] is the production path). */
   def minhashSignatures(sh: DataFrame, bands: Int): DataFrame = {
     val aggs = for (b <- 0 until bands; r <- 0 until RowsPerBand)
       yield min(md5(concat_ws("|", lit(s"$b.$r"), col("sh")))).as(s"mh_${b}_$r")
@@ -99,10 +144,13 @@ object Dedup {
     wide.select(col("sid"), expr(s"stack($bands, $stackArgs) as (band, sig)"))
   }
 
-  /** LSH candidate pairs: equal signature in ≥1 band. */
+  /** LSH candidate pairs: equal signature in ≥1 band. The signature
+    * stream is |docs| x bands rows — sort-merge hinted for the same
+    * Generate-underestimation reason as the shingle joins. */
   def lshCandidates(sig: DataFrame): DataFrame = {
-    val a = sig.select(col("sid").as("doc_a"), col("band"), col("sig"))
-    val b = sig.select(col("sid").as("doc_b"), col("band"), col("sig"))
+    val hinted = sig.hint("merge")
+    val a = hinted.select(col("sid").as("doc_a"), col("band"), col("sig"))
+    val b = hinted.select(col("sid").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
@@ -115,16 +163,17 @@ object Dedup {
     * shingle sets (|candidates| × shingles-per-doc rows), so verify cost
     * scales with LSH collisions, not with the corpus pair count. */
   def minhashLsh(docs: DataFrame, bands: Int, thresholdMilli: Int): DataFrame = {
-    // localCheckpoint, not cache() — see ngramJaccardPairs
-    val sh = shingles(docs).localCheckpoint()
-    val sizes = shingleSizes(sh)
-    val cands = lshCandidates(minhashSignatures(sh, bands))
+    val shArr = shingleArrays(docs)
+    val cands = lshCandidates(minhashSignatureRows(shArr, bands))
+    // merge hint: see ngramJaccardPairs — never broadcast the exploded
+    // shingle stream (Generate hides the blowup from the size estimate)
+    val sh = shArr.select(col("sid"), explode(col("shs")).as("sh")).hint("merge")
     val a = sh.select(col("sid").as("doc_a"), col("sh"))
     val b = sh.select(col("sid").as("doc_b"), col("sh"))
     val inter = cands.join(a, Seq("doc_a"))      // (doc_a, doc_b, sh of a)
       .join(b, Seq("doc_b", "sh"))               // keep shingles b shares
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, sizes, thresholdMilli)
+    jaccardFilter(inter, shingleSizes(shArr), thresholdMilli)
   }
 
   /** SimHash bucket dedup: 16-bit simhash per doc, report buckets holding

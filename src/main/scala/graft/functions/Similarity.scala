@@ -137,9 +137,13 @@ object Similarity {
   def lshKnn(emb: DataFrame, queryPred: Column, k: Int,
              tables: Int = DefaultTables, bits: Int = DefaultBits, dim: Int = 64,
              idCol: String = "vec_id"): DataFrame = {
-    // localCheckpoint, not cache(): reused 4x below, freed by the
-    // ContextCleaner when unreferenced (cache() leaks in long sessions)
-    val p = prep(emb).localCheckpoint()
+    // No persist: `p` is a map-side projection (cast + norm) of the source
+    // scan, so each of the 4 uses below recomputes arithmetic inside its
+    // own scan stage. At corpus scale caching the prepped corpus is
+    // impossible anyway (and localCheckpoint — tried in round 2 — loses
+    // lineage AND plan statistics, blocking broadcast planning); the
+    // re-scan is the honest 100 TB cost model and keeps fault tolerance.
+    val p = prep(emb)
     val corpusSig = signatures(p, tables, bits, dim, idCol)
       .toDF("n_id", "t", "bucket")
     val querySig = signatures(p.where(queryPred), tables, bits, dim, idCol)

@@ -142,10 +142,23 @@ object TextFunctions {
     }
   }
 
-  /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection. */
+  /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection.
+    *
+    * Built from three aligned `slice`s zipped together — NOT from
+    * `element_at(ws, i)` inside a `transform` lambda: a lambda body
+    * re-evaluates its captured argument expression on every element, so
+    * when the optimizer inlines an upstream `words(normText(text))` alias
+    * (CollapseProject / ColumnPruning around a Generate do this), the
+    * regex+split would run 3× per trigram — measured 30× slower at sf0.1.
+    * Here `ws` is referenced a constant number of times per ROW, so the
+    * plan stays cheap no matter how projections collapse. */
   def trigramShingles(ws: Column): Column = {
-    val grams = transform(sequence(lit(1), size(ws) - 2), i =>
-      concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
-    array_distinct(when(size(ws) < 3, array().cast("array<string>")).otherwise(grams))
+    val n = size(ws)
+    val grams = zip_with(
+      zip_with(slice(ws, lit(1), n - 2), slice(ws, lit(2), n - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(ws, lit(3), n - 2),
+      (ab, c) => concat(ab, lit(" "), c))
+    array_distinct(when(n < 3, array().cast("array<string>")).otherwise(grams))
   }
 }

@@ -1,25 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed sequence-gap detection (reference O15,
   * `WaitOnMissingRecordPollingStrategy.java:116-132`, and SURVEY §2.3 Q5).
   *
   * The naive formulation — `LEAD(id) OVER (ORDER BY id)` — is a GLOBAL
-  * window: Spark moves every row to a single partition to sort it
-  * (WindowExec warns exactly this), which is a non-starter at 100 TB.
+  * window: Spark moves every row to a single partition to sort it, a
+  * non-starter at 100 TB.
   *
-  * This operator keeps the same semantics with a scalable plan:
-  *   1. `repartitionByRange(id)` + `sortWithinPartitions(id)` — a range
-  *      shuffle, each partition holds a contiguous id range;
-  *   2. one pass per partition emits in-partition gaps AND one boundary
-  *      record (partitionId, firstId, lastId);
-  *   3. boundary records (numPartitions rows — trivially small) are
-  *      broadcast-joined back to close the cross-partition seams.
+  * This operator keeps the same semantics with a scalable, deterministic
+  * plan:
+  *   1. one min/max aggregate fixes `numBlocks` equal-width id blocks
+  *      (two longs to the driver — bounded, like a range-partitioner
+  *      sample, but DETERMINISTIC: the block of an id is a pure function
+  *      of (lo, width), so re-executions of the shared subplan below
+  *      partition identically — a sampled repartitionByRange could not
+  *      guarantee that without persisting the shuffle);
+  *   2. hash-repartition on block id + sort within partitions: one pass
+  *      per partition emits in-block gaps AND one boundary record
+  *      (blk, firstId, lastId) per block;
+  *   3. boundary records (numBlocks rows — trivially small) fold into
+  *      cross-block seam gaps with a single-partition linear scan (no
+  *      global window, so no WindowExec single-partition warning and the
+  *      O(blocks) seam cost is explicit).
   *
-  * Wall-clock is one range shuffle + one linear scan; no single-node
-  * sort, no driver collect of data rows.
+  * Wall-clock is one column-pruned min/max scan + one shuffle + one linear
+  * scan; no single-node sort, no driver collect of data rows, no persisted
+  * state (both consumers of the scanned stream recompute it; the exchange
+  * is reused by Catalyst within the one query, and determinism of step 1
+  * makes even independent re-executions agree).
   */
 object SequenceGaps {
 
@@ -30,46 +41,71 @@ object SequenceGaps {
     import spark.implicits._
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.select(col(idCol).cast("long").as("id"))
-      .repartitionByRange(n, col("id"))
-      .sortWithinPartitions("id")
+    val ids = df.select(col(idCol).cast("long").as("id"))
 
-    // pass 2: per-partition linear scan -> (kind=0 gaps | kind=1 boundaries)
-    // encoded as (kind, a, b, pid): gap=(from,to), boundary=(first,last)
-    val scanned = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      if (!it.hasNext) Iterator.empty
-      else {
-        var first = Long.MinValue
-        var prev = Long.MinValue
-        val gaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-        it.foreach { r =>
-          val v = r.getLong(0)
-          if (first == Long.MinValue) first = v
-          else if (v - prev > 1) gaps += ((0, prev + 1, v - 1, pid))
-          prev = v
+    // bounded driver data: exactly two longs (column-pruned aggregate)
+    val stats = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi")).head()
+    if (stats.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("missing_from", "missing_to")
+    val lo = stats.getLong(0)
+    val hi = stats.getLong(1)
+    val width = math.max(1L, (hi - lo) / n + 1)
+
+    // pass 2: per-block linear scan -> (kind=0 gaps | kind=1 boundaries)
+    // encoded as (kind, a, b, blk): gap=(from,to), boundary=(first,last)
+    val scanned = ids.withColumn("blk", ((col("id") - lit(lo)) / lit(width)).cast("long"))
+      .repartition(n, col("blk"))
+      .sortWithinPartitions("blk", "id")
+      .mapPartitions { it =>
+        new Iterator[(Int, Long, Long, Long)] {
+          private var blk = Long.MinValue
+          private var first = 0L
+          private var prev = 0L
+          private var out: List[(Int, Long, Long, Long)] = Nil
+          private def closeBlock(): Unit =
+            if (blk != Long.MinValue) out ::= ((1, first, prev, blk))
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val r = it.next()
+              val b = r.getLong(1)
+              val v = r.getLong(0)
+              if (b != blk) { closeBlock(); blk = b; first = v }
+              else if (v - prev > 1) out ::= ((0, prev + 1, v - 1, blk))
+              prev = v
+            }
+            if (out.isEmpty && !it.hasNext && blk != Long.MinValue) {
+              closeBlock(); blk = Long.MinValue
+            }
+          }
+          def hasNext: Boolean = { advance(); out.nonEmpty }
+          def next(): (Int, Long, Long, Long) = {
+            advance(); val h = out.head; out = out.tail; h
+          }
         }
-        gaps.iterator ++ Iterator((1, first, prev, pid))
-      }
-    // localCheckpoint, not cache(): both branches below read this twice,
-    // but CacheManager entries outlive the query and accumulate in a
-    // long-lived session; a localCheckpoint is freed by the ContextCleaner
-    // as soon as the plan is unreferenced.
-    }.toDF("kind", "a", "b", "pid").localCheckpoint()
+      }.toDF("kind", "a", "b", "blk")
 
-    val inPartGaps = scanned.where(col("kind") === 0)
+    val inBlockGaps = scanned.where(col("kind") === 0)
       .select(col("a").as("missing_from"), col("b").as("missing_to"))
 
-    // pass 3: seams between consecutive non-empty partitions. Boundary set
-    // is O(numPartitions) -> a window over it is effectively free.
-    val bounds = scanned.where(col("kind") === 1)
-      .select(col("pid"), col("a").as("first"), col("b").as("last"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("pid")
-    val seamGaps = bounds
-      .withColumn("next_first", lead(col("first"), 1).over(w))
-      .where(col("next_first").isNotNull && col("next_first") - col("last") > 1)
-      .select((col("last") + 1).as("missing_from"), (col("next_first") - 1).as("missing_to"))
+    // pass 3: seams between consecutive non-empty blocks. Boundary set is
+    // O(numBlocks) -> one tiny single-partition fold, no window needed.
+    val seamGaps = scanned.where(col("kind") === 1)
+      .select(col("blk"), col("a").as("first"), col("b").as("last"))
+      .repartition(1)
+      .sortWithinPartitions("blk")
+      .mapPartitions { it =>
+        var prevLast = Long.MinValue
+        var seen = false
+        it.flatMap { r =>
+          val first = r.getLong(1)
+          val last = r.getLong(2)
+          val gap = if (seen && first - prevLast > 1) Iterator((prevLast + 1, first - 1))
+            else Iterator.empty
+          seen = true
+          prevLast = last
+          gap
+        }
+      }.toDF("missing_from", "missing_to")
 
-    inPartGaps.union(seamGaps)
+    inBlockGaps.union(seamGaps)
   }
 }

@@ -122,5 +122,63 @@ object CdcOptions {
       require(o.pollingIntervalSec >= 0, "polling.interval must be >= 0")
       require(!(o.waitOnMissedRecord && o.cronExpression.nonEmpty),
         "cron.expression cannot be used with wait.on.missed.record")
+      o.cronExpression.foreach(c => require(isValidCron(c),
+        s"invalid cron.expression '$c' (expected Quartz-style 'sec min hour dom month dow [year]')"))
+  }
+
+  private val CronMonths = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+    "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+  private val CronDays = Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT")
+  // (min, max) per field: sec, min, hour, day-of-month, month, day-of-week, year
+  private val CronFieldRanges =
+    Seq((0, 59), (0, 59), (0, 23), (1, 31), (1, 12), (1, 7), (1970, 2199))
+
+  /** Quartz-style cron validation (reference `CDCSource.java:569-576` via
+    * Quartz `CronExpression.isValidExpression`): 6-7 whitespace-separated
+    * fields `sec min hour dom month dow [year]`; each field a comma list
+    * of `*`, `?` (dom/dow), `L`/`nW` (dom), `n#w` (dow), values, ranges,
+    * and `/step` suffixes, with per-field numeric domains and JAN-DEC /
+    * SUN-SAT names. A structural validator, not a scheduler: it rejects
+    * malformed expressions (the reference's bad-cron negative test) and
+    * accepts everything Quartz runs in the reference's own tests. */
+  def isValidCron(expr: String): Boolean = {
+    def toNum(tok: String, idx: Int): Option[Int] = {
+      val t = idx match {
+        case 4 if CronMonths.contains(tok.toUpperCase) => (CronMonths.indexOf(tok.toUpperCase) + 1).toString
+        case 5 if CronDays.contains(tok.toUpperCase) => (CronDays.indexOf(tok.toUpperCase) + 1).toString
+        case _ => tok
+      }
+      scala.util.Try(t.toInt).toOption
+    }
+    def inRange(v: Int, idx: Int): Boolean =
+      v >= CronFieldRanges(idx)._1 && v <= CronFieldRanges(idx)._2
+    def okBase(base: String, idx: Int): Boolean = base match {
+      case "*" => true
+      case "?" => idx == 3 || idx == 5
+      case "L" => idx == 3 || idx == 5
+      case b if b.contains("-") => b.split("-", -1) match {
+        case Array(x, y) => toNum(x, idx).exists(inRange(_, idx)) && toNum(y, idx).exists(inRange(_, idx))
+        case _ => false
+      }
+      case b if idx == 5 && b.contains("#") => b.split("#", -1) match {
+        case Array(x, y) => toNum(x, idx).exists(inRange(_, idx)) &&
+          scala.util.Try(y.toInt).toOption.exists(n => n >= 1 && n <= 5)
+        case _ => false
+      }
+      case b if idx == 3 && b.toUpperCase.endsWith("W") =>
+        toNum(b.dropRight(1), idx).exists(inRange(_, idx))
+      case b => toNum(b, idx).exists(inRange(_, idx))
+    }
+    def okItem(item: String, idx: Int): Boolean = item.split("/", -1) match {
+      case Array(base) => okBase(base, idx)
+      case Array(base, step) =>
+        okBase(base, idx) && scala.util.Try(step.toInt).toOption.exists(_ > 0)
+      case _ => false
+    }
+    val fields = expr.trim.split("\\s+")
+    fields.length >= 6 && fields.length <= 7 &&
+      fields.zipWithIndex.forall { case (f, i) =>
+        f.nonEmpty && f.split(",", -1).forall(item => item.nonEmpty && okItem(item, i))
+      }
   }
 }

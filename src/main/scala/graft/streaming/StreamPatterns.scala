@@ -1,0 +1,209 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming CEP pattern detection — the live-stream analogs of the batch
+  * operators in [[graft.operators.Patterns]] (the Siddhi host-language
+  * surface the reference's `@source(type='cdc')` streams feed:
+  * `from every a=S -> b=S[cond] within T`,
+  * `TestCaseOfCDCListeningMode.java:86,324-334` shows the consumption
+  * shape). Each operator produces, as the watermark passes, exactly the
+  * rows its batch twin produces on the same data (parity-asserted per
+  * operator in StreamPatternsSpec).
+  *
+  * Mechanism: per-key watermark-buffered finalization over
+  * `flatMapGroupsWithState` with event-time timeouts —
+  *   - events buffer in per-key state, sorted by the total order
+  *     `(ts, id)` (the same determinism contract as the batch operators);
+  *   - an element finalizes when the watermark proves its outcome can no
+  *     longer change (A at `a.ts + within`, burst-X at `x.ts`, a session
+  *     at `lastTs + gap`); finalized elements emit and leave state;
+  *   - an event-time timer wakes the key at its earliest pending
+  *     finalization, so results flow on watermark advance even with no
+  *     further input for that key;
+  *   - state per key is bounded by the pattern horizon (`within` /
+  *     `windowLen` / `gap`) — eviction drops everything no pending
+  *     element can reference. Input later than the watermark is treated
+  *     as Spark treats late data everywhere: best-effort, never
+  *     double-emitting.
+  *
+  * Scale: one hash exchange on the key, per-key state in the state store
+  * (RocksDB on a cluster), no driver state, no global ordering — the same
+  * shape as any keyed streaming aggregation at 100 TB.
+  */
+object StreamPatterns {
+
+  /** Buffered event: `tsUs` duplicates `eventTime` as epoch µs because all
+    * pattern arithmetic is integer µs (bit-compatible with the batch
+    * operators and their oracles). */
+  case class PatEvent(key: Long, tsUs: Long, id: Long, typ: String, eventTime: Timestamp)
+
+  /** Per-key state: the undecided-event buffer + the watermark of the last
+    * flush (the emission frontier — only burst needs it, to keep emitted
+    * events as count context without re-emitting them). */
+  case class PatBuf(evs: Seq[PatEvent], frontierUs: Long)
+
+  case class SeqMatch(key: Long, a_id: Long, b_id: Long, gap: Long)
+  case class AbsMatch(key: Long, a_id: Long)
+  case class BurstMatch(key: Long, id: Long, cnt: Long)
+  case class Session(key: Long, session_start: Long, n_events: Long)
+
+  implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
+  implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
+  implicit private val seqEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
+  implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
+  implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
+  implicit private val sessEnc: Encoder[Session] = Encoders.product[Session]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** The engine: key, sort, flush-on-data-or-timer.
+    *
+    * `onlyType` filters AFTER `withWatermark`, never before: the watermark
+    * must advance on the FULL stream (a pattern interested only in rare
+    * `error` events would otherwise stall at the last error seen and never
+    * finalize it — caught by the burst parity spec). There is no safe
+    * place for a DataFrame-level filter: `PushPredicateThroughNonJoin`
+    * pushes any predicate not referencing the watermark attribute below
+    * the `EventTimeWatermark` node, and a blocker conjunct like
+    * `isnull(eventTime)` constant-folds away when the column is
+    * non-nullable — both verified to stall the watermark in testing. So
+    * the filter lives INSIDE the stateful function: non-matching rows pay
+    * the keyed shuffle (they carry 5 narrow columns) and are dropped
+    * before touching state.
+    *
+    * `flush(sortedEvents, frontierUs, watermarkUs)` returns
+    * `(emissions, retainedEvents, earliestPendingFinalizeUs)`. */
+  private def runPattern[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None)(
+      flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
+  : Dataset[O] = {
+    val watermarked = events.select(
+        col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("tsUs"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("typ"),
+        col(tsCol).as("eventTime"))
+      .withWatermark("eventTime", delay)
+    val ds = watermarked.as[PatEvent]
+    ds.groupByKey(_.key).flatMapGroupsWithState[PatBuf, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+      (_: Long, it: Iterator[PatEvent], state: GroupState[PatBuf]) =>
+        val prev = state.getOption
+        val frontier = prev.map(_.frontierUs).getOrElse(Long.MinValue)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val incoming = onlyType.fold(it)(t => it.filter(_.typ == t))
+        val merged = (prev.map(_.evs.toVector).getOrElse(Vector.empty) ++ incoming)
+          .sortBy(e => (e.tsUs, e.id))
+        val (out, retained, nextFinalize) = flush(merged, frontier, wmUs)
+        if (retained.isEmpty) state.remove()
+        else {
+          state.update(PatBuf(retained, math.max(frontier, wmUs)))
+          nextFinalize.foreach { f =>
+            // fire once the watermark strictly passes f (ms granularity)
+            state.setTimeoutTimestamp(math.max(f / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+          }
+        }
+        out.iterator
+    }
+  }
+
+  /** First `typeB` strictly after `a` in `(ts, id)` order, within the
+    * horizon — the batch operator's `_next_b` pick. */
+  private def firstB(evs: Vector[PatEvent], a: PatEvent, typeB: String,
+                     withinUs: Long): Option[PatEvent] =
+    evs.find(e => e.typ == typeB && e.tsUs <= a.tsUs + withinUs &&
+      (e.tsUs > a.tsUs || (e.tsUs == a.tsUs && e.id > a.id)))
+
+  /** Shared sequence/absence flush: an A finalizes when
+    * `a.ts + within < watermark` (every candidate B has then arrived);
+    * pending A events and everything at-or-after the earliest pending A
+    * stay buffered. */
+  private def seqFlush[O](typeA: String, typeB: String, withinUs: Long,
+      emit: (PatEvent, Option[PatEvent]) => Option[O])(
+      evs: Vector[PatEvent], frontier: Long, wmUs: Long)
+  : (Seq[O], Vector[PatEvent], Option[Long]) = {
+    val out = evs.filter(a => a.typ == typeA && a.tsUs + withinUs < wmUs)
+      .flatMap(a => emit(a, firstB(evs, a, typeB, withinUs)))
+    val pendingA = evs.filter(a => a.typ == typeA && a.tsUs + withinUs >= wmUs)
+    if (pendingA.isEmpty) (out, Vector.empty, None)
+    else {
+      val m = pendingA.head // evs sorted -> head is min (ts, id)
+      val retained = evs.filter(e => e.tsUs > m.tsUs || (e.tsUs == m.tsUs && e.id >= m.id))
+      (out, retained, Some(m.tsUs + withinUs))
+    }
+  }
+
+  /** Streaming `every A -> B within T` (first-match) — batch twin
+    * [[graft.operators.Patterns.followedBy]]. Output: (key, a_id, b_id, gap). */
+  def followedBy(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 typeCol: String, typeA: String, typeB: String, withinUs: Long,
+                 delay: String): Dataset[SeqMatch] =
+    runPattern[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
+      seqFlush[SeqMatch](typeA, typeB, withinUs, (a, b) =>
+        b.map(bb => SeqMatch(a.key, a.id, bb.id, bb.tsUs - a.tsUs))))
+
+  /** Streaming `A not followed by B within T` — batch twin
+    * [[graft.operators.Patterns.absence]]. Output: (key, a_id). The
+    * timeout-driven flush IS the absence detector: the per-key event-time
+    * timer at `a.ts + within` is exactly Siddhi's `not ... for T` timer. */
+  def absence(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+              typeCol: String, typeA: String, typeB: String, withinUs: Long,
+              delay: String): Dataset[AbsMatch] =
+    runPattern[AbsMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
+      seqFlush[AbsMatch](typeA, typeB, withinUs, (a, b) =>
+        if (b.isEmpty) Some(AbsMatch(a.key, a.id)) else None))
+
+  /** Streaming trailing-window count pattern — batch twin
+    * [[graft.operators.Patterns.burst]]: every `typeX` event whose
+    * trailing `windowUs` window holds >= minCount X events. An X
+    * finalizes when the watermark passes its own timestamp (its window
+    * looks only backward); emitted events stay buffered as count context
+    * for later events until `ts + windowUs` ages out, with the frontier
+    * preventing re-emission. Output: (key, id, cnt). */
+  def burst(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+            typeCol: String, typeX: String, windowUs: Long, minCount: Long,
+            delay: String): Dataset[BurstMatch] =
+    runPattern[BurstMatch](events, keyCol, tsCol, idCol, typeCol, delay,
+        onlyType = Some(typeX)) { (evs, frontier, wmUs) =>
+      val out = evs.filter(x => x.tsUs < wmUs && x.tsUs >= frontier).flatMap { x =>
+        val cnt = evs.count(e => e.tsUs >= x.tsUs - windowUs && e.tsUs <= x.tsUs).toLong
+        if (cnt >= minCount) Some(BurstMatch(x.key, x.id, cnt)) else None
+      }
+      val retained = evs.filter(e => e.tsUs + windowUs >= wmUs)
+      val pending = retained.filter(_.tsUs >= wmUs)
+      val wake =
+        if (retained.isEmpty) None
+        else if (pending.nonEmpty) Some(pending.map(_.tsUs).min)
+        else Some(retained.map(_.tsUs + windowUs).max) // pure context: wake to evict
+      (out, retained, wake)
+    }
+
+  /** Streaming session windows — batch twin
+    * [[graft.operators.Patterns.sessionize]]: consecutive same-key events
+    * merge while the gap is <= `gapUs`; a session finalizes (emits once)
+    * when the watermark passes `lastTs + gap` — any later event is a new
+    * session by definition. Output: (key, session_start, n_events). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String, gapUs: Long,
+                 delay: String): Dataset[Session] = {
+    val tagged = events.withColumn("_pid", lit(0L)).withColumn("_ptyp", lit("e"))
+    runPattern[Session](tagged, keyCol, tsCol, "_pid", "_ptyp", delay) { (evs, _, wmUs) =>
+      if (evs.isEmpty) (Nil, Vector.empty, None)
+      else {
+        // split the sorted buffer into gap-delimited sessions
+        val sessions = evs.tail.foldLeft(Vector(Vector(evs.head))) { (acc, e) =>
+          if (e.tsUs - acc.last.last.tsUs <= gapUs) acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+        }
+        val (done, open) = sessions.partition(s => s.last.tsUs + gapUs < wmUs)
+        val out = done.map(s => Session(s.head.key, s.head.tsUs, s.size.toLong))
+        val retained = open.flatten
+        val wake = open.headOption.map(_.last.tsUs + gapUs)
+        (out, retained, wake)
+      }
+    }
+  }
+}

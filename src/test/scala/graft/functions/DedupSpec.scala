@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import graft.operators.SequenceGaps
+import org.apache.spark.sql.functions._
+
+/** MinHash signature-path parity (codegen expression vs composable
+  * fallback vs aggregation formulation) and the no-persisted-state
+  * contract of the dedup/similarity/gap operators. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private val Bands = 8
+
+  test("minhash_bands codegen expression is byte-identical to the composable fallback") {
+    val shArr = Dedup.shingleArrays(docs)
+    // session has GraftExtensions -> native branch
+    assert(spark.catalog.functionExists("minhash_bands"))
+    val native = shArr.select(col("sid"), Dedup.minhashBandsCol(col("shs"), Bands).as("sigs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val fallback = shArr.select(col("sid"), Dedup.minhashBandsFallback(col("shs"), Bands).as("sigs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native.nonEmpty && native === fallback)
+  }
+
+  test("minhash_bands agrees with the exploded aggregation formulation") {
+    val viaExpr = Dedup.minhashSignatureRows(Dedup.shingleArrays(docs), Bands)
+      .as[(Long, Int, String)].collect().toSet
+    val viaAgg = Dedup.minhashSignatures(Dedup.shingles(docs), Bands)
+      .select(col("sid"), col("band").cast("int"), col("sig"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaExpr.nonEmpty && viaExpr === viaAgg)
+  }
+
+  test("minhash_bands: shingle-less docs (empty / <3 words) emit no signature rows") {
+    val d = Seq((1L, ""), (2L, "one two"), (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val rows = Dedup.minhashSignatureRows(Dedup.shingleArrays(d), Bands)
+    assert(rows.select("sid").distinct().as[Long].collect().toSet === Set(3L))
+    assert(rows.count() === Bands.toLong)
+  }
+
+  test("operators leave no CacheManager entries behind (no-leak contract)") {
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.ngramJaccardPairs(docs, 800).count()
+    Dedup.minhashLsh(docs, Bands, 800).count()
+    val embs = Tables.embeddings(spark, sf())
+    Similarity.lshKnn(embs, col("vec_id") < 20, 3).count()
+    SequenceGaps.detect(docs.select(col("doc_id")), "doc_id").count()
+    // IvfIndex.train persists internally but must unpersist in finally
+    IvfIndex.train(embs, k = 4, iters = 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a library operator left a persisted plan in the CacheManager")
+  }
+}

@@ -70,6 +70,23 @@ class CdcOptionsSpec extends AnyFunSuite {
       "cron.expression" -> "*/5 * * * * ?"))
   }
 
+  test("malformed cron.expression rejected; Quartz forms accepted (O16, ref CDCSource.java:569-576)") {
+    def polling(cron: String) = opts(
+      "mode" -> "polling", "url" -> "jdbc:derby:/tmp/x", "table.name" -> "t",
+      "polling.column" -> "id", "cron.expression" -> cron)
+    // accepted: the forms the reference's own tests schedule with Quartz
+    Seq("*/5 * * * * ?", "0 0 12 * * ?", "0 15 10 ? * MON-FRI",
+        "0 0/5 14 * * ?", "0 15 10 ? * 6#3", "0 15 10 L * ?",
+        "0 15 10 15W * ?", "0 0 12 * JAN,JUN ? 2099")
+      .foreach(c => assert(polling(c).cronExpression === Some(c), c))
+    // rejected: structurally invalid expressions fail fast at validate
+    Seq("not a cron", "* * *", "99 * * * * ?", "0 0 25 * * ?",
+        "0 0 12 * 13 ?", "0 0 12 ? * 8", "0 0 12 * * ? 1900",
+        "a b c d e f", "0 0 12 * * ? ? ?", "0 -1 12 * * ?", "0 0/0 12 * * ?")
+      .foreach(c => assert(intercept[IllegalArgumentException](polling(c))
+        .getMessage.contains("cron"), c))
+  }
+
   test("connector.properties k=v pairs parse; malformed rejected") {
     assert(CdcOptions.parseConnectorProperties("a=1, b = 2") === Map("a" -> "1", "b" -> "2"))
     intercept[IllegalArgumentException](CdcOptions.parseConnectorProperties("a=1,b"))

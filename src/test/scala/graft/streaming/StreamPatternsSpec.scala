@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Patterns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming CEP operators must emit, once the watermark has passed,
+  * exactly what their batch twins compute on the same data — asserted on
+  * a deterministic pseudo-random event log fed through a MemoryStream in
+  * chronological chunks (shuffled WITHIN each chunk: out-of-order inside
+  * a micro-batch is the common real-world arrival pattern). */
+class StreamPatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WithinUs = 50_000_000L   // 50 s
+  private val WindowUs = 100_000_000L  // 100 s
+  private val GapUs = 30_000_000L      // 30 s
+  private val SentinelKey = 99L
+
+  // (key, tsUs, id, typ): 5 keys, 300 events over ~1000 s, 4 types
+  private lazy val eventData: Seq[(Long, Long, Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("signup", "purchase", "error", "noise")
+    (1L to 300L).map { id =>
+      (1L + rnd.nextInt(5), rnd.nextInt(1000000) * 1000L, id, types(rnd.nextInt(4)))
+    }
+  }
+
+  private def staticDf: DataFrame =
+    eventData.toDF("k", "ts_us", "id", "typ")
+
+  /** Feed the event log in 3 chronological chunks (shuffled within each),
+    * then sentinels to push the watermark past every horizon; collect the
+    * streaming result (sentinel key filtered out). */
+  private def runStream(build: DataFrame => DataFrame, name: String): Set[Seq[Any]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = build(src).writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val sorted = eventData.sortBy(t => (t._2, t._3))
+      val rnd = new scala.util.Random(7)
+      val maxTs = eventData.map(_._2).max
+      sorted.grouped((sorted.size + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(rnd.shuffle(chunk): _*)
+        q.processAllAvailable()
+      }
+      // two sentinel steps: the first advances the watermark past every
+      // pending finalization, the second drains timer-only batches
+      in.addData((SentinelKey, maxTs + 10 * WindowUs, 9998L, "noise"))
+      q.processAllAvailable()
+      in.addData((SentinelKey, maxTs + 20 * WindowUs, 9999L, "noise"))
+      q.processAllAvailable()
+      spark.table(name).where(col("key") =!= SentinelKey)
+        .collect().map(_.toSeq).toSet
+    } finally q.stop()
+  }
+
+  test("followedBy parity with batch operator") {
+    val got = runStream(src => StreamPatterns.followedBy(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_seq")
+    val want = Patterns.followedBy(staticDf, "k", "ts_us", "id", "typ",
+      "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("absence parity with batch operator") {
+    val got = runStream(src => StreamPatterns.absence(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_abs")
+    val want = Patterns.absence(staticDf, "k", "ts_us", "id", "typ",
+      "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("burst parity with batch operator") {
+    val got = runStream(src => StreamPatterns.burst(
+      src, "k", "ts", "id", "typ", "error", WindowUs, 3L, "0 seconds").toDF, "sp_burst")
+    val want = Patterns.burst(staticDf, "k", "ts_us", "id", "typ",
+      "error", WindowUs, 3L).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("sessionize parity with batch operator") {
+    val got = runStream(src => StreamPatterns.sessionize(
+      src, "k", "ts", GapUs, "0 seconds").toDF, "sp_sess")
+    val want = Patterns.sessionize(staticDf, "k", "ts_us", GapUs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("absence fires on watermark advance without further key input (timer path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamPatterns.absence(src, "k", "ts", "id", "typ",
+        "signup", "purchase", WithinUs, "0 seconds")
+      .toDF.writeStream.format("memory").queryName("sp_timer")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, 1_000_000L, 1L, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("sp_timer").isEmpty) // undecided: horizon open
+      // a DIFFERENT key pushes the watermark; key 1 flushes via its timer
+      in.addData((2L, WithinUs + 3_000_000L, 2L, "noise"))
+      q.processAllAvailable()
+      in.addData((2L, WithinUs + 4_000_000L, 3L, "noise"))
+      q.processAllAvailable()
+      val got = spark.table("sp_timer").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 1L)))
+    } finally q.stop()
+  }
+}
