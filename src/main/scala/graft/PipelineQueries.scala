@@ -101,13 +101,27 @@ object PipelineQueries {
   private def p11(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMetaColumns(docs(s, dir)).orderBy("media_id")
 
-  /** p12 — IVF approximate top-k (coarse-quantizer scale path; k-means
-    * codebook is not SQL-expressible → driver records rows-only check;
-    * recall vs brute force asserted in PipelineSpec). */
+  private val IvfK = 16
+  private val IvfIters = 3
+  private val IvfNprobe = 4
+
+  /** Codebook trained by the last [[p12]] run. The k-means training loop
+    * itself is not SQL-expressible, but the trained centroids are bounded
+    * driver-side data (k×dim doubles) — so [[oracleSql]] embeds them as
+    * literals and lets DuckDB independently re-derive cell assignment,
+    * probe selection, and the exact cosine top-k (the same
+    * constant-generation trick as [[lshSigsSql]]). Verify runs every
+    * query before dumping oracleSql, so the cache is always populated in
+    * the driver flow; standalone oracleSql calls simply omit p12. */
+  @volatile private var lastIvfModel: Option[IvfIndex.Model] = None
+
+  /** p12 — IVF approximate top-k (coarse-quantizer scale path; training
+    * correctness additionally asserted as recall vs brute in PipelineSpec). */
   private def p12(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val model = IvfIndex.train(e, k = 16, iters = 3)
-    IvfIndex.knn(e, model, col("vec_id") < 20, K, nprobe = 4).orderBy("q_id", "n_id")
+    val model = IvfIndex.train(e, k = IvfK, iters = IvfIters)
+    lastIvfModel = Some(model)
+    IvfIndex.knn(e, model, col("vec_id") < 20, K, nprobe = IvfNprobe).orderBy("q_id", "n_id")
   }
 
   private val CosDupThresholdMicro = 450000L
@@ -223,7 +237,43 @@ object PipelineQueries {
     s"SELECT vec_id, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM n"
   }.mkString("\n  UNION ALL ")
 
-  val oracleSql: Map[String, String] = Map(
+  /** p12 oracle from the trained codebook: DuckDB re-derives cell
+    * assignment (argmin ||x−c||² = argmin c² − 2x·c, ties → lowest cell),
+    * probe cells (the same distance ranking, first `nprobe`), and the
+    * exact cosine top-k within probed cells. Distances use the literal
+    * c² (computed driver-side with the same left-fold order as
+    * [[graft.functions.IvfIndex]]) and the strict left-fold dot, so every
+    * double matches Spark bit-for-bit. */
+  private def ivfOracleSql(m: IvfIndex.Model): String = {
+    val rows = m.centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}]::DOUBLE[], ${c2})"
+    }.mkString(",\n    ")
+    val dotEC =
+      """list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * c.cvd[i])),
+        |            (a, b) -> a + b)""".stripMargin
+    s"""WITH $VecCte,
+       |cents AS (SELECT * FROM (VALUES
+       |    $rows
+       |  ) AS c(cell, cvd, c2)),
+       |ad AS (SELECT e.vec_id, e.vd, e.nrm, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           c.c2 - 2 * $dotEC, c.cell) AS rn
+       |       FROM n e CROSS JOIN cents c),
+       |idx AS (SELECT vec_id, vd, nrm, cell FROM ad WHERE rn = 1),
+       |probes AS (SELECT vec_id, vd, nrm, cell FROM ad
+       |           WHERE rn <= $IvfNprobe AND $QueryPredSql),
+       |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+       |      FROM probes q JOIN idx e ON e.cell = q.cell AND e.vec_id != q.vec_id)
+       |${knnSql("p")}""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m))
+
+  private val staticOracleSql: Map[String, String] = Map(
     "p1_text_stats" ->
       s"""WITH $NormCte
          |SELECT doc_id,
