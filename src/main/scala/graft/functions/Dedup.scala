@@ -155,25 +155,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** LSH candidate pairs via the inverted index: group signature rows by
+    * (band, sig), emit sorted within-bucket pairs. ONE shuffle of the
+    * |docs| × bands signature stream, and the signatures are computed
+    * exactly once (the join formulation in [[lshCandidates]] computes
+    * them once per join side). Per-bucket memory is bounded by design:
+    * a bucket holds docs whose banded min-hashes all agree, so its size
+    * tracks the true near-dup cluster size plus the (tiny) band
+    * false-positive rate — NOT corpus size. Contrast p6's hot-shingle
+    * groups, which is why p6 keeps the streaming sort-merge join. */
+  def lshCandidatePairs(sigRows: DataFrame): DataFrame = {
+    val buckets = sigRows.groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_list(col("sid"))).as("sids"))
+      .where(size(col("sids")) > 1)
+    buckets.select(explode(flatten(transform(col("sids"), (x, i) =>
+        transform(slice(col("sids"), i + lit(2), size(col("sids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup: LSH candidates verified by exact trigram
     * Jaccard ≥ thresholdMilli. Output: (doc_a, doc_b, jacc_milli).
     *
-    * The verify stage joins candidates → shingles, never shingles →
-    * shingles: intersection counting touches only candidate pairs'
-    * shingle sets (|candidates| × shingles-per-doc rows), so verify cost
-    * scales with LSH collisions, not with the corpus pair count. */
+    * Verify never re-explodes shingles: the candidate pairs (bounded by
+    * LSH collisions, not the corpus pair count) join the per-doc shingle
+    * ARRAYS and `array_intersect` counts the overlap in one map-side
+    * expression — two equi-joins whose small side (cands) AQE broadcasts
+    * at runtime, set sizes read directly off the joined arrays. */
   def minhashLsh(docs: DataFrame, bands: Int, thresholdMilli: Int): DataFrame = {
     val shArr = shingleArrays(docs)
-    val cands = lshCandidates(minhashSignatureRows(shArr, bands))
-    // merge hint: see ngramJaccardPairs — never broadcast the exploded
-    // shingle stream (Generate hides the blowup from the size estimate)
-    val sh = shArr.select(col("sid"), explode(col("shs")).as("sh")).hint("merge")
-    val a = sh.select(col("sid").as("doc_a"), col("sh"))
-    val b = sh.select(col("sid").as("doc_b"), col("sh"))
-    val inter = cands.join(a, Seq("doc_a"))      // (doc_a, doc_b, sh of a)
-      .join(b, Seq("doc_b", "sh"))               // keep shingles b shares
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, shingleSizes(shArr), thresholdMilli)
+    val cands = lshCandidatePairs(minhashSignatureRows(shArr, bands))
+    val a = shArr.select(col("sid").as("doc_a"), col("shs").as("shs_a"))
+    val b = shArr.select(col("sid").as("doc_b"), col("shs").as("shs_b"))
+    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+        size(col("shs_a")).cast("long").as("na"),
+        size(col("shs_b")).cast("long").as("nb"))
+      .withColumn("jacc_milli",
+        floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .where(col("jacc_milli") >= thresholdMilli)
+      .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
   }
 
   /** SimHash bucket dedup: 16-bit simhash per doc, report buckets holding
