@@ -31,4 +31,19 @@ object EnvelopeStream {
     * [[graft.core.ChangeEnvelope.flatten]]. */
   def flatten(envelopes: DataFrame, rowSchema: StructType, operation: String): DataFrame =
     ChangeEnvelope.flatten(envelopes, rowSchema, operation)
+
+  /** Full listening mode (reference O1) when Debezium jars are present at
+    * runtime: starts the embedded engine via [[DebeziumRuntime]] spooling
+    * envelope JSON under `stateDir/spool`, and returns that spool as the
+    * envelope stream plus the engine handle (close it when the query
+    * stops). Without the jars this throws with the replay/polling
+    * guidance — the rest of the pipeline (flatten, offsets, checkpoint
+    * recovery) is byte-identical between live tail and replay. */
+  def listen(spark: SparkSession, opts: graft.sources.CdcOptions,
+             rowSchema: StructType, stateDir: String)
+  : (DataFrame, DebeziumRuntime.Handle) = {
+    val handle = DebeziumRuntime.start(
+      DebeziumRuntime.engineProps(opts, stateDir), s"$stateDir/spool")
+    (replay(spark, s"$stateDir/spool", rowSchema), handle)
+  }
 }
