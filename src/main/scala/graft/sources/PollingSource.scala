@@ -54,9 +54,13 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = CdcOptions(options)
     require(opts.mode == CdcOptions.ModePolling,
-      "mode=listening embeds a Debezium engine, which is not available in this " +
-        "offline build; use mode=polling, or replay change-event envelopes with " +
-        "spark.readStream.schema(ChangeEnvelope.schema(...)).json(dir) + ChangeEnvelope.flatten")
+      "mode=listening requires a user-declared row schema (the reference declares it " +
+        "on the stream, TestCaseOfCDCListeningMode.java:79-87) and so is not served by " +
+        "this schema-inferring format: use EnvelopeStream.listen(spark, opts, rowSchema, " +
+        "stateDir) — a live Debezium log-tail when the debezium jars are on the runtime " +
+        "classpath (DebeziumRuntime.available) — or EnvelopeStream.replay for recorded " +
+        "envelopes; both feed the same flatten/offset/checkpoint pipeline. mode=polling " +
+        "is handled here.")
     Jdbc.withConnection(opts) { conn =>
       Jdbc.inferSchema(conn, opts.table)
     }

@@ -21,10 +21,14 @@ object CdcMetrics {
   /** Reference idle threshold: 8 s (`ListeningMetrics.java:51-60`). */
   val IdleThresholdMs = 8000L
 
-  sealed trait CdcStatus
-  case object Consuming extends CdcStatus
-  case object Idle extends CdcStatus
-  case object ErrorStatus extends CdcStatus
+  /** Status enum with the reference's ordinal order
+    * (`metrics/CDCStatus.java:26`: CONSUMING, IDLE, ERROR, SUCCESS) — the
+    * `db_status` gauge exports the ordinal (`PollingMetrics.java:119-130`). */
+  sealed abstract class CdcStatus(val ordinal: Int)
+  case object Consuming extends CdcStatus(0)
+  case object Idle extends CdcStatus(1)
+  case object ErrorStatus extends CdcStatus(2)
+  case object Success extends CdcStatus(3)
 
   /** Attach per-op observed metrics to a flattened change stream. */
   def observed(flat: DataFrame): DataFrame = {
@@ -60,6 +64,9 @@ object CdcMetrics {
     val deletes = new AtomicLong(0)
     val errors = new AtomicLong(0)
     val lastReceiveTimeMs = new AtomicLong(-1L)
+    /** `events_in_last_polling_interval` gauge
+      * (`PollingMetrics.java:132-137`). */
+    val eventsInLastBatch = new AtomicLong(0)
     private val lastError = new AtomicReference[String](null)
 
     def status: CdcStatus =
@@ -68,12 +75,25 @@ object CdcMetrics {
         System.currentTimeMillis() - lastReceiveTimeMs.get > IdleThresholdMs) Idle
       else Consuming
 
+    /** `db_status` gauge value: the status ordinal, −1 before any batch
+      * (`PollingMetrics.java:119-130`). */
+    def dbStatusOrdinal: Int =
+      if (lastError.get == null && lastReceiveTimeMs.get < 0) -1 else status.ordinal
+
+    /** `idle_time` gauge: seconds since the last received event, 0 before
+      * any batch (`PollingMetrics.java:106-117`). */
+    def idleTimeSec: Long = {
+      val t = lastReceiveTimeMs.get
+      if (t < 0) 0L else (System.currentTimeMillis() - t) / 1000
+    }
+
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val m = e.progress.observedMetrics
       if (m.containsKey(ObservationName)) {
         val row = m.get(ObservationName)
         val n = row.getAs[Long]("events")
+        eventsInLastBatch.set(n)
         if (n > 0) {
           totalReads.addAndGet(n)
           inserts.addAndGet(row.getAs[Long]("inserts"))
@@ -91,5 +111,47 @@ object CdcMetrics {
         errors.incrementAndGet()
         record(PollDetail(batchId = -1L, events = 0L, durationMs = 0L, ok = false))
       }
+  }
+
+  /** Metric-name key for a captured table: `host/table`
+    * (`PollingMetrics.java:181-183`). */
+  def databaseUrlKey(host: String, table: String): String = s"$host/$table"
+
+  /** JDBC URL shortened for metric names (reference
+    * `metrics/MetricsUtils.java:44-110`): drop the query/property tail per
+    * vendor (mysql/postgresql → before `?`; sqlserver/derby → before `;`;
+    * oracle/db2 → truncate after the host), then cap at 30 chars + the
+    * current identifier run, appending `..` whenever something was cut. */
+  def shortenedJdbcUrl(url: String): String = {
+    val vendor = url.split(":").lift(1).getOrElse("")
+    val formatted = vendor match {
+      case "mysql" | "postgresql" =>
+        val parts = url.split("\\?")
+        if (parts.length == 1) parts(0) else parts(0) + ".."
+      case "sqlserver" | "derby" =>
+        val parts = url.split(";")
+        if (parts.length == 1) parts(0) else parts(0) + ".."
+      case "oracle" =>
+        // keep `...@host`, cut the trailing `:port:sid` (reference reverses
+        // the string to locate the LAST `@...:` — same effect)
+        val at = url.indexOf('@')
+        if (at < 0) url
+        else {
+          val colon = url.indexOf(':', at + 1)
+          if (colon < 0) url else url.substring(0, colon) + ".."
+        }
+      case "db2" =>
+        val idx = url.lastIndexOf("db2:") + 3
+        val colon = url.indexOf(':', idx + 1)
+        if (colon < 0) url else url.substring(0, colon) + ".."
+      case _ => url
+    }
+    // cap at 30 chars, extending through the current identifier run
+    if (formatted.length <= 30) formatted
+    else {
+      var i = 30
+      while (i < formatted.length - 1 && Character.isLetterOrDigit(formatted.charAt(i))) i += 1
+      if (i == formatted.length - 1) formatted else formatted.substring(0, i) + ".."
+    }
   }
 }

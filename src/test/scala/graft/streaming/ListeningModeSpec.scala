@@ -179,6 +179,38 @@ class ListeningModeSpec extends SparkSpec {
         assert(hist.nonEmpty && hist.size <= CdcMetrics.DefaultHistorySize)
         assert(hist.map(_.events).sum === 4)
       }
+      // db_status gauge (ref PollingMetrics.java:119-130): ordinal of the
+      // current status once a batch has arrived; CONSUMING=0/IDLE=1/ERROR=2
+      assert(listener.eventsInLastBatch.get > 0)
+      assert(Set(0, 1).contains(listener.dbStatusOrdinal)) // consuming or already idle
+      assert(listener.idleTimeSec >= 0)
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("O20 metrics: db_status is -1 before any batch; status ordinals match the reference") {
+    val fresh = new CdcMetrics.Listener
+    assert(fresh.dbStatusOrdinal === -1)
+    assert(fresh.idleTimeSec === 0)
+    assert(CdcMetrics.Consuming.ordinal === 0)
+    assert(CdcMetrics.Idle.ordinal === 1)
+    assert(CdcMetrics.ErrorStatus.ordinal === 2)
+    assert(CdcMetrics.Success.ordinal === 3)
+  }
+
+  test("O20 metrics: shortened JDBC URL for metric names (MetricsUtils parity)") {
+    import CdcMetrics.shortenedJdbcUrl
+    // short URLs pass through
+    assert(shortenedJdbcUrl("jdbc:mysql://h:3306/db") === "jdbc:mysql://h:3306/db")
+    // mysql/postgres: property tail after ? is dropped with `..`
+    assert(shortenedJdbcUrl("jdbc:mysql://h:3306/db?useSSL=false") ===
+      "jdbc:mysql://h:3306/db..")
+    // sqlserver/derby: tail after ; dropped
+    assert(shortenedJdbcUrl("jdbc:sqlserver://h:1433;databaseName=db") ===
+      "jdbc:sqlserver://h:1433..")
+    // >30 chars: cut at 30 extended through the identifier run
+    val long = "jdbc:postgresql://averyveryverylonghostname.example.com:5432/db"
+    val s = shortenedJdbcUrl(long)
+    assert(s.endsWith("..") && s.length < long.length)
+    assert(CdcMetrics.databaseUrlKey("h:3306", "login") === "h:3306/login")
   }
 }
