@@ -131,6 +131,79 @@ object PipelineQueries {
     Similarity.cosineNearDupPairs(embs(s, dir), CosDupThresholdMicro)
       .orderBy("vec_a", "vec_b")
 
+  /** Entity pattern for [[p14]] — masks corpus vocabulary the way a PII
+    * pass masks emails/phones (the email pattern is also applied and
+    * proves the no-match path on this corpus). Identical under Java regex
+    * and RE2. */
+  private val EntityRe = "\\b(customer|part|order)\\b"
+
+  /** p14 — pattern redaction (PII-scrub machinery): match counts + md5 of
+    * the scrubbed text. Pure map-side regexp work — zero shuffles,
+    * whole-stage codegen, embarrassingly parallel at 100 TB. */
+  private def p14(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TF.matchCount(col("text"), EntityRe).as("ent_hits"),
+      TF.matchCount(col("text"), TF.EmailRe).as("email_hits"),
+      md5(TF.redact(TF.redact(col("text"), EntityRe, "<ENT>"), TF.EmailRe, "<EMAIL>"))
+        .as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  /** p15 — repetition/boilerplate scoring (Gopher-style rep rules):
+    * distinct-word, top-word and top-bigram fractions. Counting runs as
+    * explode → two-level partial aggregation on (doc_id, gram): fully
+    * partition-parallel, map-side combined, and bounded by document
+    * length — the scalable shape for unbounded-vocabulary counting (a
+    * per-row nested-loop lambda would be O(distinct·words) per doc and
+    * CPU-bound on long documents). */
+  private def p15(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("ws", TF.words(TF.normText(col("text"))))
+    val wordStats = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("total"), max("c").as("top"), count(lit(1)).as("dst"))
+    val biStats = base.select(col("doc_id"), explode(TF.bigrams(col("ws"))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("btotal"), max("c").as("btop"))
+    base.select("doc_id")
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total"), lit(0L)).as("word_cnt"),
+        TF.milli(coalesce(col("dst"), lit(0L)), coalesce(col("total"), lit(0L)))
+          .as("distinct_milli"),
+        TF.milli(coalesce(col("top"), lit(0L)), coalesce(col("total"), lit(0L)))
+          .as("top_word_milli"),
+        TF.milli(coalesce(col("btop"), lit(0L)), coalesce(col("btotal"), lit(0L)))
+          .as("top_bigram_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** p16 — deterministic hash-based train/val/test split (90/5/5): stable
+    * across engines, runs, and partitionings. Map-side only. */
+  private def p16(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TF.splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", TF.splitLabel(col("bucket")))
+      .orderBy("doc_id")
+
+  /** p17 — end-to-end corpus-prep composition: quality gate (p2 rules) →
+    * hash split (p16) → per-(split, lang) doc/token budget. One shuffle
+    * (the final low-cardinality rollup); everything upstream is map-side. */
+  private def p17(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
+      .withColumn("ws", TF.words(col("norm")))
+      .withColumn("word_cnt", TF.wordCount(col("ws")))
+      .withColumn("stop_milli", TF.milli(TF.setHits(col("ws"), TF.Stopwords), col("word_cnt")))
+      .withColumn("awc", TF.centi(TF.alphaChars(col("norm")), col("word_cnt")))
+      .withColumn("quality", TF.qualityScore(col("word_cnt"), col("stop_milli"), col("awc")))
+      .filter(col("quality") >= 2)
+      .withColumn("split", TF.splitLabel(TF.splitBucket(col("doc_id"))))
+    d.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(TF.bpeTokenCount(col("text"))).as("bpe_tokens"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -145,6 +218,10 @@ object PipelineQueries {
     "p11_media_meta" -> p11 _,
     "p12_embed_ivf_knn" -> p12 _,
     "p13_dedup_embed" -> p13 _,
+    "p14_redact" -> p14 _,
+    "p15_repetition" -> p15 _,
+    "p16_hash_split" -> p16 _,
+    "p17_pipeline" -> p17 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -270,6 +347,13 @@ object PipelineQueries {
        |${knnSql("p")}""".stripMargin
   }
 
+  /** Rabin–Karp fold over the characters of `v` — the SQL twin of
+    * [[TextFunctions.rollingHash]]. */
+  private def rollHashSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TF.RollHashMod})""".stripMargin
+
   def oracleSql: Map[String, String] =
     staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m))
 
@@ -368,6 +452,67 @@ object PipelineQueries {
          |FROM n q JOIN n e ON q.vec_id < e.vec_id
          |WHERE CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) >= $CosDupThresholdMicro
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "p14_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EntityRe')) AS BIGINT) AS ent_hits,
+         |  CAST(len(regexp_extract_all(text, '${TF.EmailRe}')) AS BIGINT) AS email_hits,
+         |  md5(regexp_replace(regexp_replace(text, '$EntityRe', '<ENT>', 'g'),
+         |      '${TF.EmailRe}', '<EMAIL>', 'g')) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p15_repetition" ->
+      s"""WITH $NormCte,
+         |wx AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
+         |wc AS (SELECT doc_id, wrd, count(*) AS c FROM wx GROUP BY 1, 2),
+         |wstat AS (SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS dst
+         |          FROM wc GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |         CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+         |              ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |         END AS bs
+         |       FROM w),
+         |bx AS (SELECT doc_id, unnest(bs) AS b FROM bg),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bx GROUP BY 1, 2),
+         |bstat AS (SELECT doc_id, sum(c) AS btotal, max(c) AS btop FROM bc GROUP BY 1)
+         |SELECT w.doc_id,
+         |  CAST(COALESCE(ws_.total, 0) AS BIGINT) AS word_cnt,
+         |  CAST(CASE WHEN COALESCE(ws_.total, 0) = 0 THEN 0
+         |       ELSE floor(1000.0 * ws_.dst / ws_.total) END AS BIGINT) AS distinct_milli,
+         |  CAST(CASE WHEN COALESCE(ws_.total, 0) = 0 THEN 0
+         |       ELSE floor(1000.0 * ws_.top / ws_.total) END AS BIGINT) AS top_word_milli,
+         |  CAST(CASE WHEN COALESCE(bs_.btotal, 0) = 0 THEN 0
+         |       ELSE floor(1000.0 * bs_.btop / bs_.btotal) END AS BIGINT) AS top_bigram_milli
+         |FROM w LEFT JOIN wstat ws_ ON w.doc_id = ws_.doc_id
+         |       LEFT JOIN bstat bs_ ON w.doc_id = bs_.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
+    "p16_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+         |FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "p17_pipeline" ->
+      s"""WITH $NormCte,
+         |m AS (SELECT w.doc_id, d.lang, w.text,
+         |        CAST(len(ws) AS BIGINT) AS word_cnt,
+         |        CAST(CASE WHEN len(ws) = 0 THEN 0
+         |             ELSE floor(1000.0 * len(list_filter(ws, x -> ${orChain("x", TF.Stopwords)})) / len(ws)) END AS BIGINT) AS stop_milli,
+         |        CAST(CASE WHEN len(ws) = 0 THEN 0
+         |             ELSE floor(100.0 * length(replace(norm, ' ', '')) / len(ws)) END AS BIGINT) AS awc,
+         |        CAST(${rollHashSql("CAST(w.doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+         |      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+         |q AS (SELECT *,
+         |        (CASE WHEN word_cnt BETWEEN 30 AND 1000 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN stop_milli BETWEEN 10 AND 400 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN awc BETWEEN 150 AND 1000 THEN 1 ELSE 0 END) AS quality,
+         |        CASE WHEN bucket < 90 THEN 'train'
+         |             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |      FROM m)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+         |FROM q WHERE quality >= 2
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "p11_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

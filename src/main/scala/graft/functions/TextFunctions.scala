@@ -142,6 +142,49 @@ object TextFunctions {
     }
   }
 
+  // ---- pattern redaction (PII scrubbing) ----
+
+  /** Email pattern — same semantics under Java regex (Spark) and RE2
+    * (DuckDB): alternation, char classes, and `{2,}` behave identically. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** Phone-ish pattern: 8+ digits with optional separators. */
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Count of `pattern` matches in `text` (0 for empty/absent). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Replace every `pattern` match with `token` (Spark's regexp_replace is
+    * global, like DuckDB's with the 'g' flag). */
+  def redact(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  // ---- repetition / boilerplate scoring (Gopher-style rep rules) ----
+
+  /** Adjacent word bigrams ("w1 w2") of a word array — aligned-slice
+    * zip_with for the same constant-references-per-row reason as
+    * [[trigramShingles]]. */
+  def bigrams(ws: Column): Column = {
+    val n = size(ws)
+    when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  // ---- deterministic corpus split ----
+
+  /** Deterministic train/val/test bucket in [0, 100): the Rabin–Karp
+    * rolling hash of the id rendered as a string, mod 100. Stable across
+    * engines, runs, and partitionings — the standard hash-split idiom for
+    * training corpora (never sample by position: repartitioning would
+    * reshuffle the split). */
+  def splitBucket(id: Column): Column =
+    rollingHash(id.cast("string")) % 100
+
+  /** Bucket → split label with the conventional 90/5/5 boundaries. */
+  def splitLabel(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise(lit("test"))
+
   /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection.
     *
     * Built from three aligned `slice`s zipped together — NOT from

@@ -197,4 +197,51 @@ class PipelineSpec extends SparkSpec {
     assert(out._1 === 4) // whitespace tokens
     assert(out._2 === 7) // hello , world ! 42 times . => letters/digits/punct runs
   }
+
+  test("redaction: email/phone masks + match counts (PII scrub)") {
+    val out = Seq("mail bob.smith+x@corp.example.com or +1 555-123 4567 now")
+      .toDF("text")
+      .select(
+        TextFunctions.matchCount(col("text"), TextFunctions.EmailRe).as("e"),
+        TextFunctions.matchCount(col("text"), TextFunctions.PhoneRe).as("p"),
+        TextFunctions.redact(
+          TextFunctions.redact(col("text"), TextFunctions.EmailRe, "<EMAIL>"),
+          TextFunctions.PhoneRe, "<PHONE>").as("t"))
+      .as[(Long, Long, String)].head()
+    assert(out._1 === 1)
+    assert(out._2 === 1)
+    assert(out._3 === "mail <EMAIL> or <PHONE> now")
+    // no-match text passes through untouched with zero counts
+    val clean = Seq("no contact info here").toDF("text")
+      .select(TextFunctions.matchCount(col("text"), TextFunctions.EmailRe).as("e"),
+        TextFunctions.redact(col("text"), TextFunctions.EmailRe, "<EMAIL>").as("t"))
+      .as[(Long, String)].head()
+    assert(clean === ((0L, "no contact info here")))
+  }
+
+  test("bigrams: aligned-slice pairs; short arrays -> empty") {
+    val out = Seq("a b c d", "a", "").toDF("text")
+      .select(TextFunctions.bigrams(
+        TextFunctions.words(TextFunctions.normText(col("text")))).as("b"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b", "b c", "c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("hash split: deterministic buckets in [0,100), 90/5/5 labels") {
+    val df = spark.range(1000).select(col("id").as("doc_id"))
+      .select(col("doc_id"), TextFunctions.splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", TextFunctions.splitLabel(col("bucket")))
+    val rows = df.as[(Long, Long, String)].collect()
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 100 })
+    assert(rows.forall { case (_, b, s) =>
+      s == (if (b < 90) "train" else if (b < 95) "val" else "test") })
+    // stable under repartitioning (position-independent)
+    val re = df.repartition(7).as[(Long, Long, String)].collect()
+      .map { case (id, b, s) => id -> (b, s) }.toMap
+    rows.foreach { case (id, b, _) => assert(re(id)._1 === b) }
+    // all three splits materialize on 1000 ids
+    assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
+  }
 }
