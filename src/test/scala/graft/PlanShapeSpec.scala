@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape regression specs: the scale properties the 100 TB
+  * design depends on, asserted against the planner's actual output so a
+  * refactor can't silently regress them (round 2's cache()→localCheckpoint
+  * swap was exactly such a silent plan regression).
+  *
+  * Checks run on the pre-AQE `sparkPlan` at sf0.001 — shape, not timing:
+  *   - dimension joins broadcast (no event-side shuffle),
+  *   - filters and projections reach the parquet scan (PushedFilters /
+  *     ReadSchema),
+  *   - map-side-only operators plan zero data shuffles (their only
+  *     Exchange is the range partitioning for the deterministic ORDER BY),
+  *   - aggregations are two-phase (partial map-side combine before the
+  *     exchange).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  // executedPlan (pre-AQE-finalization): EnsureRequirements has inserted
+  // the Exchange nodes, which sparkPlan does not yet carry.
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("Exchange")).map(_.trim).toSeq
+
+  test("q10 hydration join broadcasts the dimension — no event-side shuffle") {
+    val p = plan("q10_hydration_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join must not sort-merge:\n$p")
+  }
+
+  test("flagship entry broadcasts the customer dimension") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1 operation filter is pushed to the parquet scan and columns pruned") {
+    val p = plan("q1_op_filter")
+    assert(p.contains("PushedFilters: [In(event_type"), s"filter not pushed:\n$p")
+    // projection pruning: the scan must not read props/ts (unused in q1)
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("props"), s"scan reads unused column props:\n$scanLine")
+  }
+
+  test("q4 delta scan pushes the offset range predicate") {
+    val p = plan("q4_delta_scan")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(event_id"),
+      s"offset predicate not pushed:\n$p")
+  }
+
+  test("map-side text operators shuffle only for the deterministic ORDER BY") {
+    for (q <- Seq("p1_text_stats", "p2_quality_score", "p3_langid",
+      "p4_fingerprint", "p14_redact", "p16_hash_split")) {
+      val ex = exchanges(plan(q))
+      assert(ex.size == 1 && ex.head.contains("rangepartitioning"),
+        s"$q should be map-side pure + one range exchange, got:\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("p5 exact dedup is a two-phase aggregation on the 16-byte fingerprint") {
+    val p = plan("p5_dedup_exact")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    val ex = exchanges(p)
+    // one hash exchange for the groupBy(fp), one range for the ORDER BY
+    assert(ex.count(_.contains("hashpartitioning")) == 1, ex.mkString("\n"))
+    // the shuffle key is the fingerprint, never the full text
+    assert(ex.find(_.contains("hashpartitioning")).get.contains("fp"), ex.mkString("\n"))
+  }
+
+  test("q6 latest-state replay is a single keyed exchange (window, no re-shuffle)") {
+    val ex = exchanges(plan("q6_latest_state"))
+    assert(ex.count(_.contains("hashpartitioning")) == 1, ex.mkString("\n"))
+  }
+
+  test("q7 per-op counters: partial aggregation before the single hash exchange") {
+    val p = plan("q7_op_counters")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(exchanges(p).count(_.contains("hashpartitioning")) == 1)
+  }
+
+  test("p17 pipeline rollup: one low-cardinality hash exchange, partial agg") {
+    val p = plan("p17_pipeline")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(exchanges(p).count(_.contains("hashpartitioning")) == 1,
+      exchanges(p).mkString("\n"))
+  }
+
+  test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
+    val p = plan("p9_embed_knn")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("scans project only needed columns (embeddings knn reads no extras)") {
+    val p = plan("p9_embed_knn")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty)
+    // embeddings table: only vec_id + embedding are needed
+    scans.foreach(s => assert(!s.contains("model"), s"unused column read:\n$s"))
+  }
+}
