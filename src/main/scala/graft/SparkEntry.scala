@@ -200,6 +200,26 @@ object CoreQueries {
       .withColumnRenamed("session_start", "session_start_us")
       .orderBy("user_id", "session_start_us")
 
+  /** Q17 — as-of join (SCD hydration): each purchase takes its user's
+    * latest at-or-before signup state. The reference's sink queries join
+    * change streams to CURRENT state (`TestCaseOfCDCListeningMode.java:275-277`);
+    * this is the event-time variant via [[graft.operators.AsOfJoin]]
+    * (single keyed shuffle — no range join). µs precision, like q13–q16. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(s, dir)
+    val dedup = Window.partitionBy(col("user_id"), col("ts_us"))
+      .orderBy(col("event_id").desc)
+    val signups = e.filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(dedup)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_us"), col("value").as("signup_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    graft.operators.AsOfJoin.asOf(purchases, signups, "user_id", "ts_us",
+      Seq("signup_value"))
+      .select("event_id", "user_id", "value", "signup_value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -217,6 +237,7 @@ object CoreQueries {
     "q14_pattern_absence" -> q14 _,
     "q15_pattern_burst" -> q15 _,
     "q16_sessionize" -> q16 _,
+    "q17_asof_join" -> q17 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -322,5 +343,16 @@ object CoreQueries {
          |SELECT user_id, min(tns) AS session_start_us, count(*) AS n_events
          |FROM s GROUP BY user_id, sess
          |ORDER BY user_id, session_start_us""".stripMargin,
+    "q17_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |s0 AS (SELECT user_id, ts_us, value AS signup_value,
+        |         row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+        |       FROM e WHERE event_type = 'signup'),
+        |sd AS (SELECT user_id, ts_us, signup_value FROM s0 WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.value, sd.signup_value
+        |FROM p ASOF LEFT JOIN sd ON p.user_id = sd.user_id AND p.ts_us >= sd.ts_us
+        |ORDER BY p.event_id""".stripMargin,
   )
 }
