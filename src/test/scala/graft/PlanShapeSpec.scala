@@ -89,6 +89,14 @@ class PlanShapeSpec extends SparkSpec {
       exchanges(p).mkString("\n"))
   }
 
+  test("q17 as-of join plans two keyed exchanges and no join node") {
+    val p = plan("q17_asof_join")
+    assert(!p.contains("Join"), s"as-of hydration must not plan a join:\n$p")
+    // signup (user_id, ts) dedupe window + the as-of key window
+    assert(exchanges(p).count(_.contains("hashpartitioning")) == 2,
+      exchanges(p).mkString("\n"))
+  }
+
   test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
