@@ -2,26 +2,57 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.AnalysisException
 import graft.functions.expr.{MinhashBands, Simhash16, VecDot}
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
   * (`spark.sql.extensions=graft.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def arity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n)
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> children.size.toString,
+          "docroot" -> ""))
+
+  /** Integer literal argument (SQL builders run at analysis time — a
+    * non-foldable argument would crash `eval()` with an unbound-attribute
+    * error instead of a readable message). */
+  private def intLit(name: String, e: Expression, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case _ => throw new AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> name,
+        "paramName" -> s"argument $pos", "paramType" -> "INT"))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        arity("vec_dot", children, 2)
+        VecDot(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[Simhash16].getName, "simhash16"),
-      (children: Seq[Expression]) => Simhash16(children.head)))
+      (children: Seq[Expression]) => {
+        arity("simhash16", children, 1)
+        Simhash16(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
-      (children: Seq[Expression]) => MinhashBands(children.head,
-        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+      (children: Seq[Expression]) => {
+        arity("minhash_bands", children, 3)
+        MinhashBands(children.head,
+          intLit("minhash_bands", children(1), 2),
+          intLit("minhash_bands", children(2), 3))
+      }))
   }
 }

@@ -393,9 +393,7 @@ object PipelineQueries {
     "p4_fingerprint" ->
       s"""WITH $SimhashCte
          |SELECT doc_id, md5(norm) AS fp, simhash,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |    (a, b) -> (a * 31 + b) % ${TF.RollHashMod}) AS rollhash
+         |  ${rollHashSql("norm")} AS rollhash
          |FROM fps ORDER BY doc_id""".stripMargin,
     "p5_dedup_exact" ->
       s"""WITH $NormCte

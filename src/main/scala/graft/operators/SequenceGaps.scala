@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * This operator keeps the same semantics with a scalable, deterministic
   * plan:
-  *   1. one min/max aggregate fixes `numBlocks` equal-width id blocks
-  *      (two longs to the driver — bounded, like a range-partitioner
-  *      sample, but DETERMINISTIC: the block of an id is a pure function
-  *      of (lo, width), so re-executions of the shared subplan below
-  *      partition identically — a sampled repartitionByRange could not
-  *      guarantee that without persisting the shuffle);
+  *   1. one column-pruned histogram pass: counts per fine-grained
+  *      equal-width micro-bucket (64 per target block — O(64·blocks)
+  *      longs to the driver, bounded like a range-partitioner sample but
+  *      DETERMINISTIC: exact counts, not samples). The driver greedily
+  *      merges micro-buckets into ~`numBlocks` balanced block bounds, so
+  *      the block of an id is a pure function of (bounds) and
+  *      re-executions of the shared subplan below partition identically —
+  *      a sampled repartitionByRange could not guarantee that without
+  *      persisting the shuffle. Balance is by COUNT, not id-range: a
+  *      single outlier id (e.g. one epoch-µs value amid small integers)
+  *      stretches the range but not the histogram, so skewed
+  *      distributions still split into even blocks instead of collapsing
+  *      into one;
   *   2. hash-repartition on block id + sort within partitions: one pass
   *      per partition emits in-block gaps AND one boundary record
   *      (blk, firstId, lastId) per block;
@@ -26,13 +33,15 @@ import org.apache.spark.sql.functions._
   *      global window, so no WindowExec single-partition warning and the
   *      O(blocks) seam cost is explicit).
   *
-  * Wall-clock is one column-pruned min/max scan + one shuffle + one linear
-  * scan; no single-node sort, no driver collect of data rows, no persisted
-  * state (both consumers of the scanned stream recompute it; the exchange
-  * is reused by Catalyst within the one query, and determinism of step 1
-  * makes even independent re-executions agree).
+  * Wall-clock is one column-pruned histogram scan + one shuffle + one
+  * linear scan; no single-node sort, no driver collect of data rows, no
+  * persisted state (both consumers of the scanned stream recompute it; the
+  * exchange is reused by Catalyst within the one query, and determinism of
+  * step 1 makes even independent re-executions agree).
   */
 object SequenceGaps {
+
+  private val MicroBucketsPerBlock = 64
 
   /** Missing ranges `(missing_from, missing_to)` of the distinct values of
     * `idCol` (values are assumed unique, e.g. a polling column). */
@@ -43,16 +52,37 @@ object SequenceGaps {
       else spark.sessionState.conf.numShufflePartitions
     val ids = df.select(col(idCol).cast("long").as("id"))
 
-    // bounded driver data: exactly two longs (column-pruned aggregate)
+    // pass 1: deterministic micro-bucket histogram (bounded driver data)
+    val micro = n * MicroBucketsPerBlock
     val stats = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi")).head()
     if (stats.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("missing_from", "missing_to")
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
-    val width = math.max(1L, (hi - lo) / n + 1)
+    val microWidth = math.max(1L, (hi - lo) / micro + 1)
+    val hist = ids
+      .groupBy(((col("id") - lit(lo)) / lit(microWidth)).cast("long").as("mb"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    val perBlock = math.max(1L, total / n)
+    // greedy merge: cut a block whenever its accumulated count reaches the
+    // target; bounds are the first id of each new block (micro-bucket edge)
+    val bounds = {
+      val b = Vector.newBuilder[Long]
+      var acc = 0L
+      hist.foreach { case (mb, c) =>
+        if (acc >= perBlock) { b += lo + mb * microWidth; acc = 0L }
+        acc += c
+      }
+      b.result()
+    }
+    // block id = number of bounds <= id: a pure, deterministic function
+    val blkExpr =
+      if (bounds.isEmpty) lit(0L)
+      else bounds.map(b => when(col("id") >= b, 1L).otherwise(0L)).reduce(_ + _)
 
     // pass 2: per-block linear scan -> (kind=0 gaps | kind=1 boundaries)
     // encoded as (kind, a, b, blk): gap=(from,to), boundary=(first,last)
-    val scanned = ids.withColumn("blk", ((col("id") - lit(lo)) / lit(width)).cast("long"))
+    val scanned = ids.withColumn("blk", blkExpr)
       .repartition(n, col("blk"))
       .sortWithinPartitions("blk", "id")
       .mapPartitions { it =>

@@ -179,6 +179,12 @@ object CdcOptions {
     fields.length >= 6 && fields.length <= 7 &&
       fields.zipWithIndex.forall { case (f, i) =>
         f.nonEmpty && f.split(",", -1).forall(item => item.nonEmpty && okItem(item, i))
-      }
+      } &&
+      // Quartz's one structural rule beyond per-field grammar: dom and dow
+      // cannot BOTH be specified — one must be '?' ("Support for specifying
+      // both a day-of-week AND a day-of-month parameter is not
+      // implemented"). "0 0 12 * * *" — the common crontab habit — must
+      // fail fast here like the reference does via isValidExpression.
+      (fields(3) == "?" || fields(5) == "?")
   }
 }

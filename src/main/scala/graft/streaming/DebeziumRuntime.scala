@@ -52,21 +52,37 @@ object DebeziumRuntime {
     * overrides merged LAST (`:254-256`). */
   def engineProps(opts: CdcOptions, stateDir: String): Properties = {
     val v = CdcOptions.parseUrl(opts.url)
-    val serverName = s"${v.host}_${v.port}"
     val p = new Properties()
-    p.setProperty("name", serverName)
-    p.setProperty("topic.prefix", serverName)
-    p.setProperty("connector.class", ConnectorClasses(v.vendor))
-    p.setProperty("database.hostname", v.host)
-    p.setProperty("database.port", v.port.toString)
-    opts.username.foreach(p.setProperty("database.user", _))
-    opts.password.foreach(p.setProperty("database.password", _))
-    if (v.vendor == "mysql") {
-      p.setProperty("database.server.id",
-        (5400 + math.abs(s"$serverName/${opts.table}".hashCode) % 1000).toString)
-      p.setProperty("database.include.list", v.database)
-    } else p.setProperty("database.dbname", v.database)
-    p.setProperty("table.include.list", s"${v.database}.${opts.table}")
+    if (v.vendor == "mongodb") {
+      // mongo config is its own shape (reference `CDCSourceUtil.java:171-204`):
+      // parseUrl only vendor-matches mongodb urls (host/db stay in `host`)
+      val hostPart = v.host.takeWhile(_ != '/')
+      val db = v.host.dropWhile(_ != '/').stripPrefix("/").takeWhile(_ != '?')
+      require(db.nonEmpty,
+        s"mongodb url must name a database (mongodb://host:port/db): ${opts.url}")
+      val serverName = hostPart.replace(':', '_')
+      p.setProperty("name", serverName)
+      p.setProperty("topic.prefix", serverName)
+      p.setProperty("connector.class", ConnectorClasses("mongodb"))
+      p.setProperty("mongodb.connection.string", opts.url)
+      p.setProperty("database.include.list", db)
+      p.setProperty("collection.include.list", s"$db.${opts.table}")
+    } else {
+      val serverName = s"${v.host}_${v.port}"
+      p.setProperty("name", serverName)
+      p.setProperty("topic.prefix", serverName)
+      p.setProperty("connector.class", ConnectorClasses(v.vendor))
+      p.setProperty("database.hostname", v.host)
+      p.setProperty("database.port", v.port.toString)
+      opts.username.foreach(p.setProperty("database.user", _))
+      opts.password.foreach(p.setProperty("database.password", _))
+      if (v.vendor == "mysql") {
+        p.setProperty("database.server.id",
+          (5400 + math.abs(s"$serverName/${opts.table}".hashCode) % 1000).toString)
+        p.setProperty("database.include.list", v.database)
+      } else p.setProperty("database.dbname", v.database)
+      p.setProperty("table.include.list", s"${v.database}.${opts.table}")
+    }
     p.setProperty("offset.storage", "org.apache.kafka.connect.storage.FileOffsetBackingStore")
     p.setProperty("offset.storage.file.filename", s"$stateDir/offsets.dat")
     p.setProperty("offset.flush.interval.ms", "1000")
@@ -87,7 +103,24 @@ object DebeziumRuntime {
     Files.createDirectories(Paths.get(dir))
     private val buf = new java.lang.StringBuilder
     private var buffered = 0
-    private val seq = new AtomicLong(0)
+    // Resume numbering past any existing part files: Spark's file stream
+    // source tracks seen files BY NAME, so a restarted engine re-using
+    // part-00000000.json would atomically overwrite a file the recovered
+    // query already processed — and the new events would never be read.
+    private val seq = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        var max = -1L
+        val it = s.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("part-") && n.endsWith(".json"))
+            try max = math.max(max, n.stripPrefix("part-").stripSuffix(".json").toLong)
+            catch { case _: NumberFormatException => }
+        }
+        new AtomicLong(max + 1)
+      } finally s.close()
+    }
     private val flusher = Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-dbz-spool-flush")
       t.setDaemon(true)

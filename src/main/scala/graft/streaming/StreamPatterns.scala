@@ -119,9 +119,17 @@ object StreamPatterns {
       (e.tsUs > a.tsUs || (e.tsUs == a.tsUs && e.id > a.id)))
 
   /** Shared sequence/absence flush: an A finalizes when
-    * `a.ts + within < watermark` (every candidate B has then arrived);
-    * pending A events and everything at-or-after the earliest pending A
-    * stay buffered. */
+    * `a.ts + within < watermark` (every candidate B has then arrived).
+    *
+    * Retention keeps (a) pending A events and everything at-or-after the
+    * earliest pending A (its candidate Bs), AND (b) every event with
+    * `ts >= watermark` even when no A is pending: an A may still arrive
+    * out-of-order in a later micro-batch with `a.ts >= wm` and claim an
+    * already-buffered B at-or-after it — dropping those Bs turned a match
+    * into a false absence (cross-batch B-before-A regression spec). A
+    * B with `ts < wm` and no pending A before it is safely evictable:
+    * any future A passes the lateness filter only with `a.ts >= wm > b.ts`
+    * and a B never matches an A after it. */
   private def seqFlush[O](typeA: String, typeB: String, withinUs: Long,
       emit: (PatEvent, Option[PatEvent]) => Option[O])(
       evs: Vector[PatEvent], frontier: Long, wmUs: Long)
@@ -129,10 +137,16 @@ object StreamPatterns {
     val out = evs.filter(a => a.typ == typeA && a.tsUs + withinUs < wmUs)
       .flatMap(a => emit(a, firstB(evs, a, typeB, withinUs)))
     val pendingA = evs.filter(a => a.typ == typeA && a.tsUs + withinUs >= wmUs)
-    if (pendingA.isEmpty) (out, Vector.empty, None)
-    else {
+    if (pendingA.isEmpty) {
+      val retained = evs.filter(_.tsUs >= wmUs)
+      // no finalization pending — wake only to evict once wm passes the
+      // buffer (keeps state from lingering forever on dead keys)
+      val wake = if (retained.isEmpty) None else Some(retained.map(_.tsUs).max)
+      (out, retained, wake)
+    } else {
       val m = pendingA.head // evs sorted -> head is min (ts, id)
-      val retained = evs.filter(e => e.tsUs > m.tsUs || (e.tsUs == m.tsUs && e.id >= m.id))
+      val retained = evs.filter(e => e.tsUs >= wmUs ||
+        e.tsUs > m.tsUs || (e.tsUs == m.tsUs && e.id >= m.id))
       (out, retained, Some(m.tsUs + withinUs))
     }
   }

@@ -13,8 +13,11 @@ class QueriesSpec extends SparkSpec {
   private val rowsOnlyQueries = Set("p12_embed_ivf_knn") // k-means codebook
 
   test("every declared query runs and matches its oracle's column names") {
+    // oracleSql is stateful for the rows-only set (p12's oracle appears
+    // once its codebook has been trained in this JVM), so assert subset,
+    // not equality — equality made the test order-dependent across runs
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(missing === rowsOnlyQueries, s"queries without oracle: $missing")
+    assert(missing.subsetOf(rowsOnlyQueries), s"queries without oracle: $missing")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf())
       val n = df.count()

@@ -198,6 +198,23 @@ class PipelineSpec extends SparkSpec {
     assert(out._2 === 7) // hello , world ! 42 times . => letters/digits/punct runs
   }
 
+  test("SQL-registered expressions reject bad arity / non-literal args as analysis errors") {
+    import org.apache.spark.sql.AnalysisException
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_bands(array('a'))").collect()
+    }
+    assert(e1.getMessage.contains("minhash_bands"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_bands(array('a'), x, 2) FROM (SELECT 1 AS x)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("foldable") ||
+      e2.getMessage.contains("minhash_bands"))
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0D))").collect()
+    }
+    assert(e3.getMessage.contains("vec_dot"))
+  }
+
   test("redaction: email/phone masks + match counts (PII scrub)") {
     val out = Seq("mail bob.smith+x@corp.example.com or +1 555-123 4567 now")
       .toDF("text")

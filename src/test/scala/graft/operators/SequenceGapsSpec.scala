@@ -27,6 +27,18 @@ class SequenceGapsSpec extends SparkSpec {
     assert(gapsOf(Seq(1, 10, 20, 21), parts = 8) === Set((2L, 9L), (11L, 19L)))
   }
 
+  test("skewed id range: one outlier id must not collapse blocks (histogram bounds)") {
+    // 1..4000 dense plus one id near 2^50: equal-width blocks would put
+    // everything in block 0; count-balanced bounds keep the split even
+    val ids = (1L to 4000L) :+ (1L << 50)
+    val got = gapsOf(ids, parts = 8)
+    assert(got === Set((4001L, (1L << 50) - 1)))
+    // and with interior holes under the same skew
+    val holey = ids.filterNot(i => i % 1000 == 500)
+    val expectHoles = (1L to 4000L).filter(_ % 1000 == 500).map(i => (i, i)).toSet
+    assert(gapsOf(holey, parts = 8) === expectHoles + ((4001L, (1L << 50) - 1)))
+  }
+
   test("matches the naive global-window formulation on real data") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -79,10 +79,13 @@ class CdcOptionsSpec extends AnyFunSuite {
         "0 0/5 14 * * ?", "0 15 10 ? * 6#3", "0 15 10 L * ?",
         "0 15 10 15W * ?", "0 0 12 * JAN,JUN ? 2099")
       .foreach(c => assert(polling(c).cronExpression === Some(c), c))
-    // rejected: structurally invalid expressions fail fast at validate
+    // rejected: structurally invalid expressions fail fast at validate,
+    // including the crontab habit of specifying BOTH dom and dow (Quartz
+    // requires one to be '?' — isValidExpression rejects "0 0 12 * * *")
     Seq("not a cron", "* * *", "99 * * * * ?", "0 0 25 * * ?",
         "0 0 12 * 13 ?", "0 0 12 ? * 8", "0 0 12 * * ? 1900",
-        "a b c d e f", "0 0 12 * * ? ? ?", "0 -1 12 * * ?", "0 0/0 12 * * ?")
+        "a b c d e f", "0 0 12 * * ? ? ?", "0 -1 12 * * ?", "0 0/0 12 * * ?",
+        "0 0 12 * * *", "*/5 * * * * *", "0 15 10 1 * MON")
       .foreach(c => assert(intercept[IllegalArgumentException](polling(c))
         .getMessage.contains("cron"), c))
   }

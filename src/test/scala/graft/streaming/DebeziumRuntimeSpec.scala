@@ -76,6 +76,43 @@ class DebeziumRuntimeSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("engineProps compiles a mongo connector config (not the RDBMS shape)") {
+    val mongo = opts("url" -> "mongodb://mhost:27017/shop", "username" -> "u",
+      "password" -> "p", "table.name" -> "login", "operation" -> "insert")
+    val p = DebeziumRuntime.engineProps(mongo, "/tmp/s")
+    assert(p.getProperty("connector.class") === "io.debezium.connector.mongodb.MongoDbConnector")
+    assert(p.getProperty("mongodb.connection.string") === "mongodb://mhost:27017/shop")
+    assert(p.getProperty("name") === "mhost_27017")
+    assert(p.getProperty("database.include.list") === "shop")
+    assert(p.getProperty("collection.include.list") === "shop.login")
+    assert(p.getProperty("database.hostname") === null) // no RDBMS leakage
+    // a database-less mongo url fails fast at config time, not in the engine
+    val bad = opts("url" -> "mongodb://mhost:27017", "username" -> "u",
+      "password" -> "p", "table.name" -> "login", "operation" -> "insert")
+    val e = intercept[IllegalArgumentException] {
+      DebeziumRuntime.engineProps(bad, "/tmp/s")
+    }
+    assert(e.getMessage.contains("database"))
+  }
+
+  test("spool resumes file numbering after restart (no overwrite of processed files)") {
+    val dir = Files.createTempDirectory("dbz_spool").toString
+    val s1 = new DebeziumRuntime.Spool(dir)
+    s1.append("""{"a":1}""")
+    s1.close()
+    // a restarted engine must not re-use part-00000000.json: the recovered
+    // file-stream query tracks names and would silently skip the new data
+    val s2 = new DebeziumRuntime.Spool(dir)
+    s2.append("""{"a":2}""")
+    s2.close()
+    val names = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    while (names.hasNext) files += names.next().getFileName.toString
+    assert(files.sorted === Seq("part-00000000.json", "part-00000001.json"))
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000000.json"))).trim === """{"a":1}""")
+  }
+
   test("engine properties reach the engine through the reflective builder") {
     assert(io.debezium.engine.StubEngine.LAST_PROPS != null)
     assert(io.debezium.engine.StubEngine.LAST_PROPS.getProperty("connector.class")

@@ -93,6 +93,39 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("cross-batch B-before-A: an out-of-order A claims an already-buffered B") {
+    // B arrives a batch BEFORE its A (A still above the watermark, so not
+    // late). The buffered B must be retained even though no A is pending
+    // yet — dropping it produced a false absence + missed match.
+    implicit val sqlCtx = spark.sqlContext
+    def run(name: String,
+            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val in = MemoryStream[(Long, Long, Long, String)]
+      val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = build(src).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData((1L, 100_000_000L, 2L, "purchase")) // B first; wm -> 40s
+        q.processAllAvailable()
+        in.addData((1L, 90_000_000L, 1L, "signup"))    // A out-of-order, >= wm
+        q.processAllAvailable()
+        in.addData((SentinelKey, 250_000_000L, 98L, "noise"))
+        q.processAllAvailable()
+        in.addData((SentinelKey, 260_000_000L, 99L, "noise"))
+        q.processAllAvailable()
+        spark.table(name).where(col("key") =!= SentinelKey)
+          .collect().map(_.toSeq).toSet
+      } finally q.stop()
+    }
+    val fb = run("sp_xbatch_fb", src => StreamPatterns.followedBy(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "60 seconds").toDF)
+    assert(fb === Set(Seq(1L, 1L, 2L, 10_000_000L))) // match found, gap 10s
+    val ab = run("sp_xbatch_ab", src => StreamPatterns.absence(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "60 seconds").toDF)
+    assert(ab === Set.empty) // and no false absence
+  }
+
   test("absence fires on watermark advance without further key input (timer path)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
