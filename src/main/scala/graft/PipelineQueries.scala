@@ -204,6 +204,20 @@ object PipelineQueries {
       .orderBy("split", "lang")
   }
 
+  private val VocabK = 100
+
+  /** p18 — corpus vocabulary top-k (tokenizer-training stats): exact word
+    * counts, highest first, ties broken by word. The plan is the scalable
+    * top-k shape — map-side partial counts, one hash exchange on the
+    * word, then `TakeOrderedAndProject` (per-partition heaps + driver
+    * merge of k rows), never a global sort of the vocabulary. */
+  private def p18(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("ws", TF.words(TF.normText(col("text"))))
+      .select(explode(col("ws")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(VocabK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -222,6 +236,7 @@ object PipelineQueries {
     "p15_repetition" -> p15 _,
     "p16_hash_split" -> p16 _,
     "p17_pipeline" -> p17 _,
+    "p18_vocab_topk" -> p18 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -511,6 +526,11 @@ object PipelineQueries {
          |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
          |FROM q WHERE quality >= 2
          |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "p18_vocab_topk" ->
+      s"""WITH $NormCte,
+         |wx AS (SELECT unnest(ws) AS word FROM w)
+         |SELECT word, count(*) AS cnt FROM wx GROUP BY word
+         |ORDER BY cnt DESC, word LIMIT $VocabK""".stripMargin,
     "p11_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

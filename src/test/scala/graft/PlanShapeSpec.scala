@@ -97,6 +97,14 @@ class PlanShapeSpec extends SparkSpec {
       exchanges(p).mkString("\n"))
   }
 
+  test("p18 vocab top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("p18_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!exchanges(p).exists(_.contains("rangepartitioning")),
+      s"top-k must not global-sort:\n${exchanges(p).mkString("\n")}")
+  }
+
   test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
