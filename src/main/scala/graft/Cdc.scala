@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.ChangeEnvelope
+import graft.sources.CdcOptions
+import graft.streaming.{DebeziumRuntime, EnvelopeStream}
+
+/** The engine's single user-facing entry point — the analog of the
+  * reference's one-annotation surface `@source(type='cdc', ...)`
+  * (`CDCSource.java:73-433`): pass the same option names the reference
+  * documents, get the flattened typed change stream back. A reference
+  * user switches by translating the annotation's key=value list into the
+  * options map, nothing else.
+  *
+  *   - `mode=polling` (O11–O17): routes to the DataSource V2 polling
+  *     source (`format("cdc")`) — incremental delta scans on
+  *     `polling.column` with checkpointed offsets; rows arrive already
+  *     flat (the reference's polling mode emits no envelope either).
+  *     Pair with [[graft.streaming.CdcPoll.trigger]] for
+  *     `polling.interval`/cron semantics.
+  *   - `mode=listening` (O1–O10): needs the user-declared row schema
+  *     (the Siddhi stream definition, `TestCaseOfCDCListeningMode.java:79-87`).
+  *     Tails the database live via the embedded Debezium engine when its
+  *     jars are on the classpath ([[DebeziumRuntime.available]]); with
+  *     `envelope.replay.dir` set, replays recorded envelope JSON instead
+  *     (same decode/flatten/offset pipeline). The `operation` option
+  *     drives the flatten (op filter + `before_` images + transport
+  *     columns `_op`/`_source_ts_ms`/`_ts_ms`).
+  */
+object Cdc {
+
+  /** A running change stream: the flattened DataFrame plus the resource
+    * handle to close when the query stops (non-empty only for the live
+    * listening engine). */
+  final case class CdcStream(df: DataFrame, handle: Option[AutoCloseable]) {
+    def close(): Unit = handle.foreach(_.close())
+  }
+
+  def stream(spark: SparkSession, options: Map[String, String],
+             rowSchema: Option[StructType] = None,
+             stateDir: Option[String] = None): CdcStream = {
+    val opts = CdcOptions(new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(options).asJava))
+    opts.mode match {
+      case CdcOptions.ModePolling =>
+        val reader = spark.readStream.format("cdc")
+        options.foreach { case (k, v) => reader.option(k, v) }
+        CdcStream(reader.load(), None)
+
+      case _ => // listening
+        val schema = rowSchema.getOrElse(throw new IllegalArgumentException(
+          "mode=listening requires the declared row schema (the reference " +
+            "declares it on the stream definition) — pass rowSchema"))
+        val ops = opts.operation.mkString(",")
+        options.get("envelope.replay.dir") match {
+          case Some(dir) =>
+            val envelopes = EnvelopeStream.replay(spark, dir, schema)
+            CdcStream(EnvelopeStream.flatten(envelopes, schema, ops), None)
+          case None =>
+            require(DebeziumRuntime.available,
+              "mode=listening needs the Debezium jars on the runtime classpath " +
+                "for a live log tail, or 'envelope.replay.dir' for envelope " +
+                "replay, or mode=polling")
+            val dir = stateDir.getOrElse(throw new IllegalArgumentException(
+              "live listening needs stateDir for engine offsets/schema history"))
+            val (envelopes, handle) = EnvelopeStream.listen(spark, opts, schema, dir)
+            CdcStream(EnvelopeStream.flatten(envelopes, schema, ops), Some(handle))
+        }
+    }
+  }
+
+  /** Envelope schema for a declared row schema — for users building their
+    * own replay fixtures ([[ChangeEnvelope.schema]] re-export). */
+  def envelopeSchema(rowSchema: StructType): StructType =
+    ChangeEnvelope.schema(rowSchema)
+}
