@@ -90,6 +90,40 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("char-typed polling column (O14, ref CDCSource.java:396-398 'S001' example): " +
+      "string offsets stream, skip pre-existing, and recover from checkpoint") {
+    withDb("db_str") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE SHIP (SID VARCHAR(8), NAME VARCHAR(32))")
+      conn.createStatement().execute("INSERT INTO SHIP VALUES ('S001', 'pre')")
+      def read() = spark.readStream.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "SHIP").option("polling.column", "sid").load()
+      def run(ckpt: String, during: => Unit): Seq[(String, String)] = {
+        val rows = ArrayBuffer.empty[(String, String)]
+        val q = read().writeStream.trigger(Trigger.ProcessingTime(50))
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            rows.synchronized { rows ++= batch.collect().map(r =>
+              (r.getString(r.fieldIndex("sid")), r.getString(r.fieldIndex("name")))) }
+            ()
+          }.start()
+        try { q.processAllAvailable(); during; q.processAllAvailable() } finally q.stop()
+        rows.synchronized(rows.toSeq)
+      }
+      val ckpt = Files.createTempDirectory("ckpt_str").toString
+      val first = run(ckpt, during = {
+        conn.createStatement().execute("INSERT INTO SHIP VALUES ('S002', 'two')")
+      })
+      assert(first.toSet === Set(("S002", "two"))) // S001 skipped by MAX bootstrap
+      // while the query is DOWN (string offset rides the checkpoint):
+      conn.createStatement().execute("INSERT INTO SHIP VALUES ('S003', 'missed')")
+      val second = run(ckpt, during = {
+        conn.createStatement().execute("INSERT INTO SHIP VALUES ('S004', 'four')")
+      })
+      assert(second.toSet === Set(("S003", "missed"), ("S004", "four")))
+    }
+  }
+
   test("gap hold-back (O15): stream waits at a sequence hole until the row arrives") {
     withDb("db_gap") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE STUDENTS (ID INT, NAME VARCHAR(32))")
