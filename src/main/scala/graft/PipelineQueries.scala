@@ -218,6 +218,29 @@ object PipelineQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(VocabK)
 
+  private val ContamShingles = 3L
+
+  /** p19 — benchmark decontamination: train-split documents sharing
+    * ≥ `ContamShingles` distinct word-trigrams with any test-split
+    * document (the train/test-overlap scan every corpus release runs,
+    * GPT-3 §2.2 / PaLM style). The held-out side is small by
+    * construction (5% split), so it is explicitly `broadcast()` — at
+    * 100 TB the benchmark suite ships to every executor and the corpus
+    * never shuffles for the probe; only the surviving (train, test)
+    * overlap pairs aggregate. */
+  private def p19(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleArrays(docs(s, dir))
+      .withColumn("bucket", TF.splitBucket(col("sid")))
+    val train = sh.where(col("bucket") < 90)
+      .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+    val test = sh.where(col("bucket") >= 95)
+      .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+    train.join(broadcast(test), Seq("sh"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= ContamShingles)
+      .orderBy("train_id", "test_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -237,6 +260,7 @@ object PipelineQueries {
     "p16_hash_split" -> p16 _,
     "p17_pipeline" -> p17 _,
     "p18_vocab_topk" -> p18 _,
+    "p19_contamination" -> p19 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -531,6 +555,19 @@ object PipelineQueries {
          |wx AS (SELECT unnest(ws) AS word FROM w)
          |SELECT word, count(*) AS cnt FROM wx GROUP BY word
          |ORDER BY cnt DESC, word LIMIT $VocabK""".stripMargin,
+    "p19_contamination" ->
+      s"""WITH $ShingleCte,
+         |bk AS (SELECT doc_id,
+         |         CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+         |       FROM documents),
+         |tr AS (SELECT s.sid AS train_id, s.sh FROM sh s
+         |       JOIN bk ON bk.doc_id = s.sid WHERE bk.bucket < 90),
+         |te AS (SELECT s.sid AS test_id, s.sh FROM sh s
+         |       JOIN bk ON bk.doc_id = s.sid WHERE bk.bucket >= 95)
+         |SELECT tr.train_id, te.test_id, count(*) AS shared
+         |FROM tr JOIN te ON tr.sh = te.sh
+         |GROUP BY 1, 2 HAVING count(*) >= $ContamShingles
+         |ORDER BY train_id, test_id""".stripMargin,
     "p11_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

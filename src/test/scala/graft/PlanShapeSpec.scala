@@ -105,6 +105,12 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must not global-sort:\n${exchanges(p).mkString("\n")}")
   }
 
+  test("p19 decontamination broadcasts the held-out side — the corpus never shuffles for the probe") {
+    val p = plan("p19_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"test side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe must not sort-merge:\n$p")
+  }
+
   test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
