@@ -42,33 +42,40 @@ object Cdc {
   def stream(spark: SparkSession, options: Map[String, String],
              rowSchema: Option[StructType] = None,
              stateDir: Option[String] = None): CdcStream = {
-    val opts = CdcOptions(new CaseInsensitiveStringMap(
-      scala.jdk.CollectionConverters.MapHasAsJava(options).asJava))
-    opts.mode match {
-      case CdcOptions.ModePolling =>
-        val reader = spark.readStream.format("cdc")
-        options.foreach { case (k, v) => reader.option(k, v) }
-        CdcStream(reader.load(), None)
+    val ciOptions = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(options).asJava)
+    val mode = ciOptions.getOrDefault("mode", CdcOptions.ModeListening).toLowerCase
+    val replayDir = Option(ciOptions.get("envelope.replay.dir")).filter(_.nonEmpty)
 
-      case _ => // listening
-        val schema = rowSchema.getOrElse(throw new IllegalArgumentException(
-          "mode=listening requires the declared row schema (the reference " +
-            "declares it on the stream definition) — pass rowSchema"))
-        val ops = opts.operation.mkString(",")
-        options.get("envelope.replay.dir") match {
-          case Some(dir) =>
-            val envelopes = EnvelopeStream.replay(spark, dir, schema)
-            CdcStream(EnvelopeStream.flatten(envelopes, schema, ops), None)
-          case None =>
-            require(DebeziumRuntime.available,
-              "mode=listening needs the Debezium jars on the runtime classpath " +
-                "for a live log tail, or 'envelope.replay.dir' for envelope " +
-                "replay, or mode=polling")
-            val dir = stateDir.getOrElse(throw new IllegalArgumentException(
-              "live listening needs stateDir for engine offsets/schema history"))
-            val (envelopes, handle) = EnvelopeStream.listen(spark, opts, schema, dir)
-            CdcStream(EnvelopeStream.flatten(envelopes, schema, ops), Some(handle))
-        }
+    if (mode == CdcOptions.ModePolling) {
+      val reader = spark.readStream.format("cdc")
+      options.foreach { case (k, v) => reader.option(k, v) }
+      CdcStream(reader.load(), None)
+    } else {
+      val schema = rowSchema.getOrElse(throw new IllegalArgumentException(
+        "mode=listening requires the declared row schema (the reference " +
+          "declares it on the stream definition) — pass rowSchema"))
+      val ops = Option(ciOptions.get("operation")).map(_.trim).filter(_.nonEmpty)
+        .getOrElse("insert")
+      ops.split(",").map(_.trim.toLowerCase).foreach(o =>
+        require(CdcOptions.ValidOps.contains(o), s"unsupported operation '$o'"))
+      replayDir match {
+        case Some(dir) =>
+          // replay never opens a connection: url/username/table validation
+          // would only force users to fabricate connection strings
+          val envelopes = EnvelopeStream.replay(spark, dir, schema)
+          CdcStream(EnvelopeStream.flatten(envelopes, schema, ops), None)
+        case None =>
+          val opts = CdcOptions(ciOptions) // full validation for the live engine
+          require(DebeziumRuntime.available,
+            "mode=listening needs the Debezium jars on the runtime classpath " +
+              "for a live log tail, or 'envelope.replay.dir' for envelope " +
+              "replay, or mode=polling")
+          val dir = stateDir.getOrElse(throw new IllegalArgumentException(
+            "live listening needs stateDir for engine offsets/schema history"))
+          val (envelopes, handle) = EnvelopeStream.listen(spark, opts, schema, dir)
+          CdcStream(EnvelopeStream.flatten(envelopes, schema, ops), Some(handle))
+      }
     }
   }
 

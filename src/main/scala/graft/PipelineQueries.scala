@@ -223,11 +223,13 @@ object PipelineQueries {
   /** p19 — benchmark decontamination: train-split documents sharing
     * ≥ `ContamShingles` distinct word-trigrams with any test-split
     * document (the train/test-overlap scan every corpus release runs,
-    * GPT-3 §2.2 / PaLM style). The held-out side is small by
-    * construction (5% split), so it is explicitly `broadcast()` — at
-    * 100 TB the benchmark suite ships to every executor and the corpus
-    * never shuffles for the probe; only the surviving (train, test)
-    * overlap pairs aggregate. */
+    * GPT-3 §2.2 / PaLM style). The held-out side is left to AQE — NOT a
+    * hard `broadcast()` hint: when the probe set is an actually-small
+    * benchmark suite (the production case, and this 5% split at test
+    * scale) AQE converts the join to broadcast at runtime (asserted in
+    * PlanShapeSpec); when someone probes with a side too big to ship,
+    * the plan degrades to a shuffle join instead of dying on the 8 GB
+    * broadcast ceiling. */
   private def p19(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleArrays(docs(s, dir))
       .withColumn("bucket", TF.splitBucket(col("sid")))
@@ -235,7 +237,7 @@ object PipelineQueries {
       .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
     val test = sh.where(col("bucket") >= 95)
       .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
-    train.join(broadcast(test), Seq("sh"))
+    train.join(test, Seq("sh"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= ContamShingles)
       .orderBy("train_id", "test_id")

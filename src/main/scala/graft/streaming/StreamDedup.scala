@@ -53,6 +53,16 @@ object StreamDedup {
     * `Dedup.lshCandidatePairs(...)` (parity spec). */
   def lshCandidates(docs: DataFrame, bands: Int,
                     idCol: String = "doc_id", textCol: String = "text"): Dataset[CandPair] = {
+    // the silent alternative — cast("long") on a string id — yields nulls
+    // that explode as NPEs deep inside encoder deserialization
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"StreamDedup.lshCandidates keys bucket state by a long doc id; '$idCol' is " +
+          s"$other — map ids to an integral column upstream (the batch " +
+          "Dedup.lshCandidatePairs accepts any id type)")
+    }
     val sigRows = Dedup.minhashSignatureRows(
       Dedup.shingleArrays(docs, idCol, textCol), bands)
       .select(col("sid").cast("long").as("sid"), col("band").cast("int").as("band"),

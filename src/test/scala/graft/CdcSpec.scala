@@ -18,10 +18,11 @@ class CdcSpec extends SparkSpec {
       ("""{"op":"c","before":null,"after":{"id":"1","name":"a"},"source":{"ts_ms":1},"ts_ms":2}""" + "\n" +
        """{"op":"d","before":{"id":"1","name":"a"},"after":null,"source":{"ts_ms":3},"ts_ms":4}""")
         .getBytes("UTF-8"))
+    // replay needs NO connection details (no fabricated jdbc url), and
+    // option keys are case-insensitive like everywhere else in Spark
     val s = Cdc.stream(spark, Map(
-      "mode" -> "listening", "url" -> "jdbc:mysql://h:3306/db",
-      "username" -> "u", "password" -> "p", "table.name" -> "t",
-      "operation" -> "insert,delete", "envelope.replay.dir" -> dir),
+      "Mode" -> "listening", "Operation" -> "insert,delete",
+      "Envelope.Replay.Dir" -> dir),
       rowSchema = Some(rowSchema))
     assert(s.handle.isEmpty)
     val q = s.df.writeStream.format("memory").queryName("cdc_facade")
@@ -45,11 +46,17 @@ class CdcSpec extends SparkSpec {
   }
 
   test("polling mode routes to the V2 source with options intact") {
-    // no DB behind it — assert routing by the source's own failure mode
-    // (schema inference hits the JDBC url, proving the option pass-through)
+    // no DB behind it — assert routing by the source's own failure mode:
+    // the error must come from the JDBC layer hitting OUR url (proving
+    // the options reached the V2 source), not from a listening-path guard
     val e = intercept[Exception](Cdc.stream(spark, Map(
-      "mode" -> "polling", "url" -> "jdbc:derby:memory:cdc_facade_missing",
+      "mode" -> "polling", "url" -> "jdbc:derby:/nonexistent/cdc_facade_missing",
       "table.name" -> "t", "polling.column" -> "id")).df.schema)
-    assert(e.getMessage != null)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val msgs = chain(e).mkString(" | ")
+    assert(msgs.contains("cdc_facade_missing") || msgs.toLowerCase.contains("derby"),
+      s"failure did not come from the JDBC path: $msgs")
   }
 }

@@ -7,13 +7,15 @@ import org.scalacheck.rng.Seed
 
 /** Property tests over the text kernel: the invariants the DuckDB oracle
   * parity and the 100 TB determinism story rest on, for ANY input text —
-  * not just the synthetic corpus. */
+  * not just the synthetic corpus. All samples for a property run as ONE
+  * Spark job (per-sample jobs were pure scheduling overhead). */
 class TextPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def forAll[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit =
-    (1 to n).foreach { i =>
-      body(gen.pureApply(Gen.Parameters.default.withSize(6 + i * 4), Seed(i.toLong)))
+  /** Deterministic sample batch: n draws with fixed seeds, flattened. */
+  private def samples[A](gen: Gen[List[A]], n: Int = 12): List[A] =
+    (1 to n).toList.flatMap { i =>
+      gen.pureApply(Gen.Parameters.default.withSize(6 + i * 4), Seed(i.toLong))
     }
 
   // mixed printable garbage: unicode, punctuation, whitespace runs
@@ -23,81 +25,74 @@ class TextPropertySpec extends SparkSpec {
       2 -> Gen.listOfN(12, Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString),
       2 -> Gen.oneOf("", "   ", "a  b\t\nc", "ALL CAPS 42!", "é ü ñ 漢字")))
 
+  private lazy val texts: List[String] = samples(genText)
+
   test("normText is idempotent and its alphabet is [a-z0-9 ]") {
-    forAll(genText) { texts =>
-      val out = texts.toDF("text")
-        .select(TextFunctions.normText(col("text")).as("n1"))
-        .withColumn("n2", TextFunctions.normText(col("n1")))
-        .as[(String, String)].collect()
-      out.foreach { case (n1, n2) =>
-        assert(n1 === n2, "idempotence")
-        assert(n1.matches("[a-z0-9 ]*") && !n1.startsWith(" ") && !n1.endsWith(" "))
-      }
+    val out = texts.toDF("text")
+      .select(TextFunctions.normText(col("text")).as("n1"))
+      .withColumn("n2", TextFunctions.normText(col("n1")))
+      .as[(String, String)].collect()
+    out.foreach { case (n1, n2) =>
+      assert(n1 === n2, "idempotence")
+      assert(n1.matches("[a-z0-9 ]*") && !n1.startsWith(" ") && !n1.endsWith(" "))
     }
   }
 
   test("words ⨝ ' ' reconstructs the normalized text; counts agree") {
-    forAll(genText) { texts =>
-      val out = texts.toDF("text")
-        .withColumn("norm", TextFunctions.normText(col("text")))
-        .withColumn("ws", TextFunctions.words(col("norm")))
-        .select(col("norm"), concat_ws(" ", col("ws")).as("joined"),
-          TextFunctions.wordCount(col("ws")).as("cnt"), size(col("ws")).as("sz"))
-        .as[(String, String, Long, Int)].collect()
-      out.foreach { case (norm, joined, cnt, sz) =>
-        assert(joined === norm)
-        assert(cnt === sz.toLong)
-      }
+    val out = texts.toDF("text")
+      .withColumn("norm", TextFunctions.normText(col("text")))
+      .withColumn("ws", TextFunctions.words(col("norm")))
+      .select(col("norm"), concat_ws(" ", col("ws")).as("joined"),
+        TextFunctions.wordCount(col("ws")).as("cnt"), size(col("ws")).as("sz"))
+      .as[(String, String, Long, Int)].collect()
+    out.foreach { case (norm, joined, cnt, sz) =>
+      assert(joined === norm)
+      assert(cnt === sz.toLong)
     }
   }
 
   test("rollingHash lands in [0, mod) for any input (ANSI-overflow-safe)") {
-    forAll(genText) { texts =>
-      val hs = texts.toDF("text")
-        .select(TextFunctions.rollingHash(TextFunctions.normText(col("text"))).as("h"))
-        .as[Long].collect()
-      hs.foreach(h => assert(h >= 0L && h < TextFunctions.RollHashMod))
-    }
+    val hs = texts.toDF("text")
+      .select(TextFunctions.rollingHash(TextFunctions.normText(col("text"))).as("h"))
+      .as[Long].collect()
+    assert(hs.length === texts.length)
+    hs.foreach(h => assert(h >= 0L && h < TextFunctions.RollHashMod))
   }
 
   test("splitBucket ∈ [0,100) and splitLabel partitions it for any id") {
-    forAll(Gen.listOfN(20, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)), n = 6) { ids =>
-      val out = ids.toDF("id")
-        .select(TextFunctions.splitBucket(col("id")).as("b"))
-        .withColumn("s", TextFunctions.splitLabel(col("b")))
-        .as[(Long, String)].collect()
-      out.foreach { case (b, s) =>
-        assert(b >= 0 && b < 100, s"bucket $b out of range")
-        assert(s === (if (b < 90) "train" else if (b < 95) "val" else "test"))
-      }
+    val ids = samples(Gen.listOfN(20, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)), n = 6)
+    val out = ids.toDF("id")
+      .select(TextFunctions.splitBucket(col("id")).as("b"))
+      .withColumn("s", TextFunctions.splitLabel(col("b")))
+      .as[(Long, String)].collect()
+    assert(out.length === ids.length)
+    out.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100, s"bucket $b out of range")
+      assert(s === (if (b < 90) "train" else if (b < 95) "val" else "test"))
     }
   }
 
   test("bigram/trigram cardinalities: n-1 bigrams; distinct trigrams <= n-2") {
-    forAll(genText) { texts =>
-      val out = texts.toDF("text")
-        .withColumn("ws", TextFunctions.words(TextFunctions.normText(col("text"))))
-        .select(size(col("ws")).as("n"),
-          size(TextFunctions.bigrams(col("ws"))).as("nb"),
-          size(TextFunctions.trigramShingles(col("ws"))).as("nt"))
-        .as[(Int, Int, Int)].collect()
-      out.foreach { case (n, nb, nt) =>
-        assert(nb === math.max(0, n - 1))
-        assert(nt <= math.max(0, n - 2)) // distinct -> can only shrink
-      }
+    val out = texts.toDF("text")
+      .withColumn("ws", TextFunctions.words(TextFunctions.normText(col("text"))))
+      .select(size(col("ws")).as("n"),
+        size(TextFunctions.bigrams(col("ws"))).as("nb"),
+        size(TextFunctions.trigramShingles(col("ws"))).as("nt"))
+      .as[(Int, Int, Int)].collect()
+    out.foreach { case (n, nb, nt) =>
+      assert(nb === math.max(0, n - 1))
+      assert(nt <= math.max(0, n - 2)) // distinct -> can only shrink
     }
   }
 
   test("redact is a no-op exactly when matchCount is zero") {
-    forAll(genText) { texts =>
-      val out = texts.toDF("text")
-        .select(col("text"),
-          TextFunctions.matchCount(col("text"), TextFunctions.EmailRe).as("c"),
-          TextFunctions.redact(col("text"), TextFunctions.EmailRe, "<EMAIL>").as("r"))
-        .as[(String, Long, String)].collect()
-      out.foreach { case (t, c, r) =>
-        if (c == 0) assert(r === t) else assert(r.contains("<EMAIL>") && r != t)
-      }
+    val out = texts.toDF("text")
+      .select(col("text"),
+        TextFunctions.matchCount(col("text"), TextFunctions.EmailRe).as("c"),
+        TextFunctions.redact(col("text"), TextFunctions.EmailRe, "<EMAIL>").as("r"))
+      .as[(String, Long, String)].collect()
+    out.foreach { case (t, c, r) =>
+      if (c == 0) assert(r === t) else assert(r.contains("<EMAIL>") && r != t)
     }
   }
 }
