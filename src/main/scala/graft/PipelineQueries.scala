@@ -243,6 +243,24 @@ object PipelineQueries {
       .orderBy("train_id", "test_id")
   }
 
+  private val FrameStride = 4
+
+  /** p20 — frame-sampling rollup through the REAL Dataset path
+    * ([[Multimodal.sampleFrames]]: typed `Dataset[MediaFile]`,
+    * per-partition flatMap over the payload windows — the `mapInPandas`
+    * shape), not the column twin: per media, how many frames a
+    * stride-`FrameStride` sample yields and the last sampled index. The
+    * oracle re-derives both from byte-length arithmetic, so the whole
+    * encoder/flatMap/window pipeline is hash-checked. */
+  private def p20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.documentsAsMedia(docs(s, dir)).as[Multimodal.MediaFile]
+    Multimodal.sampleFrames(media, FrameStride)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_no")).cast("long").as("last_frame"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -263,6 +281,7 @@ object PipelineQueries {
     "p17_pipeline" -> p17 _,
     "p18_vocab_topk" -> p18 _,
     "p19_contamination" -> p19 _,
+    "p20_frame_sample" -> p20 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -570,6 +589,14 @@ object PipelineQueries {
          |FROM tr JOIN te ON tr.sh = te.sh
          |GROUP BY 1, 2 HAVING count(*) >= $ContamShingles
          |ORDER BY train_id, test_id""".stripMargin,
+    "p20_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |         (octet_length(encode(text)) + 15) // 16 AS n_windows
+         |       FROM documents)
+         |SELECT media_id,
+         |  CAST((n_windows + ${FrameStride - 1}) // $FrameStride AS BIGINT) AS n_sampled,
+         |  CAST((n_windows - 1) // $FrameStride * $FrameStride AS BIGINT) AS last_frame
+         |FROM m WHERE n_windows > 0 ORDER BY media_id""".stripMargin,
     "p11_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
