@@ -220,6 +220,15 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Q18 — logical conjunction pattern (Siddhi `a and b within T`): every
+    * signup with a purchase within 12 h in EITHER direction; nearest
+    * purchase wins, earlier on ties. Via [[graft.operators.Patterns.conjunction]]. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.conjunction(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "signup", "purchase", Hours12Us)
+      .withColumnRenamed("gap", "gap_us")
+      .orderBy("user_id", "a_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -238,6 +247,7 @@ object CoreQueries {
     "q15_pattern_burst" -> q15 _,
     "q16_sessionize" -> q16 _,
     "q17_asof_join" -> q17 _,
+    "q18_pattern_and" -> q18 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -354,5 +364,31 @@ object CoreQueries {
         |SELECT p.event_id, p.user_id, p.value, sd.signup_value
         |FROM p ASOF LEFT JOIN sd ON p.user_id = sd.user_id AND p.ts_us >= sd.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    "q18_pattern_and" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tns FROM events),
+         |n AS (SELECT *,
+         |        min(CASE WHEN event_type = 'purchase'
+         |          THEN lpad(CAST(tns AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+         |          OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+         |        max(CASE WHEN event_type = 'purchase'
+         |          THEN lpad(CAST(tns AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+         |          OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+         |      FROM e),
+         |g AS (SELECT user_id, event_id, event_type, tns,
+         |        CAST(substr(nb, 21, 12) AS BIGINT) AS nb_id,
+         |        CAST(substr(nb, 1, 20) AS BIGINT) - tns AS gap_n,
+         |        CAST(substr(pb, 21, 12) AS BIGINT) AS pb_id,
+         |        tns - CAST(substr(pb, 1, 20) AS BIGINT) AS gap_p,
+         |        (nb IS NOT NULL AND CAST(substr(nb, 1, 20) AS BIGINT) - tns <= $Hours12Us) AS ok_n,
+         |        (pb IS NOT NULL AND tns - CAST(substr(pb, 1, 20) AS BIGINT) <= $Hours12Us) AS ok_p
+         |      FROM n)
+         |SELECT user_id, event_id AS a_id,
+         |       CASE WHEN ok_p AND (NOT ok_n OR gap_p <= gap_n) THEN pb_id ELSE nb_id END AS b_id,
+         |       CASE WHEN ok_p AND (NOT ok_n OR gap_p <= gap_n) THEN gap_p ELSE gap_n END AS gap_us
+         |FROM g
+         |WHERE event_type = 'signup' AND (ok_n OR ok_p)
+         |ORDER BY user_id, a_id""".stripMargin,
   )
 }

@@ -73,6 +73,38 @@ object Patterns {
         (col("_next_b").isNull || nextBTs(col("_next_b")) - col(tsCol) > within))
       .select(col(keyCol), col(idCol).as("a_id"))
 
+  /** Logical conjunction pattern `A and B within T`: every `typeA` event
+    * with a `typeB` event of the same key within `within` time units in
+    * EITHER direction; reports the nearest such B (tie → the earlier B).
+    * Output: (key, a_id, b_id, gap) with gap = |tb − ta| ≥ 0.
+    *
+    * Same single-exchange shape as [[followedBy]]: two per-key window
+    * passes (nearest B before via max-over-preceding, nearest B after via
+    * min-over-following) — no self-join.
+    *
+    * Siddhi analog: `from every (a=s[type=='A'] and b=s[type=='B']) within T`.
+    */
+  def conjunction(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  typeCol: String, typeA: String, typeB: String, within: Long): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val wNext = order.rowsBetween(1, Window.unboundedFollowing)
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val isB = col(typeCol) === typeB
+    val withBoth = events
+      .withColumn("_next_b", min(when(isB, seqKey(col(tsCol), col(idCol)))).over(wNext))
+      .withColumn("_prev_b", max(when(isB, seqKey(col(tsCol), col(idCol)))).over(wPrev))
+    val gapN = nextBTs(col("_next_b")) - col(tsCol)
+    val gapP = col(tsCol) - nextBTs(col("_prev_b"))
+    val okN = col("_next_b").isNotNull && gapN <= within
+    val okP = col("_prev_b").isNotNull && gapP <= within
+    withBoth.where(col(typeCol) === typeA && (okN || okP))
+      .withColumn("_use_prev", okP && (!okN || gapP <= gapN))
+      .select(col(keyCol), col(idCol).as("a_id"),
+        when(col("_use_prev"), nextBId(col("_prev_b")))
+          .otherwise(nextBId(col("_next_b"))).as("b_id"),
+        when(col("_use_prev"), gapP).otherwise(gapN).as("gap"))
+  }
+
   /** Count pattern (burst): every `typeX` event that is the `minCount`-th
     * or later of its key within the trailing `windowLen` time units (sliding
     * range-window count — "3 failed logins in 10 minutes").

@@ -171,6 +171,52 @@ object StreamPatterns {
       seqFlush[AbsMatch](typeA, typeB, withinUs, (a, b) =>
         if (b.isEmpty) Some(AbsMatch(a.key, a.id)) else None))
 
+  /** Streaming `A and B within T` (nearest B either direction, tie → the
+    * earlier B) — batch twin [[graft.operators.Patterns.conjunction]].
+    * Output: (key, a_id, b_id, gap = |tb − ta|).
+    *
+    * An A finalizes when `a.ts + within < watermark` (both its backward
+    * and forward horizons are then closed). Retention keeps, besides the
+    * [[seqFlush]] rules, B events back to
+    * `min(earliest pending A, watermark) − within`: a pending or
+    * future-arriving A can reach that far BACKWARD — the one-direction
+    * patterns never look back, which is why this flush is separate. */
+  def conjunction(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  typeCol: String, typeA: String, typeB: String, withinUs: Long,
+                  delay: String): Dataset[SeqMatch] =
+    runPattern[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay) {
+      (evs, _, wmUs) =>
+        val out = evs.filter(a => a.typ == typeA && a.tsUs + withinUs < wmUs).flatMap { a =>
+          val bs = evs.filter(_.typ == typeB)
+          // mirror the batch window split exactly: B "before" A in (ts, id)
+          // order -> nearest is the LARGEST such; "after" -> the smallest
+          val prevB = bs.filter(b => b.tsUs < a.tsUs || (b.tsUs == a.tsUs && b.id < a.id))
+            .filter(b => a.tsUs - b.tsUs <= withinUs)
+            .maxByOption(b => (b.tsUs, b.id))
+          val nextB = bs.filter(b => b.tsUs > a.tsUs || (b.tsUs == a.tsUs && b.id > a.id))
+            .filter(b => b.tsUs - a.tsUs <= withinUs)
+            .minByOption(b => (b.tsUs, b.id))
+          (prevB, nextB) match {
+            case (Some(p), n) if n.forall(nn => a.tsUs - p.tsUs <= nn.tsUs - a.tsUs) =>
+              Some(SeqMatch(a.key, a.id, p.id, a.tsUs - p.tsUs))
+            case (_, Some(n)) => Some(SeqMatch(a.key, a.id, n.id, n.tsUs - a.tsUs))
+            case _ => None
+          }
+        }
+        val pendingA = evs.filter(a => a.typ == typeA && a.tsUs + withinUs >= wmUs)
+        val floor = math.min(pendingA.headOption.map(_.tsUs).getOrElse(Long.MaxValue),
+          wmUs) - withinUs
+        val retained = evs.filter(e =>
+          e.tsUs >= wmUs ||                                   // future-claimable
+          (e.typ == typeA && e.tsUs + withinUs >= wmUs) ||    // pending As
+          (e.typ == typeB && e.tsUs >= floor))                // backward horizon
+        val wake =
+          if (pendingA.nonEmpty) Some(pendingA.head.tsUs + withinUs)
+          else if (retained.isEmpty) None
+          else Some(retained.map(_.tsUs).max)
+        (out, retained, wake)
+    }
+
   /** Streaming trailing-window count pattern — batch twin
     * [[graft.operators.Patterns.burst]]: every `typeX` event whose
     * trailing `windowUs` window holds >= minCount X events. An X

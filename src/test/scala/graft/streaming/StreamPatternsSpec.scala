@@ -93,6 +93,14 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("conjunction parity with batch operator") {
+    val got = runStream(src => StreamPatterns.conjunction(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_and")
+    val want = Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
+      "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("cross-batch B-before-A: an out-of-order A claims an already-buffered B") {
     // B arrives a batch BEFORE its A (A still above the watermark, so not
     // late). The buffered B must be retained even though no A is pending
