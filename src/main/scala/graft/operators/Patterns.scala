@@ -86,13 +86,13 @@ object Patterns {
     */
   def conjunction(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                   typeCol: String, typeA: String, typeB: String, within: Long): DataFrame = {
-    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
-    val wNext = order.rowsBetween(1, Window.unboundedFollowing)
-    val wPrev = order.rowsBetween(Window.unboundedPreceding, -1)
-    val isB = col(typeCol) === typeB
-    val withBoth = events
-      .withColumn("_next_b", min(when(isB, seqKey(col(tsCol), col(idCol)))).over(wNext))
-      .withColumn("_prev_b", max(when(isB, seqKey(col(tsCol), col(idCol)))).over(wPrev))
+    val wPrev = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // _next_b shares the followedBy/absence definition (ONE first-following-B
+    // contract); only the backward-looking _prev_b is conjunction-specific
+    val withBoth = withNextB(events, keyCol, tsCol, idCol, typeCol, typeB)
+      .withColumn("_prev_b",
+        max(when(col(typeCol) === typeB, seqKey(col(tsCol), col(idCol)))).over(wPrev))
     val gapN = nextBTs(col("_next_b")) - col(tsCol)
     val gapP = col(tsCol) - nextBTs(col("_prev_b"))
     val okN = col("_next_b").isNotNull && gapN <= within

@@ -185,9 +185,12 @@ object StreamPatterns {
                   typeCol: String, typeA: String, typeB: String, withinUs: Long,
                   delay: String): Dataset[SeqMatch] =
     runPattern[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay) {
-      (evs, _, wmUs) =>
+      (all, _, wmUs) =>
+        // only A/B events can ever affect conjunction output — buffering
+        // noise types would hold them in state for the watermark delay
+        val evs = all.filter(e => e.typ == typeA || e.typ == typeB)
+        val bs = evs.filter(_.typ == typeB)
         val out = evs.filter(a => a.typ == typeA && a.tsUs + withinUs < wmUs).flatMap { a =>
-          val bs = evs.filter(_.typ == typeB)
           // mirror the batch window split exactly: B "before" A in (ts, id)
           // order -> nearest is the LARGEST such; "after" -> the smallest
           val prevB = bs.filter(b => b.tsUs < a.tsUs || (b.tsUs == a.tsUs && b.id < a.id))
@@ -210,10 +213,14 @@ object StreamPatterns {
           e.tsUs >= wmUs ||                                   // future-claimable
           (e.typ == typeA && e.tsUs + withinUs >= wmUs) ||    // pending As
           (e.typ == typeB && e.tsUs >= floor))                // backward horizon
+        // wake at the next finalization, or — with only context Bs left —
+        // at their EVICTION time (ts + within), not their (past) ts, which
+        // would clamp to wm+1 and churn the key on every watermark advance
         val wake =
           if (pendingA.nonEmpty) Some(pendingA.head.tsUs + withinUs)
           else if (retained.isEmpty) None
-          else Some(retained.map(_.tsUs).max)
+          else Some(retained.map(e =>
+            if (e.tsUs >= wmUs) e.tsUs else e.tsUs + withinUs).max)
         (out, retained, wake)
     }
 

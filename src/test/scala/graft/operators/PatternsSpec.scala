@@ -31,6 +31,28 @@ class PatternsSpec extends SparkSpec {
       Row("u1", 4L, 5L, 5L)))
   }
 
+  test("conjunction: nearest B either direction, tie -> earlier B, inclusive bound") {
+    import spark.implicits._
+    val e = Seq(
+      // k1: A@10 with B@7 (gap 3) and B@12 (gap 2) -> nearest is AFTER
+      ("k1", 7L, 1L, "B"), ("k1", 10L, 2L, "A"), ("k1", 12L, 3L, "B"),
+      // k2: A@10 with B@8 and B@12 (both gap 2) -> tie goes to the EARLIER B
+      ("k2", 8L, 4L, "B"), ("k2", 10L, 5L, "A"), ("k2", 12L, 6L, "B"),
+      // k3: only a backward B exactly at the bound (gap 5 == within: inclusive)
+      ("k3", 5L, 7L, "B"), ("k3", 10L, 8L, "A"),
+      // k4: B one past the bound in both directions -> no match
+      ("k4", 4L, 9L, "B"), ("k4", 10L, 10L, "A"), ("k4", 16L, 11L, "B"),
+      // k5: A with no B at all
+      ("k5", 10L, 12L, "A"),
+    ).toDF("key", "ts", "id", "type")
+    val out = Patterns.conjunction(e, "key", "ts", "id", "type", "A", "B", 5L)
+      .orderBy("key").collect().toSeq
+    assert(out == Seq(
+      Row("k1", 2L, 3L, 2L),  // nearest wins regardless of direction
+      Row("k2", 5L, 4L, 2L),  // equal gap -> earlier B
+      Row("k3", 8L, 7L, 5L))) // inclusive boundary, backward-only
+  }
+
   test("absence keeps A events whose next B is absent or past the window") {
     val out = Patterns.absence(events, "key", "ts", "id", "type", "A", "B", 5L)
       .collect().toSeq
