@@ -134,6 +134,35 @@ class StreamPatternsSpec extends SparkSpec {
     assert(ab === Set.empty) // and no false absence
   }
 
+  test("conjunction claims a below-watermark B backward (retention horizon)") {
+    // B ages below the watermark BEFORE any A exists for its key; an A
+    // arriving later (above the watermark) must still claim it backward —
+    // retention keeps Bs down to min(pending A, wm) - within even when no
+    // A is pending yet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamPatterns.conjunction(src, "k", "ts", "id", "typ",
+        "signup", "purchase", WithinUs, "60 seconds")
+      .toDF.writeStream.format("memory").queryName("sp_and_back")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, 25_000_000L, 1L, "purchase"), // the backward B
+        (SentinelKey, 90_000_000L, 90L, "noise"))   // wm -> 30s: B is below it
+      q.processAllAvailable()
+      in.addData((1L, 40_000_000L, 2L, "signup"))   // A above wm, claims back
+      q.processAllAvailable()
+      in.addData((SentinelKey, 200_000_000L, 98L, "noise"))
+      q.processAllAvailable()
+      in.addData((SentinelKey, 210_000_000L, 99L, "noise"))
+      q.processAllAvailable()
+      val got = spark.table("sp_and_back").where(col("key") =!= SentinelKey)
+        .collect().map(_.toSeq).toSet
+      assert(got === Set(Seq(1L, 2L, 1L, 15_000_000L)))
+    } finally q.stop()
+  }
+
   test("absence fires on watermark advance without further key input (timer path)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
