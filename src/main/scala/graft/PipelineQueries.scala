@@ -261,6 +261,21 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** p21 — multimodal feature extraction (histogram signature) in long
+    * format: per (media, bin) character counts — the real-computation
+    * half of the decode/feature-extract/resize/sample multimodal surface
+    * ([[Multimodal.byteHistogram]] is the typed Dataset twin over raw
+    * payload BYTES; on this ascii fixture corpus the two coincide, and
+    * the char formulation is what both engines express identically).
+    * explode + partial-agg on (doc_id, bin): partition-parallel,
+    * bounded by payload size. */
+  private def p21(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy(col("doc_id"), (ascii(col("c")) % 16).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -282,6 +297,7 @@ object PipelineQueries {
     "p18_vocab_topk" -> p18 _,
     "p19_contamination" -> p19 _,
     "p20_frame_sample" -> p20 _,
+    "p21_byte_histogram" -> p21 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -597,6 +613,10 @@ object PipelineQueries {
          |  CAST((n_windows + ${FrameStride - 1}) // $FrameStride AS BIGINT) AS n_sampled,
          |  CAST((n_windows - 1) // $FrameStride * $FrameStride AS BIGINT) AS last_frame
          |FROM m WHERE n_windows > 0 ORDER BY media_id""".stripMargin,
+    "p21_byte_histogram" ->
+      """WITH cx AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |SELECT doc_id, CAST(ascii(c) % 16 AS INT) AS bin, count(*) AS cnt
+        |FROM cx WHERE c != '' GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin,
     "p11_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

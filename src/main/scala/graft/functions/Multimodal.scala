@@ -66,6 +66,33 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** Feature extraction — a REAL computation, no codec needed: 16-bin
+    * byte histogram of the payload (the classic cheap content signature;
+    * a production path would swap in CLIP/CNN embeddings behind the same
+    * mapPartitions shape). Output: (media_id, features: Array[Long](16)). */
+  def byteHistogram(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.map { f =>
+      val bins = new Array[Long](16)
+      f.content.foreach(b => bins((b & 0xff) % 16) += 1)
+      (f.media_id, bins.toSeq)
+    }.toDF("media_id", "features")
+  }
+
+  /** RESIZE STUB — a real implementation would decode, scale, re-encode;
+    * the fake deterministically re-derives target metadata and truncates
+    * the payload proportionally, so the pipeline shape (payload in,
+    * smaller payload + new dims out) is real and testable. */
+  def resizeStub(files: Dataset[MediaFile], targetWidth: Int): Dataset[MediaFile] = {
+    import files.sparkSession.implicits._
+    files.map { f =>
+      val (w, _, _) = FakeCodec.decode(f.content)
+      val scale = math.min(1.0, targetWidth.toDouble / math.max(1, w))
+      val newLen = math.max(1, (f.content.length * scale).toInt)
+      MediaFile(f.media_id, f.kind, f.content.take(newLen))
+    }
+  }
+
   /** Documents → media table (text payload as utf-8 binary) — the
     * fixture adapter: `/root/testdata` has no binary column, so the text
     * bytes stand in for the opaque payload. */

@@ -198,6 +198,28 @@ class PipelineSpec extends SparkSpec {
     assert(out._2 === 7) // hello , world ! 42 times . => letters/digits/punct runs
   }
 
+  test("multimodal feature extraction + resize: histogram counts bytes; resize shrinks payload") {
+    import Multimodal._
+    val files = Seq(
+      MediaFile(1L, "text", "aaaa".getBytes("UTF-8")), // 'a' = 97 -> bin 1
+      MediaFile(2L, "text", Array[Byte](0, 16, 32, 15))) // bins 0,0,0,15
+      .toDS()
+    val hist = byteHistogram(files).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hist(1L)(1) === 4L && hist(1L).sum === 4L)
+    assert(hist(2L)(0) === 3L && hist(2L)(15) === 1L && hist(2L).sum === 4L)
+    // resize: payload shrinks proportionally, never grows, id/kind kept
+    val big = MediaFile(3L, "img", Array.fill[Byte](1000)(7))
+    val out = resizeStub(Seq(big).toDS(), targetWidth = 32).collect().head
+    assert(out.media_id === 3L && out.kind === "img")
+    assert(out.content.length < 1000 && out.content.length >= 1)
+    // already-small payloads pass through unchanged (scale capped at 1.0)
+    val small = MediaFile(4L, "img", Array.fill[Byte](3)(1))
+    val (w, _, _) = FakeCodec.decode(small.content)
+    val kept = resizeStub(Seq(small).toDS(), targetWidth = w + 100).collect().head
+    assert(kept.content.length === 3)
+  }
+
   test("SQL-registered expressions reject bad arity / non-literal args as analysis errors") {
     import org.apache.spark.sql.AnalysisException
     val e1 = intercept[AnalysisException] {
