@@ -72,10 +72,14 @@ object Multimodal {
     * mapPartitions shape). Output: (media_id, features: Array[Long](16)). */
   def byteHistogram(files: Dataset[MediaFile]): DataFrame = {
     import files.sparkSession.implicits._
-    files.map { f =>
-      val bins = new Array[Long](16)
-      f.content.foreach(b => bins((b & 0xff) % 16) += 1)
-      (f.media_id, bins.toSeq)
+    // mapPartitions like decodeMeta: a real extractor (CLIP/CNN) is
+    // instantiated ONCE per partition here, not once per record
+    files.mapPartitions { it =>
+      it.map { f =>
+        val bins = new Array[Long](16)
+        f.content.foreach(b => bins((b & 0xff) % 16) += 1)
+        (f.media_id, bins.toSeq)
+      }
     }.toDF("media_id", "features")
   }
 

@@ -11,9 +11,10 @@ class BucketedJoinSpec extends SparkSpec {
   test("co-located join of two bucketed tables plans no hash exchange") {
     val e = Tables.events(spark, sf()).select("event_id", "user_id", "value")
     val c = Tables.customer(spark, sf()).select("c_custkey", "c_name")
-    Bucketing.writeBucketed(e, "ev_bucketed", "user_id", 4)
-    Bucketing.writeBucketed(c, "cust_bucketed", "c_custkey", 4)
     try {
+      // writes inside the try: a failing second write must still clean up
+      Bucketing.writeBucketed(e, "ev_bucketed", "user_id", 4)
+      Bucketing.writeBucketed(c, "cust_bucketed", "c_custkey", 4)
       // force the sort-merge path: a broadcast would also be exchange-free
       // but would prove nothing about the bucketed distribution
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -23,9 +24,10 @@ class BucketedJoinSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
       assert(!p.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle either side:\n$p")
-      // and the result is identical to the unbucketed join
-      assert(j.count() ===
-        e.join(c, col("user_id") === col("c_custkey")).count())
+      // and the result is ROW-identical to the unbucketed join (count
+      // equality alone would miss drop+duplicate compensations)
+      val unbucketed = e.join(c, col("user_id") === col("c_custkey"))
+      assert(j.exceptAll(unbucketed).isEmpty && unbucketed.exceptAll(j).isEmpty)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS ev_bucketed")
