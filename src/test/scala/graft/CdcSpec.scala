@@ -45,6 +45,48 @@ class CdcSpec extends SparkSpec {
     assert(e2.getMessage.contains("stateDir"))
   }
 
+  test("e2e: CDC change stream feeds CEP pattern detection (the reference's use case)") {
+    // the reference's whole purpose: a Siddhi pattern query consuming the
+    // CDC stream (`from every a=cdcStream -> b=... within T`). Here:
+    // churn detection — an insert followed by a delete of the same user
+    // within 10 s, straight off the flattened change stream.
+    import org.apache.spark.sql.functions._
+    val userSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("cdc_cep").toString
+    def env(op: String, before: String, after: String, ts: Long): String =
+      s"""{"op":"$op","before":$before,"after":$after,"source":{"ts_ms":$ts},"ts_ms":$ts}"""
+    Files.write(java.nio.file.Paths.get(dir, "e.json"), Seq(
+      env("c", "null", """{"user_id":1,"name":"a"}""", 1000L),
+      env("c", "null", """{"user_id":2,"name":"b"}""", 2000L),
+      env("d", """{"user_id":1,"name":"a"}""", "null", 5000L),  // churn: 4 s
+      env("c", "null", """{"user_id":3,"name":"c"}""", 3000L),
+      env("d", """{"user_id":3,"name":"c"}""", "null", 60_000L), // too late: 57 s
+      // watermark sentinels
+      env("c", "null", """{"user_id":99,"name":"z"}""", 200_000L),
+      env("c", "null", """{"user_id":99,"name":"z"}""", 300_000L),
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val s = Cdc.stream(spark, Map(
+      "mode" -> "listening", "operation" -> "insert,delete",
+      "envelope.replay.dir" -> dir), rowSchema = Some(userSchema))
+    val events = s.df
+      // delete rows carry the key in the before image (multi-op padding
+      // fills the absent after image with defaults, not nulls)
+      .withColumn("uid", when(col("_op") === "delete", col("before_user_id"))
+        .otherwise(col("user_id")))
+      .withColumn("ts", timestamp_millis(col("_ts_ms")))
+    val churn = graft.streaming.StreamPatterns.followedBy(
+      events, "uid", "ts", "_ts_ms", "_op", "insert", "delete",
+      withinUs = 10_000_000L, delay = "0 seconds")
+    val q = churn.toDF.writeStream.format("memory").queryName("cdc_churn")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT key, gap FROM cdc_churn WHERE key != 99")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 4_000_000L))) // only user 1 churned within 10 s
+  }
+
   test("polling mode routes to the V2 source with options intact") {
     // no DB behind it — assert routing by the source's own failure mode:
     // the error must come from the JDBC layer hitting OUR url (proving
