@@ -106,8 +106,12 @@ object Dedup {
     * [[expr.MinhashBands]] when the session has [[graft.GraftExtensions]]
     * loaded; the composable fallback (one md5 transform + array_min per
     * (band, row)) produces identical bytes (parity-tested in DedupSpec). */
-  def minhashBandsCol(shs: Column, bands: Int): Column = {
-    val session = SparkSession.active
+  def minhashBandsCol(shs: Column, bands: Int,
+                      session: SparkSession = SparkSession.active): Column = {
+    // `session` must be the one that owns the consuming DataFrame (threaded
+    // by minhashSignatureRows): SparkSession.active can differ under
+    // newSession()/multi-session drivers, silently switching between the
+    // codegen expression and the fallback or failing analysis.
     if (session.catalog.functionExists("minhash_bands"))
       call_function("minhash_bands", shs, lit(bands), lit(RowsPerBand))
     else minhashBandsFallback(shs, bands)
@@ -128,7 +132,7 @@ object Dedup {
     * array; shingle-less docs emit no rows. */
   def minhashSignatureRows(shArr: DataFrame, bands: Int): DataFrame =
     shArr.select(col("sid"),
-        posexplode(minhashBandsCol(col("shs"), bands)).as(Seq("band", "sig")))
+        posexplode(minhashBandsCol(col("shs"), bands, shArr.sparkSession)).as(Seq("band", "sig")))
 
   /** MinHash signatures from an exploded (sid, sh) stream — the
     * aggregation formulation (kept for the parity spec and profiling

@@ -38,8 +38,15 @@ object Similarity {
     * elements — bit-identical results INCLUDING on length-mismatched
     * inputs (a bare zip_with would null-pad the shorter vector and
     * propagate NULL through the fold, diverging from the native path). */
-  def dot(a: Column, b: Column): Column = {
-    val session = org.apache.spark.sql.SparkSession.active
+  def dot(a: Column, b: Column): Column =
+    dot(a, b, org.apache.spark.sql.SparkSession.active)
+
+  /** Session-explicit twin: DataFrame-level operators resolve the native
+    * function against the session that OWNS their input DataFrame, not
+    * `SparkSession.active` — the two differ under `newSession()` /
+    * multi-session drivers, where active-session resolution would silently
+    * switch implementations or fail analysis. */
+  def dot(a: Column, b: Column, session: org.apache.spark.sql.SparkSession): Column = {
     val hasNative = session.catalog.functionExists("vec_dot")
     if (hasNative) call_function("vec_dot", a, b)
     else {
@@ -51,6 +58,9 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  private def l2norm(a: Column, s: org.apache.spark.sql.SparkSession): Column =
+    sqrt(dot(a, a, s))
+
   /** Cosine similarity of two double vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -61,12 +71,16 @@ object Similarity {
     * every search path (brute/LSH/IVF/near-dup) must share, or a future
     * quantization change would silently diverge from the oracle. */
   def simMicroPre(aVd: Column, bVd: Column, aNrm: Column, bNrm: Column): Column =
-    floor(lit(1e6) * dot(aVd, bVd) / (aNrm * bNrm)).cast("long")
+    simMicroPre(aVd, bVd, aNrm, bNrm, org.apache.spark.sql.SparkSession.active)
+
+  def simMicroPre(aVd: Column, bVd: Column, aNrm: Column, bNrm: Column,
+                  session: org.apache.spark.sql.SparkSession): Column =
+    floor(lit(1e6) * dot(aVd, bVd, session) / (aNrm * bNrm)).cast("long")
 
   /** Corpus with precomputed double vector + norm. */
   def prep(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb.withColumn("vd", toDoubleVec(col(vecCol)))
-      .withColumn("nrm", l2norm(col("vd")))
+      .withColumn("nrm", l2norm(col("vd"), emb.sparkSession))
 
   /** Exact cosine top-k: for each query vector (filtered by `queryPred`),
     * the k nearest other vectors. Output: (q_id, n_id, sim_micro). */
@@ -77,7 +91,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"))
     val sims = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        simMicroPre(col("qvd"), col("nvd"), col("qnrm"), col("nnrm")).as("sim_micro"))
+        simMicroPre(col("qvd"), col("nvd"), col("qnrm"), col("nnrm"), emb.sparkSession).as("sim_micro"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim_micro"))
@@ -105,7 +119,7 @@ object Similarity {
     val b = prep(emb).select(col(idCol).as("vec_b"), col("vd").as("bvd"), col("nrm").as("bnrm"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm")).as("sim_micro"))
+        simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm"), emb.sparkSession).as("sim_micro"))
       .where(col("sim_micro") >= thresholdMicro)
   }
 
@@ -156,7 +170,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"))
     val sims = cands.join(broadcast(queries), "q_id").join(corpus, "n_id")
       .select(col("q_id"), col("n_id"),
-        simMicroPre(col("qvd"), col("nvd"), col("qnrm"), col("nnrm")).as("sim_micro"))
+        simMicroPre(col("qvd"), col("nvd"), col("qnrm"), col("nnrm"), emb.sparkSession).as("sim_micro"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim_micro"))

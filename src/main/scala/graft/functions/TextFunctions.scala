@@ -119,7 +119,9 @@ object TextFunctions {
     * per row (higher-order functions don't share subexpressions). */
   def withSimhash16(df: org.apache.spark.sql.DataFrame, ws: Column, out: String)
   : org.apache.spark.sql.DataFrame = {
-    val session = org.apache.spark.sql.SparkSession.active
+    // resolve against the session that owns `df`, not SparkSession.active —
+    // they differ under newSession()/multi-session drivers
+    val session = df.sparkSession
     if (session.catalog.functionExists("simhash16"))
       // single-pass codegen'd expression (GraftExtensions loaded)
       df.withColumn(out, call_function("simhash16", ws))

@@ -58,9 +58,21 @@ object SequenceGaps {
     if (stats.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("missing_from", "missing_to")
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
-    val microWidth = math.max(1L, (hi - lo) / micro + 1)
+    // span via BigInt: ids may legitimately straddle more than half the
+    // Long range (e.g. hash-derived ids), where `hi - lo` wraps negative,
+    // collapsing microWidth to 1 and blowing the driver histogram up to
+    // the distinct-id count instead of the bounded n*64 buckets
+    val microWidth = (((BigInt(hi) - BigInt(lo)) / micro) + 1).toLong
+    // bucket assignment in double space — immune to Long overflow (and to
+    // ANSI arithmetic exceptions) for any (id, lo); double rounding can
+    // nudge a value across a micro-bucket edge, which only shifts balance
+    // slightly: gap CORRECTNESS depends solely on the explicit bound
+    // comparisons below, never on this expression
+    val mbExpr = least(greatest(
+      ((col("id").cast("double") - lit(lo.toDouble)) / lit(microWidth.toDouble)).cast("long"),
+      lit(0L)), lit(micro.toLong - 1L))
     val hist = ids
-      .groupBy(((col("id") - lit(lo)) / lit(microWidth)).cast("long").as("mb"))
+      .groupBy(mbExpr.as("mb"))
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val total = hist.map(_._2).sum
     val perBlock = math.max(1L, total / n)
@@ -70,7 +82,12 @@ object SequenceGaps {
       val b = Vector.newBuilder[Long]
       var acc = 0L
       hist.foreach { case (mb, c) =>
-        if (acc >= perBlock) { b += lo + mb * microWidth; acc = 0L }
+        if (acc >= perBlock) {
+          // reconstruct the edge in BigInt (mb*microWidth can exceed Long
+          // when the span does) and clamp into [lo, hi]
+          b += (BigInt(lo) + BigInt(mb) * microWidth).min(BigInt(hi)).max(BigInt(lo)).toLong
+          acc = 0L
+        }
         acc += c
       }
       b.result()
@@ -99,7 +116,12 @@ object SequenceGaps {
               val b = r.getLong(1)
               val v = r.getLong(0)
               if (b != blk) { closeBlock(); blk = b; first = v }
-              else if (v - prev > 1) out ::= ((0, prev + 1, v - 1, blk))
+              // sorted & distinct-valued => v >= prev; a gap exists iff the
+              // true difference != 1. `v - prev` wraps when the difference
+              // exceeds Long.MaxValue, but the wrapped value is then
+              // negative — never 1 — so `!= 1` stays exact where `> 1`
+              // would silently drop the gap
+              else if (v != prev && v - prev != 1) out ::= ((0, prev + 1, v - 1, blk))
               prev = v
             }
             if (out.isEmpty && !it.hasNext && blk != Long.MinValue) {
@@ -128,7 +150,10 @@ object SequenceGaps {
         it.flatMap { r =>
           val first = r.getLong(1)
           val last = r.getLong(2)
-          val gap = if (seen && first - prevLast > 1) Iterator((prevLast + 1, first - 1))
+          // same wrap-safety as the in-block scan: blocks are disjoint
+          // ascending ranges, so first > prevLast and `!= 1` detects any
+          // true difference > 1 even past Long overflow
+          val gap = if (seen && first - prevLast != 1) Iterator((prevLast + 1, first - 1))
             else Iterator.empty
           seen = true
           prevLast = last

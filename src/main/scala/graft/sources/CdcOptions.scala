@@ -136,9 +136,9 @@ object CdcOptions {
   /** Quartz-style cron validation (reference `CDCSource.java:569-576` via
     * Quartz `CronExpression.isValidExpression`): 6-7 whitespace-separated
     * fields `sec min hour dom month dow [year]`; each field a comma list
-    * of `*`, `?` (dom/dow), `L`/`nW` (dom), `n#w` (dow), values, ranges,
-    * and `/step` suffixes, with per-field numeric domains and JAN-DEC /
-    * SUN-SAT names. A structural validator, not a scheduler: it rejects
+    * of `*`, `?` (dom/dow), `L`/`L-n`/`LW`/`nW` (dom), `n#w`/`nL` (dow),
+    * values, ranges, and `/step` suffixes, with per-field numeric domains
+    * and JAN-DEC / SUN-SAT names. A structural validator, not a scheduler: it rejects
     * malformed expressions (the reference's bad-cron negative test) and
     * accepts everything Quartz runs in the reference's own tests. */
   def isValidCron(expr: String): Boolean = {
@@ -156,6 +156,15 @@ object CdcOptions {
       case "*" => true
       case "?" => idx == 3 || idx == 5
       case "L" => idx == 3 || idx == 5
+      // Quartz dom extensions: "LW" (last weekday), "L-n" (n days before
+      // the last day, offset 1-30) — must precede the generic range case,
+      // which would misparse "L-3" as the range L..3
+      case b if idx == 3 && b.toUpperCase == "LW" => true
+      case b if idx == 3 && b.toUpperCase.startsWith("L-") =>
+        scala.util.Try(b.drop(2).toInt).toOption.exists(n => n >= 1 && n <= 30)
+      // Quartz dow extension: "nL" (last <weekday> of the month)
+      case b if idx == 5 && b.toUpperCase.endsWith("L") =>
+        toNum(b.dropRight(1), idx).exists(inRange(_, idx))
       case b if b.contains("-") => b.split("-", -1) match {
         case Array(x, y) => toNum(x, idx).exists(inRange(_, idx)) && toNum(y, idx).exists(inRange(_, idx))
         case _ => false

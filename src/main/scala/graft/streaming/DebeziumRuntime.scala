@@ -78,7 +78,7 @@ object DebeziumRuntime {
       opts.password.foreach(p.setProperty("database.password", _))
       if (v.vendor == "mysql") {
         p.setProperty("database.server.id",
-          (5400 + math.abs(s"$serverName/${opts.table}".hashCode) % 1000).toString)
+          (5400 + Math.floorMod(s"$serverName/${opts.table}".hashCode, 1000)).toString)
         p.setProperty("database.include.list", v.database)
       } else p.setProperty("database.dbname", v.database)
       p.setProperty("table.include.list", s"${v.database}.${opts.table}")

@@ -185,12 +185,17 @@ object StreamPatterns {
                   typeCol: String, typeA: String, typeB: String, withinUs: Long,
                   delay: String): Dataset[SeqMatch] =
     runPattern[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay) {
-      (all, _, wmUs) =>
+      (all, frontier, wmUs) =>
         // only A/B events can ever affect conjunction output — buffering
         // noise types would hold them in state for the watermark delay
         val evs = all.filter(e => e.typ == typeA || e.typ == typeB)
         val bs = evs.filter(_.typ == typeB)
-        val out = evs.filter(a => a.typ == typeA && a.tsUs + withinUs < wmUs).flatMap { a =>
+        // `>= frontier` excludes As already finalized at a previous
+        // watermark: under self-conjunction (typeA == typeB) a finalized A
+        // inside the backward horizon is retained as B-context and would
+        // otherwise re-pass the `< wmUs` filter and double-emit
+        val out = evs.filter(a => a.typ == typeA &&
+            a.tsUs + withinUs < wmUs && a.tsUs + withinUs >= frontier).flatMap { a =>
           // mirror the batch window split exactly: B "before" A in (ts, id)
           // order -> nearest is the LARGEST such; "after" -> the smallest
           val prevB = bs.filter(b => b.tsUs < a.tsUs || (b.tsUs == a.tsUs && b.id < a.id))

@@ -39,6 +39,22 @@ class SequenceGapsSpec extends SparkSpec {
     assert(gapsOf(holey, parts = 8) === expectHoles + ((4001L, (1L << 50) - 1)))
   }
 
+  test("ids spanning more than half the Long range (span overflow)") {
+    // hi - lo wraps negative here; the BigInt span keeps microWidth sane
+    // (bounded histogram) and `!= 1` keeps gap detection exact when the
+    // per-pair difference itself exceeds Long.MaxValue
+    val a = Long.MinValue + 2
+    val b = Long.MaxValue - 2
+    assert(gapsOf(Seq(a, a + 1, b - 1, b), parts = 4) ===
+      Set((a + 2, b - 2)))
+    assert(gapsOf(Seq(a, a + 1, a + 2), parts = 4) === Set.empty)
+    // dense run at each extreme plus interior holes
+    val ids = (0L until 100L).map(a + _).filterNot(_ == a + 50) ++
+      (0L until 100L).map(b - _).filterNot(_ == b - 50)
+    assert(gapsOf(ids, parts = 8) ===
+      Set((a + 50, a + 50), (b - 50, b - 50), (a + 100, b - 100)))
+  }
+
   test("matches the naive global-window formulation on real data") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -77,7 +77,9 @@ class CdcOptionsSpec extends AnyFunSuite {
     // accepted: the forms the reference's own tests schedule with Quartz
     Seq("*/5 * * * * ?", "0 0 12 * * ?", "0 15 10 ? * MON-FRI",
         "0 0/5 14 * * ?", "0 15 10 ? * 6#3", "0 15 10 L * ?",
-        "0 15 10 15W * ?", "0 0 12 * JAN,JUN ? 2099")
+        "0 15 10 15W * ?", "0 0 12 * JAN,JUN ? 2099",
+        // Quartz last-day forms: L-n offset, LW last weekday, nL last-dow
+        "0 15 10 L-3 * ?", "0 15 10 LW * ?", "0 15 10 ? * 6L")
       .foreach(c => assert(polling(c).cronExpression === Some(c), c))
     // rejected: structurally invalid expressions fail fast at validate,
     // including the crontab habit of specifying BOTH dom and dow (Quartz
@@ -85,7 +87,8 @@ class CdcOptionsSpec extends AnyFunSuite {
     Seq("not a cron", "* * *", "99 * * * * ?", "0 0 25 * * ?",
         "0 0 12 * 13 ?", "0 0 12 ? * 8", "0 0 12 * * ? 1900",
         "a b c d e f", "0 0 12 * * ? ? ?", "0 -1 12 * * ?", "0 0/0 12 * * ?",
-        "0 0 12 * * *", "*/5 * * * * *", "0 15 10 1 * MON")
+        "0 0 12 * * *", "*/5 * * * * *", "0 15 10 1 * MON",
+        "0 15 10 L-0 * ?", "0 15 10 L-31 * ?", "0 15 10 ? * 8L")
       .foreach(c => assert(intercept[IllegalArgumentException](polling(c))
         .getMessage.contains("cron"), c))
   }

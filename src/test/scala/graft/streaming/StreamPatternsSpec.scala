@@ -35,7 +35,12 @@ class StreamPatternsSpec extends SparkSpec {
   /** Feed the event log in 3 chronological chunks (shuffled within each),
     * then sentinels to push the watermark past every horizon; collect the
     * streaming result (sentinel key filtered out). */
-  private def runStream(build: DataFrame => DataFrame, name: String): Set[Seq[Any]] = {
+  private def runStream(build: DataFrame => DataFrame, name: String): Set[Seq[Any]] =
+    runStreamRows(build, name).toSet
+
+  /** Row-level variant (multiset, NOT deduplicated): double-emission bugs
+    * produce duplicate rows that a Set comparison would silently collapse. */
+  private def runStreamRows(build: DataFrame => DataFrame, name: String): Seq[Seq[Any]] = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
     val src = in.toDF.toDF("k", "ts_us", "id", "typ")
@@ -57,7 +62,7 @@ class StreamPatternsSpec extends SparkSpec {
       in.addData((SentinelKey, maxTs + 20 * WindowUs, 9999L, "noise"))
       q.processAllAvailable()
       spark.table(name).where(col("key") =!= SentinelKey)
-        .collect().map(_.toSeq).toSet
+        .collect().map(_.toSeq).toSeq
     } finally q.stop()
   }
 
@@ -99,6 +104,20 @@ class StreamPatternsSpec extends SparkSpec {
     val want = Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
       "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
+  }
+
+  test("self-conjunction (typeA == typeB) emits each A exactly once (multiset parity)") {
+    // finalized As stay buffered as B-context when typeA == typeB; without
+    // the frontier guard they re-passed the emission filter on the next
+    // invocation and double-emitted — only visible under MULTISET compare
+    val got = runStreamRows(src => StreamPatterns.conjunction(
+      src, "k", "ts", "id", "typ", "purchase", "purchase", WithinUs, "0 seconds").toDF,
+      "sp_self_and")
+    val want = Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
+      "purchase", "purchase", WithinUs).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      want.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
   test("cross-batch B-before-A: an out-of-order A claims an already-buffered B") {
