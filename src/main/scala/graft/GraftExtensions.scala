@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{MinhashBands, Simhash16, VecDot}
+import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot}
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("simhash16", children, 1)
         Simhash16(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("trigram_shingles"),
+      new ExpressionInfo(classOf[TrigramShingles].getName, "trigram_shingles"),
+      (children: Seq[Expression]) => {
+        arity("trigram_shingles", children, 1)
+        TrigramShingles(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),

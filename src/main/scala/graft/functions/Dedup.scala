@@ -48,11 +48,25 @@ object Dedup {
   /** (sid, shs) — per-doc distinct word-trigram shingle ARRAY (map-side;
     * the explode-free base every MinHash/Jaccard stage derives from).
     *
+    * Uses the single-pass codegen'd [[expr.TrigramShingles]] when the
+    * session has [[graft.GraftExtensions]] loaded (~7x the composable
+    * pipeline, which is the shared dominant cost of p6/p7/p19); the
+    * composable [[shingleArraysFallback]] produces identical bytes
+    * (parity-tested in DedupSpec). */
+  def shingleArrays(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    if (docs.sparkSession.catalog.functionExists("trigram_shingles"))
+      docs.select(col(idCol).as("sid"),
+        call_function("trigram_shingles", col(textCol)).as("shs"))
+    else shingleArraysFallback(docs, idCol, textCol)
+
+  /** Composable twin of [[expr.TrigramShingles]] — built-in functions only,
+    * identical bytes (parity-asserted in DedupSpec).
+    *
     * `_ws` is materialized via withColumn BEFORE the trigram lambda touches
     * it: `element_at(ws, i)` inside a higher-order function re-evaluates
     * its argument expression per element, so an unmaterialized
     * regexp+split would run 3x per trigram (measured 30x slowdown). */
-  def shingleArrays(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def shingleArraysFallback(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.withColumn("_ws", TextFunctions.words(TextFunctions.normText(col(textCol))))
       .select(col(idCol).as("sid"), TextFunctions.trigramShingles(col("_ws")).as("shs"))
 

@@ -13,6 +13,28 @@ class DedupSpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sf())
   private val Bands = 8
 
+  test("trigram_shingles codegen expression is byte-identical to the composable fallback") {
+    assert(spark.catalog.functionExists("trigram_shingles"))
+    // real corpus + Unicode case-mapping / separator edge cases: İ lowers
+    // to i + combining dot (run-splitting), ß and Σ lower outside [a-z0-9],
+    // multibyte separators, digit runs, repeated trigrams (distinctness),
+    // leading/trailing junk (trim), <3 words, empty
+    val edge = Seq(
+      (9001L, "İstanbul ŞEHİR Güzel Bir Yer"),
+      (9002L, "GROSS ß STRASSE drei worte mehr"),
+      (9003L, "ΣΟΦΟΣ σοφος test one two three"),
+      (9004L, "a b c a b c a b c"),
+      (9005L, "  --?! one9 two8 three7 four6 !!  "),
+      (9006L, "one two"),
+      (9007L, ""),
+      (9008L, "点の between 漢字 words here also")).toDF("doc_id", "text")
+    for (d <- Seq(docs, edge)) {
+      val native = Dedup.shingleArrays(d).as[(Long, Seq[String])].collect().toMap
+      val fallback = Dedup.shingleArraysFallback(d).as[(Long, Seq[String])].collect().toMap
+      assert(native.nonEmpty && native === fallback)
+    }
+  }
+
   test("minhash_bands codegen expression is byte-identical to the composable fallback") {
     val shArr = Dedup.shingleArrays(docs)
     // session has GraftExtensions -> native branch
