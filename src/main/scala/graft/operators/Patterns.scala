@@ -32,11 +32,20 @@ object Patterns {
     concat(lpad(ts.cast("string"), TsPad, "0"), lpad(id.cast("string"), IdPad, "0"))
 
   /** Events + `_next_b` = seqKey of the FIRST following `typeB` event for
-    * the same key (strictly after in (ts, id) order), or null. */
+    * the same key (strictly after in (ts, id) order), or null.
+    *
+    * Framed as a DESC-ordered GROWING frame, not `rowsBetween(1,
+    * unboundedFollowing)`: "strictly after in (ts, id) ASC" ≡ "strictly
+    * before in (ts, id) DESC" ((ts, id) is a total order — ids are
+    * unique — so the two framings select identical row sets), and Spark
+    * evaluates unbounded-PRECEDING frames incrementally (one aggregate
+    * update per row) while unbounded-FOLLOWING frames recompute from
+    * scratch per row — O(rows²) per key partition, measured 2× slower on
+    * the events table at sf0.1. */
   private def withNextB(events: DataFrame, keyCol: String, tsCol: String,
                         idCol: String, typeCol: String, typeB: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
-      .rowsBetween(1, Window.unboundedFollowing)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     events.withColumn("_next_b",
       min(when(col(typeCol) === typeB, seqKey(col(tsCol), col(idCol)))).over(w))
   }
