@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot}
+import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot, WordRepStats}
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("trigram_shingles", children, 1)
         TrigramShingles(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_rep_stats"),
+      new ExpressionInfo(classOf[WordRepStats].getName, "word_rep_stats"),
+      (children: Seq[Expression]) => {
+        arity("word_rep_stats", children, 1)
+        WordRepStats(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),

@@ -149,13 +149,30 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   /** p15 — repetition/boilerplate scoring (Gopher-style rep rules):
-    * distinct-word, top-word and top-bigram fractions. Counting runs as
-    * explode → two-level partial aggregation on (doc_id, gram): fully
-    * partition-parallel, map-side combined, and bounded by document
-    * length — the scalable shape for unbounded-vocabulary counting (a
-    * per-row nested-loop lambda would be O(distinct·words) per doc and
-    * CPU-bound on long documents). */
-  private def p15(s: SparkSession, dir: String): DataFrame = {
+    * distinct-word, top-word and top-bigram fractions. Every statistic is
+    * a per-row property, so counting runs inside the scan stage via the
+    * single-pass codegen'd [[graft.functions.expr.WordRepStats]] — zero
+    * shuffles at any corpus size (the previous explode → two-level
+    * aggregation formulation paid four exchanges plus two joins; the
+    * composable twin [[p15Composable]] is parity-tested in
+    * TextFunctionsSpec and mirrors the DuckDB oracle). */
+  private def p15(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("word_rep_stats")) {
+      val st = call_function("word_rep_stats", col("text"))
+      docs(s, dir)
+        .withColumn("_st", st)
+        .select(col("doc_id"),
+          col("_st.total").as("word_cnt"),
+          TF.milli(col("_st.dst"), col("_st.total")).as("distinct_milli"),
+          TF.milli(col("_st.top"), col("_st.total")).as("top_word_milli"),
+          TF.milli(col("_st.btop"), col("_st.btotal")).as("top_bigram_milli"))
+        .orderBy("doc_id")
+    } else p15Composable(s, dir)
+
+  /** Composable twin of [[graft.functions.expr.WordRepStats]] — built-in
+    * functions only, identical values (parity-asserted in
+    * TextFunctionsSpec). */
+  private[graft] def p15Composable(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .withColumn("ws", TF.words(TF.normText(col("text"))))
     val wordStats = base.select(col("doc_id"), explode(col("ws")).as("w"))

@@ -59,28 +59,25 @@ case class TrigramShingles(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object TrigramShingles {
-
-  private val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
-
-  private def isWordByte(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-
-  /** Static entry point shared by interpreted eval and generated code. */
-  def compute(text: UTF8String): ArrayData = {
-    val lower = CollationSupport.Lower.execBinary(text)
-    val bytes = lower.getBytes
+/** Shared word-run scanner: `lower(text)` (the UTF8_BINARY branch of the
+  * built-in) then maximal byte runs of [a-z0-9] — byte-for-byte the word
+  * array of `words(normText(text))`. */
+private[expr] final class WordScan(text: UTF8String) {
+  val bytes: Array[Byte] = CollationSupport.Lower.execBinary(text).getBytes
+  var starts = new Array[Int](16)
+  var ends = new Array[Int](16)
+  var n = 0
+  locally {
     val len = bytes.length
-    // word runs as (start, end) offset pairs
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var n = 0
     var i = 0
     while (i < len) {
-      if (isWordByte(bytes(i))) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
         val s = i
         i += 1
-        while (i < len && isWordByte(bytes(i))) i += 1
+        while (i < len && {
+          val c = bytes(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
         if (n == starts.length) {
           starts = java.util.Arrays.copyOf(starts, n * 2)
           ends = java.util.Arrays.copyOf(ends, n * 2)
@@ -88,6 +85,22 @@ object TrigramShingles {
         starts(n) = s; ends(n) = i; n += 1
       } else i += 1
     }
+  }
+  def word(w: Int): UTF8String =
+    UTF8String.fromBytes(bytes, starts(w), ends(w) - starts(w))
+}
+
+object TrigramShingles {
+
+  private val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    val scan = new WordScan(text)
+    val bytes = scan.bytes
+    val starts = scan.starts
+    val ends = scan.ends
+    val n = scan.n
     if (n < 3) return Empty
     val seen = new java.util.LinkedHashSet[UTF8String](Math.max(16, n))
     var w = 0

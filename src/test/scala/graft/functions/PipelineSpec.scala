@@ -109,6 +109,29 @@ class PipelineSpec extends SparkSpec {
     frames.select("frame_no").as[Int].collect().foreach(f => assert(f % 4 === 0))
   }
 
+  test("word_rep_stats native p15 matches the composable explode+agg twin") {
+    assert(spark.catalog.functionExists("word_rep_stats"))
+    val native = graft.SparkEntry.queries("p15_repetition")(spark, sf())
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val composable = graft.PipelineQueries.p15Composable(spark, sf())
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(native.nonEmpty && native === composable)
+  }
+
+  test("word_rep_stats edge cases: empty, single word, all-same, bigram repeats") {
+    val rows = Seq("", "solo", "a a a a", "x y x y x", "Tik-tok? tik TOK!")
+      .toDF("text")
+      .selectExpr("word_rep_stats(text) AS s")
+      .select("s.total", "s.dst", "s.top", "s.btotal", "s.btop")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 0L, 0L, 0L, 0L),      // no words
+      (1L, 1L, 1L, 0L, 0L),      // one word, no bigrams
+      (4L, 1L, 4L, 3L, 3L),      // "a a" x3
+      (5L, 2L, 3L, 4L, 2L),      // bigrams x·y ×2, y·x ×2 -> btop 2
+      (4L, 2L, 2L, 3L, 2L)))     // case-folded: tik tok tik tok
+  }
+
   test("codegen simhash16 is bit-identical to the composable md5-fold form") {
     import org.apache.spark.sql.functions.{aggregate => fold, _}
     val withWs = docs
