@@ -95,4 +95,35 @@ class TextPropertySpec extends SparkSpec {
       if (c == 0) assert(r === t) else assert(r.contains("<EMAIL>") && r != t)
     }
   }
+
+  test("trigram_shingles native ≡ composable for arbitrary unicode text") {
+    val df = texts.toDF("text")
+    val native = df.selectExpr("trigram_shingles(text) AS shs")
+      .as[Seq[String]].collect().toSeq
+    val composable = df
+      .withColumn("_ws", TextFunctions.words(TextFunctions.normText(col("text"))))
+      .select(TextFunctions.trigramShingles(col("_ws")).as("shs"))
+      .as[Seq[String]].collect().toSeq
+    assert(native.length === texts.length && native === composable)
+  }
+
+  test("word_rep_stats native ≡ composable counts for arbitrary unicode text") {
+    val df = texts.toDF("text")
+    val native = df
+      .selectExpr("word_rep_stats(text) AS s")
+      .select("s.total", "s.dst", "s.top", "s.btotal", "s.btop")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val ws = df.withColumn("ws", TextFunctions.words(TextFunctions.normText(col("text"))))
+    val composable = ws.select(
+        TextFunctions.wordCount(col("ws")).as("total"),
+        size(array_distinct(col("ws"))).cast("long").as("dst"),
+        coalesce(array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), x => x === w)))), lit(0)).cast("long").as("top"),
+        size(TextFunctions.bigrams(col("ws"))).cast("long").as("btotal"),
+        coalesce(array_max(transform(array_distinct(TextFunctions.bigrams(col("ws"))),
+          b => size(filter(TextFunctions.bigrams(col("ws")), x => x === b)))), lit(0))
+          .cast("long").as("btop"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(native.length === texts.length && native === composable)
+  }
 }
