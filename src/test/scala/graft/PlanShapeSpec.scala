@@ -53,8 +53,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("map-side text operators shuffle only for the deterministic ORDER BY") {
+    // p15 joined this set when WordRepStats replaced its explode+agg+join
+    // formulation (four hash exchanges) with a per-row pass
     for (q <- Seq("p1_text_stats", "p2_quality_score", "p3_langid",
-      "p4_fingerprint", "p14_redact", "p16_hash_split")) {
+      "p4_fingerprint", "p14_redact", "p15_repetition", "p16_hash_split")) {
       val ex = exchanges(plan(q))
       assert(ex.size == 1 && ex.head.contains("rangepartitioning"),
         s"$q should be map-side pure + one range exchange, got:\n${ex.mkString("\n")}")
@@ -119,6 +121,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"query side not broadcast:\n$p")
+  }
+
+  test("CEP patterns shuffle once on the key; no unbounded-following frame") {
+    for (q <- Seq("q13_pattern_seq", "q14_pattern_absence")) {
+      val p = plan(q)
+      val ex = exchanges(p)
+      assert(ex.count(_.contains("hashpartitioning")) == 1,
+        s"$q should shuffle exactly once on the key:\n${ex.mkString("\n")}")
+      // the first-following-B min must be framed as a growing frame
+      // (incremental update); an unbounded-following frame recomputes the
+      // aggregate per row — O(rows²) per key partition
+      assert(!p.contains("unboundedfollowing$()"),
+        s"$q plans an O(rows²) unbounded-following frame:\n$p")
+    }
   }
 
   test("scans project only needed columns (embeddings knn reads no extras)") {
