@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot, WordRepStats}
+import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats}
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map("funcName" -> name,
         "paramName" -> s"argument $pos", "paramType" -> "INT"))
+  }
+
+  /** Long (or int) literal argument — same analysis-time contract. */
+  private def longLit(name: String, e: Expression, pos: Int): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case _ => throw new AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> name,
+        "paramName" -> s"argument $pos", "paramType" -> "BIGINT"))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -58,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("word_rep_stats", children, 1)
         WordRepStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sum_fixed"),
+      new ExpressionInfo(classOf[VecSumFixed].getName, "vec_sum_fixed"),
+      (children: Seq[Expression]) => {
+        arity("vec_sum_fixed", children, 2)
+        VecSumFixed(children.head, longLit("vec_sum_fixed", children(1), 2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),

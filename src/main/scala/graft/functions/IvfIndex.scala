@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *   - init: the k lowest-id vectors are the seed centroids;
   *   - assign: broadcast the k centroids (k x dim doubles — trivially
   *     small), pick argmin distance via the codegen'd `vec_dot`;
-  *   - update: per-dimension means via posexplode + one groupBy
-  *     (k*dim rows collected to the driver — bounded by the codebook,
-  *     never by the corpus).
+  *   - update: per-dimension means as dim aggregate columns on one
+  *     groupBy(cell) — corpus rows enter the partial aggregation
+  *     unexploded, and only k rows of dim+1 longs cross the exchange /
+  *     reach the driver (bounded by the codebook, never by the corpus).
   * Search probes the `nprobe` nearest cells: an equi-join on cell id, so
   * the expensive dot products touch ~nprobe/k of the corpus.
   *
@@ -55,19 +56,49 @@ object IvfIndex {
     try {
       var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
         .collect().map(_.getSeq[Double](0).toArray)
+      val dim = centroids.headOption.map(_.length).getOrElse(0)
+      val native = emb.sparkSession.catalog.functionExists("vec_sum_fixed")
       (1 to iters).foreach { _ =>
         val model = Model(centroids)
         val assigned = p.withColumn("cell", cellOf(col("vd"), model))
-        val sums = assigned
-          .select(col("cell"), posexplode(col("vd")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum((col("v") * FixedPointScale).cast("long")).as("s"),
-            count(lit(1)).as("n"))
-          .collect()
+        // per-cell per-dimension sums WITHOUT exploding the corpus by dim:
+        // the one-buffer [[expr.VecSumFixed]] aggregate sums whole vectors
+        // per update call (k·(dim+1) longs across the exchange); the
+        // composable twin spells the identical fixed-point arithmetic as
+        // dim separate sum columns (parity-tested in PipelineSpec). Either
+        // way only k rows reach the driver — bounded by the codebook,
+        // never the corpus.
         val next = centroids.map(_.clone())
-        sums.foreach { r =>
-          next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
-            r.getAs[Long]("s").toDouble / FixedPointScale / r.getAs[Long]("n")
+        if (native) {
+          assigned.groupBy(col("cell"))
+            .agg(call_function("vec_sum_fixed", col("vd"), lit(FixedPointScale)).as("s"),
+              count(lit(1)).as("n"))
+            .collect()
+            .foreach { r =>
+              val cell = r.getAs[Int]("cell")
+              val n = r.getAs[Long]("n")
+              val s = r.getSeq[Long](1)
+              var i = 0
+              while (i < dim && i < s.length) {
+                next(cell)(i) = s(i).toDouble / FixedPointScale / n
+                i += 1
+              }
+            }
+        } else {
+          val aggCols = (0 until dim).map { i =>
+            sum((element_at(col("vd"), i + 1) * FixedPointScale).cast("long")).as(s"s$i")
+          } :+ count(lit(1)).as("n")
+          assigned.groupBy(col("cell"))
+            .agg(aggCols.head, aggCols.tail: _*).collect()
+            .foreach { r =>
+              val cell = r.getAs[Int]("cell")
+              val n = r.getAs[Long]("n")
+              var i = 0
+              while (i < dim) {
+                next(cell)(i) = r.getAs[Long](s"s$i").toDouble / FixedPointScale / n
+                i += 1
+              }
+            }
         }
         centroids = next
       }

@@ -75,6 +75,30 @@ class PipelineSpec extends SparkSpec {
     assert(cellCnt.agg(sum("count")).as[Long].head === embs.count())
   }
 
+  test("vec_sum_fixed aggregate matches per-dimension column sums") {
+    assert(spark.catalog.functionExists("vec_sum_fixed"))
+    val embs = Similarity.prep(graft.Tables.embeddings(spark, sf()))
+      .select(col("label"), col("vd"))
+    val scale = 1L << 40
+    val native = embs.groupBy("label")
+      .agg(call_function("vec_sum_fixed", col("vd"), lit(scale)).as("s"),
+        count(lit(1)).as("n"))
+      .as[(Int, Seq[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val dim = embs.select(size(col("vd"))).as[Int].head()
+    val aggCols = (0 until dim).map(i =>
+      sum((element_at(col("vd"), i + 1) * scale).cast("long")).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val composable = embs.groupBy("label").agg(aggCols.head, aggCols.tail: _*)
+      .collect().map { r =>
+        r.getAs[Int]("label") ->
+          (((0 until dim).map(i => r.getAs[Long](s"s$i")), r.getAs[Long]("n")))
+      }.toMap
+    assert(native.nonEmpty && native.keySet === composable.keySet)
+    native.foreach { case (k, (s, n)) =>
+      assert(s === composable(k)._1 && n === composable(k)._2, s"label $k")
+    }
+  }
+
   test("cosine of a vector with itself is 1.0 (sim_micro == 999999 or 1000000)") {
     val self = Similarity.prep(embs.limit(10))
       .select(floor(lit(1e6) * Similarity.dot(col("vd"), col("vd")) /
