@@ -155,23 +155,27 @@ object PipelineQueries {
     * shuffles at any corpus size (the previous explode → two-level
     * aggregation formulation paid four exchanges plus two joins; the
     * composable twin [[p15Composable]] is parity-tested in
-    * TextFunctionsSpec and mirrors the DuckDB oracle). */
+    * PipelineSpec and TextPropertySpec and mirrors the DuckDB oracle). */
   private def p15(s: SparkSession, dir: String): DataFrame =
     if (s.catalog.functionExists("word_rep_stats")) {
       val st = call_function("word_rep_stats", col("text"))
+      // coalesce each count: a null text yields a null struct here, while
+      // the composable twin's left join + COALESCE (and the DuckDB
+      // oracle) emit all-zero stats for that doc
+      def cnt(field: String) = coalesce(col(s"_st.$field"), lit(0L))
       docs(s, dir)
         .withColumn("_st", st)
         .select(col("doc_id"),
-          col("_st.total").as("word_cnt"),
-          TF.milli(col("_st.dst"), col("_st.total")).as("distinct_milli"),
-          TF.milli(col("_st.top"), col("_st.total")).as("top_word_milli"),
-          TF.milli(col("_st.btop"), col("_st.btotal")).as("top_bigram_milli"))
+          cnt("total").as("word_cnt"),
+          TF.milli(cnt("dst"), cnt("total")).as("distinct_milli"),
+          TF.milli(cnt("top"), cnt("total")).as("top_word_milli"),
+          TF.milli(cnt("btop"), cnt("btotal")).as("top_bigram_milli"))
         .orderBy("doc_id")
     } else p15Composable(s, dir)
 
   /** Composable twin of [[graft.functions.expr.WordRepStats]] — built-in
     * functions only, identical values (parity-asserted in
-    * TextFunctionsSpec). */
+    * PipelineSpec and TextPropertySpec). */
   private[graft] def p15Composable(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .withColumn("ws", TF.words(TF.normText(col("text"))))

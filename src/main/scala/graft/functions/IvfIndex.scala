@@ -69,17 +69,21 @@ object IvfIndex {
         // way only k rows reach the driver — bounded by the codebook,
         // never the corpus.
         val next = centroids.map(_.clone())
+        // count(vd), not count(*): the sums skip null vectors, so the
+        // divisor must too (a cell of only-null vectors keeps its
+        // centroid, like the pre-VecSumFixed explode formulation that
+        // emitted no rows for it)
         if (native) {
           assigned.groupBy(col("cell"))
             .agg(call_function("vec_sum_fixed", col("vd"), lit(FixedPointScale)).as("s"),
-              count(lit(1)).as("n"))
+              count(col("vd")).as("n"))
             .collect()
             .foreach { r =>
               val cell = r.getAs[Int]("cell")
               val n = r.getAs[Long]("n")
               val s = r.getSeq[Long](1)
               var i = 0
-              while (i < dim && i < s.length) {
+              while (n > 0 && i < dim && i < s.length) {
                 next(cell)(i) = s(i).toDouble / FixedPointScale / n
                 i += 1
               }
@@ -87,14 +91,14 @@ object IvfIndex {
         } else {
           val aggCols = (0 until dim).map { i =>
             sum((element_at(col("vd"), i + 1) * FixedPointScale).cast("long")).as(s"s$i")
-          } :+ count(lit(1)).as("n")
+          } :+ count(col("vd")).as("n")
           assigned.groupBy(col("cell"))
             .agg(aggCols.head, aggCols.tail: _*).collect()
             .foreach { r =>
               val cell = r.getAs[Int]("cell")
               val n = r.getAs[Long]("n")
               var i = 0
-              while (i < dim) {
+              while (n > 0 && i < dim) {
                 next(cell)(i) = r.getAs[Long](s"s$i").toDouble / FixedPointScale / n
                 i += 1
               }

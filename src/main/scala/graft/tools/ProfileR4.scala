@@ -16,9 +16,9 @@ object ProfileR4 {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $tag%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    // warm-up
+    // warm-up (JIT + codegen caches) on a small slice of the target dir
     docs.count(); embs.count()
-    Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.001"), 800).count()
+    Dedup.ngramJaccardPairs(docs.limit(200), 800).count()
 
     // ---- p6 ----
     val shArr = Dedup.shingleArrays(docs)

@@ -142,13 +142,19 @@ class PipelineSpec extends SparkSpec {
     assert(native.nonEmpty && native === composable)
   }
 
-  test("word_rep_stats edge cases: empty, single word, all-same, bigram repeats") {
-    val rows = Seq("", "solo", "a a a a", "x y x y x", "Tik-tok? tik TOK!")
+  test("word_rep_stats edge cases: null, empty, single word, all-same, bigram repeats") {
+    // null text propagates a NULL struct; the p15 caller coalesces each
+    // count to 0, matching the composable twin's left-join + COALESCE
+    // and the DuckDB oracle (code-review regression)
+    val rows = Seq(null, "", "solo", "a a a a", "x y x y x", "Tik-tok? tik TOK!")
       .toDF("text")
       .selectExpr("word_rep_stats(text) AS s")
-      .select("s.total", "s.dst", "s.top", "s.btotal", "s.btop")
+      .select(coalesce(col("s.total"), lit(0L)), coalesce(col("s.dst"), lit(0L)),
+        coalesce(col("s.top"), lit(0L)), coalesce(col("s.btotal"), lit(0L)),
+        coalesce(col("s.btop"), lit(0L)))
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(rows === Seq(
+      (0L, 0L, 0L, 0L, 0L),      // null text -> all-zero stats after coalesce
       (0L, 0L, 0L, 0L, 0L),      // no words
       (1L, 1L, 1L, 0L, 0L),      // one word, no bigrams
       (4L, 1L, 4L, 3L, 3L),      // "a a" x3
