@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft._
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend smoke (dev diagnostic): replicates the driver-provided
+  * documents/embeddings tables N× (ids remapped to stay unique, text
+  * salted so replicas are near- but not exact duplicates) and times the
+  * operators whose 100 TB story depends on sub-quadratic behavior. A
+  * healthy run shows ~linear growth for the map-side and bucketed
+  * operators; the exhaustive baselines (p6-style all-pairs) are expected
+  * to grow with shared-shingle pair count and are excluded here.
+  *
+  * Usage: `runMain graft.tools.ScaleSmoke /root/testdata/sf0.1 1 4 10`
+  */
+object ScaleSmoke {
+
+  /** N copies of docs with disjoint id ranges; replica k>0 texts get a
+    * per-replica salt word appended so near-dup structure persists
+    * without collapsing to exact duplicates. */
+  def replicateDocs(docs: DataFrame, n: Int): DataFrame = {
+    val step = 100000000L
+    (0 until n).map { k =>
+      docs.select((col("doc_id") + lit(k * step)).as("doc_id"),
+        (if (k == 0) col("text")
+         else concat(col("text"), lit(s" replicasalt$k"))).as("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  def replicateEmbs(embs: DataFrame, n: Int): DataFrame = {
+    val step = 100000000L
+    (0 until n).map { k =>
+      embs.select((col("vec_id") + lit(k * step)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
+    val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
+    val embs0 = Tables.embeddings(spark, dir)
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    // warm-up
+    Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
+
+    factors.foreach { n =>
+      val docs = replicateDocs(docs0, n)
+      val embs = replicateEmbs(embs0, n)
+      println(s"[scale] ---- x$n (${docs.count()} docs, ${embs.count()} vecs) ----")
+      time(s"exact dedup x$n")(Dedup.exact(docs).count())
+      time(s"minhash+lsh x$n")(Dedup.minhashLsh(docs, 8, 800).count())
+      time(s"simhash buckets x$n")(Dedup.simhashBuckets(docs).count())
+      time(s"repetition (p15 shape) x$n") {
+        docs.select(col("doc_id"), call_function("word_rep_stats", col("text")).as("s"))
+          .select(col("doc_id"), col("s.total")).where(col("total") >= 0).count()
+      }
+      time(s"lsh knn x$n")(
+        Similarity.lshKnn(embs, col("vec_id") < 20, 3).count())
+      time(s"hash split x$n")(
+        docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
+    }
+    spark.stop()
+  }
+}
