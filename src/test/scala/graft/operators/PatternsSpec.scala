@@ -83,6 +83,65 @@ class PatternsSpec extends SparkSpec {
       Row("u2", 100L, 1L)))
   }
 
+  test("followedBy/absence/conjunction agree with a brute-force oracle on random events") {
+    import spark.implicits._
+    // deterministic random stream: ts collisions across keys AND within a
+    // key (ids break the tie), every (typeA, typeB) role combination
+    val rnd = new scala.util.Random(4242)
+    val evs = (1L to 400L).map { id =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(60).toLong, id,
+        Seq("A", "B", "C")(rnd.nextInt(3)))
+    }
+    val df = evs.toDF("key", "ts", "id", "type")
+    val within = 7L
+
+    case class E(key: String, ts: Long, id: Long, tpe: String)
+    val all = evs.map(E.tupled)
+    def ord(e: E): (Long, Long) = (e.ts, e.id)
+    def firstBAfter(a: E): Option[E] =
+      all.filter(e => e.key == a.key && e.tpe == "B" &&
+          (ord(e)._1 > a.ts || (ord(e)._1 == a.ts && ord(e)._2 > a.id)))
+        .sortBy(ord).headOption
+    def lastBBefore(a: E): Option[E] =
+      all.filter(e => e.key == a.key && e.tpe == "B" &&
+          (ord(e)._1 < a.ts || (ord(e)._1 == a.ts && ord(e)._2 < a.id)))
+        .sortBy(ord).lastOption
+    val as = all.filter(_.tpe == "A")
+
+    val expFollowed = as.flatMap { a =>
+      firstBAfter(a).filter(b => b.ts - a.ts <= within)
+        .map(b => (a.key, a.id, b.id, b.ts - a.ts))
+    }.toSet
+    val gotFollowed = Patterns.followedBy(df, "key", "ts", "id", "type", "A", "B", within)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(gotFollowed === expFollowed)
+
+    val expAbsence = as.filter(a =>
+        firstBAfter(a).forall(b => b.ts - a.ts > within))
+      .map(a => (a.key, a.id)).toSet
+    val gotAbsence = Patterns.absence(df, "key", "ts", "id", "type", "A", "B", within)
+      .as[(String, Long)].collect().toSet
+    assert(gotAbsence === expAbsence)
+
+    val expConj = as.flatMap { a =>
+      val nb = firstBAfter(a).filter(b => b.ts - a.ts <= within)
+      val pb = lastBBefore(a).filter(b => a.ts - b.ts <= within)
+      (nb, pb) match {
+        case (None, None) => None
+        case (Some(b), None) => Some((a.key, a.id, b.id, b.ts - a.ts))
+        case (None, Some(b)) => Some((a.key, a.id, b.id, a.ts - b.ts))
+        case (Some(n), Some(p)) =>
+          // operator contract: prev wins ties (gapP <= gapN)
+          if (a.ts - p.ts <= n.ts - a.ts) Some((a.key, a.id, p.id, a.ts - p.ts))
+          else Some((a.key, a.id, n.id, n.ts - a.ts))
+      }
+    }.toSet
+    val gotConj = Patterns.conjunction(df, "key", "ts", "id", "type", "A", "B", within)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(gotConj === expConj)
+    assert(gotFollowed.nonEmpty && gotAbsence.nonEmpty && gotConj.nonEmpty)
+  }
+
   test("sf0.001 pattern queries are plan-sane (single key exchange, no global window)") {
     val df = Patterns.followedBy(
       graft.Tables.events(spark, sf()), "user_id", "ts_ns", "event_id",
