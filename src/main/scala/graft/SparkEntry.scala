@@ -229,6 +229,14 @@ object CoreQueries {
       .withColumnRenamed("gap", "gap_us")
       .orderBy("user_id", "a_id")
 
+  /** Q19 — count-quantifier sequence (Siddhi `e1=s[view]<3:> ->
+    * e2=s[purchase] within T`): every purchase preceded by >= 3 views in
+    * the trailing 24 h. Via [[graft.operators.Patterns.countSequence]]. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.countSequence(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "view", "purchase", Hours24Us, 3L)
+      .orderBy("user_id", "b_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -248,6 +256,7 @@ object CoreQueries {
     "q16_sessionize" -> q16 _,
     "q17_asof_join" -> q17 _,
     "q18_pattern_and" -> q18 _,
+    "q19_pattern_count_seq" -> q19 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -390,5 +399,15 @@ object CoreQueries {
          |FROM g
          |WHERE event_type = 'signup' AND (ok_n OR ok_p)
          |ORDER BY user_id, a_id""".stripMargin,
+    "q19_pattern_count_seq" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events)
+         |SELECT user_id, b_id, a_cnt FROM (
+         |  SELECT user_id, event_id AS b_id, event_type,
+         |         count(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+         |           PARTITION BY user_id ORDER BY tus
+         |           RANGE BETWEEN CAST($Hours24Us AS BIGINT) PRECEDING AND CURRENT ROW) AS a_cnt
+         |  FROM e)
+         |WHERE event_type = 'purchase' AND a_cnt >= 3
+         |ORDER BY user_id, b_id""".stripMargin,
   )
 }

@@ -131,6 +131,30 @@ object Patterns {
       .select(col(keyCol), col(idCol), col("cnt"))
   }
 
+  /** Count-quantifier sequence `a<n:> -> b within T`: every `typeB` event
+    * whose trailing `within` range window holds >= `minCount` `typeA`
+    * events ("a purchase preceded by 3+ views in 24 h"). Peers at the
+    * same ts are inside the RANGE frame in both Spark and ANSI SQL, so
+    * the oracle agrees by construction.
+    * Output: (key, b_id, a_cnt).
+    *
+    * Same single-exchange shape as [[burst]] — one keyed shuffle, one
+    * sliding range frame (two-pointer evaluation, O(rows) amortized);
+    * the conditional count lets both types share one window pass.
+    *
+    * Siddhi analog: `from every e1=s[type=='A']<n:> -> e2=s[type=='B']
+    * within T`. */
+  def countSequence(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    typeCol: String, typeA: String, typeB: String,
+                    within: Long, minCount: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(-within, 0)
+    events
+      .withColumn("_a_cnt", count(when(col(typeCol) === typeA, 1)).over(w))
+      .where(col(typeCol) === typeB && col("_a_cnt") >= minCount)
+      .select(col(keyCol), col(idCol).as("b_id"), col("_a_cnt").as("a_cnt"))
+  }
+
   /** Session windows: consecutive same-key events merge while the gap to
     * the previous event is <= `gap`; emits one row per session.
     * Output: (key, session_start, n_events) — the start is min(ts)

@@ -51,6 +51,7 @@ object StreamPatterns {
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
   case class Session(key: Long, session_start: Long, n_events: Long)
+  case class CountSeqMatch(key: Long, b_id: Long, a_cnt: Long)
 
   implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
   implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
@@ -58,6 +59,7 @@ object StreamPatterns {
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
   implicit private val sessEnc: Encoder[Session] = Encoders.product[Session]
+  implicit private val cseqEnc: Encoder[CountSeqMatch] = Encoders.product[CountSeqMatch]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
   /** The engine: key, sort, flush-on-data-or-timer.
@@ -252,6 +254,37 @@ object StreamPatterns {
         else if (pending.nonEmpty) Some(pending.map(_.tsUs).min)
         else Some(retained.map(_.tsUs + windowUs).max) // pure context: wake to evict
       (out, retained, wake)
+    }
+
+  /** Streaming count-quantifier sequence `a<n:> -> b within T` — batch
+    * twin [[graft.operators.Patterns.countSequence]]: every `typeB` event
+    * whose trailing window holds >= minCount `typeA` events. A B
+    * finalizes when the watermark strictly passes its own ts (its window
+    * looks only backward, and a peer A at exactly `b.ts` can still
+    * arrive while `wm <= b.ts`); A events stay buffered as count context
+    * until `ts + within` ages out, Bs until finalized. The frontier
+    * prevents re-emission, as in [[burst]]. Output: (key, b_id, a_cnt). */
+  def countSequence(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    typeCol: String, typeA: String, typeB: String, withinUs: Long,
+                    minCount: Long, delay: String): Dataset[CountSeqMatch] =
+    runPattern[CountSeqMatch](events, keyCol, tsCol, idCol, typeCol, delay) {
+      (all, frontier, wmUs) =>
+        val evs = all.filter(e => e.typ == typeA || e.typ == typeB)
+        val out = evs.filter(b => b.typ == typeB && b.tsUs < wmUs && b.tsUs >= frontier)
+          .flatMap { b =>
+            val cnt = evs.count(a => a.typ == typeA &&
+              a.tsUs >= b.tsUs - withinUs && a.tsUs <= b.tsUs).toLong
+            if (cnt >= minCount) Some(CountSeqMatch(b.key, b.id, cnt)) else None
+          }
+        val retained = evs.filter(e =>
+          (e.typ == typeA && e.tsUs + withinUs >= wmUs) || // countable for future Bs
+          (e.typ == typeB && e.tsUs >= wmUs))              // pending Bs
+        val pendingB = retained.filter(e => e.typ == typeB && e.tsUs >= wmUs)
+        val wake =
+          if (retained.isEmpty) None
+          else if (pendingB.nonEmpty) Some(pendingB.map(_.tsUs).min)
+          else Some(retained.map(_.tsUs + withinUs).max) // pure A context: evict
+        (out, retained, wake)
     }
 
   /** Streaming session windows — batch twin

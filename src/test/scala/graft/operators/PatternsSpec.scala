@@ -83,6 +83,19 @@ class PatternsSpec extends SparkSpec {
       Row("u2", 100L, 1L)))
   }
 
+  test("countSequence counts trailing As at each B (RANGE peers included)") {
+    val out = Patterns.countSequence(events, "key", "ts", "id", "type", "A", "B", 10L, 1L)
+      .orderBy("key", "b_id").collect().toSeq
+    assert(out == Seq(
+      Row("u1", 2L, 1L),   // B@15: A@10 in [5,15]
+      Row("u1", 3L, 1L),   // B@18: A@10 in [8,18]
+      Row("u1", 5L, 1L),   // B@25: A@20 (A@10 outside [15,25])
+      Row("u2", 7L, 1L)))  // B@16: A@10 in [6,16]
+    // minCount=2 filters everything on this fixture
+    assert(Patterns.countSequence(events, "key", "ts", "id", "type", "A", "B", 10L, 2L)
+      .count() === 0L)
+  }
+
   test("followedBy/absence/conjunction agree with a brute-force oracle on random events") {
     import spark.implicits._
     // deterministic random stream: ts collisions across keys AND within a
@@ -139,7 +152,20 @@ class PatternsSpec extends SparkSpec {
     val gotConj = Patterns.conjunction(df, "key", "ts", "id", "type", "A", "B", within)
       .as[(String, Long, Long, Long)].collect().toSet
     assert(gotConj === expConj)
-    assert(gotFollowed.nonEmpty && gotAbsence.nonEmpty && gotConj.nonEmpty)
+
+    // countSequence: RANGE-frame semantics — peers at the same ts count
+    // regardless of id order
+    val expCount = all.filter(_.tpe == "B").map { b =>
+      val cnt = all.count(a => a.key == b.key && a.tpe == "A" &&
+        a.ts >= b.ts - within && a.ts <= b.ts).toLong
+      (b.key, b.id, cnt)
+    }.filter(_._3 >= 2L).toSet
+    val gotCount = Patterns.countSequence(df, "key", "ts", "id", "type", "A", "B", within, 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotCount === expCount)
+
+    assert(gotFollowed.nonEmpty && gotAbsence.nonEmpty && gotConj.nonEmpty &&
+      gotCount.nonEmpty)
   }
 
   test("sf0.001 pattern queries are plan-sane (single key exchange, no global window)") {

@@ -106,6 +106,16 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("countSequence parity with batch operator (multiset)") {
+    val got = runStreamRows(src => StreamPatterns.countSequence(
+      src, "k", "ts", "id", "typ", "error", "purchase", WindowUs, 2L, "0 seconds").toDF,
+      "sp_cseq")
+    val want = Patterns.countSequence(staticDf, "k", "ts_us", "id", "typ",
+      "error", "purchase", WindowUs, 2L).collect().map(_.toSeq).toSeq
+    def multiset(rows: Seq[Seq[Any]]) = rows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(want.nonEmpty && multiset(got) === multiset(want))
+  }
+
   test("self-conjunction (typeA == typeB) emits each A exactly once (multiset parity)") {
     // finalized As stay buffered as B-context when typeA == typeB; without
     // the frontier guard they re-passed the emission filter on the next
