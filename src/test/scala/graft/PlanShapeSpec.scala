@@ -124,7 +124,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("CEP patterns shuffle once on the key; no unbounded-following frame") {
-    for (q <- Seq("q13_pattern_seq", "q14_pattern_absence")) {
+    for (q <- Seq("q13_pattern_seq", "q14_pattern_absence", "q19_pattern_count_seq")) {
       val p = plan(q)
       val ex = exchanges(p)
       assert(ex.count(_.contains("hashpartitioning")) == 1,
