@@ -149,7 +149,9 @@ object Patterns {
                     within: Long, minCount: Long): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
       .rangeBetween(-within, 0)
-    events
+    // other types never enter the count (frame bounds are ts-based) and
+    // never survive the typeB filter — drop them before the exchange
+    events.where(col(typeCol).isin(typeA, typeB))
       .withColumn("_a_cnt", count(when(col(typeCol) === typeA, 1)).over(w))
       .where(col(typeCol) === typeB && col("_a_cnt") >= minCount)
       .select(col(keyCol), col(idCol).as("b_id"), col("_a_cnt").as("a_cnt"))

@@ -231,61 +231,60 @@ object StreamPatterns {
         (out, retained, wake)
     }
 
+  /** Shared trailing-count flush: a `typeB` event finalizes when the
+    * watermark strictly passes its own ts (its window looks only
+    * backward, and a peer `typeA` at exactly `b.ts` can still arrive
+    * while `wm <= b.ts`); it emits when its trailing `windowUs` window
+    * holds >= `minCount` `typeA` events. `typeA` context ages out at
+    * `ts + windowUs`, pending Bs stay until finalized, and the frontier
+    * prevents re-emission. [[burst]] is exactly the `typeA == typeB`
+    * instance — one copy of the finalize/retain/wake logic (the
+    * conjunction double-emit fix showed how twin flushes drift). */
+  private def trailingCountFlush[O](typeA: String, typeB: String, windowUs: Long,
+      minCount: Long, emit: (PatEvent, Long) => O)(
+      all: Vector[PatEvent], frontier: Long, wmUs: Long)
+  : (Seq[O], Vector[PatEvent], Option[Long]) = {
+    val evs = all.filter(e => e.typ == typeA || e.typ == typeB)
+    val out = evs.filter(b => b.typ == typeB && b.tsUs < wmUs && b.tsUs >= frontier)
+      .flatMap { b =>
+        val cnt = evs.count(a => a.typ == typeA &&
+          a.tsUs >= b.tsUs - windowUs && a.tsUs <= b.tsUs).toLong
+        if (cnt >= minCount) Some(emit(b, cnt)) else None
+      }
+    val retained = evs.filter(e =>
+      (e.typ == typeA && e.tsUs + windowUs >= wmUs) || // countable for future Bs
+      (e.typ == typeB && e.tsUs >= wmUs))              // pending Bs
+    val pendingB = retained.filter(e => e.typ == typeB && e.tsUs >= wmUs)
+    val wake =
+      if (retained.isEmpty) None
+      else if (pendingB.nonEmpty) Some(pendingB.map(_.tsUs).min)
+      else Some(retained.map(_.tsUs + windowUs).max) // pure A context: evict
+    (out, retained, wake)
+  }
+
   /** Streaming trailing-window count pattern — batch twin
     * [[graft.operators.Patterns.burst]]: every `typeX` event whose
-    * trailing `windowUs` window holds >= minCount X events. An X
-    * finalizes when the watermark passes its own timestamp (its window
-    * looks only backward); emitted events stay buffered as count context
-    * for later events until `ts + windowUs` ages out, with the frontier
-    * preventing re-emission. Output: (key, id, cnt). */
+    * trailing `windowUs` window holds >= minCount X events.
+    * Output: (key, id, cnt). */
   def burst(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
             typeCol: String, typeX: String, windowUs: Long, minCount: Long,
             delay: String): Dataset[BurstMatch] =
     runPattern[BurstMatch](events, keyCol, tsCol, idCol, typeCol, delay,
-        onlyType = Some(typeX)) { (evs, frontier, wmUs) =>
-      val out = evs.filter(x => x.tsUs < wmUs && x.tsUs >= frontier).flatMap { x =>
-        val cnt = evs.count(e => e.tsUs >= x.tsUs - windowUs && e.tsUs <= x.tsUs).toLong
-        if (cnt >= minCount) Some(BurstMatch(x.key, x.id, cnt)) else None
-      }
-      val retained = evs.filter(e => e.tsUs + windowUs >= wmUs)
-      val pending = retained.filter(_.tsUs >= wmUs)
-      val wake =
-        if (retained.isEmpty) None
-        else if (pending.nonEmpty) Some(pending.map(_.tsUs).min)
-        else Some(retained.map(_.tsUs + windowUs).max) // pure context: wake to evict
-      (out, retained, wake)
-    }
+        onlyType = Some(typeX))(
+      trailingCountFlush[BurstMatch](typeX, typeX, windowUs, minCount,
+        (x, cnt) => BurstMatch(x.key, x.id, cnt)))
 
   /** Streaming count-quantifier sequence `a<n:> -> b within T` — batch
     * twin [[graft.operators.Patterns.countSequence]]: every `typeB` event
-    * whose trailing window holds >= minCount `typeA` events. A B
-    * finalizes when the watermark strictly passes its own ts (its window
-    * looks only backward, and a peer A at exactly `b.ts` can still
-    * arrive while `wm <= b.ts`); A events stay buffered as count context
-    * until `ts + within` ages out, Bs until finalized. The frontier
-    * prevents re-emission, as in [[burst]]. Output: (key, b_id, a_cnt). */
+    * whose trailing window holds >= minCount `typeA` events. Shares
+    * [[trailingCountFlush]] with [[burst]].
+    * Output: (key, b_id, a_cnt). */
   def countSequence(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                     typeCol: String, typeA: String, typeB: String, withinUs: Long,
                     minCount: Long, delay: String): Dataset[CountSeqMatch] =
-    runPattern[CountSeqMatch](events, keyCol, tsCol, idCol, typeCol, delay) {
-      (all, frontier, wmUs) =>
-        val evs = all.filter(e => e.typ == typeA || e.typ == typeB)
-        val out = evs.filter(b => b.typ == typeB && b.tsUs < wmUs && b.tsUs >= frontier)
-          .flatMap { b =>
-            val cnt = evs.count(a => a.typ == typeA &&
-              a.tsUs >= b.tsUs - withinUs && a.tsUs <= b.tsUs).toLong
-            if (cnt >= minCount) Some(CountSeqMatch(b.key, b.id, cnt)) else None
-          }
-        val retained = evs.filter(e =>
-          (e.typ == typeA && e.tsUs + withinUs >= wmUs) || // countable for future Bs
-          (e.typ == typeB && e.tsUs >= wmUs))              // pending Bs
-        val pendingB = retained.filter(e => e.typ == typeB && e.tsUs >= wmUs)
-        val wake =
-          if (retained.isEmpty) None
-          else if (pendingB.nonEmpty) Some(pendingB.map(_.tsUs).min)
-          else Some(retained.map(_.tsUs + withinUs).max) // pure A context: evict
-        (out, retained, wake)
-    }
+    runPattern[CountSeqMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
+      trailingCountFlush[CountSeqMatch](typeA, typeB, withinUs, minCount,
+        (b, cnt) => CountSeqMatch(b.key, b.id, cnt)))
 
   /** Streaming session windows — batch twin
     * [[graft.operators.Patterns.sessionize]]: consecutive same-key events

@@ -8,14 +8,11 @@ import org.apache.spark.sql.functions._
   * counts (dev diagnostics only). */
 object ProfileR4 {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create("32")
+    val spark = DevTool.session()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docs = Tables.documents(spark, dir)
     val embs = Tables.embeddings(spark, dir)
-    def time[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $tag%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    def time[A](tag: String)(f: => A): A = DevTool.time("prof", tag)(f)
     // warm-up (JIT + codegen caches) on a small slice of the target dir
     docs.count(); embs.count()
     Dedup.ngramJaccardPairs(docs.limit(200), 800).count()

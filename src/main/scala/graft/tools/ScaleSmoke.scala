@@ -21,33 +21,32 @@ object ScaleSmoke {
     * per-replica salt word appended so near-dup structure persists
     * without collapsing to exact duplicates. */
   def replicateDocs(docs: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"replication factor must be positive, got $n")
     val step = 100000000L
     (0 until n).map { k =>
       docs.select((col("doc_id") + lit(k * step)).as("doc_id"),
         (if (k == 0) col("text")
          else concat(col("text"), lit(s" replicasalt$k"))).as("text"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
   }
 
   def replicateEmbs(embs: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"replication factor must be positive, got $n")
     val step = 100000000L
     (0 until n).map { k =>
       embs.select((col("vec_id") + lit(k * step)).as("vec_id"),
         col("embedding"), col("label"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = DevTool.session()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     val embs0 = Tables.embeddings(spark, dir)
-    def time(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[scale] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
-    }
+    def time(tag: String)(f: => Long): Unit =
+      DevTool.time("scale", tag)(println(s"[scale]   rows=${f}"))
     // warm-up
     Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
 
