@@ -87,6 +87,44 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((1L, 4_000_000L))) // only user 1 churned within 10 s
   }
 
+  test("e2e: CDC change stream feeds the count-quantifier pattern (updates<2:> -> delete)") {
+    // "a delete preceded by 2+ updates within 10 s" straight off the
+    // flattened change stream — Siddhi count quantifier on CDC events
+    import org.apache.spark.sql.functions._
+    val userSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("cdc_cseq").toString
+    def env(op: String, before: String, after: String, ts: Long): String =
+      s"""{"op":"$op","before":$before,"after":$after,"source":{"ts_ms":$ts},"ts_ms":$ts}"""
+    def u(id: Long) = s"""{"user_id":$id,"name":"x"}"""
+    Files.write(java.nio.file.Paths.get(dir, "e.json"), Seq(
+      env("u", u(1), u(1), 1000L), env("u", u(1), u(1), 2000L),
+      env("d", u(1), "null", 5000L),                     // 2 updates in window -> match
+      env("u", u(2), u(2), 1000L),
+      env("d", u(2), "null", 4000L),                     // only 1 update -> no match
+      env("u", u(3), u(3), 1000L), env("u", u(3), u(3), 40_000L),
+      env("d", u(3), "null", 45_000L),                   // first update aged out -> no match
+      env("u", u(99), u(99), 200_000L), env("u", u(99), u(99), 300_000L),
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val s = Cdc.stream(spark, Map(
+      "mode" -> "listening", "operation" -> "update,delete",
+      "envelope.replay.dir" -> dir), rowSchema = Some(userSchema))
+    val events = s.df
+      .withColumn("uid", when(col("_op") === "delete", col("before_user_id"))
+        .otherwise(col("user_id")))
+      .withColumn("ts", timestamp_millis(col("_ts_ms")))
+    val hits = graft.streaming.StreamPatterns.countSequence(
+      events, "uid", "ts", "_ts_ms", "_op", "update", "delete",
+      withinUs = 10_000_000L, minCount = 2L, delay = "0 seconds")
+    val q = hits.toDF.writeStream.format("memory").queryName("cdc_cseq")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT key, a_cnt FROM cdc_cseq WHERE key != 99")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("polling mode routes to the V2 source with options intact") {
     // no DB behind it — assert routing by the source's own failure mode:
     // the error must come from the JDBC layer hitting OUR url (proving
