@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats}
+import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
   * supported `SparkSessionExtensions` hook
@@ -61,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("trigram_shingles", children, 1)
         TrigramShingles(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_stats"),
+      new ExpressionInfo(classOf[WordStats].getName, "word_stats"),
+      (children: Seq[Expression]) => {
+        arity("word_stats", children, 1)
+        // constants owned by TextFunctions — one source of truth with the
+        // composable twins and the DuckDB oracle generators
+        WordStats(children.head, TextFunctions.Stopwords, TextFunctions.LangMarkers)
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_rep_stats"),

@@ -19,8 +19,25 @@ object PipelineQueries {
 
   // ---- text analysis ----
 
-  /** p1 — token counting + basic stats (whitespace + BPE-ish regex). */
-  private def p1(s: SparkSession, dir: String): DataFrame = {
+  /** p1 — token counting + basic stats (whitespace + BPE-ish regex).
+    * All four counts come from the single-pass codegen'd
+    * [[graft.functions.expr.WordStats]] when registered; the composable
+    * twins [[p1Composable]]/[[p2Composable]]/[[p3Composable]] are
+    * parity-tested in PipelineSpec + TextPropertySpec and mirror the
+    * DuckDB oracle. */
+  private def p1(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("word_stats"))
+      docs(s, dir).withColumn("_st", call_function("word_stats", col("text")))
+        .select(col("doc_id"),
+          col("_st.word_cnt").as("word_cnt"),
+          col("_st.alpha_chars").as("alpha_chars"),
+          col("_st.ws_tokens").as("ws_tokens"),
+          col("_st.bpe_tokens").as("bpe_tokens"),
+          TF.centi(col("_st.alpha_chars"), col("_st.word_cnt")).as("avg_wlen_centi"))
+        .orderBy("doc_id")
+    else p1Composable(s, dir)
+
+  private[graft] def p1Composable(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
       .withColumn("ws", TF.words(col("norm")))
     d.select(col("doc_id"),
@@ -33,7 +50,18 @@ object PipelineQueries {
   }
 
   /** p2 — quality scoring (length / stopword-ratio / word-shape rules). */
-  private def p2(s: SparkSession, dir: String): DataFrame = {
+  private def p2(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("word_stats"))
+      docs(s, dir).withColumn("_st", call_function("word_stats", col("text")))
+        .withColumn("word_cnt", col("_st.word_cnt"))
+        .withColumn("stop_milli", TF.milli(col("_st.stop_hits"), col("word_cnt")))
+        .withColumn("avg_wlen_centi", TF.centi(col("_st.alpha_chars"), col("word_cnt")))
+        .select(col("doc_id"), col("word_cnt"), col("stop_milli"),
+          TF.qualityScore(col("word_cnt"), col("stop_milli"), col("avg_wlen_centi")).as("quality"))
+        .orderBy("doc_id")
+    else p2Composable(s, dir)
+
+  private[graft] def p2Composable(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
       .withColumn("ws", TF.words(col("norm")))
       .withColumn("word_cnt", TF.wordCount(col("ws")))
@@ -46,6 +74,14 @@ object PipelineQueries {
 
   /** p3 — language-ID heuristic (marker-word argmax). */
   private def p3(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("word_stats"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          call_function("word_stats", col("text")).getField("lang_guess").as("lang_guess"))
+        .orderBy("doc_id")
+    else p3Composable(s, dir)
+
+  private[graft] def p3Composable(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("ws", TF.words(TF.normText(col("text"))))
       .select(col("doc_id"), TF.langGuess(col("ws")).as("lang_guess"))
       .orderBy("doc_id")
