@@ -99,7 +99,13 @@ object IvfIndex {
               val n = r.getAs[Long]("n")
               var i = 0
               while (n > 0 && i < dim) {
-                next(cell)(i) = r.getAs[Long](s"s$i").toDouble / FixedPointScale / n
+                // a dimension absent from EVERY vector of the cell sums to
+                // NULL — keep the previous centroid value (the native
+                // VecSumFixed branch does, via its i < s.length guard);
+                // getAs would silently unbox NULL to 0L
+                val fi = r.fieldIndex(s"s$i")
+                if (!r.isNullAt(fi))
+                  next(cell)(i) = r.getLong(fi).toDouble / FixedPointScale / n
                 i += 1
               }
             }

@@ -24,9 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     langGuess's exact argmax rule (Seq-order tie-break, all-zero →
   *     "und");
   *   - `ws_tokens` replicates `size(split(trim(text), "\\s+"))` including
-  *     its quirk: `trim` strips only 0x20, so a trimmed text starting
-  *     with other ASCII whitespace contributes a leading empty token
-  *     (Java split keeps leading, drops trailing empties);
+  *     its quirks: `trim` strips only 0x20, so a trimmed text starting
+  *     OR ending with other ASCII whitespace contributes a leading/
+  *     trailing empty token (Spark's split uses Java split with limit -1,
+  *     which keeps BOTH leading and trailing empties);
   *   - `bpe_tokens` replicates `regexp_extract_all(lower(text),
   *     "[a-z]+|[0-9]+|[^a-z0-9\\s]")`: letter runs and digit runs count
   *     one each, ASCII whitespace separates, every other CODE POINT (not
@@ -108,6 +109,7 @@ case class WordStats(child: Expression, stopwords: Seq[String],
           while (i < hi && !WordStats.isAsciiWs(raw(i))) i += 1
         } else i += 1
       }
+      if (WordStats.isAsciiWs(raw(hi - 1))) wsTokens += 1 // trailing empty token
     }
 
     // --- BPE-ish tokens over the lowered text ---

@@ -142,6 +142,38 @@ class PipelineSpec extends SparkSpec {
     assert(native.nonEmpty && native === composable)
   }
 
+  test("word_stats native p1/p2/p3 match the composable twins") {
+    assert(spark.catalog.functionExists("word_stats"))
+    val p1n = graft.SparkEntry.queries("p1_text_stats")(spark, sf())
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val p1c = graft.PipelineQueries.p1Composable(spark, sf())
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(p1n.nonEmpty && p1n === p1c)
+    val p2n = graft.SparkEntry.queries("p2_quality_score")(spark, sf())
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val p2c = graft.PipelineQueries.p2Composable(spark, sf())
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(p2n.nonEmpty && p2n === p2c)
+    val p3n = graft.SparkEntry.queries("p3_langid")(spark, sf())
+      .as[(Long, String)].collect().toSeq
+    val p3c = graft.PipelineQueries.p3Composable(spark, sf())
+      .as[(Long, String)].collect().toSeq
+    assert(p3n.nonEmpty && p3n === p3c)
+  }
+
+  test("word_stats ws_tokens keeps trailing empty tokens like split (advice regression)") {
+    // split(trim(text), "\\s+") uses Java split with limit -1, which keeps
+    // BOTH leading and trailing empty tokens; trim strips only 0x20
+    val texts = Seq("hello\n", "\t", "hello \nworld\t", "a \n", " \r\n ", "x", "", "  ")
+    val df = texts.toDF("text")
+    val native = df.selectExpr("word_stats(text) AS s")
+      .select("s.ws_tokens").as[Long].collect().toSeq
+    val composable = df.select(TextFunctions.wsTokenCount(col("text")))
+      .as[Long].collect().toSeq
+    assert(native === composable)
+    assert(native.take(3) === Seq(2L, 2L, 3L)) // the advice's exact counterexamples
+  }
+
   test("word_rep_stats edge cases: null, empty, single word, all-same, bigram repeats") {
     // null text propagates a NULL struct; the p15 caller coalesces each
     // count to 0, matching the composable twin's left-join + COALESCE

@@ -107,6 +107,31 @@ class TextPropertySpec extends SparkSpec {
     assert(native.length === texts.length && native === composable)
   }
 
+  test("word_stats native ≡ composable for arbitrary text incl. trailing \\t/\\n") {
+    // trailing non-0x20 whitespace mutations: split keeps the trailing
+    // empty token (limit -1), so ws_tokens must count it too
+    val wsTexts: List[String] = texts ++
+      texts.map(_ + "\n") ++ texts.map(_ + "\t") ++
+      texts.map(t => "\u000b" + t + " \r\n") ++
+      List("hello\n", "\t", "hello \nworld\t", "\f", " \n ")
+    val df = wsTexts.toDF("text")
+    val native = df.selectExpr("word_stats(text) AS s")
+      .select("s.word_cnt", "s.alpha_chars", "s.stop_hits", "s.lang_guess",
+        "s.ws_tokens", "s.bpe_tokens")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    val composable = df
+      .withColumn("norm", TextFunctions.normText(col("text")))
+      .withColumn("ws", TextFunctions.words(col("norm")))
+      .select(TextFunctions.wordCount(col("ws")).as("wc"),
+        TextFunctions.alphaChars(col("norm")).as("ac"),
+        TextFunctions.setHits(col("ws"), TextFunctions.Stopwords).as("sh"),
+        TextFunctions.langGuess(col("ws")).as("lg"),
+        TextFunctions.wsTokenCount(col("text")).as("wt"),
+        TextFunctions.bpeTokenCount(col("text")).as("bt"))
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(native.length === wsTexts.length && native === composable)
+  }
+
   test("word_rep_stats native ≡ composable counts for arbitrary unicode text") {
     val df = texts.toDF("text")
     val native = df
