@@ -220,6 +220,86 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushdown: pruned columns + translated predicates reach the vendor SQL") {
+    withDb("db_push") { (url, conn) =>
+      conn.createStatement().execute(
+        "CREATE TABLE PUSHT (ID INT NOT NULL, NAME VARCHAR(32), V DOUBLE, EXTRA VARCHAR(64))")
+      conn.createStatement().execute(
+        "INSERT INTO PUSHT VALUES (1,'x',1.5,'a'), (2,'y',2.5,'b'), (3,'z',3.5,'c')")
+      Jdbc.IssuedSql.clear()
+      val df = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHT").option("polling.column", "id").load()
+        .where("id >= 2 AND v < 3.0").select("name")
+      assert(df.collect().map(_.getString(0)).toSeq === Seq("y"))
+      val issued = Jdbc.IssuedSql.recent.filter(_.contains("PUSHT"))
+      assert(issued.nonEmpty)
+      issued.foreach { s =>
+        // only the referenced columns in the select list — never EXTRA
+        assert(s.contains("SELECT name FROM"), s)
+        // both predicates executed by the database
+        assert(s.contains("id >= 2") && s.contains("v < 3.0"), s)
+      }
+      // numeric predicates are fully handed off: no Spark-side Filter left
+      val planned = df.queryExecution.executedPlan.toString()
+      assert(!planned.contains("Filter ("), planned)
+    }
+  }
+
+  test("pushdown: string predicates are pushed AND re-checked by Spark (collation safety)") {
+    withDb("db_pushs") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE PUSHS (ID INT NOT NULL, NAME VARCHAR(32))")
+      conn.createStatement().execute("INSERT INTO PUSHS VALUES (1,'alpha'), (2,'beta'), (3,'al%pha')")
+      Jdbc.IssuedSql.clear()
+      def read() = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHS").option("polling.column", "id").load()
+      val eq = read().where("name = 'beta'")
+      assert(eq.collect().map(_.getInt(0)).toSeq === Seq(2))
+      val issuedEq = Jdbc.IssuedSql.recent.filter(_.contains("PUSHS"))
+      assert(issuedEq.exists(_.contains("name = 'beta'"))) // DB reduces the rows...
+      assert(eq.queryExecution.executedPlan.toString().contains("Filter")) // ...Spark re-checks
+      // LIKE-metacharacter values must NOT be pushed as LIKE (no portable escape)
+      Jdbc.IssuedSql.clear()
+      val meta = read().where("name LIKE 'al\\%%'") // startsWith("al%")
+      assert(meta.collect().map(_.getInt(0)).toSeq === Seq(3))
+      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHS")).exists(_.contains("LIKE")))
+    }
+  }
+
+  test("batch snapshot range-partitions on the polling column; rows identical to single scan") {
+    withDb("db_rsnap") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE RSNAP (ID INT NOT NULL, NAME VARCHAR(32))")
+      val ins = conn.prepareStatement("INSERT INTO RSNAP VALUES (?, ?)")
+      // irregular id spacing: range splits must not assume density
+      (1 to 40).foreach { i => ins.setInt(1, i * i); ins.setString(2, s"r$i"); ins.executeUpdate() }
+      def read(parts: Int) = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "RSNAP").option("polling.column", "id")
+        .option("numpartitions", parts.toString).load()
+      val multi = read(4)
+      assert(multi.rdd.getNumPartitions === 4) // genuinely parallel scan
+      val single = read(1)
+      assert(single.rdd.getNumPartitions === 1)
+      assert(multi.collect().map(_.toSeq).toSet === single.collect().map(_.toSeq).toSet)
+      assert(multi.count() === 40)
+    }
+  }
+
+  test("batch snapshot: nullable polling column keeps IS NULL rows under range partitioning") {
+    withDb("db_nsnap") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE NSNAP (ID INT, NAME VARCHAR(32))")
+      conn.createStatement().execute(
+        "INSERT INTO NSNAP VALUES (1,'a'), (5,'b'), (9,'c'), (NULL,'orphan')")
+      val df = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "NSNAP").option("polling.column", "id")
+        .option("numpartitions", "3").load()
+      val got = df.collect().map(r => (if (r.isNullAt(0)) -999 else r.getInt(0), r.getString(1))).toSet
+      assert(got === Set((1, "a"), (5, "b"), (9, "c"), (-999, "orphan")))
+    }
+  }
+
   test("batch (snapshot) read returns full table with values intact") {
     withDb("db_batch") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE SNAP (ID INT, NAME VARCHAR(32), V DOUBLE)")
