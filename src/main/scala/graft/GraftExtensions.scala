@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.expr.{CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -71,6 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // constants owned by TextFunctions — one source of truth with the
         // composable twins and the DuckDB oracle generators
         WordStats(children.head, TextFunctions.Stopwords, TextFunctions.LangMarkers)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_hist16"),
+      new ExpressionInfo(classOf[CharHist16].getName, "char_hist16"),
+      (children: Seq[Expression]) => {
+        arity("char_hist16", children, 1)
+        CharHist16(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_rep_stats"),

@@ -324,9 +324,24 @@ object PipelineQueries {
     * ([[Multimodal.byteHistogram]] is the typed Dataset twin over raw
     * payload BYTES; on this ascii fixture corpus the two coincide, and
     * the char formulation is what both engines express identically).
-    * explode + partial-agg on (doc_id, bin): partition-parallel,
-    * bounded by payload size. */
+    *
+    * The histogram is computed PER ROW by the one-pass codegen'd
+    * [[graft.functions.expr.CharHist16]] and then posexploded, so the
+    * Generate is bounded at 16 rows/doc; the composable twin
+    * [[p21Composable]] (explode every character, partial-agg back) is
+    * parity-tested in PipelineSpec and mirrors the DuckDB oracle. Only
+    * present bins emit (cnt > 0), like the group-by formulation. */
   private def p21(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("char_hist16"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(call_function("char_hist16", col("text"))).as(Seq("bin", "cnt")))
+        .where(col("cnt") > 0)
+        .select(col("doc_id"), col("bin"), col("cnt"))
+        .orderBy("doc_id", "bin")
+    else p21Composable(s, dir)
+
+  private[graft] def p21Composable(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .where(col("c") =!= "")
       .groupBy(col("doc_id"), (ascii(col("c")) % 16).as("bin"))

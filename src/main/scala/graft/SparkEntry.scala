@@ -237,6 +237,15 @@ object CoreQueries {
       "user_id", "ts_us", "event_id", "event_type", "view", "purchase", Hours24Us, 3L)
       .orderBy("user_id", "b_id")
 
+  /** Q20 — logical disjunction pattern (Siddhi `every (a or b)`): every
+    * signup OR error event; the arrived branch binds its variable, the
+    * other is null. Via [[graft.operators.Patterns.disjunction]] —
+    * stateless, zero-exchange (the scan stage does all the work). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.disjunction(Tables.events(s, dir),
+      "user_id", "event_id", "event_type", "signup", "error")
+      .orderBy(col("user_id"), coalesce(col("a_id"), col("b_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -257,6 +266,7 @@ object CoreQueries {
     "q17_asof_join" -> q17 _,
     "q18_pattern_and" -> q18 _,
     "q19_pattern_count_seq" -> q19 _,
+    "q20_pattern_or" -> q20 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -409,5 +419,12 @@ object CoreQueries {
          |  FROM e)
          |WHERE event_type = 'purchase' AND a_cnt >= 3
          |ORDER BY user_id, b_id""".stripMargin,
+    "q20_pattern_or" ->
+      """SELECT user_id,
+        |       CASE WHEN event_type = 'signup' THEN event_id END AS a_id,
+        |       CASE WHEN event_type = 'error' THEN event_id END AS b_id
+        |FROM events
+        |WHERE event_type IN ('signup', 'error')
+        |ORDER BY user_id, COALESCE(a_id, b_id)""".stripMargin,
   )
 }

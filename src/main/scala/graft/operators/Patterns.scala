@@ -114,6 +114,28 @@ object Patterns {
         when(col("_use_prev"), gapP).otherwise(gapN).as("gap"))
   }
 
+  /** Logical disjunction pattern `every (a or b)`: the pattern completes
+    * on EACH event matching either branch — the arrived branch's variable
+    * binds, the other is null; an event matching both branches (typeA ==
+    * typeB) binds the first-declared one, like Siddhi's left-to-right
+    * branch evaluation. Output: (key, a_id, b_id), exactly one non-null.
+    *
+    * Unlike [[conjunction]], disjunction needs NO cross-event state: it
+    * is a branch-tagged union of two type filters, so it runs entirely
+    * inside the scan stage with ZERO exchanges (a `within T` clause on a
+    * bare disjunction is trivially satisfied — one event completes the
+    * pattern; a disjunct feeding a sequence step composes [[followedBy]]
+    * over this output). PlanShapeSpec pins the no-exchange plan.
+    *
+    * Siddhi analog: `from every (a=s[type=='A'] or b=s[type=='B'])`.
+    */
+  def disjunction(events: DataFrame, keyCol: String, idCol: String,
+                  typeCol: String, typeA: String, typeB: String): DataFrame =
+    events.where(col(typeCol) === typeA || col(typeCol) === typeB)
+      .select(col(keyCol),
+        when(col(typeCol) === typeA, col(idCol)).as("a_id"),
+        when(col(typeCol) =!= typeA && col(typeCol) === typeB, col(idCol)).as("b_id"))
+
   /** Count pattern (burst): every `typeX` event that is the `minCount`-th
     * or later of its key within the trailing `windowLen` time units (sliding
     * range-window count — "3 failed logins in 10 minutes").

@@ -48,6 +48,7 @@ object StreamPatterns {
   case class PatBuf(evs: Seq[PatEvent], frontierUs: Long)
 
   case class SeqMatch(key: Long, a_id: Long, b_id: Long, gap: Long)
+  case class OrMatch(key: Long, a_id: Option[Long], b_id: Option[Long])
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
   case class Session(key: Long, session_start: Long, n_events: Long)
@@ -56,6 +57,7 @@ object StreamPatterns {
   implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
   implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
   implicit private val seqEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
+  implicit private val orEnc: Encoder[OrMatch] = Encoders.product[OrMatch]
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
   implicit private val sessEnc: Encoder[Session] = Encoders.product[Session]
@@ -230,6 +232,25 @@ object StreamPatterns {
             if (e.tsUs >= wmUs) e.tsUs else e.tsUs + withinUs).max)
         (out, retained, wake)
     }
+
+  /** Streaming `every (a or b)` — batch twin
+    * [[graft.operators.Patterns.disjunction]]: each event matching either
+    * branch completes the pattern immediately (arrived branch binds, the
+    * other is null; typeA == typeB binds the first-declared branch).
+    * Output: (key, a_id, b_id).
+    *
+    * Deliberately STATELESS — no watermark, no keyed shuffle, no state
+    * store: disjunction looks at one event at a time, so it is a pure
+    * streaming projection (emits in the arriving micro-batch, exact
+    * append-mode semantics, zero latency added). The only family member
+    * that needs none of [[runPattern]]'s machinery. */
+  def disjunction(events: DataFrame, keyCol: String, idCol: String,
+                  typeCol: String, typeA: String, typeB: String): Dataset[OrMatch] =
+    events.where(col(typeCol) === typeA || col(typeCol) === typeB)
+      .select(col(keyCol).cast("long").as("key"),
+        when(col(typeCol) === typeA, col(idCol).cast("long")).as("a_id"),
+        when(col(typeCol) =!= typeA && col(typeCol) === typeB, col(idCol).cast("long")).as("b_id"))
+      .as[OrMatch]
 
   /** Shared trailing-count flush: a `typeB` event finalizes when the
     * watermark strictly passes its own ts (its window looks only

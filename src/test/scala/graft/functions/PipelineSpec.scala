@@ -174,6 +174,26 @@ class PipelineSpec extends SparkSpec {
     assert(native.take(3) === Seq(2L, 2L, 3L)) // the advice's exact counterexamples
   }
 
+  test("char_hist16 native p21 matches the composable explode+agg twin; Generate bounded") {
+    assert(spark.catalog.functionExists("char_hist16"))
+    val q = graft.SparkEntry.queries("p21_byte_histogram")(spark, sf())
+    val native = q.as[(Long, Int, Long)].collect().toSeq
+    val composable = graft.PipelineQueries.p21Composable(spark, sf())
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(native.nonEmpty && native === composable)
+    // the Generate explodes the 16-element per-row histogram, not the text
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("char_hist16"), plan)
+    // null/empty text edge: no rows, like split(null)/[''] in the twin
+    val edge = Seq((1L, null), (2L, ""), (3L, "aA"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(call_function("char_hist16", col("text"))).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(edge === Seq((3L, 1, 2L))) // 'a'=97, 'A'=65 -> both bin 1, one histogram row
+  }
+
   test("word_rep_stats edge cases: null, empty, single word, all-same, bigram repeats") {
     // null text propagates a NULL struct; the p15 caller coalesces each
     // count to 0, matching the composable twin's left-join + COALESCE

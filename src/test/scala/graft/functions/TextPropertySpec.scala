@@ -132,6 +132,22 @@ class TextPropertySpec extends SparkSpec {
     assert(native.length === wsTexts.length && native === composable)
   }
 
+  test("char_hist16 native ≡ composable ascii%16 counts for arbitrary unicode text") {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df
+      .select(col("doc_id"),
+        posexplode(call_function("char_hist16", col("text"))).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+      .as[(Long, Int, Long)].collect().toSet
+    val composable = df
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy(col("doc_id"), (ascii(col("c")) % 16).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(native === composable)
+  }
+
   test("word_rep_stats native ≡ composable counts for arbitrary unicode text") {
     val df = texts.toDF("text")
     val native = df

@@ -168,6 +168,58 @@ class PatternsSpec extends SparkSpec {
       gotCount.nonEmpty)
   }
 
+  test("disjunction tags the arrived branch; same-type binds the first branch only") {
+    val out = Patterns.disjunction(events, "key", "id", "type", "A", "B")
+      .orderBy(coalesce(col("a_id"), col("b_id"))).collect().toSeq
+    assert(out === Seq(
+      Row("u1", 1L, null), Row("u1", null, 2L), Row("u1", null, 3L),
+      Row("u1", 4L, null), Row("u1", null, 5L),
+      Row("u2", 6L, null), Row("u2", null, 7L)))
+    // typeA == typeB: left-to-right branch preference -> a_id binds, b_id never
+    val same = Patterns.disjunction(events, "key", "id", "type", "B", "B").collect().toSeq
+    assert(same.length === 4) // B ids 2,3,5,7
+    assert(same.forall(r => !r.isNullAt(1) && r.isNullAt(2)))
+    // zero-exchange plan: disjunction is a pure scan-stage projection
+    val plan = Patterns.disjunction(events, "key", "id", "type", "A", "B")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("self-conjunction (typeA == typeB) matches the brute-force oracle, no double emit") {
+    import spark.implicits._
+    // pins the batch twin to the same contract the streaming side fixed in
+    // round 4 (finalized As retained as B-context must not re-emit)
+    val rnd = new scala.util.Random(77)
+    val evs = (1L to 300L).map { id =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong, id, Seq("B", "C")(rnd.nextInt(2)))
+    }
+    val df = evs.toDF("key", "ts", "id", "type")
+    val within = 6L
+    case class E(key: String, ts: Long, id: Long, tpe: String)
+    val bs = evs.map(E.tupled).filter(_.tpe == "B")
+    def ord(e: E): (Long, Long) = (e.ts, e.id)
+    val exp = bs.flatMap { a =>
+      val nb = bs.filter(e => e.key == a.key &&
+          (e.ts > a.ts || (e.ts == a.ts && e.id > a.id)))
+        .sortBy(ord).headOption.filter(b => b.ts - a.ts <= within)
+      val pb = bs.filter(e => e.key == a.key &&
+          (e.ts < a.ts || (e.ts == a.ts && e.id < a.id)))
+        .sortBy(ord).lastOption.filter(b => a.ts - b.ts <= within)
+      (nb, pb) match {
+        case (None, None) => None
+        case (Some(b), None) => Some((a.key, a.id, b.id, b.ts - a.ts))
+        case (None, Some(b)) => Some((a.key, a.id, b.id, a.ts - b.ts))
+        case (Some(n), Some(p)) =>
+          if (a.ts - p.ts <= n.ts - a.ts) Some((a.key, a.id, p.id, a.ts - p.ts))
+          else Some((a.key, a.id, n.id, n.ts - a.ts))
+      }
+    }
+    val got = Patterns.conjunction(df, "key", "ts", "id", "type", "B", "B", within)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.size === got.toSet.size) // each B emits at most once
+    assert(exp.nonEmpty && got.toSet === exp.toSet)
+  }
+
   test("sf0.001 pattern queries are plan-sane (single key exchange, no global window)") {
     val df = Patterns.followedBy(
       graft.Tables.events(spark, sf()), "user_id", "ts_ns", "event_id",

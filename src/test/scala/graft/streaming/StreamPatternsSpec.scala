@@ -116,6 +116,15 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && multiset(got) === multiset(want))
   }
 
+  test("disjunction parity with batch operator (multiset — stateless twin)") {
+    val got = runStreamRows(src => StreamPatterns.disjunction(
+      src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
+    val want = Patterns.disjunction(staticDf, "k", "id", "typ", "signup", "error")
+      .collect().map(_.toSeq).toSeq
+    def multiset(rows: Seq[Seq[Any]]) = rows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(want.nonEmpty && multiset(got) === multiset(want))
+  }
+
   test("self-conjunction (typeA == typeB) emits each A exactly once (multiset parity)") {
     // finalized As stay buffered as B-context when typeA == typeB; without
     // the frontier guard they re-passed the emission filter on the next
