@@ -45,8 +45,14 @@ object ScaleSmoke {
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     val embs0 = Tables.embeddings(spark, dir)
-    def time(tag: String)(f: => Long): Unit =
-      DevTool.time("scale", tag)(println(s"[scale]   rows=${f}"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    def time(tag: String, n: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $tag%-16s x$n%-3d $sec%8.2f s  rows=$rows")
+      results += ((tag, n, sec, rows))
+    }
     // warm-up
     Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
 
@@ -54,18 +60,27 @@ object ScaleSmoke {
       val docs = replicateDocs(docs0, n)
       val embs = replicateEmbs(embs0, n)
       println(s"[scale] ---- x$n (${docs.count()} docs, ${embs.count()} vecs) ----")
-      time(s"exact dedup x$n")(Dedup.exact(docs).count())
-      time(s"minhash+lsh x$n")(Dedup.minhashLsh(docs, 8, 800).count())
-      time(s"simhash buckets x$n")(Dedup.simhashBuckets(docs).count())
-      time(s"repetition (p15 shape) x$n") {
+      time("exact_dedup", n)(Dedup.exact(docs).count())
+      time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
+      time("simhash_buckets", n)(Dedup.simhashBuckets(docs).count())
+      time("repetition_p15", n) {
         docs.select(col("doc_id"), call_function("word_rep_stats", col("text")).as("s"))
           .select(col("doc_id"), col("s.total")).where(col("total") >= 0).count()
       }
-      time(s"lsh knn x$n")(
+      time("lsh_knn", n)(
         Similarity.lshKnn(embs, col("vec_id") < 20, 3).count())
-      time(s"hash split x$n")(
+      time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
     }
+    // one-line JSON artifact: seconds + result rows per (family, factor),
+    // the recorded scale curve behind the 100 TB sub-quadratic claims
+    val families = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
+      val ser = rs.sortBy(_._2).map { case (_, n, s, rows) =>
+        f"""{"factor":$n,"sec":$s%.2f,"rows":$rows}"""
+      }.mkString("[", ",", "]")
+      s""""$fam":$ser"""
+    }.mkString("{", ",", "}")
+    println(s"""[scalejson] {"sf":"$dir","families":$families}""")
     spark.stop()
   }
 }
