@@ -246,6 +246,18 @@ object CoreQueries {
       "user_id", "event_id", "event_type", "signup", "error")
       .orderBy(col("user_id"), coalesce(col("a_id"), col("b_id")))
 
+  /** Q21 — chained sequence pattern (Siddhi `every a -> b -> c within T`,
+    * first-match): every signup, its first following view, then the first
+    * purchase after that view, whole chain within 24 h. Via
+    * [[graft.operators.Patterns.chain]] — two window passes, ONE keyed
+    * exchange (the second pass carries the B row's next-C inside the min
+    * payload, so no self-join materializes the middle hop). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.chain(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "signup", "view", "purchase", Hours24Us)
+      .withColumnRenamed("gap", "gap_us")
+      .orderBy("user_id", "a_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -267,6 +279,7 @@ object CoreQueries {
     "q18_pattern_and" -> q18 _,
     "q19_pattern_count_seq" -> q19 _,
     "q20_pattern_or" -> q20 _,
+    "q21_pattern_chain" -> q21 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +439,26 @@ object CoreQueries {
         |FROM events
         |WHERE event_type IN ('signup', 'error')
         |ORDER BY user_id, COALESCE(a_id, b_id)""".stripMargin,
+    "q21_pattern_chain" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+         |c1 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+         |        THEN lpad(CAST(tus AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+         |        OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+         |      FROM e),
+         |c2 AS (SELECT *, min(CASE WHEN event_type = 'view'
+         |        THEN lpad(CAST(tus AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')
+         |             || coalesce(nc, '~') END)
+         |        OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nbc
+         |      FROM c1)
+         |SELECT user_id, event_id AS a_id,
+         |       CAST(substr(nbc, 21, 12) AS BIGINT) AS b_id,
+         |       CAST(substr(nbc, 53, 12) AS BIGINT) AS c_id,
+         |       CAST(substr(nbc, 33, 20) AS BIGINT) - tus AS gap_us
+         |FROM c2
+         |WHERE event_type = 'signup' AND nbc IS NOT NULL AND substr(nbc, 33, 1) != '~'
+         |  AND CAST(substr(nbc, 33, 20) AS BIGINT) - tus <= $Hours24Us
+         |ORDER BY user_id, a_id""".stripMargin,
   )
 }

@@ -114,6 +114,48 @@ object Patterns {
         when(col("_use_prev"), gapP).otherwise(gapN).as("gap"))
   }
 
+  /** Chained sequence pattern `every A -> B -> C within T` (first-match):
+    * for every `typeA` event, the first `typeB` event strictly after it,
+    * then the first `typeC` event strictly after that B, with the whole
+    * chain inside `within` time units of A (Siddhi's `within` spans the
+    * pattern from first to last element). No backtracking: if the first
+    * B's chain overruns the horizon, the instance fails — Siddhi
+    * first-match semantics, and exactly what the streaming twin emits.
+    * Output: (key, a_id, b_id, c_id, gap = tc − ta).
+    *
+    * Same ONE-exchange shape as [[followedBy]]: two window passes over
+    * the identical (key, ts DESC, id DESC) growing frame — pass 1
+    * computes each row's first-following C; pass 2 computes the
+    * first-following B *carrying that B row's pass-1 value* as a
+    * fixed-width min payload. The B seqKey prefix is unique within the
+    * key, so the payload can never influence which B wins the min; '~'
+    * (> any hex/digit) marks a B with no following C. Both passes share
+    * one sort and one hash exchange — no self-join, no extra shuffle.
+    *
+    * Siddhi analog: `from every a=s[type=='A'] -> b=s[type=='B'] ->
+    * c=s[type=='C'] within T`.
+    */
+  def chain(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+            typeCol: String, typeA: String, typeB: String, typeC: String,
+            within: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withC = events.withColumn("_next_c",
+      min(when(col(typeCol) === typeC, seqKey(col(tsCol), col(idCol)))).over(w))
+    val withBC = withC.withColumn("_next_bc",
+      min(when(col(typeCol) === typeB,
+        concat(seqKey(col(tsCol), col(idCol)),
+          coalesce(col("_next_c"), lit("~"))))).over(w))
+    val cTs = substring(col("_next_bc"), TsPad + IdPad + 1, TsPad).cast("long")
+    val cId = substring(col("_next_bc"), 2 * TsPad + IdPad + 1, IdPad).cast("long")
+    withBC.where(col(typeCol) === typeA && col("_next_bc").isNotNull &&
+        substring(col("_next_bc"), TsPad + IdPad + 1, 1) =!= "~" &&
+        cTs - col(tsCol) <= within)
+      .select(col(keyCol), col(idCol).as("a_id"),
+        nextBId(col("_next_bc")).as("b_id"), cId.as("c_id"),
+        (cTs - col(tsCol)).as("gap"))
+  }
+
   /** Logical disjunction pattern `every (a or b)`: the pattern completes
     * on EACH event matching either branch — the arrived branch's variable
     * binds, the other is null; an event matching both branches (typeA ==

@@ -48,6 +48,7 @@ object StreamPatterns {
   case class PatBuf(evs: Seq[PatEvent], frontierUs: Long)
 
   case class SeqMatch(key: Long, a_id: Long, b_id: Long, gap: Long)
+  case class ChainMatch(key: Long, a_id: Long, b_id: Long, c_id: Long, gap: Long)
   case class OrMatch(key: Long, a_id: Option[Long], b_id: Option[Long])
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
@@ -57,6 +58,7 @@ object StreamPatterns {
   implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
   implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
   implicit private val seqEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
+  implicit private val chainEnc: Encoder[ChainMatch] = Encoders.product[ChainMatch]
   implicit private val orEnc: Encoder[OrMatch] = Encoders.product[OrMatch]
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
@@ -134,12 +136,12 @@ object StreamPatterns {
     * B with `ts < wm` and no pending A before it is safely evictable:
     * any future A passes the lateness filter only with `a.ts >= wm > b.ts`
     * and a B never matches an A after it. */
-  private def seqFlush[O](typeA: String, typeB: String, withinUs: Long,
-      emit: (PatEvent, Option[PatEvent]) => Option[O])(
+  private def seqFlush[O](typeA: String, withinUs: Long,
+      emit: (Vector[PatEvent], PatEvent) => Option[O])(
       evs: Vector[PatEvent], frontier: Long, wmUs: Long)
   : (Seq[O], Vector[PatEvent], Option[Long]) = {
     val out = evs.filter(a => a.typ == typeA && a.tsUs + withinUs < wmUs)
-      .flatMap(a => emit(a, firstB(evs, a, typeB, withinUs)))
+      .flatMap(a => emit(evs, a))
     val pendingA = evs.filter(a => a.typ == typeA && a.tsUs + withinUs >= wmUs)
     if (pendingA.isEmpty) {
       val retained = evs.filter(_.tsUs >= wmUs)
@@ -161,8 +163,9 @@ object StreamPatterns {
                  typeCol: String, typeA: String, typeB: String, withinUs: Long,
                  delay: String): Dataset[SeqMatch] =
     runPattern[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
-      seqFlush[SeqMatch](typeA, typeB, withinUs, (a, b) =>
-        b.map(bb => SeqMatch(a.key, a.id, bb.id, bb.tsUs - a.tsUs))))
+      seqFlush[SeqMatch](typeA, withinUs, (evs, a) =>
+        firstB(evs, a, typeB, withinUs).map(bb =>
+          SeqMatch(a.key, a.id, bb.id, bb.tsUs - a.tsUs))))
 
   /** Streaming `A not followed by B within T` — batch twin
     * [[graft.operators.Patterns.absence]]. Output: (key, a_id). The
@@ -172,8 +175,30 @@ object StreamPatterns {
               typeCol: String, typeA: String, typeB: String, withinUs: Long,
               delay: String): Dataset[AbsMatch] =
     runPattern[AbsMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
-      seqFlush[AbsMatch](typeA, typeB, withinUs, (a, b) =>
-        if (b.isEmpty) Some(AbsMatch(a.key, a.id)) else None))
+      seqFlush[AbsMatch](typeA, withinUs, (evs, a) =>
+        if (firstB(evs, a, typeB, withinUs).isEmpty) Some(AbsMatch(a.key, a.id))
+        else None))
+
+  /** Streaming chained sequence `every A -> B -> C within T` (first-match,
+    * whole chain inside the horizon) — batch twin
+    * [[graft.operators.Patterns.chain]]. Output: (key, a_id, b_id, c_id,
+    * gap = tc − ta).
+    *
+    * Shares [[seqFlush]] with followedBy/absence: an A finalizes when
+    * `a.ts + within < watermark` — every B and C the chain could use is
+    * then in the buffer (tb, tc <= ta + within), and the seqFlush
+    * retention already keeps everything at-or-after the earliest pending
+    * A, which covers both hops (B and C are strictly after A). */
+  def chain(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+            typeCol: String, typeA: String, typeB: String, typeC: String,
+            withinUs: Long, delay: String): Dataset[ChainMatch] =
+    runPattern[ChainMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
+      seqFlush[ChainMatch](typeA, withinUs, (evs, a) =>
+        for {
+          b <- firstB(evs, a, typeB, withinUs)
+          c <- evs.find(e => e.typ == typeC && e.tsUs <= a.tsUs + withinUs &&
+            (e.tsUs > b.tsUs || (e.tsUs == b.tsUs && e.id > b.id)))
+        } yield ChainMatch(a.key, a.id, b.id, c.id, c.tsUs - a.tsUs)))
 
   /** Streaming `A and B within T` (nearest B either direction, tie → the
     * earlier B) — batch twin [[graft.operators.Patterns.conjunction]].

@@ -168,6 +168,62 @@ class PatternsSpec extends SparkSpec {
       gotCount.nonEmpty)
   }
 
+  test("chain picks first B after A, then first C after that B, whole chain within T") {
+    import spark.implicits._
+    val e = Seq(
+      // k1: A@10 -> B@12 (first B) -> C@14; C@11 (before B) must NOT bind
+      ("k1", 10L, 1L, "A"), ("k1", 11L, 2L, "C"), ("k1", 12L, 3L, "B"),
+      ("k1", 14L, 4L, "C"),
+      // k2: A@10 -> B@12, but the only C lands past the horizon (20 > 10+8)
+      //     -> no match; the second B can never rescue the chain (any C
+      //     after it is also after the first B, same whole-chain bound)
+      ("k2", 10L, 5L, "A"), ("k2", 12L, 6L, "B"), ("k2", 15L, 7L, "B"),
+      ("k2", 20L, 9L, "C"),
+      // k3: chain completes exactly at the bound (C at ts 18 == 10+8)
+      ("k3", 10L, 10L, "A"), ("k3", 14L, 11L, "B"), ("k3", 18L, 12L, "C"),
+      // k4: B and C at the same ts as A's B — id order decides "after"
+      ("k4", 10L, 13L, "A"), ("k4", 12L, 14L, "B"), ("k4", 12L, 15L, "C"),
+    ).toDF("key", "ts", "id", "type")
+    val out = Patterns.chain(e, "key", "ts", "id", "type", "A", "B", "C", 8L)
+      .orderBy("key").collect().toSeq
+    assert(out == Seq(
+      Row("k1", 1L, 3L, 4L, 4L),
+      Row("k3", 10L, 11L, 12L, 8L),   // inclusive bound
+      Row("k4", 13L, 14L, 15L, 2L)))  // same-ts C after B via id tie-break
+  }
+
+  test("chain matches a brute-force oracle on random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2121)
+    val evs = (1L to 500L).map { id =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(60).toLong, id,
+        Seq("A", "B", "C", "D")(rnd.nextInt(4)))
+    }
+    val df = evs.toDF("key", "ts", "id", "type")
+    val within = 9L
+    case class E(key: String, ts: Long, id: Long, tpe: String)
+    val all = evs.map(E.tupled)
+    def ord(e: E): (Long, Long) = (e.ts, e.id)
+    def firstAfter(base: E, key: String, tpe: String): Option[E] =
+      all.filter(e => e.key == key && e.tpe == tpe &&
+          (e.ts > base.ts || (e.ts == base.ts && e.id > base.id)))
+        .sortBy(ord).headOption
+    val exp = all.filter(_.tpe == "A").flatMap { a =>
+      for {
+        b <- firstAfter(a, a.key, "B")
+        c <- firstAfter(b, a.key, "C") if c.ts - a.ts <= within
+      } yield (a.key, a.id, b.id, c.id, c.ts - a.ts)
+    }.toSet
+    val got = Patterns.chain(df, "key", "ts", "id", "type", "A", "B", "C", within)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(exp.nonEmpty && got === exp)
+    // single keyed exchange: both window passes share one shuffle + sort
+    val plan = Patterns.chain(df, "key", "ts", "id", "type", "A", "B", "C", within)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("disjunction tags the arrived branch; same-type binds the first branch only") {
     val out = Patterns.disjunction(events, "key", "id", "type", "A", "B")
       .orderBy(coalesce(col("a_id"), col("b_id"))).collect().toSeq

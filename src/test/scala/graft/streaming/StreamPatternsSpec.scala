@@ -116,6 +116,15 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && multiset(got) === multiset(want))
   }
 
+  test("chain parity with batch operator") {
+    val got = runStream(src => StreamPatterns.chain(
+      src, "k", "ts", "id", "typ", "signup", "error", "purchase", WindowUs,
+      "0 seconds").toDF, "sp_chain")
+    val want = Patterns.chain(staticDf, "k", "ts_us", "id", "typ",
+      "signup", "error", "purchase", WindowUs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("disjunction parity with batch operator (multiset — stateless twin)") {
     val got = runStreamRows(src => StreamPatterns.disjunction(
       src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
