@@ -348,6 +348,16 @@ object PipelineQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "bin")
 
+  /** p22 — near-dup cluster canonicalization: [[Dedup.nearDupClusters]]
+    * collapses the p7 pair set into duplicate clusters via iterative
+    * min-label connected components (the step that makes LSH dedup
+    * actually deduplicate: transitive dups A~B~C keep exactly one
+    * survivor even though the A~C pair was never emitted). The DuckDB
+    * oracle independently re-derives the components with a recursive
+    * transitive-closure CTE over the same pairs. */
+  private def p22(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(docs(s, dir), Bands, JaccThreshold).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -370,6 +380,7 @@ object PipelineQueries {
     "p19_contamination" -> p19 _,
     "p20_frame_sample" -> p20 _,
     "p21_byte_histogram" -> p21 _,
+    "p22_dedup_clusters" -> p22 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -396,6 +407,22 @@ object PipelineQueries {
        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS sh
        |       FROM w),
        |sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid)""".stripMargin
+
+  /** Shared CTE chain: MinHash band signatures → LSH candidates →
+    * candidate-only shingle intersections (the p7 pipeline up to the
+    * Jaccard verify; p22 reuses it to re-derive the same pair set). */
+  private val LshInterCtes =
+    s"""bands AS (SELECT unnest(${(0 until Bands).map(b => s"'$b'").mkString("[", ", ", "]")}) AS band),
+       |sig AS (SELECT sid, band,
+       |          ${(0 until Dedup.RowsPerBand)
+                    .map(r => s"min(md5(band || '.$r|' || sh))").mkString(" || ")} AS sig
+       |        FROM sh CROSS JOIN bands GROUP BY sid, band),
+       |cand AS (SELECT DISTINCT a.sid AS da, b.sid AS db
+       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.sid < b.sid),
+       |inter AS (SELECT a.sid AS da, b.sid AS db, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.sid < b.sid
+       |          JOIN cand c ON c.da = a.sid AND c.db = b.sid
+       |          GROUP BY 1, 2)""".stripMargin
 
   private def jaccSelect(interCte: String): String =
     s"""SELECT i.da AS doc_a, i.db AS doc_b,
@@ -555,17 +582,7 @@ object PipelineQueries {
          |${jaccSelect("inter")}""".stripMargin,
     "p7_dedup_minhash" ->
       s"""WITH $ShingleCte,
-         |bands AS (SELECT unnest(${(0 until Bands).map(b => s"'$b'").mkString("[", ", ", "]")}) AS band),
-         |sig AS (SELECT sid, band,
-         |          ${(0 until Dedup.RowsPerBand)
-                      .map(r => s"min(md5(band || '.$r|' || sh))").mkString(" || ")} AS sig
-         |        FROM sh CROSS JOIN bands GROUP BY sid, band),
-         |cand AS (SELECT DISTINCT a.sid AS da, b.sid AS db
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.sid < b.sid),
-         |inter AS (SELECT a.sid AS da, b.sid AS db, count(*) AS inter
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.sid < b.sid
-         |          JOIN cand c ON c.da = a.sid AND c.db = b.sid
-         |          GROUP BY 1, 2)
+         |$LshInterCtes
          |${jaccSelect("inter")}""".stripMargin,
     "p8_dedup_simhash" ->
       s"""WITH $SimhashCte
@@ -697,5 +714,23 @@ object PipelineQueries {
         |  CAST(1 + octet_length(encode(text)) % 30 AS BIGINT) AS n_frames,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    "p22_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |$LshInterCtes,
+         |pairs AS (SELECT i.da AS doc_a, i.db AS doc_b
+         |          FROM inter i JOIN sizes sa ON i.da = sa.sid JOIN sizes sb ON i.db = sb.sid
+         |          WHERE CAST(floor(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) >= $JaccThreshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+         |          FROM reach GROUP BY src),
+         |sz AS (SELECT canonical_id, count(*) AS cluster_sz FROM canon GROUP BY canonical_id)
+         |SELECT c.doc_id, c.canonical_id, s.cluster_sz
+         |FROM canon c JOIN sz s USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -217,6 +217,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
   }
 
+  /** Connected components over an undirected pair set — the step that
+    * turns near-dup PAIRS ([[minhashLsh]] output) into duplicate CLUSTERS
+    * so a corpus keeps exactly one canonical doc per group (pairs alone
+    * can't: transitive dups A~B~C must collapse to one survivor even when
+    * A~C was never emitted). Input: (doc_a, doc_b). Output:
+    * (doc_id, canonical_id) for every vertex in a pair; canonical = min
+    * id of the component.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. Each round
+    * is one equi-join (edges ⋈ labels) + one min-aggregation, i.e. two
+    * narrow-long shuffles over the VERTEX set — which at 100 TB is
+    * orders of magnitude smaller than the corpus (only docs that LSH put
+    * in a pair). Rounds = component diameter; near-dup components are
+    * shallow stars around the template doc, so 2–4 rounds in practice,
+    * `maxIters` bounds adversarial chains (the alternating large-star/
+    * small-star algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", is the O(log n)-round upgrade if diameters
+    * ever matter). Per round the label table is `localCheckpoint`ed:
+    * truncating lineage keeps round i from recomputing rounds 1..i−1
+    * (the quadratic-recompute trap of naive iterative DataFrames); the
+    * convergence check is a bounded driver-side count, like the IVF
+    * codebook loop. Nothing registers in the CacheManager.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges
+      .select(col("src").as("doc_id"), least(col("src"), col("dst")).as("label"))
+      .groupBy("doc_id").agg(min("label").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "_old"), "doc_id")
+        .where(col("label") < col("_old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "canonical_id")
+  }
+
+  /** Near-dup clusters end-to-end: [[minhashLsh]] pairs →
+    * [[connectedComponents]] → one row per clustered doc with its
+    * canonical id and cluster size. Output: (doc_id, canonical_id,
+    * cluster_sz). The cluster-size rollup groups on canonical_id — at
+    * most one group per cluster, so the extra aggregation is bounded by
+    * the (small) clustered-vertex set, and AQE broadcasts it back. */
+  def nearDupClusters(docs: DataFrame, bands: Int, thresholdMilli: Int): DataFrame = {
+    val cc = connectedComponents(minhashLsh(docs, bands, thresholdMilli))
+    val sz = cc.groupBy("canonical_id").agg(count(lit(1)).as("cluster_sz"))
+    cc.join(sz, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_sz"))
+  }
+
   /** SimHash bucket dedup: 16-bit simhash per doc, report buckets holding
     * >1 doc. Output: (simhash, dup_cnt, min_doc, max_doc). */
   def simhashBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

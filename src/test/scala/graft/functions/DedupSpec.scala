@@ -62,6 +62,61 @@ class DedupSpec extends SparkSpec {
     assert(rows.count() === Bands.toLong)
   }
 
+  test("connectedComponents: transitive chains, cycles, disjoint components") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain: {1,2,3,4} -> 1
+      (10L, 11L), (11L, 12L), (12L, 10L),    // cycle: {10,11,12} -> 10
+      (20L, 21L),                            // pair
+      (31L, 30L),                            // reversed edge: canonical still 30
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents matches a union-find oracle on a random graph") {
+    val rnd = new scala.util.Random(1313)
+    // 120 vertices, 90 random edges -> mix of singleton-free components,
+    // long chains, and merged clusters
+    val edges = (1 to 90).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter(e => e._1 != e._2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(exp.nonEmpty && got === exp)
+  }
+
+  test("nearDupClusters covers every doc of every LSH pair exactly once") {
+    val pairs = Dedup.minhashLsh(docs, Bands, 800)
+      .as[(Long, Long, Long)].collect()
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusters = Dedup.nearDupClusters(docs, Bands, 800)
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.map(_._1).distinct.length === clusters.length) // one row/doc
+    assert(clusters.map(_._1).toSet === members.toSet)
+    // canonical is the min of its cluster and cluster_sz counts its members
+    val byCanon = clusters.groupBy(_._2)
+    byCanon.foreach { case (canon, rows) =>
+      assert(rows.map(_._1).min === canon)
+      assert(rows.forall(_._3 === rows.length.toLong))
+    }
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()
