@@ -358,6 +358,28 @@ object PipelineQueries {
   private def p22(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(docs(s, dir), Bands, JaccThreshold).orderBy("doc_id")
 
+  /** p23 — corpus token-length distribution per language: doc count,
+    * total tokens, exact discrete p50/p90 token counts. Quantiles come
+    * from [[graft.operators.Distribution.groupedDiscreteQuantiles]] —
+    * the value-histogram formulation whose shuffle carries only
+    * (lang, word_cnt) cells, never documents (the 100 TB shape; a
+    * sort-based percentile would shuffle every row). */
+  private def p23(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val wc =
+      if (s.catalog.functionExists("word_stats"))
+        d.select(col("lang"),
+          call_function("word_stats", col("text")).getField("word_cnt").as("word_cnt"))
+      else d.select(col("lang"),
+        TF.wordCount(TF.words(TF.normText(col("text")))).as("word_cnt"))
+    graft.operators.Distribution
+      .groupedDiscreteQuantiles(wc, "lang", "word_cnt",
+        Seq(("p50_tokens", 1, 2), ("p90_tokens", 9, 10)))
+      .withColumnRenamed("n_rows", "n_docs")
+      .withColumnRenamed("total", "total_tokens")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -381,6 +403,7 @@ object PipelineQueries {
     "p20_frame_sample" -> p20 _,
     "p21_byte_histogram" -> p21 _,
     "p22_dedup_clusters" -> p22 _,
+    "p23_token_dist" -> p23 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -732,5 +755,20 @@ object PipelineQueries {
          |SELECT c.doc_id, c.canonical_id, s.cluster_sz
          |FROM canon c JOIN sz s USING (canonical_id)
          |ORDER BY doc_id""".stripMargin,
+    "p23_token_dist" ->
+      s"""WITH $NormCte,
+         |wc AS (SELECT d.lang, CAST(len(w.ws) AS BIGINT) AS word_cnt
+         |       FROM w JOIN documents d ON w.doc_id = d.doc_id),
+         |h AS (SELECT lang, word_cnt, count(*) AS c FROM wc GROUP BY 1, 2),
+         |x AS (SELECT *,
+         |        sum(c) OVER (PARTITION BY lang ORDER BY word_cnt) AS cum,
+         |        sum(c) OVER (PARTITION BY lang) AS n,
+         |        sum(word_cnt * c) OVER (PARTITION BY lang) AS tot
+         |      FROM h)
+         |SELECT lang, max(n) AS n_docs, max(tot) AS total_tokens,
+         |       min(CASE WHEN cum * 2 >= n * 1 THEN word_cnt END) AS p50_tokens,
+         |       min(CASE WHEN cum * 10 >= n * 9 THEN word_cnt END) AS p90_tokens
+         |FROM x GROUP BY lang
+         |ORDER BY lang""".stripMargin,
   )
 }
