@@ -241,8 +241,13 @@ object Dedup {
     * codebook loop. Nothing registers in the CacheManager.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // checkpoint the edge list ONCE: it is referenced by every round's
+    // join, and without truncation each round would re-derive the whole
+    // upstream pair pipeline (for LSH pairs that is the full shingle +
+    // signature + verify dag — measured 3x the entire query cost)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges
       .select(col("src").as("doc_id"), least(col("src"), col("dst")).as("label"))
       .groupBy("doc_id").agg(min("label").as("label"))
@@ -252,12 +257,15 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("doc_id").agg(min("label").as("label"))
+      // carry each vertex's previous label through the min-aggregation
+      // (prop rows contribute a MaxValue sentinel), so the convergence
+      // probe is a filter over the checkpointed result — no extra join
+      val next = labels.withColumn("_old", col("label"))
+        .unionByName(prop.withColumn("_old", lit(Long.MaxValue)))
+        .groupBy("doc_id").agg(min("label").as("label"), min("_old").as("_old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "_old"), "doc_id")
-        .where(col("label") < col("_old")).isEmpty
-      labels = next
+      converged = next.where(col("label") < col("_old")).isEmpty
+      labels = next.select("doc_id", "label")
       iter += 1
     }
     labels.withColumnRenamed("label", "canonical_id")
