@@ -380,6 +380,20 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  private val TfidfK = 3
+
+  /** p24 — per-document keyword extraction ([[TF.tfidfTopK]]): top-3
+    * words by integer rarity-weighted term frequency (tf·1e6 div df,
+    * lexicographic tie-break). The corpus-curation "what is this
+    * document about" primitive — and the one pipeline op whose shuffle
+    * keys alternate (doc → word → doc), which is exactly the shape AQE +
+    * partial aggregation must keep sub-row-count at scale. */
+  private def p24(s: SparkSession, dir: String): DataFrame =
+    TF.tfidfTopK(
+      docs(s, dir).withColumn("_ws", TF.words(TF.normText(col("text")))),
+      col("_ws"), TfidfK)
+      .orderBy("doc_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -404,6 +418,7 @@ object PipelineQueries {
     "p21_byte_histogram" -> p21 _,
     "p22_dedup_clusters" -> p22 _,
     "p23_token_dist" -> p23 _,
+    "p24_keywords" -> p24 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -770,5 +785,17 @@ object PipelineQueries {
          |       min(CASE WHEN cum * 10 >= n * 9 THEN word_cnt END) AS p90_tokens
          |FROM x GROUP BY lang
          |ORDER BY lang""".stripMargin,
+    "p24_keywords" ->
+      s"""WITH $NormCte,
+         |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM wx GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.word, t.tf, d.df, t.tf * 1000000 // d.df AS score
+         |       FROM tf t JOIN df d ON t.word = d.word),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, word) AS rk FROM sc)
+         |SELECT doc_id, word, tf, df, score, rk
+         |FROM r WHERE rk <= $TfidfK
+         |ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -206,4 +206,35 @@ object TextFunctions {
       (ab, c) => concat(ab, lit(" "), c))
     array_distinct(when(n < 3, array().cast("array<string>")).otherwise(grams))
   }
+
+  /** Per-document keyword extraction: top-`k` words by rarity-weighted
+    * term frequency. `score = tf * 1e6 div df` — tf-idf with a linear
+    * (1/df) inverse-document-frequency, kept in INTEGER arithmetic so any
+    * SQL engine reproduces the ranking bit-for-bit (log-idf reorders only
+    * across documents-frequency decades and would put floats in the hash
+    * compare). Ties break lexicographically. Input must carry `doc_id`
+    * and a words ARRAY column `wsCol`.
+    * Output: (doc_id, word, tf, df, score, rk), rk ∈ [1, k].
+    *
+    * Scale shape: explode → (doc, word) counts with map-side partial
+    * aggregation; document frequencies aggregate the (already tiny)
+    * tf table again on word; the df table is vocab-sized, so the score
+    * join is a plain equi-join (AQE broadcasts it when the vocabulary
+    * fits, degrades to sort-merge when it doesn't — no hard hint); the
+    * final top-k is a per-doc window over k-bounded groups with
+    * doc-cardinality parallelism. Three keyed shuffles total, none of
+    * them row-count-sized after the first partial aggregation. */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, wsCol: Column, k: Int)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(wsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("doc_id", "word", "tf", "df", "score", "rk")
+  }
 }

@@ -373,6 +373,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) === Seq.empty)
   }
 
+  test("tfidfTopK matches a brute-force oracle; empty docs emit nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date date date unique"),
+      (4L, ""),                 // no words -> absent from output
+      (5L, "zz zz zz zz zz"))   // single rare word: fewer rows than k is fine
+    val d = corpus.toDF("doc_id", "text")
+      .withColumn("_ws", TextFunctions.words(TextFunctions.normText(col("text"))))
+    val k = 2
+    val got = TextFunctions.tfidfTopK(d, col("_ws"), k)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+
+    val wordLists = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+    val tf = wordLists.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, o) => (id, w, o.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, rows) => w -> rows.size.toLong }
+    val exp = tf.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      rows.map { case (_, w, t) => (id, w, t, df(w), t * 1000000L / df(w)) }
+        .sortBy { case (_, w, _, _, s) => (-s, w) }
+        .take(k).zipWithIndex
+        .map { case ((i, w, t, dfv, s), rk) => (i, w, t, dfv, s, rk + 1L) }
+    }.toSet
+    assert(got === exp)
+    assert(!got.exists(_._1 == 4L))
+    assert(got.count(_._1 == 5L) === 1)
+  }
+
   test("hash split: deterministic buckets in [0,100), 90/5/5 labels") {
     val df = spark.range(1000).select(col("id").as("doc_id"))
       .select(col("doc_id"), TextFunctions.splitBucket(col("doc_id")).as("bucket"))
