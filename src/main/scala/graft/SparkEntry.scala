@@ -258,6 +258,20 @@ object CoreQueries {
       .withColumnRenamed("gap", "gap_us")
       .orderBy("user_id", "a_id")
 
+  /** Q22 — guarded sequence pattern (Siddhi filters referencing an
+    * earlier binding: `every a=s[signup] -> b=s[purchase and b.value >
+    * a.value] within T`): every signup followed within 12 h by the first
+    * purchase of HIGHER value. Via
+    * [[graft.operators.Patterns.guardedFollowedBy]] — the guard makes
+    * the first-B A-dependent, so this is the within-bounded range-join
+    * shape, not the O(n) window of q13. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.guardedFollowedBy(eventsUs(s, dir),
+      "user_id", "ts_us", "event_id", "event_type", "value",
+      "signup", "purchase", Hours12Us, (av, bv) => bv > av)
+      .withColumnRenamed("gap", "gap_us")
+      .orderBy("user_id", "a_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -280,6 +294,7 @@ object CoreQueries {
     "q19_pattern_count_seq" -> q19 _,
     "q20_pattern_or" -> q20 _,
     "q21_pattern_chain" -> q21 _,
+    "q22_pattern_guard" -> q22 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -460,5 +475,21 @@ object CoreQueries {
          |WHERE event_type = 'signup' AND nbc IS NOT NULL AND substr(nbc, 33, 1) != '~'
          |  AND CAST(substr(nbc, 33, 20) AS BIGINT) - tus <= $Hours24Us
          |ORDER BY user_id, a_id""".stripMargin,
+    "q22_pattern_guard" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus FROM events),
+         |a AS (SELECT user_id, event_id AS a_id, tus AS ta, value AS a_value
+         |      FROM e WHERE event_type = 'signup'),
+         |b AS (SELECT user_id, event_id AS b_id, tus AS tb, value AS b_value
+         |      FROM e WHERE event_type = 'purchase'),
+         |j AS (SELECT a.user_id, a.a_id, a.a_value, a.ta, b.tb, b.b_id
+         |      FROM a JOIN b ON a.user_id = b.user_id
+         |      WHERE (b.tb > a.ta OR (b.tb = a.ta AND b.b_id > a.a_id))
+         |        AND b.tb - a.ta <= $Hours12Us AND b.b_value > a.a_value),
+         |m AS (SELECT user_id, a_id, a_value, ta,
+         |             min(lpad(CAST(tb AS VARCHAR), 20, '0') || lpad(CAST(b_id AS VARCHAR), 12, '0')) AS f
+         |      FROM j GROUP BY 1, 2, 3, 4)
+         |SELECT user_id, a_id, CAST(substr(f, 21, 12) AS BIGINT) AS b_id, a_value,
+         |       CAST(substr(f, 1, 20) AS BIGINT) - ta AS gap_us
+         |FROM m ORDER BY user_id, a_id""".stripMargin,
   )
 }

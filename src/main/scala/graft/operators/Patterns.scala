@@ -156,6 +156,50 @@ object Patterns {
         (cTs - col(tsCol)).as("gap"))
   }
 
+  /** Guarded sequence pattern `every A -> B[guard(a, b)] within T`
+    * (first-match): for every `typeA` event, the earliest following
+    * `typeB` event within the horizon WHOSE GUARD — a predicate over
+    * both bindings' value columns — holds. Siddhi filters routinely
+    * reference earlier bindings (`e2=S[price > e1.price]`); the guard
+    * makes the "first B" A-dependent, which no per-row window aggregate
+    * can express (the window trick of [[followedBy]] needs a row-local
+    * predicate). Output: (key, a_id, b_id, a_value, gap).
+    *
+    * Shape: a within-bounded range join on the key — candidates are
+    * (A, B) pairs with 0 < tb−ta ≤ within (ties on ts resolved by id,
+    * same total order as every detector here) and the guard true, then
+    * one min-aggregation picks the earliest B per A. The time bound
+    * keeps the pair blow-up LOCAL (each A meets only the Bs inside its
+    * horizon, not the key's history), so the join scales with
+    * events × horizon-density, and both sides shuffle once on the key.
+    * This is the honest fallback CEP engines pay for binding-dependent
+    * guards; keep guards off and [[followedBy]] stays O(n).
+    *
+    * Siddhi analog: `from every a=s[type=='A'] ->
+    * b=s[type=='B' and b.value > a.value] within T`.
+    */
+  def guardedFollowedBy(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, typeCol: String, valueCol: String,
+                        typeA: String, typeB: String, within: Long,
+                        guard: (Column, Column) => Column): DataFrame = {
+    val a = events.where(col(typeCol) === typeA).select(
+      col(keyCol).as("_k"), col(tsCol).as("_ta"), col(idCol).as("a_id"),
+      col(valueCol).as("a_value"))
+    val b = events.where(col(typeCol) === typeB).select(
+      col(keyCol).as("_k"), col(tsCol).as("_tb"), col(idCol).as("_b_id"),
+      col(valueCol).as("b_value"))
+    val strictlyAfter = col("_tb") > col("_ta") ||
+      (col("_tb") === col("_ta") && col("_b_id") > col("a_id"))
+    a.join(b, Seq("_k"))
+      .where(strictlyAfter && col("_tb") - col("_ta") <= within &&
+        guard(col("a_value"), col("b_value")))
+      .groupBy(col("_k").as(keyCol), col("a_id"), col("_ta"), col("a_value"))
+      .agg(min(seqKey(col("_tb"), col("_b_id"))).as("_first"))
+      .select(col(keyCol), col("a_id"),
+        nextBId(col("_first")).as("b_id"), col("a_value"),
+        (nextBTs(col("_first")) - col("_ta")).as("gap"))
+  }
+
   /** Logical disjunction pattern `every (a or b)`: the pattern completes
     * on EACH event matching either branch — the arrived branch's variable
     * binds, the other is null; an event matching both branches (typeA ==

@@ -39,8 +39,10 @@ object StreamPatterns {
 
   /** Buffered event: `tsUs` duplicates `eventTime` as epoch µs because all
     * pattern arithmetic is integer µs (bit-compatible with the batch
-    * operators and their oracles). */
-  case class PatEvent(key: Long, tsUs: Long, id: Long, typ: String, eventTime: Timestamp)
+    * operators and their oracles). `v` carries the value column for
+    * guarded patterns (0.0 when the pattern declares none). */
+  case class PatEvent(key: Long, tsUs: Long, id: Long, typ: String,
+                      eventTime: Timestamp, v: Double)
 
   /** Per-key state: the undecided-event buffer + the watermark of the last
     * flush (the emission frontier — only burst needs it, to keep emitted
@@ -49,6 +51,7 @@ object StreamPatterns {
 
   case class SeqMatch(key: Long, a_id: Long, b_id: Long, gap: Long)
   case class ChainMatch(key: Long, a_id: Long, b_id: Long, c_id: Long, gap: Long)
+  case class GuardMatch(key: Long, a_id: Long, b_id: Long, a_value: Double, gap: Long)
   case class OrMatch(key: Long, a_id: Option[Long], b_id: Option[Long])
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
@@ -59,6 +62,7 @@ object StreamPatterns {
   implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
   implicit private val seqEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
   implicit private val chainEnc: Encoder[ChainMatch] = Encoders.product[ChainMatch]
+  implicit private val guardEnc: Encoder[GuardMatch] = Encoders.product[GuardMatch]
   implicit private val orEnc: Encoder[OrMatch] = Encoders.product[OrMatch]
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
@@ -84,7 +88,8 @@ object StreamPatterns {
     * `flush(sortedEvents, frontierUs, watermarkUs)` returns
     * `(emissions, retainedEvents, earliestPendingFinalizeUs)`. */
   private def runPattern[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None)(
+      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None,
+      valueCol: Option[String] = None)(
       flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
   : Dataset[O] = {
     val watermarked = events.select(
@@ -92,7 +97,8 @@ object StreamPatterns {
         unix_micros(col(tsCol)).as("tsUs"),
         col(idCol).cast("long").as("id"),
         col(typeCol).cast("string").as("typ"),
-        col(tsCol).as("eventTime"))
+        col(tsCol).as("eventTime"),
+        valueCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("v"))
       .withWatermark("eventTime", delay)
     val ds = watermarked.as[PatEvent]
     ds.groupByKey(_.key).flatMapGroupsWithState[PatBuf, O](
@@ -178,6 +184,27 @@ object StreamPatterns {
       seqFlush[AbsMatch](typeA, withinUs, (evs, a) =>
         if (firstB(evs, a, typeB, withinUs).isEmpty) Some(AbsMatch(a.key, a.id))
         else None))
+
+  /** Streaming guarded sequence `every A -> B[guard(a.v, b.v)] within T`
+    * (first-match) — batch twin
+    * [[graft.operators.Patterns.guardedFollowedBy]]: the earliest
+    * following B whose guard over both bindings' values holds. Output:
+    * (key, a_id, b_id, a_value, gap). Shares [[seqFlush]] — in the
+    * buffered-scan world the binding-dependent guard costs nothing
+    * extra, unlike the batch side's range join; the A still finalizes at
+    * `a.ts + within < watermark`. */
+  def guardedFollowedBy(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, typeCol: String, valueCol: String,
+                        typeA: String, typeB: String, withinUs: Long,
+                        guard: (Double, Double) => Boolean,
+                        delay: String): Dataset[GuardMatch] =
+    runPattern[GuardMatch](events, keyCol, tsCol, idCol, typeCol, delay,
+        valueCol = Some(valueCol))(
+      seqFlush[GuardMatch](typeA, withinUs, (evs, a) =>
+        evs.find(e => e.typ == typeB && e.tsUs <= a.tsUs + withinUs &&
+            (e.tsUs > a.tsUs || (e.tsUs == a.tsUs && e.id > a.id)) &&
+            guard(a.v, e.v))
+          .map(b => GuardMatch(a.key, a.id, b.id, a.v, b.tsUs - a.tsUs))))
 
   /** Streaming chained sequence `every A -> B -> C within T` (first-match,
     * whole chain inside the horizon) — batch twin

@@ -224,6 +224,45 @@ class PatternsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("guardedFollowedBy picks the first B satisfying the cross-binding guard") {
+    import spark.implicits._
+    val e = Seq(
+      // k1: A(v=10)@10 -> B(v=5)@12 fails guard, B(v=20)@14 binds (not the
+      //     unguarded first B!)
+      ("k1", 10L, 1L, "A", 10.0), ("k1", 12L, 2L, "B", 5.0), ("k1", 14L, 3L, "B", 20.0),
+      // k2: only B fails the guard -> no match
+      ("k2", 10L, 4L, "A", 10.0), ("k2", 12L, 5L, "B", 10.0),
+      // k3: guard ok but outside the horizon
+      ("k3", 10L, 6L, "A", 1.0), ("k3", 20L, 7L, "B", 2.0),
+    ).toDF("key", "ts", "id", "type", "value")
+    val out = Patterns.guardedFollowedBy(e, "key", "ts", "id", "type", "value",
+      "A", "B", 5L, (av, bv) => bv > av).collect().toSeq
+    assert(out === Seq(Row("k1", 1L, 3L, 10.0, 4L)))
+  }
+
+  test("guardedFollowedBy matches a brute-force oracle on random valued events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5151)
+    val evs = (1L to 400L).map { id =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(60).toLong, id,
+        Seq("A", "B")(rnd.nextInt(2)), rnd.nextInt(50).toDouble)
+    }
+    val df = evs.toDF("key", "ts", "id", "type", "value")
+    val within = 8L
+    case class E(key: String, ts: Long, id: Long, tpe: String, v: Double)
+    val all = evs.map(E.tupled)
+    val exp = all.filter(_.tpe == "A").flatMap { a =>
+      all.filter(e => e.key == a.key && e.tpe == "B" && e.v > a.v &&
+          (e.ts > a.ts || (e.ts == a.ts && e.id > a.id)) && e.ts - a.ts <= within)
+        .sortBy(e => (e.ts, e.id)).headOption
+        .map(b => (a.key, a.id, b.id, a.v, b.ts - a.ts))
+    }.toSet
+    val got = Patterns.guardedFollowedBy(df, "key", "ts", "id", "type", "value",
+      "A", "B", within, (av, bv) => bv > av)
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(exp.nonEmpty && got === exp)
+  }
+
   test("disjunction tags the arrived branch; same-type binds the first branch only") {
     val out = Patterns.disjunction(events, "key", "id", "type", "A", "B")
       .orderBy(coalesce(col("a_id"), col("b_id"))).collect().toSeq

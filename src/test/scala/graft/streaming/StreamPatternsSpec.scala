@@ -125,6 +125,19 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("guardedFollowedBy parity with batch operator") {
+    // deterministic value derived from id on BOTH sides (the shared
+    // fixture carries no value column)
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 37) % 100)
+    val got = runStream(src => StreamPatterns.guardedFollowedBy(
+      valued(src), "k", "ts", "id", "typ", "value", "signup", "purchase",
+      WithinUs, (av, bv) => bv > av, "0 seconds").toDF, "sp_guard")
+    val want = Patterns.guardedFollowedBy(valued(staticDf), "k", "ts_us", "id",
+        "typ", "value", "signup", "purchase", WithinUs, (av, bv) => bv > av)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("disjunction parity with batch operator (multiset — stateless twin)") {
     val got = runStreamRows(src => StreamPatterns.disjunction(
       src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
