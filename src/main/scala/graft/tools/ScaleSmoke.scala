@@ -71,6 +71,17 @@ object ScaleSmoke {
         Similarity.lshKnn(embs, col("vec_id") < 20, 3).count())
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
+      time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
+      time("token_quantiles", n) {
+        val wc = docs.select(pmod(col("doc_id"), lit(5)).as("g"),
+          TF.wordCount(TF.words(TF.normText(col("text")))).as("v"))
+        graft.operators.Distribution.groupedDiscreteQuantiles(wc, "g", "v",
+          Seq(("p50", 1, 2), ("p90", 9, 10))).count()
+      }
+      time("tfidf_topk", n) {
+        TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
+          col("_ws"), 3).count()
+      }
     }
     // one-line JSON artifact: seconds + result rows per (family, factor),
     // the recorded scale curve behind the 100 TB sub-quadratic claims
