@@ -137,6 +137,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q21 chain: both window passes share ONE keyed exchange, growing frames only") {
+    val p = plan("q21_pattern_chain")
+    val ex = exchanges(p)
+    assert(ex.count(_.contains("hashpartitioning")) == 1,
+      s"chain should shuffle exactly once on the key:\n${ex.mkString("\n")}")
+    assert(!p.contains("unboundedfollowing$()"),
+      s"chain plans an O(rows²) unbounded-following frame:\n$p")
+  }
+
+  test("q22 guarded sequence: the range join shuffles each side once, partial-aggs the argmin") {
+    val p = plan("q22_pattern_guard")
+    assert(p.contains("partial_min"), s"argmin without map-side combine:\n$p")
+    val ex = exchanges(p)
+    // two inputs onto the key + one for the groupBy(a_id...) argmin; the
+    // ORDER BY range exchange rides on top
+    assert(ex.count(_.contains("hashpartitioning")) <= 3,
+      s"guarded join shuffles too much:\n${ex.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"guard must stay an equi-join on the key:\n$p")
+  }
+
+  test("p23 token quantiles: partial agg collapses rows before any shuffle") {
+    val p = plan("p23_token_dist")
+    assert(p.contains("partial_count"), s"histogram not built map-side:\n$p")
+    assert(!p.contains("SinglePartition"), s"quantiles funnel through one partition:\n$p")
+  }
+
+  test("p24 keywords: partial aggs everywhere, per-doc top-k has no global sort") {
+    val p = plan("p24_keywords")
+    assert(p.contains("partial_count"), s"tf counts not partial-agg'd:\n$p")
+    // the only range exchange is the deterministic ORDER BY of the output
+    assert(exchanges(p).count(_.contains("rangepartitioning")) == 1,
+      s"unexpected global sort:\n${exchanges(p).mkString("\n")}")
+  }
+
   test("scans project only needed columns (embeddings knn reads no extras)") {
     val p = plan("p9_embed_knn")
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
