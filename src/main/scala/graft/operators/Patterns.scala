@@ -165,15 +165,19 @@ object Patterns {
     * can express (the window trick of [[followedBy]] needs a row-local
     * predicate). Output: (key, a_id, b_id, a_value, gap).
     *
-    * Shape: a within-bounded range join on the key — candidates are
-    * (A, B) pairs with 0 < tb−ta ≤ within (ties on ts resolved by id,
-    * same total order as every detector here) and the guard true, then
-    * one min-aggregation picks the earliest B per A. The time bound
-    * keeps the pair blow-up LOCAL (each A meets only the Bs inside its
-    * horizon, not the key's history), so the join scales with
-    * events × horizon-density, and both sides shuffle once on the key.
-    * This is the honest fallback CEP engines pay for binding-dependent
-    * guards; keep guards off and [[followedBy]] stays O(n).
+    * Shape: a TEMPORAL BAND JOIN — time is bucketed into `within`-wide
+    * bands, each B is duplicated into its own and the following band
+    * (any A whose horizon reaches a B lives in one of those two), and
+    * the join runs on (key, band). Candidates are then (A, B) pairs with
+    * 0 < tb−ta ≤ within (ties on ts resolved by id, same total order as
+    * every detector here) and the guard true; one min-aggregation picks
+    * the earliest B per A. Banding is what makes a hot key survive
+    * scale: a plain key join would pair every A with the key's ENTIRE
+    * B history (|A|·|B| before the time filter), while bands bound the
+    * blow-up to each 2·within temporal neighborhood — the pair count
+    * scales with horizon density, not history length. This is the
+    * honest fallback CEP engines pay for binding-dependent guards; keep
+    * guards off and [[followedBy]] stays O(n).
     *
     * Siddhi analog: `from every a=s[type=='A'] ->
     * b=s[type=='B' and b.value > a.value] within T`.
@@ -184,13 +188,20 @@ object Patterns {
                         guard: (Column, Column) => Column): DataFrame = {
     val a = events.where(col(typeCol) === typeA).select(
       col(keyCol).as("_k"), col(tsCol).as("_ta"), col(idCol).as("a_id"),
-      col(valueCol).as("a_value"))
+      col(valueCol).as("a_value"),
+      // integer division: ts/within in doubles would shave mantissa bits
+      // off ns-scale epochs (same non-negative-ts contract as seqKey)
+      expr(s"`$tsCol` div ${within}L").as("_band"))
+    // a B at band p can complete an A from band p or p-1 — emit it into
+    // both, so the equi-join on (_k, _band) sees every reachable pair
     val b = events.where(col(typeCol) === typeB).select(
       col(keyCol).as("_k"), col(tsCol).as("_tb"), col(idCol).as("_b_id"),
-      col(valueCol).as("b_value"))
+      col(valueCol).as("b_value"),
+      explode(array(expr(s"`$tsCol` div ${within}L"),
+        expr(s"`$tsCol` div ${within}L") - 1)).as("_band"))
     val strictlyAfter = col("_tb") > col("_ta") ||
       (col("_tb") === col("_ta") && col("_b_id") > col("a_id"))
-    a.join(b, Seq("_k"))
+    a.join(b, Seq("_k", "_band"))
       .where(strictlyAfter && col("_tb") - col("_ta") <= within &&
         guard(col("a_value"), col("b_value")))
       .groupBy(col("_k").as(keyCol), col("a_id"), col("_ta"), col("a_value"))
