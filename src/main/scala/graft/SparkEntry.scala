@@ -272,6 +272,18 @@ object CoreQueries {
       .withColumnRenamed("gap", "gap_us")
       .orderBy("user_id", "a_id")
 
+  /** Q23 — sliding length window (Siddhi `s[purchase]#window.length(5)`):
+    * at every purchase, count + decimal-exact sum of its user's last 5
+    * purchase values. Via [[graft.operators.Patterns.lengthWindow]] —
+    * one keyed exchange, one trailing ROWS frame; the count-based member
+    * of the window family. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.lengthWindow(
+      eventsUs(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_us", "event_id", "value", 5)
+      .withColumnRenamed("id", "event_id")
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -295,6 +307,7 @@ object CoreQueries {
     "q20_pattern_or" -> q20 _,
     "q21_pattern_chain" -> q21 _,
     "q22_pattern_guard" -> q22 _,
+    "q23_length_window" -> q23 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -491,5 +504,14 @@ object CoreQueries {
          |SELECT user_id, a_id, CAST(substr(f, 21, 12) AS BIGINT) AS b_id, a_value,
          |       CAST(substr(f, 1, 20) AS BIGINT) - ta AS gap_us
          |FROM m ORDER BY user_id, a_id""".stripMargin,
+    "q23_length_window" ->
+      """SELECT user_id, event_id,
+        |       count(*) OVER w AS win_cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS win_sum
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -276,6 +276,31 @@ object Patterns {
       .select(col(keyCol), col(idCol).as("b_id"), col("_a_cnt").as("a_cnt"))
   }
 
+  /** Sliding LENGTH window `s#window.length(n)` — the count-based member
+    * of Siddhi's window family (time → [[burst]], timeBatch → batch
+    * rollup, session → [[sessionize]]): at every event, an aggregate
+    * over the last `n` events of its key (this one inclusive),
+    * regardless of how far apart they are in time.
+    * Output: (key, id, win_cnt, win_sum) with win_cnt <= n ramping up at
+    * the key's start and win_sum the DECIMAL-exact trailing sum exposed
+    * as double (float summation order would diverge between engines).
+    *
+    * One keyed exchange + one trailing ROWS frame (incremental, O(rows));
+    * the streaming twin's state is bounded by n events per key — the
+    * only detector whose state does not depend on time at all.
+    *
+    * Siddhi analog: `from s[type=='X']#window.length(n)
+    * select sum(value)`. */
+  def lengthWindow(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   valueCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(n - 1), 0)
+    events
+      .withColumn("win_cnt", count(lit(1)).over(w))
+      .withColumn("win_sum", sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col(keyCol), col(idCol).as("id"), col("win_cnt"), col("win_sum"))
+  }
+
   /** Session windows: consecutive same-key events merge while the gap to
     * the previous event is <= `gap`; emits one row per session.
     * Output: (key, session_start, n_events) — the start is min(ts)

@@ -52,6 +52,7 @@ object StreamPatterns {
   case class SeqMatch(key: Long, a_id: Long, b_id: Long, gap: Long)
   case class ChainMatch(key: Long, a_id: Long, b_id: Long, c_id: Long, gap: Long)
   case class GuardMatch(key: Long, a_id: Long, b_id: Long, a_value: Double, gap: Long)
+  case class LenWinMatch(key: Long, id: Long, win_cnt: Long, win_sum: Double)
   case class OrMatch(key: Long, a_id: Option[Long], b_id: Option[Long])
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
@@ -63,6 +64,7 @@ object StreamPatterns {
   implicit private val seqEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
   implicit private val chainEnc: Encoder[ChainMatch] = Encoders.product[ChainMatch]
   implicit private val guardEnc: Encoder[GuardMatch] = Encoders.product[GuardMatch]
+  implicit private val lenWinEnc: Encoder[LenWinMatch] = Encoders.product[LenWinMatch]
   implicit private val orEnc: Encoder[OrMatch] = Encoders.product[OrMatch]
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
@@ -358,6 +360,51 @@ object StreamPatterns {
     runPattern[CountSeqMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
       trailingCountFlush[CountSeqMatch](typeA, typeB, withinUs, minCount,
         (b, cnt) => CountSeqMatch(b.key, b.id, cnt)))
+
+  /** Streaming sliding length window — batch twin
+    * [[graft.operators.Patterns.lengthWindow]]: at every event, count +
+    * DECIMAL-exact sum over the last `n` events of its key. An event
+    * finalizes when the watermark strictly passes its ts (its trailing
+    * window looks only backward in the (ts, id) total order, and a peer
+    * at the same ts could still arrive while wm <= ts).
+    *
+    * State is bounded by `n` events per key and NEVER expires by time —
+    * a count-based window reaches arbitrarily far back (an event
+    * arriving years later still counts its key's previous n−1 events),
+    * so retention keeps the last n−1 finalized events as permanent
+    * context plus everything pending. Eviction is safe: a dropped event
+    * always has ≥ n−1 buffered events after it, and any future arrival
+    * sorts after all of them (arrival.ts >= wm > finalized ts), so the
+    * dropped event can never re-enter a window. */
+  def lengthWindow(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   valueCol: String, n: Int, delay: String,
+                   onlyType: (String, String) = null): Dataset[LenWinMatch] = {
+    // a type restriction ("window over s[type=='X']") must ride
+    // runPattern's onlyType (filtered INSIDE the stateful function): a
+    // DataFrame filter before the watermark would stall it on the
+    // filtered stream — see the runPattern contract
+    val (typeColName, tagged) = Option(onlyType) match {
+      case Some((tc, _)) => (tc, events)
+      case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
+    }
+    runPattern[LenWinMatch](tagged, keyCol, tsCol, idCol, typeColName,
+        delay = delay, onlyType = Option(onlyType).map(_._2),
+        valueCol = Some(valueCol)) { (evs, frontier, wmUs) =>
+      val out = evs.zipWithIndex
+        .filter { case (e, _) => e.tsUs < wmUs && e.tsUs >= frontier }
+        .map { case (e, i) =>
+          val win = evs.slice(math.max(0, i - (n - 1)), i + 1)
+          val sum = win.map(x => BigDecimal(x.v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          LenWinMatch(e.key, e.id, win.size.toLong, sum.toDouble)
+        }
+      val pendingIdx = evs.indexWhere(_.tsUs >= wmUs)
+      val retained =
+        if (pendingIdx < 0) evs.takeRight(n - 1)
+        else evs.slice(math.max(0, pendingIdx - (n - 1)), evs.size)
+      val wake = if (pendingIdx < 0) None else Some(evs(pendingIdx).tsUs)
+      (out, retained, wake)
+    }
+  }
 
   /** Streaming session windows — batch twin
     * [[graft.operators.Patterns.sessionize]]: consecutive same-key events

@@ -263,6 +263,23 @@ class PatternsSpec extends SparkSpec {
     assert(exp.nonEmpty && got === exp)
   }
 
+  test("lengthWindow: trailing n-event count/sum, ramp-up at key start, exact decimals") {
+    import spark.implicits._
+    val e = Seq(
+      ("k1", 10L, 1L, 0.1), ("k1", 20L, 2L, 0.2), ("k1", 30L, 3L, 0.3),
+      ("k1", 40L, 4L, 0.4),
+      ("k2", 10L, 5L, 1.5),
+    ).toDF("key", "ts", "id", "value")
+    val out = Patterns.lengthWindow(e, "key", "ts", "id", "value", 3)
+      .orderBy("key", "id").collect().toSeq
+    assert(out === Seq(
+      Row("k1", 1L, 1L, 0.1),
+      Row("k1", 2L, 2L, 0.3),                 // 0.1+0.2 exact via decimal
+      Row("k1", 3L, 3L, 0.6),
+      Row("k1", 4L, 3L, 0.9),                 // window slid: 0.2+0.3+0.4
+      Row("k2", 5L, 1L, 1.5)))
+  }
+
   test("disjunction tags the arrived branch; same-type binds the first branch only") {
     val out = Patterns.disjunction(events, "key", "id", "type", "A", "B")
       .orderBy(coalesce(col("a_id"), col("b_id"))).collect().toSeq

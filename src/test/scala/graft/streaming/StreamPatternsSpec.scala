@@ -138,6 +138,18 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("lengthWindow parity with batch operator (n-bounded state, time-free context)") {
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+    val got = runStream(src => StreamPatterns.lengthWindow(
+      valued(src), "k", "ts", "id", "value", 5, "0 seconds",
+      onlyType = ("typ", "purchase")).toDF, "sp_lenwin")
+    val want = Patterns.lengthWindow(
+      valued(staticDf).where(col("typ") === "purchase"),
+      "k", "ts_us", "id", "value", 5)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("disjunction parity with batch operator (multiset — stateless twin)") {
     val got = runStreamRows(src => StreamPatterns.disjunction(
       src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
