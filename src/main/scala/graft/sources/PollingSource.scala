@@ -105,10 +105,21 @@ class CdcTable(schema: StructType, opts: CdcOptions) extends Table with Supports
   *     on numerics/booleans/dates are fully handed off.
   */
 class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
-  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownLimit {
 
   private var readSchema: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** Limit pushdown (`SupportsPushDownLimit`): each partition's JDBC
+    * SELECT carries the limit, so a `df.limit(n)` snapshot probe stops
+    * the DB scan after n rows per partition instead of shipping the
+    * table. Partial by construction (ranges are parallel), so Spark
+    * keeps its global limit on top. Batch-only: the micro-batch stream
+    * ignores it (a limit under streaming has no stable semantics). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
@@ -123,18 +134,19 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
 
   override def build(): Scan =
     new CdcScan(schema, readSchema, opts,
-      pushed.flatMap(f => Jdbc.compileFilter(f, schema)))
+      pushed.flatMap(f => Jdbc.compileFilter(f, schema)), limit)
 }
 
 class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
-              where: Array[String]) extends Scan {
+              where: Array[String], limit: Int = -1) extends Scan {
   override def readSchema(): StructType = pruned
   override def description(): String =
     s"cdc:${opts.table} cols=[${pruned.fieldNames.mkString(",")}]" +
-      (if (where.isEmpty) "" else s" pushed=[${where.mkString(" AND ")}]")
+      (if (where.isEmpty) "" else s" pushed=[${where.mkString(" AND ")}]") +
+      (if (limit < 0) "" else s" limit=$limit")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(fullSchema, pruned, opts, where)
-  override def toBatch: Batch = new CdcBatch(fullSchema, pruned, opts, where)
+  override def toBatch: Batch = new CdcBatch(fullSchema, pruned, opts, where, limit)
 }
 
 /** Offset = largest polling-column value emitted; serialized as
@@ -298,7 +310,7 @@ class CdcMicroBatchStream(fullSchema: StructType, readSchema: StructType,
   * columns (or numpartitions=1) fall back to a single full scan — the
   * micro-batch delta path, not the snapshot, is the string-offset route. */
 class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
-               where: Array[String]) extends Batch {
+               where: Array[String], limit: Int = -1) extends Batch {
   private val pollingCol = opts.pollingColumn.map(_.toLowerCase).getOrElse("")
 
   private def numericPoll: Boolean =
@@ -342,7 +354,8 @@ class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(Jdbc.connectionSpec(opts), opts.table, pollingCol, readSchema, where)
+    CdcReaderFactory(Jdbc.connectionSpec(opts), opts.table, pollingCol, readSchema,
+      where, if (limit < 0) None else Some((limit, Jdbc.limitClause(opts.url, limit))))
 }
 
 /** (loExclusive, hiInclusive] range on the polling column; an absent bound
@@ -354,11 +367,12 @@ case class CdcInputPartition(lo: Option[String], hi: Option[String], numeric: Bo
 
 case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
                             pollingCol: String, schema: StructType,
-                            where: Array[String] = Array.empty)
+                            where: Array[String] = Array.empty,
+                            limit: Option[(Int, String)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(conn, table, pollingCol, schema,
-      partition.asInstanceOf[CdcInputPartition], where)
+      partition.asInstanceOf[CdcInputPartition], where, limit)
 }
 
 /** Executor-side JDBC range reader: the vendor executes the range
@@ -366,7 +380,8 @@ case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
   * only the pruned columns — the narrowest query the plan allows. */
 class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: String,
                          schema: StructType, part: CdcInputPartition,
-                         pushedWhere: Array[String] = Array.empty)
+                         pushedWhere: Array[String] = Array.empty,
+                         limit: Option[(Int, String)] = None)
   extends PartitionReader[InternalRow] {
 
   private var conn: Connection = _
@@ -389,7 +404,8 @@ class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: S
     }
     val conj = rangeWhere ++ pushedWhere
     val where = if (conj.isEmpty) "" else conj.mkString(" WHERE ", " AND ", "")
-    val sql = s"SELECT $cols FROM $table$where"
+    val sql = s"SELECT $cols FROM $table$where" +
+      limit.map { case (_, clause) => s" $clause" }.getOrElse("")
     Jdbc.IssuedSql.add(sql)
     val ps = conn.prepareStatement(sql)
     binds.zipWithIndex.foreach { case (b, i) =>
@@ -465,6 +481,15 @@ object Jdbc {
   /** Bounded ring of the most recent reader SELECT statements — cheap
     * always-on diagnostics (the SQL actually issued to the vendor), and
     * what PollingSourceSpec asserts pushdown against. */
+  /** Vendor limit clause: ANSI `FETCH FIRST n ROWS ONLY` (Derby, Postgres,
+    * Oracle 12c+, MSSQL 2012+ all accept it) with the `LIMIT n` spelling
+    * for the vendors that never adopted ANSI fetch — the same tiny
+    * URL-dispatch the config compiler uses for connector classes. */
+  def limitClause(url: String, n: Int): String =
+    if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:") ||
+        url.startsWith("jdbc:sqlite:")) s"LIMIT $n"
+    else s"FETCH FIRST $n ROWS ONLY"
+
   private[graft] object IssuedSql {
     private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def add(sql: String): Unit = { q.add(sql); while (q.size > 64) q.poll() }

@@ -267,6 +267,25 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushdown: a batch limit reaches the vendor SQL (per-partition, Spark keeps the global cut)") {
+    withDb("db_pushl") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE PUSHL (ID INT NOT NULL, NAME VARCHAR(32))")
+      val ins = conn.prepareStatement("INSERT INTO PUSHL VALUES (?, ?)")
+      (1 to 50).foreach { i => ins.setInt(1, i); ins.setString(2, s"r$i"); ins.executeUpdate() }
+      Jdbc.IssuedSql.clear()
+      val df = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHL").option("polling.column", "id")
+        .option("numpartitions", "4").load()
+        .limit(7)
+      assert(df.count() === 7) // partial pushdown: Spark's limit still applies
+      val issued = Jdbc.IssuedSql.recent.filter(_.contains("PUSHL"))
+      assert(issued.nonEmpty)
+      // every partition's scan stops at 7 rows inside the database
+      issued.foreach(s => assert(s.contains("FETCH FIRST 7 ROWS ONLY"), s))
+    }
+  }
+
   test("batch snapshot range-partitions on the polling column; rows identical to single scan") {
     withDb("db_rsnap") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE RSNAP (ID INT NOT NULL, NAME VARCHAR(32))")
