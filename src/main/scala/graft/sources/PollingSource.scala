@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count => AggCount, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -106,11 +107,63 @@ class CdcTable(schema: StructType, opts: CdcOptions) extends Table with Supports
   */
 class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var readSchema: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSelect: Option[(String, String)] = None // (select list, GROUP BY clause)
+  private var aggSchema: Option[StructType] = None
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`): MIN/MAX/COUNT —
+    * optionally grouped — run INSIDE the database, per range partition,
+    * and each partition ships back one row per group instead of its
+    * rows. The reference already trusts the DB with exactly this shape
+    * for its offset bootstrap (`SELECT MAX(pollingColumn)`,
+    * `DefaultPollingStrategy.java:115`); this generalizes it to user
+    * queries over the snapshot. Always PARTIAL (`supportCompletePushDown`
+    * = false): Spark merges the per-partition partials (max of maxes,
+    * sum of counts), which is exactly correct over the parallel ranges.
+    * MIN/MAX on strings are NOT pushed — vendor collations order text
+    * differently than Spark (same caution as the filter residuals);
+    * COUNT is collation-free and always safe. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.length == 1 =>
+          val n = f.fieldNames.head.toLowerCase
+          if (schema.fieldNames.contains(n)) Some(n) else None
+        case _ => None
+      }
+    def rangeSafe(c: String): Boolean = schema(c).dataType match {
+      case StringType | BinaryType => false // vendor collation order
+      case _ => true
+    }
+    val groups = agg.groupByExpressions.toSeq.map(colName)
+    if (groups.exists(_.isEmpty)) return false
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case m: AggMax => colName(m.column).filter(rangeSafe)
+        .map(c => (s"MAX($c)", schema(c).dataType))
+      case m: AggMin => colName(m.column).filter(rangeSafe)
+        .map(c => (s"MIN($c)", schema(c).dataType))
+      case _: CountStar => Some(("COUNT(*)", LongType: DataType))
+      case c: AggCount if !c.isDistinct =>
+        colName(c.column).map(n => (s"COUNT($n)", LongType: DataType))
+      case _ => None
+    }
+    if (aggs.isEmpty || aggs.exists(_.isEmpty)) return false
+    val gcols = groups.map(_.get)
+    aggSchema = Some(StructType(
+      gcols.map(c => StructField(c, schema(c).dataType)) ++
+        aggs.map(_.get).zipWithIndex.map { case ((_, dt), i) => StructField(s"agg_$i", dt) }))
+    aggSelect = Some((
+      (gcols ++ aggs.map(_.get._1)).mkString(", "),
+      if (gcols.isEmpty) "" else gcols.mkString(" GROUP BY ", ", ", "")))
+    true
+  }
 
   /** Limit pushdown (`SupportsPushDownLimit`): each partition's JDBC
     * SELECT carries the limit, so a `df.limit(n)` snapshot probe stops
@@ -133,20 +186,22 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new CdcScan(schema, readSchema, opts,
-      pushed.flatMap(f => Jdbc.compileFilter(f, schema)), limit)
+    new CdcScan(schema, aggSchema.getOrElse(readSchema), opts,
+      pushed.flatMap(f => Jdbc.compileFilter(f, schema)), limit, aggSelect)
 }
 
 class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
-              where: Array[String], limit: Int = -1) extends Scan {
+              where: Array[String], limit: Int = -1,
+              aggSelect: Option[(String, String)] = None) extends Scan {
   override def readSchema(): StructType = pruned
   override def description(): String =
     s"cdc:${opts.table} cols=[${pruned.fieldNames.mkString(",")}]" +
       (if (where.isEmpty) "" else s" pushed=[${where.mkString(" AND ")}]") +
-      (if (limit < 0) "" else s" limit=$limit")
+      (if (limit < 0) "" else s" limit=$limit") +
+      aggSelect.map(a => s" agg=[${a._1}]").getOrElse("")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(fullSchema, pruned, opts, where)
-  override def toBatch: Batch = new CdcBatch(fullSchema, pruned, opts, where, limit)
+  override def toBatch: Batch = new CdcBatch(fullSchema, pruned, opts, where, limit, aggSelect)
 }
 
 /** Offset = largest polling-column value emitted; serialized as
@@ -310,7 +365,8 @@ class CdcMicroBatchStream(fullSchema: StructType, readSchema: StructType,
   * columns (or numpartitions=1) fall back to a single full scan — the
   * micro-batch delta path, not the snapshot, is the string-offset route. */
 class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
-               where: Array[String], limit: Int = -1) extends Batch {
+               where: Array[String], limit: Int = -1,
+               aggSelect: Option[(String, String)] = None) extends Batch {
   private val pollingCol = opts.pollingColumn.map(_.toLowerCase).getOrElse("")
 
   private def numericPoll: Boolean =
@@ -355,7 +411,12 @@ class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CdcReaderFactory(Jdbc.connectionSpec(opts), opts.table, pollingCol, readSchema,
-      where, if (limit < 0) None else Some((limit, Jdbc.limitClause(opts.url, limit))))
+      where,
+      // limit and aggregation never co-occur (Spark pushes one or the
+      // other); drop the limit clause defensively when both appear
+      if (limit < 0 || aggSelect.nonEmpty) None
+      else Some((limit, Jdbc.limitClause(opts.url, limit))),
+      aggSelect)
 }
 
 /** (loExclusive, hiInclusive] range on the polling column; an absent bound
@@ -368,11 +429,12 @@ case class CdcInputPartition(lo: Option[String], hi: Option[String], numeric: Bo
 case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
                             pollingCol: String, schema: StructType,
                             where: Array[String] = Array.empty,
-                            limit: Option[(Int, String)] = None)
+                            limit: Option[(Int, String)] = None,
+                            aggSelect: Option[(String, String)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(conn, table, pollingCol, schema,
-      partition.asInstanceOf[CdcInputPartition], where, limit)
+      partition.asInstanceOf[CdcInputPartition], where, limit, aggSelect)
 }
 
 /** Executor-side JDBC range reader: the vendor executes the range
@@ -381,7 +443,8 @@ case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
 class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: String,
                          schema: StructType, part: CdcInputPartition,
                          pushedWhere: Array[String] = Array.empty,
-                         limit: Option[(Int, String)] = None)
+                         limit: Option[(Int, String)] = None,
+                         aggSelect: Option[(String, String)] = None)
   extends PartitionReader[InternalRow] {
 
   private var conn: Connection = _
@@ -404,8 +467,11 @@ class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: S
     }
     val conj = rangeWhere ++ pushedWhere
     val where = if (conj.isEmpty) "" else conj.mkString(" WHERE ", " AND ", "")
-    val sql = s"SELECT $cols FROM $table$where" +
-      limit.map { case (_, clause) => s" $clause" }.getOrElse("")
+    val sql = aggSelect match {
+      case Some((sel, groupBy)) => s"SELECT $sel FROM $table$where$groupBy"
+      case None => s"SELECT $cols FROM $table$where" +
+        limit.map { case (_, clause) => s" $clause" }.getOrElse("")
+    }
     Jdbc.IssuedSql.add(sql)
     val ps = conn.prepareStatement(sql)
     binds.zipWithIndex.foreach { case (b, i) =>

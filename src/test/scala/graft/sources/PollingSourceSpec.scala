@@ -286,6 +286,46 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushdown: grouped MIN/MAX/COUNT aggregates run inside the database (partial merge)") {
+    withDb("db_pusha") { (url, conn) =>
+      conn.createStatement().execute(
+        "CREATE TABLE PUSHA (ID INT NOT NULL, GRP VARCHAR(8), V DOUBLE)")
+      conn.createStatement().execute(
+        "INSERT INTO PUSHA VALUES (1,'a',1.5), (2,'a',2.5), (3,'b',0.5), (4,'b',9.5), (5,'b',4.0)")
+      def read(parts: Int) = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHA").option("polling.column", "id")
+        .option("numpartitions", parts.toString).load()
+      Jdbc.IssuedSql.clear()
+      // grouped agg across 3 range partitions: partial per partition,
+      // Spark merges (max of maxes, sum of counts)
+      val df = read(3).groupBy("grp")
+        .agg(org.apache.spark.sql.functions.count("*").as("cnt"),
+          org.apache.spark.sql.functions.max("v").as("mx"),
+          org.apache.spark.sql.functions.min("id").as("mn"))
+        .orderBy("grp")
+      assert(df.collect().map(_.toSeq).toSeq ===
+        Seq(Seq("a", 2L, 2.5, 1), Seq("b", 3L, 9.5, 3)))
+      val issued = Jdbc.IssuedSql.recent.filter(_.contains("PUSHA"))
+      assert(issued.nonEmpty)
+      issued.foreach { s =>
+        assert(s.contains("COUNT(*)") && s.contains("MAX(v)") && s.contains("MIN(id)"), s)
+        assert(s.contains("GROUP BY grp"), s)
+      }
+      // ungrouped global MAX: the reference's offset-bootstrap shape
+      Jdbc.IssuedSql.clear()
+      val mx = read(3).agg(org.apache.spark.sql.functions.max("id")).collect()
+      assert(mx.head.getInt(0) === 5)
+      assert(Jdbc.IssuedSql.recent.filter(_.contains("PUSHA")).forall(_.contains("MAX(id)")))
+      // MAX over a string column must NOT be pushed (vendor collation):
+      // the issued SQL stays a plain row scan
+      Jdbc.IssuedSql.clear()
+      val sm = read(1).agg(org.apache.spark.sql.functions.max("grp")).collect()
+      assert(sm.head.getString(0) === "b")
+      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHA")).exists(_.contains("MAX(grp)")))
+    }
+  }
+
   test("batch snapshot range-partitions on the polling column; rows identical to single scan") {
     withDb("db_rsnap") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE RSNAP (ID INT NOT NULL, NAME VARCHAR(32))")
