@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count => AggCount, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -107,13 +108,15 @@ class CdcTable(schema: StructType, opts: CdcOptions) extends Table with Supports
   */
 class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownLimit with SupportsPushDownAggregates {
+  with SupportsPushDownLimit with SupportsPushDownTopN
+  with SupportsPushDownAggregates {
 
   private var readSchema: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggSelect: Option[(String, String)] = None // (select list, GROUP BY clause)
   private var aggSchema: Option[StructType] = None
+  private var topN: Option[(String, Int)] = None // (ORDER BY clause, n)
 
   /** Aggregate pushdown (`SupportsPushDownAggregates`): MIN/MAX/COUNT —
     * optionally grouped — run INSIDE the database, per range partition,
@@ -174,6 +177,38 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Top-N pushdown (`SupportsPushDownTopN`): an ORDER BY + LIMIT probe
+    * ("latest n rows by id") becomes a per-partition `ORDER BY ... FETCH
+    * FIRST n` — the DB walks its index instead of shipping the
+    * partition. Partial like the limit (Spark merges and re-sorts the
+    * per-partition top-Ns). String sort keys are refused for the same
+    * vendor-collation reason as filter residuals and MIN/MAX. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val compiled = orders.toSeq.map { so =>
+      so.expression() match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.length == 1 =>
+          val c = f.fieldNames.head.toLowerCase
+          val sortSafe = schema.fieldNames.contains(c) &&
+            (schema(c).dataType match {
+              case StringType | BinaryType => false
+              case _ => true
+            })
+          if (!sortSafe) None
+          else {
+            val dir = if (so.direction == SortDirection.ASCENDING) "ASC" else "DESC"
+            val nulls = if (so.nullOrdering == NullOrdering.NULLS_FIRST) "NULLS FIRST"
+                        else "NULLS LAST"
+            Some(s"$c $dir $nulls")
+          }
+        case _ => None
+      }
+    }
+    if (compiled.isEmpty || compiled.exists(_.isEmpty)) return false
+    topN = Some((compiled.map(_.get).mkString(" ORDER BY ", ", ", ""), n))
+    true
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
 
@@ -187,21 +222,24 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
 
   override def build(): Scan =
     new CdcScan(schema, aggSchema.getOrElse(readSchema), opts,
-      pushed.flatMap(f => Jdbc.compileFilter(f, schema)), limit, aggSelect)
+      pushed.flatMap(f => Jdbc.compileFilter(f, schema)), limit, aggSelect, topN)
 }
 
 class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
               where: Array[String], limit: Int = -1,
-              aggSelect: Option[(String, String)] = None) extends Scan {
+              aggSelect: Option[(String, String)] = None,
+              topN: Option[(String, Int)] = None) extends Scan {
   override def readSchema(): StructType = pruned
   override def description(): String =
     s"cdc:${opts.table} cols=[${pruned.fieldNames.mkString(",")}]" +
       (if (where.isEmpty) "" else s" pushed=[${where.mkString(" AND ")}]") +
       (if (limit < 0) "" else s" limit=$limit") +
-      aggSelect.map(a => s" agg=[${a._1}]").getOrElse("")
+      aggSelect.map(a => s" agg=[${a._1}]").getOrElse("") +
+      topN.map(t => s" topN=[${t._1.trim} n=${t._2}]").getOrElse("")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(fullSchema, pruned, opts, where)
-  override def toBatch: Batch = new CdcBatch(fullSchema, pruned, opts, where, limit, aggSelect)
+  override def toBatch: Batch =
+    new CdcBatch(fullSchema, pruned, opts, where, limit, aggSelect, topN)
 }
 
 /** Offset = largest polling-column value emitted; serialized as
@@ -366,7 +404,8 @@ class CdcMicroBatchStream(fullSchema: StructType, readSchema: StructType,
   * micro-batch delta path, not the snapshot, is the string-offset route. */
 class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
                where: Array[String], limit: Int = -1,
-               aggSelect: Option[(String, String)] = None) extends Batch {
+               aggSelect: Option[(String, String)] = None,
+               topN: Option[(String, Int)] = None) extends Batch {
   private val pollingCol = opts.pollingColumn.map(_.toLowerCase).getOrElse("")
 
   private def numericPoll: Boolean =
@@ -409,14 +448,19 @@ class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // topN subsumes limit; aggregation excludes both (Spark pushes one
+    // shape per scan — guard defensively anyway)
+    val orderAndLimit = (topN, limit) match {
+      case _ if aggSelect.nonEmpty => None
+      case (Some((orderBy, n)), _) =>
+        Some((orderBy, Jdbc.limitClause(opts.url, n)))
+      case (None, l) if l >= 0 => Some(("", Jdbc.limitClause(opts.url, l)))
+      case _ => None
+    }
     CdcReaderFactory(Jdbc.connectionSpec(opts), opts.table, pollingCol, readSchema,
-      where,
-      // limit and aggregation never co-occur (Spark pushes one or the
-      // other); drop the limit clause defensively when both appear
-      if (limit < 0 || aggSelect.nonEmpty) None
-      else Some((limit, Jdbc.limitClause(opts.url, limit))),
-      aggSelect)
+      where, orderAndLimit, aggSelect)
+  }
 }
 
 /** (loExclusive, hiInclusive] range on the polling column; an absent bound
@@ -429,7 +473,7 @@ case class CdcInputPartition(lo: Option[String], hi: Option[String], numeric: Bo
 case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
                             pollingCol: String, schema: StructType,
                             where: Array[String] = Array.empty,
-                            limit: Option[(Int, String)] = None,
+                            limit: Option[(String, String)] = None,
                             aggSelect: Option[(String, String)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -443,7 +487,7 @@ case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
 class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: String,
                          schema: StructType, part: CdcInputPartition,
                          pushedWhere: Array[String] = Array.empty,
-                         limit: Option[(Int, String)] = None,
+                         limit: Option[(String, String)] = None,
                          aggSelect: Option[(String, String)] = None)
   extends PartitionReader[InternalRow] {
 
@@ -470,7 +514,7 @@ class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: S
     val sql = aggSelect match {
       case Some((sel, groupBy)) => s"SELECT $sel FROM $table$where$groupBy"
       case None => s"SELECT $cols FROM $table$where" +
-        limit.map { case (_, clause) => s" $clause" }.getOrElse("")
+        limit.map { case (orderBy, clause) => s"$orderBy $clause" }.getOrElse("")
     }
     Jdbc.IssuedSql.add(sql)
     val ps = conn.prepareStatement(sql)

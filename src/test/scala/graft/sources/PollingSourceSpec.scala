@@ -326,6 +326,35 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushdown: ORDER BY + LIMIT becomes a per-partition DB-side top-N") {
+    withDb("db_pushn") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE PUSHN (ID INT NOT NULL, NAME VARCHAR(32))")
+      val ins = conn.prepareStatement("INSERT INTO PUSHN VALUES (?, ?)")
+      (1 to 30).foreach { i => ins.setInt(1, i); ins.setString(2, s"r$i"); ins.executeUpdate() }
+      def read(parts: Int) = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHN").option("polling.column", "id")
+        .option("numpartitions", parts.toString).load()
+      Jdbc.IssuedSql.clear()
+      // "latest 3 by id" over 3 range partitions: each partition walks its
+      // ORDER BY inside the DB, Spark merges the per-partition top-3s
+      val got = read(3).orderBy(org.apache.spark.sql.functions.col("id").desc)
+        .limit(3).collect().map(_.getInt(0)).toSeq
+      assert(got === Seq(30, 29, 28))
+      val issued = Jdbc.IssuedSql.recent.filter(_.contains("PUSHN"))
+      assert(issued.nonEmpty)
+      issued.foreach { s =>
+        assert(s.contains("ORDER BY id DESC"), s)
+        assert(s.contains("FETCH FIRST 3 ROWS ONLY"), s)
+      }
+      // a string sort key must NOT be pushed (vendor collation)
+      Jdbc.IssuedSql.clear()
+      val byName = read(1).orderBy("name").limit(2).collect().map(_.getString(1)).toSeq
+      assert(byName === Seq("r1", "r10"))
+      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHN")).exists(_.contains("ORDER BY")))
+    }
+  }
+
   test("batch snapshot range-partitions on the polling column; rows identical to single scan") {
     withDb("db_rsnap") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE RSNAP (ID INT NOT NULL, NAME VARCHAR(32))")
