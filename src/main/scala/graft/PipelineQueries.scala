@@ -394,6 +394,20 @@ object PipelineQueries {
       col("_ws"), TfidfK)
       .orderBy("doc_id", "rk")
 
+  private val FrameLen = 256
+
+  /** p25 — frame-level energy extraction through the typed Dataset path
+    * ([[Multimodal.frameEnergy]]): per 256-byte frame, the sum of squared
+    * sample values — REAL windowed byte math (the loudness/silence
+    * primitive of an audio pipeline), integer-exact so the oracle
+    * re-derives it from string slices (ascii corpus: byte == code
+    * point, the same equivalence p21 rests on). */
+  private def p25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.documentsAsMedia(docs(s, dir)).as[Multimodal.MediaFile]
+    Multimodal.frameEnergy(media, FrameLen).orderBy("media_id", "frame_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -419,6 +433,7 @@ object PipelineQueries {
     "p22_dedup_clusters" -> p22 _,
     "p23_token_dist" -> p23 _,
     "p24_keywords" -> p24 _,
+    "p25_frame_energy" -> p25 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -797,5 +812,16 @@ object PipelineQueries {
          |SELECT doc_id, word, tf, df, score, rk
          |FROM r WHERE rk <= $TfidfK
          |ORDER BY doc_id, rk""".stripMargin,
+    "p25_frame_energy" ->
+      s"""WITH fr AS (SELECT doc_id AS media_id,
+         |        unnest(range(0, CAST(ceil(length(text) / $FrameLen.0) AS INT))) AS f,
+         |        text
+         |      FROM documents WHERE length(text) > 0)
+         |SELECT media_id, CAST(f AS INT) AS frame_no,
+         |       CAST(list_sum(list_transform(
+         |         string_split(substr(text, f * $FrameLen + 1, $FrameLen), ''),
+         |         c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
+         |FROM fr
+         |ORDER BY media_id, frame_no""".stripMargin,
   )
 }

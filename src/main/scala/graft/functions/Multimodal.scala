@@ -83,6 +83,25 @@ object Multimodal {
     }.toDF("media_id", "features")
   }
 
+  /** Frame-level energy extraction — REAL windowed byte math, no codec
+    * needed (the audio analog of [[sampleFrames]]: per `frameLen`-byte
+    * frame, the sum of squared sample values — what a loudness/silence
+    * detector computes over PCM). Integer arithmetic end-to-end so a SQL
+    * oracle reproduces it exactly. Output: (media_id, frame_no, energy).
+    * Same once-per-partition mapPartitions shape as [[byteHistogram]]. */
+  def frameEnergy(files: Dataset[MediaFile], frameLen: Int): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        f.content.grouped(frameLen).zipWithIndex.map { case (win, i) =>
+          var e = 0L
+          win.foreach { b => val v = (b & 0xff).toLong; e += v * v }
+          (f.media_id, i, e)
+        }
+      }
+    }.toDF("media_id", "frame_no", "energy")
+  }
+
   /** RESIZE STUB — a real implementation would decode, scale, re-encode;
     * the fake deterministically re-derives target metadata and truncates
     * the payload proportionally, so the pipeline shape (payload in,

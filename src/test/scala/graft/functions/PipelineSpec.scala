@@ -373,6 +373,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) === Seq.empty)
   }
 
+  test("frameEnergy: per-frame sum of squared bytes, boundary frames, empty payload") {
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, "audio", Array[Byte](1, 2, 3, 4, 5)), // frames [1,2,3,4], [5]
+      Multimodal.MediaFile(2L, "audio", Array[Byte](10, 20, 30, 40)), // exactly one frame
+      Multimodal.MediaFile(3L, "audio", Array.empty[Byte]),           // no frames
+      Multimodal.MediaFile(4L, "audio", Array[Byte](-1)),             // unsigned: 255^2
+    ).toDS()
+    val out = Multimodal.frameEnergy(files, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0, 1L + 4 + 9 + 16), (1L, 1, 25L),
+      (2L, 0, 100L + 400 + 900 + 1600),
+      (4L, 0, 255L * 255)))
+  }
+
   test("tfidfTopK matches a brute-force oracle; empty docs emit nothing") {
     import spark.implicits._
     val corpus = Seq(
