@@ -229,12 +229,12 @@ object Dedup {
     * is one equi-join (edges ⋈ labels) + one min-aggregation, i.e. two
     * narrow-long shuffles over the VERTEX set — which at 100 TB is
     * orders of magnitude smaller than the corpus (only docs that LSH put
-    * in a pair). Rounds = component diameter; near-dup components are
-    * shallow stars around the template doc, so 2–4 rounds in practice,
-    * `maxIters` bounds adversarial chains (the alternating large-star/
-    * small-star algorithm of Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", is the O(log n)-round upgrade if diameters
-    * ever matter). Per round the label table is `localCheckpoint`ed:
+    * in a pair) — plus a pointer-jumping self-join of the label table
+    * that halves label chains every round, so rounds = O(log diameter)
+    * (the same doubling trick as Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"): near-dup stars converge in 2–3 rounds
+    * and even a 10^6-link chain fits the default `maxIters`. Per round
+    * the label table is `localCheckpoint`ed:
     * truncating lineage keeps round i from recomputing rounds 1..i−1
     * (the quadratic-recompute trap of naive iterative DataFrames); the
     * convergence check is a bounded driver-side count, like the IVF
@@ -257,11 +257,22 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), col("label"))
+      // pointer jumping (label-of-label): halves every label-chain each
+      // round, so convergence is O(log diameter) instead of O(diameter)
+      // — a pathological near-dup CHAIN longer than maxIters would
+      // otherwise silently keep per-link labels. One extra equi-join of
+      // the (small) label table with itself per round.
+      val jump = labels.alias("l")
+        .join(labels.select(col("doc_id").as("_m"), col("label").as("_ml")),
+          col("l.label") === col("_m"))
+        .select(col("l.doc_id").as("doc_id"), col("_ml").as("label"))
       // carry each vertex's previous label through the min-aggregation
-      // (prop rows contribute a MaxValue sentinel), so the convergence
-      // probe is a filter over the checkpointed result — no extra join
+      // (other branches contribute a MaxValue sentinel), so the
+      // convergence probe is a filter over the checkpointed result — no
+      // extra join
       val next = labels.withColumn("_old", col("label"))
         .unionByName(prop.withColumn("_old", lit(Long.MaxValue)))
+        .unionByName(jump.withColumn("_old", lit(Long.MaxValue)))
         .groupBy("doc_id").agg(min("label").as("label"), min("_old").as("_old"))
         .localCheckpoint()
       converged = next.where(col("label") < col("_old")).isEmpty

@@ -78,6 +78,15 @@ class DedupSpec extends SparkSpec {
       30L -> 30L, 31L -> 30L))
   }
 
+  test("connectedComponents: a 200-link chain converges inside default maxIters (pointer jumping)") {
+    // plain one-hop propagation needs diameter rounds (200 > the default
+    // 20) — the label-of-label jump makes it logarithmic
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(got.length === 201)
+    assert(got.forall(_._2 === 0L))
+  }
+
   test("connectedComponents matches a union-find oracle on a random graph") {
     val rnd = new scala.util.Random(1313)
     // 120 vertices, 90 random edges -> mix of singleton-free components,
