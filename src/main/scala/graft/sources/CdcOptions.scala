@@ -25,7 +25,9 @@ final case class CdcOptions(
     missedRecordTimeoutSec: Long,
     cronExpression: Option[String],
     numPartitions: Int,
-    connectorProperties: Map[String, String]) {
+    connectorProperties: Map[String, String],
+    scanColumns: Seq[String] = Seq.empty,
+    scanWhere: Option[String] = None) {
 
   def jdbcProperties: java.util.Properties = {
     val p = new java.util.Properties()
@@ -104,7 +106,10 @@ object CdcOptions {
       cronExpression = cron,
       numPartitions = options.getInt("numpartitions", 4),
       connectorProperties = parseConnectorProperties(
-        options.getOrDefault("connector.properties", "")))
+        options.getOrDefault("connector.properties", "")),
+      scanColumns = Option(options.get("scan.columns")).map(
+        _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)).getOrElse(Seq.empty),
+      scanWhere = Option(options.get("scan.where")).map(_.trim).filter(_.nonEmpty))
     validate(opts)
     opts
   }
@@ -124,6 +129,15 @@ object CdcOptions {
         "cron.expression cannot be used with wait.on.missed.record")
       o.cronExpression.foreach(c => require(isValidCron(c),
         s"invalid cron.expression '$c' (expected Quartz-style 'sec min hour dom month dow [year]')"))
+      // scan.columns narrows the streaming SELECT list at the source
+      // (Catalyst's V2 pushdown rules do not run for streaming scans, so
+      // the source must be told — the reference solves the same problem
+      // with user-overridable select templates, PollingStrategy.java:127-205);
+      // the polling column must stay in the list: offsets and range
+      // predicates are typed off the inferred schema
+      if (o.scanColumns.nonEmpty)
+        require(o.pollingColumn.forall(p => o.scanColumns.contains(p.toLowerCase)),
+          s"scan.columns must include the polling column '${o.pollingColumn.get}'")
   }
 
   private val CronMonths = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",

@@ -64,7 +64,14 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
         "envelopes; both feed the same flatten/offset/checkpoint pipeline. mode=polling " +
         "is handled here.")
     Jdbc.withConnection(opts) { conn =>
-      Jdbc.inferSchema(conn, opts.table)
+      val full = Jdbc.inferSchema(conn, opts.table)
+      if (opts.scanColumns.isEmpty) full
+      else {
+        val missing = opts.scanColumns.filterNot(full.fieldNames.contains)
+        require(missing.isEmpty,
+          s"scan.columns not in ${opts.table}: ${missing.mkString(", ")}")
+        StructType(full.fields.filter(f => opts.scanColumns.contains(f.name)))
+      }
     }
   }
 
@@ -226,9 +233,13 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
 }
 
 class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
-              where: Array[String], limit: Int = -1,
+              pushedWhere: Array[String], limit: Int = -1,
               aggSelect: Option[(String, String)] = None,
               topN: Option[(String, Int)] = None) extends Scan {
+  // `scan.where` joins the pushed predicates on BOTH paths; for streaming
+  // it is the ONLY way a user predicate reaches the vendor SQL (Catalyst
+  // V2 pushdown rules do not run for streaming scans)
+  private val where: Array[String] = pushedWhere ++ opts.scanWhere.map(w => s"($w)")
   override def readSchema(): StructType = pruned
   override def description(): String =
     s"cdc:${opts.table} cols=[${pruned.fieldNames.mkString(",")}]" +

@@ -267,6 +267,55 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushdown: scan.columns/scan.where narrow the STREAMING micro-batch SQL") {
+    // Catalyst's V2 pushdown rules do NOT run for streaming scans (a
+    // .select/.where above readStream is applied engine-side on full
+    // rows — verified), so the source exposes the reference's own
+    // mechanism: user-declared select list + predicate
+    // (PollingStrategy.java:127-205 template override)
+    withDb("db_pushst") { (url, conn) =>
+      conn.createStatement().execute(
+        "CREATE TABLE PUSHST (ID INT NOT NULL, NAME VARCHAR(32), V DOUBLE, EXTRA VARCHAR(64))")
+      val df = spark.readStream.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHST").option("polling.column", "id")
+        .option("scan.columns", "id,name,v")
+        .option("scan.where", "v < 3.0").load()
+      assert(df.schema.fieldNames.toSeq === Seq("id", "name", "v")) // no extra
+      val rows = ArrayBuffer.empty[String]
+      val ckpt = Files.createTempDirectory("ckpt").toString
+      val q = df.writeStream.trigger(Trigger.ProcessingTime(50))
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          rows.synchronized { rows ++= b.collect().map(_.getString(1)) }; ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        Jdbc.IssuedSql.clear()
+        conn.createStatement().execute(
+          "INSERT INTO PUSHST VALUES (1,'x',1.5,'a'), (2,'y',9.5,'b'), (3,'z',2.5,'c')")
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(rows.synchronized(rows.toSet) === Set("x", "z")) // v < 3.0 in the DB
+      val issued = Jdbc.IssuedSql.recent.filter(_.contains("PUSHST"))
+      assert(issued.nonEmpty)
+      issued.foreach { s =>
+        assert(s.contains("SELECT id, name, v FROM"), s) // declared select list
+        assert(s.contains("(v < 3.0)"), s)               // predicate in the DB
+        assert(s.contains("id >") || s.contains("id <="), s) // delta range rides along
+        assert(!s.toLowerCase.contains("extra"), s)
+      }
+      // the polling column must stay in the declared list
+      val bad = intercept[IllegalArgumentException] {
+        spark.readStream.format("cdc")
+          .option("mode", "polling").option("url", url)
+          .option("table.name", "PUSHST").option("polling.column", "id")
+          .option("scan.columns", "name,v").load()
+      }
+      assert(bad.getMessage.contains("must include the polling column"))
+    }
+  }
+
   test("pushdown: a batch limit reaches the vendor SQL (per-partition, Spark keeps the global cut)") {
     withDb("db_pushl") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE PUSHL (ID INT NOT NULL, NAME VARCHAR(32))")
