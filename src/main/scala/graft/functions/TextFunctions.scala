@@ -223,7 +223,16 @@ object TextFunctions {
     * fits, degrades to sort-merge when it doesn't — no hard hint); the
     * final top-k is a per-doc window over k-bounded groups with
     * doc-cardinality parallelism. Three keyed shuffles total, none of
-    * them row-count-sized after the first partial aggregation. */
+    * them row-count-sized after the first partial aggregation.
+    *
+    * Two deliberate trades: (a) df is a JOIN, not `count over
+    * (partition by word)` — a window would colocate every row of a hot
+    * word ("the" = one row per document) on one task with no way to
+    * split it, while AQE's skew-join splitting handles exactly that for
+    * the join; (b) tf feeds both the df aggregation and the join side,
+    * and stays lineage-pure — Spark recomputes it rather than
+    * materializing a corpus-sized intermediate (persist/checkpoint tf
+    * before calling if the cluster prefers storage over the re-scan). */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, wsCol: Column, k: Int)
   : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
