@@ -39,6 +39,20 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  /** N copies of the event stream with disjoint key ranges (scaling the
+    * USER population, the realistic growth axis for keyed CEP) and ids
+    * remapped to stay unique. */
+  def replicateEvents(events: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"replication factor must be positive, got $n")
+    val kStep = 100000L
+    val idStep = 100000000L
+    (0 until n).map { k =>
+      events.select((col("user_id") + lit(k * kStep)).as("user_id"),
+        (col("event_id") + lit(k * idStep)).as("event_id"),
+        col("event_type"), col("value"), expr("ts_ns div 1000").as("ts_us"))
+    }.reduce(_ union _)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = DevTool.session()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -82,6 +96,22 @@ object ScaleSmoke {
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
       }
+      // CEP family over a replicated event stream (keys disjoint per
+      // replica — the window detectors scale with key parallelism, the
+      // guarded band join with horizon density)
+      val events = replicateEvents(Tables.events(spark, dir), n)
+      val h12 = 12L * 3600 * 1000000L
+      time("cep_followed_by", n)(graft.operators.Patterns.followedBy(events,
+        "user_id", "ts_us", "event_id", "event_type", "signup", "purchase", h12).count())
+      time("cep_chain", n)(graft.operators.Patterns.chain(events,
+        "user_id", "ts_us", "event_id", "event_type", "signup", "view", "purchase",
+        2 * h12).count())
+      time("cep_guarded_band", n)(graft.operators.Patterns.guardedFollowedBy(events,
+        "user_id", "ts_us", "event_id", "event_type", "value",
+        "signup", "purchase", h12, (av, bv) => bv > av).count())
+      time("cep_length_window", n)(graft.operators.Patterns.lengthWindow(
+        events.where(col("event_type") === "purchase"),
+        "user_id", "ts_us", "event_id", "value", 5).count())
     }
     // one-line JSON artifact: seconds + result rows per (family, factor),
     // the recorded scale curve behind the 100 TB sub-quadratic claims
