@@ -408,6 +408,18 @@ object PipelineQueries {
     Multimodal.frameEnergy(media, FrameLen).orderBy("media_id", "frame_no")
   }
 
+  private val SubWin = 48
+  private val SubMinShared = 2L
+
+  /** p26 — exact-substring overlap dedup ([[Dedup.substringOverlapPairs]]):
+    * verbatim copied spans found via content-anchored fixed-width window
+    * hashes — the suffix-array dedup primitive (Lee et al. 2022)
+    * re-expressed as a map-side window stream + digest equi-join,
+    * shift-invariant via winnowing-style mod-sampling. */
+  private def p26(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringOverlapPairs(docs(s, dir), SubWin, SubMinShared)
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -434,6 +446,7 @@ object PipelineQueries {
     "p23_token_dist" -> p23 _,
     "p24_keywords" -> p24 _,
     "p25_frame_energy" -> p25 _,
+    "p26_dedup_substring" -> p26 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -823,5 +836,17 @@ object PipelineQueries {
          |         c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
          |FROM fr
          |ORDER BY media_id, frame_no""".stripMargin,
+    "p26_dedup_substring" ->
+      s"""WITH $NormCte,
+         |wh AS (SELECT DISTINCT doc_id AS sid,
+         |         md5(substr(norm, CAST(i AS INT), $SubWin)) AS wh
+         |       FROM w, unnest(range(1, length(norm) - $SubWin + 2)) AS t(i)
+         |       WHERE length(norm) >= $SubWin
+         |         AND substr(md5(substr(norm, CAST(i AS INT), ${Dedup.AnchorGram})), 1, 1) = '0')
+         |SELECT a.sid AS doc_a, b.sid AS doc_b, count(*) AS shared_windows
+         |FROM wh a JOIN wh b ON a.wh = b.wh AND a.sid < b.sid
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $SubMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

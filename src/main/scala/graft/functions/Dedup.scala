@@ -217,6 +217,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
   }
 
+  /** Anchor k-gram length for [[substringOverlapPairs]]'s content-defined
+    * sampling: window positions are chosen where
+    * `md5(8-gram at position)` starts with '0' (expected density 1/16).
+    * Content decides the anchors, so a copied span selects the SAME
+    * positions in every document containing it — fixed-stride sampling
+    * (the obvious first cut) misses every copy whose offset difference
+    * is not a stride multiple, which is most of them. */
+  val AnchorGram = 8
+
+  /** Exact-substring overlap pairs — the copied-span dedup family member
+    * (suffix-array dedup à la Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed for Spark): docs
+    * sharing verbatim spans are found via fixed-width character windows
+    * (`windowLen`) at content-defined anchor positions (mod-sampling in
+    * the winnowing family, Schleimer et al. 2003 — see [[AnchorGram]]),
+    * hashed and equi-joined. Two docs sharing >= `minShared` distinct
+    * window hashes report a pair. Catches long copied passages that
+    * token-level Jaccard dilutes away (a 200-char quote inside two
+    * otherwise-different documents) at ANY offset.
+    *
+    * Output: (doc_a, doc_b, shared_windows), doc_a < doc_b.
+    *
+    * Scale shape: anchor selection and window hashing are one map-side
+    * expression per row (~len/16 digests expected per doc — the text
+    * itself never enters the shuffle); the only shuffles are the
+    * distinct digest stream and the digest equi-join. Like
+    * [[ngramJaccardPairs]] this is the exhaustive baseline — O(docs
+    * sharing a window) by contract. */
+  def substringOverlapPairs(docs: DataFrame, windowLen: Int,
+                            minShared: Long): DataFrame = {
+    val wh = docs
+      .withColumn("_norm", TextFunctions.normText(col("text")))
+      .where(length(col("_norm")) >= windowLen)
+      .select(col("doc_id").as("sid"),
+        explode(array_distinct(expr(
+          s"transform(filter(sequence(1, length(_norm) - $windowLen + 1), " +
+            s"i -> substring(md5(substring(_norm, i, $AnchorGram)), 1, 1) = '0'), " +
+            s"i -> md5(substring(_norm, i, $windowLen)))"))).as("wh"))
+      .hint("merge") // same Generate-underestimate guard as the shingle joins
+    val a = wh.select(col("sid").as("doc_a"), col("wh"))
+    val b = wh.select(col("sid").as("doc_b"), col("wh"))
+    a.join(b, Seq("wh")).where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+  }
+
   /** Connected components over an undirected pair set — the step that
     * turns near-dup PAIRS ([[minhashLsh]] output) into duplicate CLUSTERS
     * so a corpus keeps exactly one canonical doc per group (pairs alone

@@ -62,6 +62,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.count() === Bands.toLong)
   }
 
+  test("substringOverlapPairs: verbatim copied spans pair; unrelated text does not") {
+    val quote = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    val d = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon zeta"),
+      (2L, s"completely different preamble text here $quote and a different tail too"),
+      (3L, "no shared content in this document at all just filler words repeated filler"),
+      (4L, "tiny"), // shorter than the window -> no windows at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(d, windowLen = 48, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(got.head._3 >= 2L) // several aligned windows inside the quote
+    // jaccard-style token dedup at the p6 threshold would MISS this pair
+    // (the quote is a minority of each doc) — the substring family exists
+    // for exactly this case
+    assert(Dedup.ngramJaccardPairs(d, 800).count() === 0L)
+  }
+
   test("connectedComponents: transitive chains, cycles, disjoint components") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),          // chain: {1,2,3,4} -> 1
