@@ -412,10 +412,10 @@ object PipelineQueries {
   private val SubMinShared = 2L
 
   /** p26 — exact-substring overlap dedup ([[Dedup.substringOverlapPairs]]):
-    * verbatim copied spans found via content-anchored fixed-width window
-    * hashes — the suffix-array dedup primitive (Lee et al. 2022)
+    * verbatim copied spans found via word-start-anchored fixed-width
+    * window hashes — the suffix-array dedup primitive (Lee et al. 2022)
     * re-expressed as a map-side window stream + digest equi-join,
-    * shift-invariant via winnowing-style mod-sampling. */
+    * shift-invariant via word-start content anchors. */
   private def p26(s: SparkSession, dir: String): DataFrame =
     Dedup.substringOverlapPairs(docs(s, dir), SubWin, SubMinShared)
       .orderBy("doc_a", "doc_b")
@@ -842,7 +842,7 @@ object PipelineQueries {
          |         md5(substr(norm, CAST(i AS INT), $SubWin)) AS wh
          |       FROM w, unnest(range(1, length(norm) - $SubWin + 2)) AS t(i)
          |       WHERE length(norm) >= $SubWin
-         |         AND substr(md5(substr(norm, CAST(i AS INT), ${Dedup.AnchorGram})), 1, 1) = '0')
+         |         AND (i = 1 OR substr(norm, CAST(i AS INT) - 1, 1) = ' '))
          |SELECT a.sid AS doc_a, b.sid AS doc_b, count(*) AS shared_windows
          |FROM wh a JOIN wh b ON a.wh = b.wh AND a.sid < b.sid
          |GROUP BY 1, 2

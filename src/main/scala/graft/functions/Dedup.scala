@@ -217,34 +217,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
   }
 
-  /** Anchor k-gram length for [[substringOverlapPairs]]'s content-defined
-    * sampling: window positions are chosen where
-    * `md5(8-gram at position)` starts with '0' (expected density 1/16).
-    * Content decides the anchors, so a copied span selects the SAME
-    * positions in every document containing it — fixed-stride sampling
-    * (the obvious first cut) misses every copy whose offset difference
-    * is not a stride multiple, which is most of them. */
-  val AnchorGram = 8
-
   /** Exact-substring overlap pairs — the copied-span dedup family member
     * (suffix-array dedup à la Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better", re-expressed for Spark): docs
     * sharing verbatim spans are found via fixed-width character windows
-    * (`windowLen`) at content-defined anchor positions (mod-sampling in
-    * the winnowing family, Schleimer et al. 2003 — see [[AnchorGram]]),
+    * (`windowLen`) anchored at WORD STARTS of the normalized text,
     * hashed and equi-joined. Two docs sharing >= `minShared` distinct
     * window hashes report a pair. Catches long copied passages that
     * token-level Jaccard dilutes away (a 200-char quote inside two
     * otherwise-different documents) at ANY offset.
     *
+    * Anchors must be CONTENT-DEFINED (the winnowing insight, Schleimer
+    * et al. 2003): fixed-stride sampling — the obvious first cut —
+    * misses every copy whose offset difference is not a stride
+    * multiple, which is most of them. Word boundaries are the cheap
+    * content anchor for text: a copied span carries its own spaces, so
+    * it selects the same windows in every document containing it, and
+    * no per-position hashing is needed to find the anchors (a
+    * hash-selected anchor variant costs one digest per CHARACTER —
+    * measured 2x this whole query's time; normText guarantees spaces
+    * in any real text).
+    *
     * Output: (doc_a, doc_b, shared_windows), doc_a < doc_b.
     *
     * Scale shape: anchor selection and window hashing are one map-side
-    * expression per row (~len/16 digests expected per doc — the text
-    * itself never enters the shuffle); the only shuffles are the
-    * distinct digest stream and the digest equi-join. Like
-    * [[ngramJaccardPairs]] this is the exhaustive baseline — O(docs
-    * sharing a window) by contract. */
+    * expression per row (one digest per word, the text itself never
+    * enters the shuffle); the only shuffles are the distinct digest
+    * stream and the digest equi-join. Like [[ngramJaccardPairs]] this
+    * is the exhaustive baseline — O(docs sharing a window) by
+    * contract. */
   def substringOverlapPairs(docs: DataFrame, windowLen: Int,
                             minShared: Long): DataFrame = {
     val wh = docs
@@ -253,7 +254,7 @@ object Dedup {
       .select(col("doc_id").as("sid"),
         explode(array_distinct(expr(
           s"transform(filter(sequence(1, length(_norm) - $windowLen + 1), " +
-            s"i -> substring(md5(substring(_norm, i, $AnchorGram)), 1, 1) = '0'), " +
+            s"i -> i = 1 OR substring(_norm, i - 1, 1) = ' '), " +
             s"i -> md5(substring(_norm, i, $windowLen)))"))).as("wh"))
       .hint("merge") // same Generate-underestimate guard as the shingle joins
     val a = wh.select(col("sid").as("doc_a"), col("wh"))
