@@ -284,6 +284,17 @@ object CoreQueries {
       .withColumnRenamed("id", "event_id")
       .orderBy("user_id", "event_id")
 
+  /** Q24 — output rate limiting (Siddhi `output first every T`): the
+    * first error per user per 6 h bucket — alert throttling. Via
+    * [[graft.operators.Patterns.outputFirstEvery]]. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.outputFirstEvery(
+      eventsUs(s, dir).filter(col("event_type") === "error"),
+      "user_id", "ts_us", "event_id", Hours6Us)
+      .withColumnRenamed("id", "event_id")
+      .withColumnRenamed("bucket_start", "bucket_start_us")
+      .orderBy("user_id", "bucket_start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -308,6 +319,7 @@ object CoreQueries {
     "q21_pattern_chain" -> q21 _,
     "q22_pattern_guard" -> q22 _,
     "q23_length_window" -> q23 _,
+    "q24_rate_limit" -> q24 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,5 +525,15 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q24_rate_limit" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+         |           WHERE event_type = 'error'),
+         |r AS (SELECT user_id, event_id, tus // $Hours6Us AS b,
+         |        row_number() OVER (PARTITION BY user_id, tus // $Hours6Us
+         |                           ORDER BY tus, event_id) AS rn
+         |      FROM e)
+         |SELECT user_id, event_id, b * $Hours6Us AS bucket_start_us
+         |FROM r WHERE rn = 1
+         |ORDER BY user_id, bucket_start_us""".stripMargin,
   )
 }

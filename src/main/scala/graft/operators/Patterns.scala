@@ -301,6 +301,29 @@ object Patterns {
       .select(col(keyCol), col(idCol).as("id"), col("win_cnt"), col("win_sum"))
   }
 
+  /** Output rate limiting `output first every T` (alert throttling): of
+    * each key's events, keep only the FIRST inside every `period`-wide
+    * tumbling time bucket — Siddhi's output-rate-limit clause, the knob
+    * that turns a firehose of matches into one alert per key per hour.
+    * Output: (key, id, bucket_start).
+    *
+    * One keyed exchange + one row_number frame over (key, bucket);
+    * buckets are aligned to epoch 0 like Siddhi's timer (integer
+    * division — same non-negative-ts contract as seqKey).
+    *
+    * Siddhi analog: `from s[...] ... output first every T`. */
+  def outputFirstEvery(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, period: Long): DataFrame = {
+    val bucket = expr(s"`$tsCol` div ${period}L")
+    val w = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col(idCol).as("id"),
+        (bucket * period).as("bucket_start"))
+  }
+
   /** Session windows: consecutive same-key events merge while the gap to
     * the previous event is <= `gap`; emits one row per session.
     * Output: (key, session_start, n_events) — the start is min(ts)

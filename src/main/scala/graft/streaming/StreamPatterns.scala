@@ -53,6 +53,7 @@ object StreamPatterns {
   case class ChainMatch(key: Long, a_id: Long, b_id: Long, c_id: Long, gap: Long)
   case class GuardMatch(key: Long, a_id: Long, b_id: Long, a_value: Double, gap: Long)
   case class LenWinMatch(key: Long, id: Long, win_cnt: Long, win_sum: Double)
+  case class FirstEveryMatch(key: Long, id: Long, bucket_start: Long)
   case class OrMatch(key: Long, a_id: Option[Long], b_id: Option[Long])
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
@@ -65,6 +66,7 @@ object StreamPatterns {
   implicit private val chainEnc: Encoder[ChainMatch] = Encoders.product[ChainMatch]
   implicit private val guardEnc: Encoder[GuardMatch] = Encoders.product[GuardMatch]
   implicit private val lenWinEnc: Encoder[LenWinMatch] = Encoders.product[LenWinMatch]
+  implicit private val firstEnc: Encoder[FirstEveryMatch] = Encoders.product[FirstEveryMatch]
   implicit private val orEnc: Encoder[OrMatch] = Encoders.product[OrMatch]
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
@@ -402,6 +404,42 @@ object StreamPatterns {
         if (pendingIdx < 0) evs.takeRight(n - 1)
         else evs.slice(math.max(0, pendingIdx - (n - 1)), evs.size)
       val wake = if (pendingIdx < 0) None else Some(evs(pendingIdx).tsUs)
+      (out, retained, wake)
+    }
+  }
+
+  /** Streaming output rate limiting `output first every T` — batch twin
+    * [[graft.operators.Patterns.outputFirstEvery]]: the first event (by
+    * the (ts, id) total order) of each key inside every `periodUs`-wide
+    * tumbling bucket, emitted when the watermark closes the bucket.
+    * Output: (key, id, bucket_start).
+    *
+    * State is ONE event per open bucket (a candidate can only be
+    * replaced by an earlier-ordered arrival, and losers can never win
+    * later), so a key holds at most ceil(delay/period)+1 events — the
+    * cheapest stateful operator in the family. A bucket emits exactly
+    * once: it fires on the first flush where the watermark passes its
+    * end; stragglers into long-closed buckets are dropped (the same
+    * best-effort late-data contract as everywhere else). */
+  def outputFirstEvery(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, periodUs: Long, delay: String,
+                       onlyType: (String, String) = null): Dataset[FirstEveryMatch] = {
+    val (typeColName, tagged) = Option(onlyType) match {
+      case Some((tc, _)) => (tc, events)
+      case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
+    }
+    runPattern[FirstEveryMatch](tagged, keyCol, tsCol, idCol, typeColName,
+        delay = delay, onlyType = Option(onlyType).map(_._2)) { (evs, frontier, wmUs) =>
+      val byBucket = evs.groupBy(e => Math.floorDiv(e.tsUs, periodUs)).toVector.sortBy(_._1)
+      val (done, open) = byBucket.partition { case (b, _) => (b + 1) * periodUs <= wmUs }
+      val out = done.collect {
+        // emit only buckets that were still open at the previous flush
+        case (b, es) if (b + 1) * periodUs > frontier =>
+          val first = es.minBy(e => (e.tsUs, e.id))
+          FirstEveryMatch(first.key, first.id, b * periodUs)
+      }
+      val retained = open.map { case (_, es) => es.minBy(e => (e.tsUs, e.id)) }
+      val wake = open.headOption.map { case (b, _) => (b + 1) * periodUs }
       (out, retained, wake)
     }
   }

@@ -86,6 +86,7 @@ object ScaleSmoke {
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
+      time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
       time("token_quantiles", n) {
         val wc = docs.select(pmod(col("doc_id"), lit(5)).as("g"),
           TF.wordCount(TF.words(TF.normText(col("text")))).as("v"))

@@ -280,6 +280,21 @@ class PatternsSpec extends SparkSpec {
       Row("k2", 5L, 1L, 1.5)))
   }
 
+  test("outputFirstEvery keeps the first event per key per tumbling bucket") {
+    import spark.implicits._
+    val e = Seq(
+      ("k1", 0L, 1L), ("k1", 3L, 2L), ("k1", 9L, 3L),    // bucket 0: first id=1
+      ("k1", 10L, 4L), ("k1", 12L, 5L),                  // bucket 1: first id=4
+      ("k1", 31L, 6L),                                   // bucket 3: alone
+      ("k2", 5L, 7L), ("k2", 5L, 8L),                    // same ts: id breaks tie
+    ).toDF("key", "ts", "id")
+    val out = Patterns.outputFirstEvery(e, "key", "ts", "id", 10L)
+      .orderBy("key", "bucket_start").collect().toSeq
+    assert(out === Seq(
+      Row("k1", 1L, 0L), Row("k1", 4L, 10L), Row("k1", 6L, 30L),
+      Row("k2", 7L, 0L)))
+  }
+
   test("disjunction tags the arrived branch; same-type binds the first branch only") {
     val out = Patterns.disjunction(events, "key", "id", "type", "A", "B")
       .orderBy(coalesce(col("a_id"), col("b_id"))).collect().toSeq

@@ -150,6 +150,16 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("outputFirstEvery parity with batch operator (rate-limit throttle)") {
+    val got = runStream(src => StreamPatterns.outputFirstEvery(
+      src, "k", "ts", "id", WindowUs, "0 seconds",
+      onlyType = ("typ", "error")).toDF, "sp_first")
+    val want = Patterns.outputFirstEvery(
+      staticDf.where(col("typ") === "error"), "k", "ts_us", "id", WindowUs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("disjunction parity with batch operator (multiset — stateless twin)") {
     val got = runStreamRows(src => StreamPatterns.disjunction(
       src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
