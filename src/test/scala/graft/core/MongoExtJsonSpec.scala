@@ -32,6 +32,40 @@ class MongoExtJsonSpec extends SparkSpec {
     assert(out.collect().head === Row("aa", 7L, 2.25, "x"))
   }
 
+  test("STREAMING Mongo round-trip: insert/update/delete decode over a live micro-batch " +
+      "stream (reference TestCaseOfCDCListeningModeMongo.java:71-334 shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx = spark.sqlContext
+    // (op, after, patch, key_id) — the Debezium-Mongo value shapes
+    val in = MemoryStream[(String, String, String, String)]
+    val src = in.toDF.toDF("op", "after", "patch", "key_id")
+    val inserts = MongoExtJson.decodeInsert(src.where($"op" === "c"), rowSchema)
+      .withColumn("_op", org.apache.spark.sql.functions.lit("insert"))
+    val updates = MongoExtJson.decodeUpdate(src.where($"op" === "u"), rowSchema)
+      .withColumn("_op", org.apache.spark.sql.functions.lit("update"))
+    val deletes = MongoExtJson.decodeDelete(src.where($"op" === "d"))
+      .select($"id", org.apache.spark.sql.functions.lit(null).cast(LongType).as("amount"),
+        org.apache.spark.sql.functions.lit(null).cast(DoubleType).as("price"),
+        org.apache.spark.sql.functions.lit(null).cast(StringType).as("name"),
+        org.apache.spark.sql.functions.lit("delete").as("_op"))
+    val q = inserts.unionByName(updates).unionByName(deletes)
+      .writeStream.format("memory").queryName("mongo_rt")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        ("c", """{"_id": {"$oid": "e001"}, "amount": {"$numberLong": "5"}, "price": 1.5, "name": "empName"}""", null, null),
+        ("u", null, """{"$set": {"amount": {"$numberLong": "6"}, "price": {"$numberDecimal": "2.5"}, "name": "newName"}}""", """{"$oid": "e001"}"""),
+        ("d", null, null, """{"$oid": "e001"}"""))
+      q.processAllAvailable()
+      val got = spark.table("mongo_rt").collect().map(_.toSeq).toSet
+      assert(got === Set(
+        Seq("e001", 5L, 1.5, "empName", "insert"),
+        Seq("e001", 6L, 2.5, "newName", "update"),
+        Seq("e001", null, null, null, "delete")))
+    } finally q.stop()
+  }
+
   test("update decode: patch.$set fields + key-doc id") {
     val patch = """{"$set": {"amount": {"$numberLong": "9"}, "price": 3.5, "name": "renamed"}}"""
     val key = """{"$oid": "bb"}"""
