@@ -167,4 +167,24 @@ class TextPropertySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(native.length === texts.length && native === composable)
   }
+
+  test("substring-overlap anchoring is shift-invariant: a shared span pairs at ANY offset") {
+    // the property the first (fixed-stride) implementation violated: two
+    // docs embedding the same long span at arbitrary, unrelated offsets
+    // must always pair
+    val span = ("solar panels convert sunlight into electricity using layered " +
+      "silicon cells that release electrons when photons strike them")
+    val rnd = new scala.util.Random(808)
+    def filler(words: Int): String =
+      (1 to words).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val docs = (1 to 8).map { i =>
+      (i.toLong, s"${filler(rnd.nextInt(40) + 1)} $span ${filler(rnd.nextInt(40) + 1)}")
+    } :+ ((99L, filler(120))) // no span -> must pair with nobody
+    val got = Dedup.substringOverlapPairs(docs.toDF("doc_id", "text"),
+        windowLen = 48, minShared = 2L)
+      .as[(Long, Long, Long)].collect()
+    val expectedPairs = for (a <- 1 to 8; b <- (a + 1) to 8) yield (a.toLong, b.toLong)
+    assert(got.map(p => (p._1, p._2)).toSet === expectedPairs.toSet)
+    assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
+  }
 }
