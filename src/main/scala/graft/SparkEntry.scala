@@ -295,6 +295,18 @@ object CoreQueries {
       .withColumnRenamed("bucket_start", "bucket_start_us")
       .orderBy("user_id", "bucket_start_us")
 
+  /** Q25 — output rate limiting, trailing edge (Siddhi `output last
+    * every T`): the last purchase per user per 6 h bucket — the
+    * state-of-the-world sample. Via
+    * [[graft.operators.Patterns.outputLastEvery]]. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.outputLastEvery(
+      eventsUs(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_us", "event_id", Hours6Us)
+      .withColumnRenamed("id", "event_id")
+      .withColumnRenamed("bucket_start", "bucket_start_us")
+      .orderBy("user_id", "bucket_start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -320,6 +332,7 @@ object CoreQueries {
     "q22_pattern_guard" -> q22 _,
     "q23_length_window" -> q23 _,
     "q24_rate_limit" -> q24 _,
+    "q25_rate_limit_last" -> q25 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -531,6 +544,16 @@ object CoreQueries {
          |r AS (SELECT user_id, event_id, tus // $Hours6Us AS b,
          |        row_number() OVER (PARTITION BY user_id, tus // $Hours6Us
          |                           ORDER BY tus, event_id) AS rn
+         |      FROM e)
+         |SELECT user_id, event_id, b * $Hours6Us AS bucket_start_us
+         |FROM r WHERE rn = 1
+         |ORDER BY user_id, bucket_start_us""".stripMargin,
+    "q25_rate_limit_last" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+         |           WHERE event_type = 'purchase'),
+         |r AS (SELECT user_id, event_id, tus // $Hours6Us AS b,
+         |        row_number() OVER (PARTITION BY user_id, tus // $Hours6Us
+         |                           ORDER BY tus DESC, event_id DESC) AS rn
          |      FROM e)
          |SELECT user_id, event_id, b * $Hours6Us AS bucket_start_us
          |FROM r WHERE rn = 1

@@ -324,6 +324,22 @@ object Patterns {
         (bucket * period).as("bucket_start"))
   }
 
+  /** Output rate limiting `output last every T`: the LAST event of each
+    * key inside every `period`-wide tumbling bucket — the trailing-edge
+    * variant of [[outputFirstEvery]] (Siddhi's clause admits
+    * first|last|all). Output: (key, id, bucket_start). */
+  def outputLastEvery(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, period: Long): DataFrame = {
+    val bucket = expr(s"`$tsCol` div ${period}L")
+    val w = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(keyCol), col(idCol).as("id"),
+        (bucket * period).as("bucket_start"))
+  }
+
   /** Session windows: consecutive same-key events merge while the gap to
     * the previous event is <= `gap`; emits one row per session.
     * Output: (key, session_start, n_events) — the start is min(ts)

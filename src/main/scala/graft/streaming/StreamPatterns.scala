@@ -423,7 +423,24 @@ object StreamPatterns {
     * best-effort late-data contract as everywhere else). */
   def outputFirstEvery(events: DataFrame, keyCol: String, tsCol: String,
                        idCol: String, periodUs: Long, delay: String,
-                       onlyType: (String, String) = null): Dataset[FirstEveryMatch] = {
+                       onlyType: (String, String) = null): Dataset[FirstEveryMatch] =
+    rateLimited(events, keyCol, tsCol, idCol, periodUs, delay, onlyType,
+      _.minBy(e => (e.tsUs, e.id)))
+
+  /** Streaming `output last every T` — batch twin
+    * [[graft.operators.Patterns.outputLastEvery]]: the trailing-edge
+    * variant; identical O(one-candidate-per-open-bucket) state with a
+    * max pick instead of min. */
+  def outputLastEvery(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, periodUs: Long, delay: String,
+                      onlyType: (String, String) = null): Dataset[FirstEveryMatch] =
+    rateLimited(events, keyCol, tsCol, idCol, periodUs, delay, onlyType,
+      _.maxBy(e => (e.tsUs, e.id)))
+
+  private def rateLimited(events: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, periodUs: Long, delay: String,
+                          onlyType: (String, String),
+                          pick: Vector[PatEvent] => PatEvent): Dataset[FirstEveryMatch] = {
     val (typeColName, tagged) = Option(onlyType) match {
       case Some((tc, _)) => (tc, events)
       case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
@@ -435,10 +452,10 @@ object StreamPatterns {
       val out = done.collect {
         // emit only buckets that were still open at the previous flush
         case (b, es) if (b + 1) * periodUs > frontier =>
-          val first = es.minBy(e => (e.tsUs, e.id))
-          FirstEveryMatch(first.key, first.id, b * periodUs)
+          val winner = pick(es)
+          FirstEveryMatch(winner.key, winner.id, b * periodUs)
       }
-      val retained = open.map { case (_, es) => es.minBy(e => (e.tsUs, e.id)) }
+      val retained = open.map { case (_, es) => pick(es) }
       val wake = open.headOption.map { case (b, _) => (b + 1) * periodUs }
       (out, retained, wake)
     }

@@ -160,6 +160,16 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("outputLastEvery parity with batch operator (trailing-edge throttle)") {
+    val got = runStream(src => StreamPatterns.outputLastEvery(
+      src, "k", "ts", "id", WindowUs, "0 seconds",
+      onlyType = ("typ", "purchase")).toDF, "sp_last")
+    val want = Patterns.outputLastEvery(
+      staticDf.where(col("typ") === "purchase"), "k", "ts_us", "id", WindowUs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("disjunction parity with batch operator (multiset — stateless twin)") {
     val got = runStreamRows(src => StreamPatterns.disjunction(
       src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
