@@ -27,7 +27,9 @@ final case class CdcOptions(
     numPartitions: Int,
     connectorProperties: Map[String, String],
     scanColumns: Seq[String] = Seq.empty,
-    scanWhere: Option[String] = None) {
+    scanWhere: Option[String] = None,
+    connectionRetries: Int = 3,
+    connectionRetryWaitMs: Long = 1000L) {
 
   def jdbcProperties: java.util.Properties = {
     val p = new java.util.Properties()
@@ -109,7 +111,9 @@ object CdcOptions {
         options.getOrDefault("connector.properties", "")),
       scanColumns = Option(options.get("scan.columns")).map(
         _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)).getOrElse(Seq.empty),
-      scanWhere = Option(options.get("scan.where")).map(_.trim).filter(_.nonEmpty))
+      scanWhere = Option(options.get("scan.where")).map(_.trim).filter(_.nonEmpty),
+      connectionRetries = options.getInt("connection.retries", 3),
+      connectionRetryWaitMs = options.getLong("connection.retry.wait.ms", 1000L))
     validate(opts)
     opts
   }

@@ -571,9 +571,32 @@ object Jdbc {
     DriverManager.getConnection(spec.url, props)
   }
 
-  def withConnection[A](opts: CdcOptions)(f: Connection => A): A = {
-    val conn = connect(connectionSpec(opts))
-    try f(conn) finally conn.close()
+  def withConnection[A](opts: CdcOptions)(f: Connection => A): A =
+    withRetry(opts.connectionRetries, opts.connectionRetryWaitMs) {
+      val conn = connect(connectionSpec(opts))
+      try f(conn) finally conn.close()
+    }
+
+  /** Bounded retry for the DRIVER-side offset/bounds queries: a transient
+    * DB blip between micro-batches must not kill the streaming query —
+    * the reference keeps the stream alive by surfacing SQLExceptions as
+    * retryable `ConnectionUnavailableException` and letting Siddhi
+    * re-connect (`CDCSource.java:651-659,675-685`). `retries` additional
+    * attempts, linear backoff, SQL/connect errors only (anything else —
+    * bad SQL, interrupt — propagates immediately). Executor-side range
+    * readers deliberately DON'T retry here: Spark's task retry already
+    * covers them with a fresh connection. */
+  def withRetry[A](retries: Int, waitMs: Long)(f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: java.sql.SQLException if attempt < retries =>
+          attempt += 1
+          Thread.sleep(waitMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Schema from JDBC metadata: names lowercased (O14), scalars normalized

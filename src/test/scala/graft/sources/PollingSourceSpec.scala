@@ -404,6 +404,33 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("driver-side offset queries survive transient SQL blips (bounded retry)") {
+    // two transient failures then success -> value returned
+    var calls = 0
+    val v = Jdbc.withRetry(retries = 3, waitMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new java.sql.SQLException("transient")
+      42
+    }
+    assert(v === 42 && calls === 3)
+    // retries exhausted -> the SQLException propagates
+    var calls2 = 0
+    intercept[java.sql.SQLException] {
+      Jdbc.withRetry(retries = 2, waitMs = 1L) {
+        calls2 += 1; throw new java.sql.SQLException("down")
+      }
+    }
+    assert(calls2 === 3) // 1 try + 2 retries
+    // non-SQL failures are NOT retried (bad SQL must fail fast)
+    var calls3 = 0
+    intercept[IllegalArgumentException] {
+      Jdbc.withRetry(retries = 5, waitMs = 1L) {
+        calls3 += 1; throw new IllegalArgumentException("bug")
+      }
+    }
+    assert(calls3 === 1)
+  }
+
   test("batch snapshot range-partitions on the polling column; rows identical to single scan") {
     withDb("db_rsnap") { (url, conn) =>
       conn.createStatement().execute("CREATE TABLE RSNAP (ID INT NOT NULL, NAME VARCHAR(32))")
