@@ -186,6 +186,7 @@ object Patterns {
                         idCol: String, typeCol: String, valueCol: String,
                         typeA: String, typeB: String, within: Long,
                         guard: (Column, Column) => Column): DataFrame = {
+    require(within > 0, s"within must be positive (bands divide by it), got $within")
     val a = events.where(col(typeCol) === typeA).select(
       col(keyCol).as("_k"), col(tsCol).as("_ta"), col(idCol).as("a_id"),
       col(valueCol).as("a_value"),
@@ -293,6 +294,7 @@ object Patterns {
     * select sum(value)`. */
   def lengthWindow(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                    valueCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
       .rowsBetween(-(n - 1), 0)
     events
@@ -314,6 +316,7 @@ object Patterns {
     * Siddhi analog: `from s[...] ... output first every T`. */
   def outputFirstEvery(events: DataFrame, keyCol: String, tsCol: String,
                        idCol: String, period: Long): DataFrame = {
+    require(period > 0, s"period must be positive, got $period")
     val bucket = expr(s"`$tsCol` div ${period}L")
     val w = Window.partitionBy(col(keyCol), bucket)
       .orderBy(col(tsCol), col(idCol))
@@ -330,6 +333,7 @@ object Patterns {
     * first|last|all). Output: (key, id, bucket_start). */
   def outputLastEvery(events: DataFrame, keyCol: String, tsCol: String,
                       idCol: String, period: Long): DataFrame = {
+    require(period > 0, s"period must be positive, got $period")
     val bucket = expr(s"`$tsCol` div ${period}L")
     val w = Window.partitionBy(col(keyCol), bucket)
       .orderBy(col(tsCol).desc, col(idCol).desc)

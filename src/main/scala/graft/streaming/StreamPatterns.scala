@@ -381,6 +381,7 @@ object StreamPatterns {
   def lengthWindow(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                    valueCol: String, n: Int, delay: String,
                    onlyType: (String, String) = null): Dataset[LenWinMatch] = {
+    require(n >= 1, s"window length must be >= 1, got $n")
     // a type restriction ("window over s[type=='X']") must ride
     // runPattern's onlyType (filtered INSIDE the stateful function): a
     // DataFrame filter before the watermark would stall it on the
@@ -441,6 +442,7 @@ object StreamPatterns {
                           idCol: String, periodUs: Long, delay: String,
                           onlyType: (String, String),
                           pick: Vector[PatEvent] => PatEvent): Dataset[FirstEveryMatch] = {
+    require(periodUs > 0, s"period must be positive, got $periodUs")
     val (typeColName, tagged) = Option(onlyType) match {
       case Some((tc, _)) => (tc, events)
       case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
