@@ -313,13 +313,17 @@ object Dedup {
         .join(labels.select(col("doc_id").as("_m"), col("label").as("_ml")),
           col("l.label") === col("_m"))
         .select(col("l.doc_id").as("doc_id"), col("_ml").as("label"))
-      // carry each vertex's previous label through the min-aggregation
-      // (other branches contribute a MaxValue sentinel), so the
-      // convergence probe is a filter over the checkpointed result — no
-      // extra join
+      // carry each vertex's previous label through the min-aggregation —
+      // as a typed NULL on the prop/jump branches (min skips nulls, and
+      // every vertex has exactly one labels-branch row, so min(_old) IS
+      // the previous label; a numeric MaxValue sentinel would coerce to
+      // string for non-numeric ids and sort BEFORE alphabetic labels,
+      // corrupting the carry) — so the convergence probe is a filter
+      // over the checkpointed result, no extra join
+      val nullOld = lit(null).cast(labels.schema("label").dataType)
       val next = labels.withColumn("_old", col("label"))
-        .unionByName(prop.withColumn("_old", lit(Long.MaxValue)))
-        .unionByName(jump.withColumn("_old", lit(Long.MaxValue)))
+        .unionByName(prop.withColumn("_old", nullOld))
+        .unionByName(jump.withColumn("_old", nullOld))
         .groupBy("doc_id").agg(min("label").as("label"), min("_old").as("_old"))
         .localCheckpoint()
       converged = next.where(col("label") < col("_old")).isEmpty

@@ -153,7 +153,10 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
       case _ => true
     }
     val groups = agg.groupByExpressions.toSeq.map(colName)
-    if (groups.exists(_.isEmpty)) return false
+    // string group keys are refused like string MIN/MAX: a case-folding
+    // vendor collation MERGES groups Spark would keep distinct, and no
+    // final aggregate over the partials can un-merge them
+    if (groups.exists(g => g.isEmpty || !rangeSafe(g.get))) return false
     val aggs = agg.aggregateExpressions.toSeq.map {
       case m: AggMax => colName(m.column).filter(rangeSafe)
         .map(c => (s"MAX($c)", schema(c).dataType))
@@ -191,6 +194,10 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
     * per-partition top-Ns). String sort keys are refused for the same
     * vendor-collation reason as filter residuals and MIN/MAX. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    // the generated ORDER BY spells out ANSI NULLS FIRST/LAST, which the
+    // LIMIT-dialect vendors (MySQL/MariaDB/SQLite) do not parse — top-N
+    // is partial pushdown, so refusing costs only the optimization
+    if (!Jdbc.supportsAnsiNullOrdering(opts.url)) return false
     val compiled = orders.toSeq.map { so =>
       so.expression() match {
         case f: org.apache.spark.sql.connector.expressions.NamedReference
@@ -587,12 +594,23 @@ object Jdbc {
     * readers deliberately DON'T retry here: Spark's task retry already
     * covers them with a fresh connection. */
   def withRetry[A](retries: Int, waitMs: Long)(f: => A): A = {
+    // SQLNonTransientException covers syntax errors, missing tables, auth
+    // failures — retrying those burns retries x backoff on every
+    // micro-batch for an error that can't heal; plain SQLExceptions (most
+    // drivers' connect refusals) and the transient/recoverable hierarchy
+    // do retry
+    def permanent(e: java.sql.SQLException): Boolean =
+      e.isInstanceOf[java.sql.SQLNonTransientException] &&
+        !e.isInstanceOf[java.sql.SQLNonTransientConnectionException]
     var attempt = 0
     while (true) {
       try return f
       catch {
-        case e: java.sql.SQLException if attempt < retries =>
+        case e: java.sql.SQLException if attempt < retries && !permanent(e) =>
           attempt += 1
+          System.err.println(
+            s"[cdc] transient JDBC failure (attempt $attempt/$retries, " +
+              s"retrying in ${waitMs * attempt} ms): $e")
           Thread.sleep(waitMs * attempt)
       }
     }
@@ -630,9 +648,14 @@ object Jdbc {
     * for the vendors that never adopted ANSI fetch — the same tiny
     * URL-dispatch the config compiler uses for connector classes. */
   def limitClause(url: String, n: Int): String =
-    if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:") ||
-        url.startsWith("jdbc:sqlite:")) s"LIMIT $n"
-    else s"FETCH FIRST $n ROWS ONLY"
+    if (supportsAnsiNullOrdering(url)) s"FETCH FIRST $n ROWS ONLY"
+    else s"LIMIT $n"
+
+  /** The LIMIT-dialect vendors also lack ANSI `NULLS FIRST/LAST` — one
+    * URL dispatch decides both clauses. */
+  def supportsAnsiNullOrdering(url: String): Boolean =
+    !(url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:") ||
+      url.startsWith("jdbc:sqlite:"))
 
   private[graft] object IssuedSql {
     private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -700,6 +723,12 @@ object Jdbc {
       case Or(l, r) =>
         for { ls <- compileFilter(l, schema); rs <- compileFilter(r, schema) }
           yield s"($ls OR $rs)"
+      // NOT inverts the superset-plus-recheck trust model: a vendor
+      // collation matching MORE rows than Spark makes NOT(match) return
+      // FEWER — and the Spark-side residual can drop rows but never
+      // restore ones the DB withheld. NOT over anything
+      // collation-sensitive therefore must not be pushed at all.
+      case Not(c) if needsSparkRecheck(c) => None
       case Not(c) => compileFilter(c, schema).map(s => s"(NOT ($s))")
       case _ => None
     }

@@ -118,7 +118,10 @@ object ScaleSmoke {
     // the recorded scale curve behind the 100 TB sub-quadratic claims
     val families = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
       val ser = rs.sortBy(_._2).map { case (_, n, s, rows) =>
-        f"""{"factor":$n,"sec":$s%.2f,"rows":$rows}"""
+        // Locale.ROOT: the f-interpolator renders decimal COMMAS under
+        // de/fr default locales, corrupting the JSON artifact
+        val sec = String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
+        s"""{"factor":$n,"sec":$sec,"rows":$rows}"""
       }.mkString("[", ",", "]")
       s""""$fam":$ser"""
     }.mkString("{", ",", "}")

@@ -105,6 +105,17 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 === 0L))
   }
 
+  test("connectedComponents handles non-numeric ids (typed null carry, not a long sentinel)") {
+    // a numeric MaxValue _old sentinel coerces to the string
+    // "9223372036854775807", which sorts BEFORE alphabetic labels and
+    // falsely declared convergence after round 1 on string-id chains
+    val pairs = Seq(("w", "x"), ("x", "y"), ("y", "z"), ("m", "n"))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).as[(String, String)].collect().toMap
+    assert(got === Map("w" -> "w", "x" -> "w", "y" -> "w", "z" -> "w",
+      "m" -> "m", "n" -> "m"))
+  }
+
   test("connectedComponents matches a union-find oracle on a random graph") {
     val rnd = new scala.util.Random(1313)
     // 120 vertices, 90 random edges -> mix of singleton-free components,

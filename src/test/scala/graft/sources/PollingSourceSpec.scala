@@ -338,9 +338,10 @@ class PollingSourceSpec extends SparkSpec {
   test("pushdown: grouped MIN/MAX/COUNT aggregates run inside the database (partial merge)") {
     withDb("db_pusha") { (url, conn) =>
       conn.createStatement().execute(
-        "CREATE TABLE PUSHA (ID INT NOT NULL, GRP VARCHAR(8), V DOUBLE)")
+        "CREATE TABLE PUSHA (ID INT NOT NULL, GRP INT, V DOUBLE, NAME VARCHAR(8))")
       conn.createStatement().execute(
-        "INSERT INTO PUSHA VALUES (1,'a',1.5), (2,'a',2.5), (3,'b',0.5), (4,'b',9.5), (5,'b',4.0)")
+        "INSERT INTO PUSHA VALUES (1,10,1.5,'e1'), (2,10,2.5,'e2'), " +
+          "(3,20,0.5,'e3'), (4,20,9.5,'e4'), (5,20,4.0,'e5')")
       def read(parts: Int) = spark.read.format("cdc")
         .option("mode", "polling").option("url", url)
         .option("table.name", "PUSHA").option("polling.column", "id")
@@ -354,7 +355,7 @@ class PollingSourceSpec extends SparkSpec {
           org.apache.spark.sql.functions.min("id").as("mn"))
         .orderBy("grp")
       assert(df.collect().map(_.toSeq).toSeq ===
-        Seq(Seq("a", 2L, 2.5, 1), Seq("b", 3L, 9.5, 3)))
+        Seq(Seq(10, 2L, 2.5, 1), Seq(20, 3L, 9.5, 3)))
       val issued = Jdbc.IssuedSql.recent.filter(_.contains("PUSHA"))
       assert(issued.nonEmpty)
       issued.foreach { s =>
@@ -369,9 +370,9 @@ class PollingSourceSpec extends SparkSpec {
       // MAX over a string column must NOT be pushed (vendor collation):
       // the issued SQL stays a plain row scan
       Jdbc.IssuedSql.clear()
-      val sm = read(1).agg(org.apache.spark.sql.functions.max("grp")).collect()
-      assert(sm.head.getString(0) === "b")
-      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHA")).exists(_.contains("MAX(grp)")))
+      val sm = read(1).agg(org.apache.spark.sql.functions.max("name")).collect()
+      assert(sm.head.getString(0) === "e5")
+      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHA")).exists(_.contains("MAX(name)")))
     }
   }
 
@@ -429,6 +430,47 @@ class PollingSourceSpec extends SparkSpec {
       }
     }
     assert(calls3 === 1)
+    // permanent SQL errors (syntax, missing table) fail fast too —
+    // retrying them would burn backoff on every micro-batch forever
+    var calls4 = 0
+    intercept[java.sql.SQLSyntaxErrorException] {
+      Jdbc.withRetry(retries = 5, waitMs = 1L) {
+        calls4 += 1; throw new java.sql.SQLSyntaxErrorException("bad scan.where")
+      }
+    }
+    assert(calls4 === 1)
+    // ...but non-transient CONNECTION errors are retryable (DB restart)
+    var calls5 = 0
+    val v5 = Jdbc.withRetry(retries = 2, waitMs = 1L) {
+      calls5 += 1
+      if (calls5 < 2) throw new java.sql.SQLNonTransientConnectionException("down")
+      7
+    }
+    assert(v5 === 7 && calls5 === 2)
+  }
+
+  test("pushdown refusals: NOT over string predicates, string GROUP BY keys") {
+    withDb("db_pushneg") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE PUSHNEG (ID INT NOT NULL, NAME VARCHAR(32))")
+      conn.createStatement().execute("INSERT INTO PUSHNEG VALUES (1,'x'), (2,'y'), (3,'Y')")
+      def read() = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "PUSHNEG").option("polling.column", "id").load()
+      // NOT over a collation-sensitive predicate: the DB's answer would be
+      // a SUBSET under a case-folding collation, and the residual recheck
+      // can only remove rows — so it must stay entirely Spark-side
+      Jdbc.IssuedSql.clear()
+      val notEq = read().where("NOT (name = 'y')")
+      assert(notEq.collect().map(_.getInt(0)).toSet === Set(1, 3))
+      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHNEG")).exists(_.contains("NOT (")))
+      // string GROUP BY keys: a case-folding vendor would MERGE 'y'/'Y'
+      // partials irrecoverably -> the aggregate stays Spark-side
+      Jdbc.IssuedSql.clear()
+      val grouped = read().groupBy("name").count()
+      assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("x", 1L), ("y", 1L), ("Y", 1L)))
+      assert(!Jdbc.IssuedSql.recent.filter(_.contains("PUSHNEG")).exists(_.contains("GROUP BY")))
+    }
   }
 
   test("batch snapshot range-partitions on the polling column; rows identical to single scan") {
