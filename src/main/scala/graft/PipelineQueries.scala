@@ -808,7 +808,7 @@ object PipelineQueries {
          |        sum(c) OVER (PARTITION BY lang) AS n,
          |        sum(word_cnt * c) OVER (PARTITION BY lang) AS tot
          |      FROM h)
-         |SELECT lang, max(n) AS n_docs, max(tot) AS total_tokens,
+         |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs, CAST(max(tot) AS BIGINT) AS total_tokens,
          |       min(CASE WHEN cum * 2 >= n * 1 THEN word_cnt END) AS p50_tokens,
          |       min(CASE WHEN cum * 10 >= n * 9 THEN word_cnt END) AS p90_tokens
          |FROM x GROUP BY lang

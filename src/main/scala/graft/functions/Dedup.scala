@@ -330,6 +330,15 @@ object Dedup {
       labels = next.select("doc_id", "label")
       iter += 1
     }
+    // pointer jumping converges in O(log diameter) rounds, so hitting
+    // maxIters means either a pathological graph or a far-too-small cap —
+    // the labels would be silently WRONG (per-segment, not per-component);
+    // fail loudly rather than hand callers incorrect clusters
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds; " +
+          "raise maxIters (rounds needed grow only logarithmically with " +
+          "component diameter)")
     labels.withColumnRenamed("label", "canonical_id")
   }
 

@@ -90,6 +90,7 @@ object Multimodal {
     * oracle reproduces it exactly. Output: (media_id, frame_no, energy).
     * Same once-per-partition mapPartitions shape as [[byteHistogram]]. */
   def frameEnergy(files: Dataset[MediaFile], frameLen: Int): DataFrame = {
+    require(frameLen >= 1, s"frame length must be >= 1, got $frameLen")
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
       it.flatMap { f =>

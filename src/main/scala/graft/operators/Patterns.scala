@@ -31,6 +31,14 @@ object Patterns {
   private def seqKey(ts: Column, id: Column): Column =
     concat(lpad(ts.cast("string"), TsPad, "0"), lpad(id.cast("string"), IdPad, "0"))
 
+  /** `floorDiv(ts, p)` as an all-integer column: SQL `div` truncates
+    * toward zero, which diverges from the streaming twins'
+    * `Math.floorDiv` for negative timestamps — subtracting `pmod` first
+    * makes the dividend an exact multiple, so truncation IS floor, for
+    * any sign, with no double-precision mantissa loss on ns epochs. */
+  private def floorDivCol(tsCol: String, p: Long): Column =
+    expr(s"(`$tsCol` - pmod(`$tsCol`, ${p}L)) div ${p}L")
+
   /** Events + `_next_b` = seqKey of the FIRST following `typeB` event for
     * the same key (strictly after in (ts, id) order), or null.
     *
@@ -191,15 +199,15 @@ object Patterns {
       col(keyCol).as("_k"), col(tsCol).as("_ta"), col(idCol).as("a_id"),
       col(valueCol).as("a_value"),
       // integer division: ts/within in doubles would shave mantissa bits
-      // off ns-scale epochs (same non-negative-ts contract as seqKey)
-      expr(s"`$tsCol` div ${within}L").as("_band"))
+      // off ns-scale epochs; floor semantics match the streaming twins
+      floorDivCol(tsCol, within).as("_band"))
     // a B at band p can complete an A from band p or p-1 — emit it into
     // both, so the equi-join on (_k, _band) sees every reachable pair
     val b = events.where(col(typeCol) === typeB).select(
       col(keyCol).as("_k"), col(tsCol).as("_tb"), col(idCol).as("_b_id"),
       col(valueCol).as("b_value"),
-      explode(array(expr(s"`$tsCol` div ${within}L"),
-        expr(s"`$tsCol` div ${within}L") - 1)).as("_band"))
+      explode(array(floorDivCol(tsCol, within),
+        floorDivCol(tsCol, within) - 1)).as("_band"))
     val strictlyAfter = col("_tb") > col("_ta") ||
       (col("_tb") === col("_ta") && col("_b_id") > col("a_id"))
     a.join(b, Seq("_k", "_band"))
@@ -311,13 +319,14 @@ object Patterns {
     *
     * One keyed exchange + one row_number frame over (key, bucket);
     * buckets are aligned to epoch 0 like Siddhi's timer (integer
-    * division — same non-negative-ts contract as seqKey).
+    * division with floor semantics — agrees with the streaming twins'
+    * `Math.floorDiv` for any timestamp sign).
     *
     * Siddhi analog: `from s[...] ... output first every T`. */
   def outputFirstEvery(events: DataFrame, keyCol: String, tsCol: String,
                        idCol: String, period: Long): DataFrame = {
     require(period > 0, s"period must be positive, got $period")
-    val bucket = expr(s"`$tsCol` div ${period}L")
+    val bucket = floorDivCol(tsCol, period)
     val w = Window.partitionBy(col(keyCol), bucket)
       .orderBy(col(tsCol), col(idCol))
     events
@@ -334,7 +343,7 @@ object Patterns {
   def outputLastEvery(events: DataFrame, keyCol: String, tsCol: String,
                       idCol: String, period: Long): DataFrame = {
     require(period > 0, s"period must be positive, got $period")
-    val bucket = expr(s"`$tsCol` div ${period}L")
+    val bucket = floorDivCol(tsCol, period)
     val w = Window.partitionBy(col(keyCol), bucket)
       .orderBy(col(tsCol).desc, col(idCol).desc)
     events

@@ -195,8 +195,9 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
     * vendor-collation reason as filter residuals and MIN/MAX. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     // the generated ORDER BY spells out ANSI NULLS FIRST/LAST, which the
-    // LIMIT-dialect vendors (MySQL/MariaDB/SQLite) do not parse — top-N
-    // is partial pushdown, so refusing costs only the optimization
+    // LIMIT-dialect vendors (MySQL/MariaDB/SQLite) and SQL Server do not
+    // parse (T-SQL also requires ORDER BY ... OFFSET for its fetch form)
+    // — top-N is partial pushdown, so refusing costs only the optimization
     if (!Jdbc.supportsAnsiNullOrdering(opts.url)) return false
     val compiled = orders.toSeq.map { so =>
       so.expression() match {
@@ -472,8 +473,11 @@ class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
     val orderAndLimit = (topN, limit) match {
       case _ if aggSelect.nonEmpty => None
       case (Some((orderBy, n)), _) =>
-        Some((orderBy, Jdbc.limitClause(opts.url, n)))
-      case (None, l) if l >= 0 => Some(("", Jdbc.limitClause(opts.url, l)))
+        val (pre, clause) = Jdbc.limitSyntax(opts.url, n)
+        Some((pre, orderBy, clause))
+      case (None, l) if l >= 0 =>
+        val (pre, clause) = Jdbc.limitSyntax(opts.url, l)
+        Some((pre, "", clause))
       case _ => None
     }
     CdcReaderFactory(Jdbc.connectionSpec(opts), opts.table, pollingCol, readSchema,
@@ -491,7 +495,7 @@ case class CdcInputPartition(lo: Option[String], hi: Option[String], numeric: Bo
 case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
                             pollingCol: String, schema: StructType,
                             where: Array[String] = Array.empty,
-                            limit: Option[(String, String)] = None,
+                            limit: Option[(String, String, String)] = None,
                             aggSelect: Option[(String, String)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -505,7 +509,7 @@ case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
 class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: String,
                          schema: StructType, part: CdcInputPartition,
                          pushedWhere: Array[String] = Array.empty,
-                         limit: Option[(String, String)] = None,
+                         limit: Option[(String, String, String)] = None,
                          aggSelect: Option[(String, String)] = None)
   extends PartitionReader[InternalRow] {
 
@@ -531,8 +535,12 @@ class CdcPartitionReader(spec: Jdbc.ConnectionSpec, table: String, pollingCol: S
     val where = if (conj.isEmpty) "" else conj.mkString(" WHERE ", " AND ", "")
     val sql = aggSelect match {
       case Some((sel, groupBy)) => s"SELECT $sel FROM $table$where$groupBy"
-      case None => s"SELECT $cols FROM $table$where" +
-        limit.map { case (orderBy, clause) => s"$orderBy $clause" }.getOrElse("")
+      case None =>
+        val pre = limit.map(_._1).getOrElse("")
+        s"SELECT $pre$cols FROM $table$where" +
+          limit.map { case (_, orderBy, clause) =>
+            if (clause.isEmpty) orderBy else s"$orderBy $clause"
+          }.getOrElse("")
     }
     Jdbc.IssuedSql.add(sql)
     val ps = conn.prepareStatement(sql)
@@ -643,19 +651,26 @@ object Jdbc {
   /** Bounded ring of the most recent reader SELECT statements — cheap
     * always-on diagnostics (the SQL actually issued to the vendor), and
     * what PollingSourceSpec asserts pushdown against. */
-  /** Vendor limit clause: ANSI `FETCH FIRST n ROWS ONLY` (Derby, Postgres,
-    * Oracle 12c+, MSSQL 2012+ all accept it) with the `LIMIT n` spelling
-    * for the vendors that never adopted ANSI fetch — the same tiny
-    * URL-dispatch the config compiler uses for connector classes. */
-  def limitClause(url: String, n: Int): String =
-    if (supportsAnsiNullOrdering(url)) s"FETCH FIRST $n ROWS ONLY"
-    else s"LIMIT $n"
+  /** Vendor limit syntax as a (selectPrefix, trailingClause) pair: ANSI
+    * `FETCH FIRST n ROWS ONLY` (Derby, Postgres, Oracle 12c+), the
+    * `LIMIT n` spelling for the vendors that never adopted ANSI fetch,
+    * and `SELECT TOP n` for SQL Server — T-SQL rejects both `LIMIT` and
+    * a bare `FETCH FIRST` (its fetch form requires `ORDER BY ... OFFSET`).
+    * Same tiny URL-dispatch the config compiler uses for connector
+    * classes. */
+  def limitSyntax(url: String, n: Int): (String, String) =
+    if (url.startsWith("jdbc:sqlserver:")) (s"TOP $n ", "")
+    else if (supportsAnsiNullOrdering(url)) ("", s"FETCH FIRST $n ROWS ONLY")
+    else ("", s"LIMIT $n")
 
-  /** The LIMIT-dialect vendors also lack ANSI `NULLS FIRST/LAST` — one
-    * URL dispatch decides both clauses. */
+  /** Vendors whose ORDER BY parses ANSI `NULLS FIRST/LAST` — the gate for
+    * top-N pushdown. The LIMIT-dialect vendors (MySQL/MariaDB/SQLite)
+    * lack it, and so does SQL Server (T-SQL has no NULLS ordering clause
+    * and its fetch form needs `ORDER BY ... OFFSET`), so top-N is refused
+    * there and only the TOP-n limit is pushed. */
   def supportsAnsiNullOrdering(url: String): Boolean =
     !(url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:") ||
-      url.startsWith("jdbc:sqlite:"))
+      url.startsWith("jdbc:sqlite:") || url.startsWith("jdbc:sqlserver:"))
 
   private[graft] object IssuedSql {
     private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -105,6 +105,16 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 === 0L))
   }
 
+  test("connectedComponents fails loudly when maxIters is too small to converge") {
+    // exiting at maxIters with unconverged labels would hand callers
+    // per-segment (wrong) clusters with no signal
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("connectedComponents handles non-numeric ids (typed null carry, not a long sentinel)") {
     // a numeric MaxValue _old sentinel coerces to the string
     // "9223372036854775807", which sorts BEFORE alphabetic labels and

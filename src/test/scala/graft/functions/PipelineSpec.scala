@@ -387,6 +387,10 @@ class PipelineSpec extends SparkSpec {
       (1L, 0, 1L + 4 + 9 + 16), (1L, 1, 25L),
       (2L, 0, 100L + 400 + 900 + 1600),
       (4L, 0, 255L * 255)))
+    // a non-positive frame length fails at the driver, not as an obscure
+    // grouped(0) error inside an executor task
+    val bad = intercept[IllegalArgumentException](Multimodal.frameEnergy(files, 0))
+    assert(bad.getMessage.contains("frame length"))
   }
 
   test("tfidfTopK matches a brute-force oracle; empty docs emit nothing") {

@@ -295,6 +295,23 @@ class PatternsSpec extends SparkSpec {
       Row("k2", 7L, 0L)))
   }
 
+  test("rate-limit buckets use floor semantics for negative timestamps (streaming parity)") {
+    import spark.implicits._
+    // SQL `div` truncates toward zero: -11 div 10 = -1, but the streaming
+    // twins' Math.floorDiv(-11, 10) = -2 — the batch path must agree
+    val e = Seq(("k", -11L, 3L), ("k", -10L, 2L), ("k", -1L, 1L), ("k", 0L, 4L))
+      .toDF("key", "ts", "id")
+    val out = Patterns.outputFirstEvery(e, "key", "ts", "id", 10L)
+      .orderBy("bucket_start").collect().toSeq
+    assert(out === Seq(
+      Row("k", 3L, -20L),   // floor bucket -2, not truncated -1
+      Row("k", 2L, -10L),   // -10 and -1 share bucket -1; first by ts is id=2
+      Row("k", 4L, 0L)))
+    val last = Patterns.outputLastEvery(e, "key", "ts", "id", 10L)
+      .orderBy("bucket_start").collect().toSeq
+    assert(last === Seq(Row("k", 3L, -20L), Row("k", 1L, -10L), Row("k", 4L, 0L)))
+  }
+
   test("disjunction tags the arrived branch; same-type binds the first branch only") {
     val out = Patterns.disjunction(events, "key", "id", "type", "A", "B")
       .orderBy(coalesce(col("a_id"), col("b_id"))).collect().toSeq

@@ -405,6 +405,21 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("pushdown dialect: SQL Server renders TOP n and refuses top-N") {
+    val ms = "jdbc:sqlserver://host:1433;databaseName=d"
+    // T-SQL rejects both LIMIT and a bare FETCH FIRST (its fetch form
+    // requires ORDER BY ... OFFSET) — the limit must be a TOP prefix
+    assert(Jdbc.limitSyntax(ms, 7) === (("TOP 7 ", "")))
+    // and NULLS FIRST/LAST does not parse → top-N pushdown refused
+    assert(!Jdbc.supportsAnsiNullOrdering(ms))
+    // ANSI vendors keep the fetch clause; LIMIT dialects keep LIMIT
+    assert(Jdbc.limitSyntax("jdbc:postgresql://h/d", 7) ===
+      (("", "FETCH FIRST 7 ROWS ONLY")))
+    assert(Jdbc.limitSyntax("jdbc:mysql://h/d", 7) === (("", "LIMIT 7")))
+    assert(Jdbc.supportsAnsiNullOrdering("jdbc:postgresql://h/d"))
+    assert(!Jdbc.supportsAnsiNullOrdering("jdbc:mysql://h/d"))
+  }
+
   test("driver-side offset queries survive transient SQL blips (bounded retry)") {
     // two transient failures then success -> value returned
     var calls = 0
