@@ -83,6 +83,15 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
 }
 
 class CdcTable(schema: StructType, opts: CdcOptions) extends Table with SupportsRead {
+  /** Value equality (with [[CdcScan]]'s): two reads of the same table
+    * must canonicalize `sameResult`, or Catalyst never reuses exchanges
+    * across them and dynamic pruning's broadcast-reuse check fails. */
+  override def equals(o: Any): Boolean = o match {
+    case t: CdcTable => schema == t.schema() && opts == t.optsKey
+    case _ => false
+  }
+  override def hashCode(): Int = (schema, opts).hashCode()
+  private[sources] def optsKey: CdcOptions = opts
   override def name(): String = s"cdc:${opts.table}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] = {
@@ -243,11 +252,56 @@ class CdcScanBuilder(schema: StructType, opts: CdcOptions) extends ScanBuilder
 class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
               pushedWhere: Array[String], limit: Int = -1,
               aggSelect: Option[(String, String)] = None,
-              topN: Option[(String, Int)] = None) extends Scan {
+              topN: Option[(String, Int)] = None)
+  extends Scan with SupportsRuntimeFiltering {
   // `scan.where` joins the pushed predicates on BOTH paths; for streaming
   // it is the ONLY way a user predicate reaches the vendor SQL (Catalyst
   // V2 pushdown rules do not run for streaming scans)
   private val where: Array[String] = pushedWhere ++ opts.scanWhere.map(w => s"($w)")
+
+  /** Runtime filtering (`SupportsRuntimeFiltering`): when this snapshot
+    * joins a broadcast dimension (the q10 hydration shape), dynamic
+    * pruning hands the scan the dimension's surviving join keys AFTER the
+    * broadcast materializes — each partition's JDBC WHERE gains the
+    * IN-list, so the DATABASE prunes the fact rows instead of shipping
+    * them for Spark's join to discard. Purely an optimization: the join
+    * re-checks every row, so refusing (or a vendor matching a superset)
+    * can never change results. String/binary attributes are withheld for
+    * the same vendor-collation reason as [[CdcScanBuilder.pushFilters]];
+    * IN-lists wider than [[Jdbc.MaxRuntimeInList]] stay Spark-side
+    * (vendors cap IN length — Oracle at 1000). */
+  private val runtimeHolder = new RuntimeWhere
+  private[sources] def whereNow: Array[String] = where ++ runtimeHolder.extra
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    pruned.fields.collect {
+      case StructField(n, dt, _, _) if dt != StringType && dt != BinaryType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(n)
+    }
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.In
+    runtimeHolder.extra = filters.flatMap {
+      case In(_, vs) if vs.length > Jdbc.MaxRuntimeInList => None
+      case f if Jdbc.needsSparkRecheck(f) => None // defensive: strings withheld above
+      case f => Jdbc.compileFilter(f, fullSchema)
+    }
+  }
+
+  /** Value equality over everything that determines emitted rows —
+    * `BatchScanExec` compares `Scan`s when canonicalizing, so without
+    * this no two reads of the same table ever `sameResult`: exchange
+    * reuse for self-joins fails, and the dynamic-pruning broadcast-reuse
+    * check above always degrades to `true`. `runtimeWhere` is included
+    * because a runtime-filtered scan emits fewer rows than an unfiltered
+    * one. */
+  private def eqKey =
+    (fullSchema, pruned, opts, pushedWhere.toSeq, limit, aggSelect, topN,
+      runtimeHolder.extra.toSeq)
+  override def equals(o: Any): Boolean = o match {
+    case s: CdcScan => eqKey == s.eqKey
+    case _ => false
+  }
+  override def hashCode(): Int = eqKey.hashCode()
+
   override def readSchema(): StructType = pruned
   override def description(): String =
     s"cdc:${opts.table} cols=[${pruned.fieldNames.mkString(",")}]" +
@@ -257,8 +311,12 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
       topN.map(t => s" topN=[${t._1.trim} n=${t._2}]").getOrElse("")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(fullSchema, pruned, opts, where)
+  // the holder rides along because Spark calls `filter` AFTER `toBatch`
+  // (and even after `createReaderFactory` — `supportsColumnar` forces the
+  // factory during planning): the IN-list must be read at task time
   override def toBatch: Batch =
-    new CdcBatch(fullSchema, pruned, opts, where, limit, aggSelect, topN)
+    new CdcBatch(fullSchema, pruned, opts, where, runtimeHolder,
+      limit, aggSelect, topN)
 }
 
 /** Offset = largest polling-column value emitted; serialized as
@@ -422,9 +480,23 @@ class CdcMicroBatchStream(fullSchema: StructType, readSchema: StructType,
   * columns (or numpartitions=1) fall back to a single full scan — the
   * micro-batch delta path, not the snapshot, is the string-offset route. */
 class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
-               where: Array[String], limit: Int = -1,
+               where: Array[String], runtime: RuntimeWhere = new RuntimeWhere,
+               limit: Int = -1,
                aggSelect: Option[(String, String)] = None,
                topN: Option[(String, Int)] = None) extends Batch {
+  /** Value equality: `BatchScanExec.equals` compares `scan.toBatch`, and
+    * every `toBatch` call builds a fresh CdcBatch — without this, scan
+    * reuse (and dynamic pruning's broadcast-reuse check) never matches.
+    * Runtime predicates compare by their CURRENT contents. */
+  private def eqKey =
+    (fullSchema, readSchema, opts, where.toSeq, runtime.extra.toSeq,
+      limit, aggSelect, topN)
+  override def equals(o: Any): Boolean = o match {
+    case b: CdcBatch => eqKey == b.eqKey
+    case _ => false
+  }
+  override def hashCode(): Int = eqKey.hashCode()
+
   private val pollingCol = opts.pollingColumn.map(_.toLowerCase).getOrElse("")
 
   private def numericPoll: Boolean =
@@ -481,7 +553,7 @@ class CdcBatch(fullSchema: StructType, readSchema: StructType, opts: CdcOptions,
       case _ => None
     }
     CdcReaderFactory(Jdbc.connectionSpec(opts), opts.table, pollingCol, readSchema,
-      where, orderAndLimit, aggSelect)
+      where, orderAndLimit, aggSelect, runtime)
   }
 }
 
@@ -492,15 +564,25 @@ case class CdcInputPartition(lo: Option[String], hi: Option[String], numeric: Bo
                              nullScan: Boolean = false)
   extends InputPartition
 
+/** Serializable mutable carrier for predicates that arrive AFTER the
+  * reader factory is built (runtime filters): Spark forces the factory
+  * during planning but serializes it per task — at job submission, after
+  * `CdcScan.filter` ran — so reading the CURRENT contents on the
+  * executor picks up the IN-list. */
+final class RuntimeWhere(@volatile var extra: Array[String] = Array.empty)
+  extends Serializable
+
 case class CdcReaderFactory(conn: Jdbc.ConnectionSpec, table: String,
                             pollingCol: String, schema: StructType,
                             where: Array[String] = Array.empty,
                             limit: Option[(String, String, String)] = None,
-                            aggSelect: Option[(String, String)] = None)
+                            aggSelect: Option[(String, String)] = None,
+                            runtime: RuntimeWhere = new RuntimeWhere)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(conn, table, pollingCol, schema,
-      partition.asInstanceOf[CdcInputPartition], where, limit, aggSelect)
+      partition.asInstanceOf[CdcInputPartition], where ++ runtime.extra,
+      limit, aggSelect)
 }
 
 /** Executor-side JDBC range reader: the vendor executes the range
@@ -651,6 +733,11 @@ object Jdbc {
   /** Bounded ring of the most recent reader SELECT statements — cheap
     * always-on diagnostics (the SQL actually issued to the vendor), and
     * what PollingSourceSpec asserts pushdown against. */
+  /** Widest IN-list a runtime filter may push to the vendor — Oracle caps
+    * expression lists at 1000; a wider set stays a Spark-side join
+    * filter (the runtime filter is advisory, never load-bearing). */
+  val MaxRuntimeInList = 1000
+
   /** Vendor limit syntax as a (selectPrefix, trailingClause) pair: ANSI
     * `FETCH FIRST n ROWS ONLY` (Derby, Postgres, Oracle 12c+), the
     * `LIMIT n` spelling for the vendors that never adopted ANSI fetch,
