@@ -74,6 +74,30 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("stateful twins run on the RocksDB state store (session default)") {
+    // the session wires RocksDBStateStoreProvider (GraftSession) so state
+    // scales with executor disk, not heap — every parity test in this
+    // suite therefore already exercises the twins under RocksDB; this one
+    // pins that the provider is actually engaged, not silently defaulted
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamPatterns.followedBy(src, "k", "ts", "id", "typ",
+        "signup", "purchase", WithinUs, "0 seconds").toDF
+      .writeStream.format("memory").queryName("sp_rocksdb")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, 1000L, 1L, "signup"), (1L, 2000L, 2L, "purchase"))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.keySet.toArray.map(_.toString))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")), metrics.mkString(", "))
+    } finally q.stop()
+  }
+
   test("absence parity with batch operator") {
     val got = runStream(src => StreamPatterns.absence(
       src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_abs")
