@@ -12,6 +12,24 @@ import scala.util.matching.Regex
   * `polling.column`, `polling.interval`, `wait.on.missed.record`,
   * `missed.record.waiting.timeout`, `operation`, `connector.properties`).
   */
+/** Named connection registry — the Spark-deployable analog of the
+  * reference's container-managed pools: Siddhi apps name a connection via
+  * `datasource.name` (Carbon datasource service) or `jndi.resource`
+  * (container JNDI) instead of inlining url+driver
+  * (`CDCSource.java:584-623`, `polling/CDCPoller.java:114-168`). A plain
+  * Spark deployment has neither service, so both names resolve against
+  * this JVM-local registry (populate it at session bootstrap); an
+  * unregistered `jndi.resource` fails with a clear unsupported message
+  * rather than attempting a context lookup that cannot succeed here. */
+object CdcDataSources {
+  final case class Spec(url: String, username: Option[String] = None,
+                        password: Option[String] = None)
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+  def register(name: String, spec: Spec): Unit = registry.put(name, spec)
+  def unregister(name: String): Unit = registry.remove(name)
+  def lookup(name: String): Option[Spec] = Option(registry.get(name))
+}
+
 final case class CdcOptions(
     mode: String,
     url: String,
@@ -89,15 +107,33 @@ object CdcOptions {
     require(mode == ModeListening || mode == ModePolling,
       s"unsupported mode '$mode' (listening|polling)")
 
-    val url = req("url")
+    // connection resolution precedence mirrors the reference:
+    // datasource.name > jndi.resource > url+driver (CDCSource.java:584-623)
+    val dsName = Option(options.get("datasource.name")).filter(_.nonEmpty)
+    val jndiName = Option(options.get("jndi.resource")).filter(_.nonEmpty)
+    if (dsName.nonEmpty || jndiName.nonEmpty)
+      require(mode == ModePolling,
+        "datasource.name / jndi.resource apply to polling mode only")
+    val resolved: Option[CdcDataSources.Spec] = dsName.map { n =>
+      CdcDataSources.lookup(n).getOrElse(throw new IllegalArgumentException(
+        s"datasource.name '$n' is not registered: call " +
+          "CdcDataSources.register(name, Spec(url, ...)) at bootstrap, " +
+          "or configure url+driver directly"))
+    }.orElse(jndiName.map { n =>
+      CdcDataSources.lookup(n).getOrElse(throw new UnsupportedOperationException(
+        s"jndi.resource '$n': no JNDI container exists in a plain Spark " +
+          "deployment — register the name via CdcDataSources.register, or " +
+          "configure url+driver directly"))
+    })
+    val url = resolved.map(_.url).getOrElse(req("url"))
     val table = req("table.name")
     val cron = Option(options.get("cron.expression")).filter(_.nonEmpty)
     val waitOnMissed = options.getBoolean("wait.on.missed.record", false)
     val opts = new CdcOptions(
       mode = mode,
       url = url,
-      username = Option(options.get("username")),
-      password = Option(options.get("password")),
+      username = resolved.flatMap(_.username).orElse(Option(options.get("username"))),
+      password = resolved.flatMap(_.password).orElse(Option(options.get("password"))),
       table = table,
       operation = Option(options.get("operation")).map(
         _.split(",").toSeq.map(_.trim.toLowerCase)).getOrElse(Seq.empty),

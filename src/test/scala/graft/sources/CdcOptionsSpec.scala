@@ -63,6 +63,47 @@ class CdcOptionsSpec extends AnyFunSuite {
       "mode" -> "polling", "url" -> "jdbc:derby:/tmp/x", "table.name" -> "t"))
   }
 
+  test("connection precedence: datasource.name > jndi.resource > url (ref CDCSource.java:584-623)") {
+    CdcDataSources.register("ds1", CdcDataSources.Spec(
+      "jdbc:derby:/tmp/ds1", Some("dsuser"), Some("dspass")))
+    CdcDataSources.register("jndi/cdc", CdcDataSources.Spec("jdbc:derby:/tmp/jndi1"))
+    try {
+      // datasource.name wins over an inline url AND over jndi.resource
+      val viaDs = opts("mode" -> "polling", "table.name" -> "t",
+        "polling.column" -> "id", "datasource.name" -> "ds1",
+        "jndi.resource" -> "jndi/cdc", "url" -> "jdbc:derby:/tmp/inline",
+        "username" -> "inlineuser")
+      assert(viaDs.url === "jdbc:derby:/tmp/ds1")
+      assert(viaDs.username === Some("dsuser") && viaDs.password === Some("dspass"))
+      // jndi.resource is next when no datasource.name
+      val viaJndi = opts("mode" -> "polling", "table.name" -> "t",
+        "polling.column" -> "id", "jndi.resource" -> "jndi/cdc")
+      assert(viaJndi.url === "jdbc:derby:/tmp/jndi1")
+      // registered spec without credentials falls back to inline ones
+      val cred = opts("mode" -> "polling", "table.name" -> "t",
+        "polling.column" -> "id", "jndi.resource" -> "jndi/cdc",
+        "username" -> "u2")
+      assert(cred.username === Some("u2"))
+      // unregistered names fail with actionable messages
+      val noDs = intercept[IllegalArgumentException](opts(
+        "mode" -> "polling", "table.name" -> "t", "polling.column" -> "id",
+        "datasource.name" -> "nope"))
+      assert(noDs.getMessage.contains("not registered"))
+      val noJndi = intercept[UnsupportedOperationException](opts(
+        "mode" -> "polling", "table.name" -> "t", "polling.column" -> "id",
+        "jndi.resource" -> "nope"))
+      assert(noJndi.getMessage.contains("no JNDI container"))
+      // polling-mode-only options
+      intercept[IllegalArgumentException](opts(
+        "mode" -> "listening", "url" -> "jdbc:mysql://h:3306/d",
+        "table.name" -> "t", "operation" -> "insert",
+        "datasource.name" -> "ds1"))
+    } finally {
+      CdcDataSources.unregister("ds1")
+      CdcDataSources.unregister("jndi/cdc")
+    }
+  }
+
   test("cron + wait.on.missed.record mutually exclusive (polling)") {
     intercept[IllegalArgumentException](opts(
       "mode" -> "polling", "url" -> "jdbc:derby:/tmp/x", "table.name" -> "t",
