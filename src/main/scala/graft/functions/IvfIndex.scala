@@ -49,10 +49,38 @@ object IvfIndex {
     * are unit-ish floats: |v|·2^40 · corpus ≪ 2^63. */
   private val FixedPointScale = 1L << 40
 
-  /** Lloyd's iterations over the corpus; `emb` must have (idCol, vecCol). */
+  /** Sample-domain for the train cap: hash-mod keeps the choice of
+    * training vectors deterministic at any partitioning. */
+  private val SampleDomain = 1L << 20
+
+  /** Lloyd's iterations over (a bounded sample of) the corpus; `emb` must
+    * have (idCol, vecCol).
+    *
+    * Training input is capped at ~`maxTrainVectors` via a deterministic
+    * hash sample of the id (same device as the corpus split machinery):
+    * a coarse quantizer needs a representative sample, not the corpus, so
+    * training cost stops scaling with corpus size — at 100 TB, 3 Lloyd
+    * passes over everything would dominate the query. Below the cap the
+    * sample IS the corpus, so small-scale results (and the p12 oracle,
+    * which is generated from the trained model) are unchanged. Assignment
+    * ([[index]]) still covers every vector. */
   def train(emb: DataFrame, k: Int, iters: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    val p = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            maxTrainVectors: Int = 1 << 16): Model = {
+    require(maxTrainVectors >= k,
+      s"maxTrainVectors ($maxTrainVectors) must be >= k ($k)")
+    val full = Similarity.prep(emb, vecCol).select(col(idCol), col("vd"))
+    val total = full.count()
+    val p = {
+      if (total <= maxTrainVectors) full
+      else {
+        val keep = math.max(1L, maxTrainVectors * SampleDomain / total)
+        val sampled =
+          full.where(pmod(xxhash64(col(idCol)), lit(SampleDomain)) < keep)
+        // a cap near k could undershoot the seed count — fall back whole
+        if (sampled.limit(k).count() < k) full else sampled
+      }
+    }.cache()
     try {
       var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
         .collect().map(_.getSeq[Double](0).toArray)

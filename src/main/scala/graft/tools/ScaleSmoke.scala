@@ -83,6 +83,12 @@ object ScaleSmoke {
       }
       time("lsh_knn", n)(
         Similarity.lshKnn(embs, col("vec_id") < 20, 3).count())
+      // train cost must flatten once the corpus passes the sample cap
+      // (engages at 4x/10x with sf0.1's 2000-vector base)
+      time("ivf_train", n) {
+        graft.functions.IvfIndex.train(embs, k = 16, iters = 3,
+          maxTrainVectors = 4000).k.toLong
+      }
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())

@@ -75,6 +75,23 @@ class PipelineSpec extends SparkSpec {
     assert(cellCnt.agg(sum("count")).as[Long].head === embs.count())
   }
 
+  test("IVF train-on-sample: cap engages deterministically; below the cap nothing changes") {
+    def eq(a: IvfIndex.Model, b: IvfIndex.Model): Boolean =
+      a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq
+    val full = IvfIndex.train(embs, k = 8, iters = 2)
+    // cap above the corpus: the sample IS the corpus — codebook identical
+    assert(eq(IvfIndex.train(embs, k = 8, iters = 2, maxTrainVectors = 1000000), full))
+    // cap below the corpus: deterministic across runs, and actually engaged
+    val c1 = IvfIndex.train(embs, k = 8, iters = 2, maxTrainVectors = 200)
+    val c2 = IvfIndex.train(embs, k = 8, iters = 2, maxTrainVectors = 200)
+    assert(eq(c1, c2))
+    assert(!eq(c1, full))
+    // a capped codebook still assigns and searches the FULL corpus
+    assert(IvfIndex.index(embs, c1).agg(sum(lit(1))).as[Long].head === embs.count())
+    val knn = IvfIndex.knn(embs, c1, col("vec_id") < 20, 3, nprobe = 4)
+    assert(knn.groupBy("q_id").count().as[(Long, Long)].collect().forall(_._2 === 3L))
+  }
+
   test("vec_sum_fixed aggregate matches per-dimension column sums") {
     assert(spark.catalog.functionExists("vec_sum_fixed"))
     val embs = Similarity.prep(graft.Tables.embeddings(spark, sf()))
