@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   * expressions under test). A warm-up pass at sf0.001 absorbs JVM/codegen
   * startup so per-query numbers reflect steady state.
   *
-  * Each query reports the MEDIAN of 3 runs (cache cleared between runs):
-  * a single sample on a contended box once reported a 27× spike on an
-  * unchanged 2 MB-scan query (round-4 bench artifact); the median shrugs
-  * off one bad sample while still charging real regressions. */
+  * Each query reports the MEDIAN of 3 samples taken on INTERLEAVED
+  * whole-suite passes (run all queries, then run them all again, ...):
+  * back-to-back median-of-3 puts a query's three samples inside one
+  * contention window, so a minutes-long noisy neighbor poisons all of
+  * them at once (the round-4 27× spike and the round-5 p18/q14/p26
+  * artifacts — all on unchanged code); with a suite-length gap between
+  * samples, one bad window can hit at most one sample per query and the
+  * median discards it. Cache cleared between runs. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,19 +30,21 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    /** Median of `runs` samples; any failed sample poisons the query. */
-    def exec(name: String, dir: String): Double = {
-      val ts = (1 to runs).map { _ =>
-        val t = execOnce(name, dir)
-        spark.catalog.clearCache() // operator caches must not leak across runs
-        t
-      }
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(runs / 2)
-    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(execOnce(_, "/root/testdata/sf0.001")) // warm-up
     spark.catalog.clearCache() // drop warm-up caches: measure steady state
-    val results = names.map(n => n -> exec(n, sfDir))
+    val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      names.map { n =>
+        val t = execOnce(n, sfDir)
+        spark.catalog.clearCache() // operator caches must not leak across runs
+        n -> t
+      }.toMap
+    }
+    // per-query median ACROSS suite passes; any failed sample poisons the query
+    val results = names.map { n =>
+      val ts = samples.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(runs / 2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures carry a -1 sentinel per query; keep them OUT of the total

@@ -103,6 +103,21 @@ object ScaleSmoke {
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
       }
+      // p24's documented hot-word trade, measured: plant a word in EVERY
+      // document and force the df join down the sort-merge path (broadcast
+      // disabled) — the regime where tf shuffles BY WORD and a hot word
+      // lands on one reducer. AQE's skew split is the designed handler;
+      // this curve is the recorded justification for not hard-wiring
+      // SaltedJoin into p24 (the escape hatch exists for known hot keys).
+      time("tfidf_skew_smj", n) {
+        val skewed = docs.select(col("doc_id"),
+          concat(col("text"), lit(" hotstopword hotstopword")).as("text"))
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try TF.tfidfTopK(skewed.withColumn("_ws", TF.words(TF.normText(col("text")))),
+          col("_ws"), 3).count()
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
       // CEP family over a replicated event stream (keys disjoint per
       // replica — the window detectors scale with key parallelism, the
       // guarded band join with horizon density)
