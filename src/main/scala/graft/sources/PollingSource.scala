@@ -253,7 +253,7 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
               pushedWhere: Array[String], limit: Int = -1,
               aggSelect: Option[(String, String)] = None,
               topN: Option[(String, Int)] = None)
-  extends Scan with SupportsRuntimeFiltering {
+  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
   // `scan.where` joins the pushed predicates on BOTH paths; for streaming
   // it is the ONLY way a user predicate reaches the vendor SQL (Catalyst
   // V2 pushdown rules do not run for streaming scans)
@@ -301,6 +301,37 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
     case _ => false
   }
   override def hashCode(): Int = eqKey.hashCode()
+
+  /** Size estimation (`SupportsReportStatistics`): without it a V2
+    * relation reports `defaultSizeInBytes` (effectively infinite), so a
+    * small dimension read through this source is NEVER auto-broadcast and
+    * every hydration join degrades to sort-merge unless the user hints.
+    * One driver-side `COUNT(*)` carrying the pushed predicates — the
+    * vendor answers from its index/metadata, the same trust the offset
+    * bootstrap places in `SELECT MAX` — priced once per planned scan
+    * (lazy); failures degrade to unknown, which Spark treats as the old
+    * infinite default. Row width from the pruned schema's type sizes. */
+  private lazy val stats: Statistics = {
+    val counted: java.util.OptionalLong =
+      try {
+        val w = if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
+        val sql = s"SELECT COUNT(*) FROM ${opts.table}$w"
+        val n = Jdbc.withConnection(opts) { conn =>
+          Jdbc.IssuedSql.add(sql)
+          val rs = conn.createStatement().executeQuery(sql)
+          rs.next(); rs.getLong(1)
+        }
+        java.util.OptionalLong.of(n)
+      } catch { case _: Exception => java.util.OptionalLong.empty() }
+    new Statistics {
+      override def numRows(): java.util.OptionalLong = counted
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (counted.isPresent)
+          java.util.OptionalLong.of(counted.getAsLong * math.max(1, pruned.defaultSize))
+        else java.util.OptionalLong.empty()
+    }
+  }
+  override def estimateStatistics(): Statistics = stats
 
   override def readSchema(): StructType = pruned
   override def description(): String =

@@ -440,6 +440,33 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("reported statistics: a small snapshot auto-broadcasts without a hint") {
+    import org.apache.spark.sql.functions.col
+    withDb("db_stats") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE FACTS (ID INT NOT NULL, GRP INT)")
+      val ins = conn.prepareStatement("INSERT INTO FACTS VALUES (?, ?)")
+      (1 to 100).foreach { i => ins.setInt(1, i); ins.setInt(2, i % 10); ins.executeUpdate() }
+      conn.createStatement().execute("CREATE TABLE DIMS (ID INT NOT NULL, V INT)")
+      val di = conn.prepareStatement("INSERT INTO DIMS VALUES (?, ?)")
+      (0 until 10).foreach { i => di.setInt(1, i); di.setInt(2, i * 100); di.executeUpdate() }
+      def readT(t: String) = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", t).option("polling.column", "id")
+        .option("numpartitions", "2").load()
+      Jdbc.IssuedSql.clear()
+      // no broadcast() hint: the size estimate alone must pick BHJ —
+      // without reported statistics a V2 relation is "infinite" and this
+      // join would degrade to sort-merge
+      val out = readT("FACTS")
+        .join(readT("DIMS").select(col("id").as("grp"), col("v")), Seq("grp"))
+      assert(out.count() === 100)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // the estimate came from a DB-side COUNT, not a guess
+      assert(Jdbc.IssuedSql.recent.exists(_.startsWith("SELECT COUNT(*) FROM DIMS")))
+    }
+  }
+
   test("pushdown dialect: SQL Server renders TOP n and refuses top-N") {
     val ms = "jdbc:sqlserver://host:1433;databaseName=d"
     // T-SQL rejects both LIMIT and a bare FETCH FIRST (its fetch form
