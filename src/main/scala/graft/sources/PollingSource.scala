@@ -280,8 +280,14 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
   override def filter(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.In
     runtimeHolder.extra = filters.flatMap {
-      case In(_, vs) if vs.length > Jdbc.MaxRuntimeInList => None
       case f if Jdbc.needsSparkRecheck(f) => None // defensive: strings withheld above
+      case In(a, vs) =>
+        // join keys arrive in broadcast-iteration order with possible
+        // duplicates — canonicalize so the issued SQL is deterministic
+        // (and as short as the key set) run to run
+        val canon = vs.distinct.sortBy(String.valueOf(_))
+        if (canon.length > Jdbc.MaxRuntimeInList) None
+        else Jdbc.compileFilter(In(a, canon), fullSchema)
       case f => Jdbc.compileFilter(f, fullSchema)
     }
   }

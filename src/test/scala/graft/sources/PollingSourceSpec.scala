@@ -437,6 +437,16 @@ class PollingSourceSpec extends SparkSpec {
       assert(issued.nonEmpty)
       assert(issued.exists(s => s.contains("grp IN (") &&
         Seq("0", "1", "2").forall(k => s.contains(k))), issued.mkString("\n"))
+      // and WITHOUT the hint: reported statistics auto-broadcast the dim,
+      // so the full chain (stats -> BHJ -> dynamic pruning -> vendor IN)
+      // fires on its own — canonicalized, so the IN-list text is exact
+      Jdbc.IssuedSql.clear()
+      val unhinted = readT("FACTR").join(dim, Seq("grp"))
+        .select("id").as[Int].collect().toSet
+      assert(unhinted === (1 to 100).filter(i => i % 10 < 3).toSet)
+      val issued2 = Jdbc.IssuedSql.recent.filter(_.contains("FACTR"))
+      assert(issued2.nonEmpty)
+      assert(issued2.exists(_.contains("grp IN (0, 1, 2)")), issued2.mkString("\n"))
     }
   }
 
