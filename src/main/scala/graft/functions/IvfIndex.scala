@@ -69,9 +69,12 @@ object IvfIndex {
             maxTrainVectors: Int = 1 << 16): Model = {
     require(maxTrainVectors >= k,
       s"maxTrainVectors ($maxTrainVectors) must be >= k ($k)")
-    val full = Similarity.prep(emb, vecCol).select(col(idCol), col("vd"))
+    // cache BEFORE counting: the count materializes the cache, so the
+    // corpus is prepared exactly once whether or not the cap engages; the
+    // sample is a filter VIEW over the cached prep (no second cache)
+    val full = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
     val total = full.count()
-    val p = {
+    val p =
       if (total <= maxTrainVectors) full
       else {
         val keep = math.max(1L, maxTrainVectors * SampleDomain / total)
@@ -80,7 +83,6 @@ object IvfIndex {
         // a cap near k could undershoot the seed count — fall back whole
         if (sampled.limit(k).count() < k) full else sampled
       }
-    }.cache()
     try {
       var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
         .collect().map(_.getSeq[Double](0).toArray)
@@ -141,7 +143,7 @@ object IvfIndex {
         centroids = next
       }
       Model(centroids)
-    } finally p.unpersist()
+    } finally full.unpersist()
   }
 
   /** Corpus with cell assignment (the "inverted file"). */
