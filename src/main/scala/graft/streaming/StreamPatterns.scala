@@ -91,12 +91,10 @@ object StreamPatterns {
     *
     * `flush(sortedEvents, frontierUs, watermarkUs)` returns
     * `(emissions, retainedEvents, earliestPendingFinalizeUs)`. */
-  private def runPattern[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None,
-      valueCol: Option[String] = None)(
-      flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
-  : Dataset[O] = {
-    val watermarked = events.select(
+  private def watermarkedEvents(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, delay: String,
+      valueCol: Option[String]): Dataset[PatEvent] =
+    events.select(
         col(keyCol).cast("long").as("key"),
         unix_micros(col(tsCol)).as("tsUs"),
         col(idCol).cast("long").as("id"),
@@ -104,7 +102,14 @@ object StreamPatterns {
         col(tsCol).as("eventTime"),
         valueCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("v"))
       .withWatermark("eventTime", delay)
-    val ds = watermarked.as[PatEvent]
+      .as[PatEvent]
+
+  private def runPattern[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None,
+      valueCol: Option[String] = None)(
+      flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
+  : Dataset[O] = {
+    val ds = watermarkedEvents(events, keyCol, tsCol, idCol, typeCol, delay, valueCol)
     ds.groupByKey(_.key).flatMapGroupsWithState[PatBuf, O](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
       (_: Long, it: Iterator[PatEvent], state: GroupState[PatBuf]) =>
@@ -126,6 +131,66 @@ object StreamPatterns {
         out.iterator
     }
   }
+
+  /** The [[runPattern]] engine on `transformWithState` — Spark 4's
+    * successor to `flatMapGroupsWithState` (SURVEY §7.4's preferred
+    * state API): identical watermark-buffered finalization and flush
+    * contract, but state lives in a typed `ValueState` on the RocksDB
+    * provider (which transformWithState REQUIRES — `GraftSession` wires
+    * it) and wake-ups are explicit per-key timers, deleted and
+    * re-registered on every flush so at most one is pending. Any flush
+    * function from this file runs unchanged on either engine;
+    * [[followedByTws]] is the parity-pinned pilot. */
+  private class PatProcessor[O](onlyType: Option[String],
+      flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PatEvent, O] {
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[PatBuf] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[PatBuf]("buf", patBufEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def run(incoming: Iterator[PatEvent], wmUs: Long,
+                    expiringMs: Long = Long.MinValue): Iterator[O] = {
+      val prev = if (buf.exists()) Option(buf.get()) else None
+      val frontier = prev.map(_.frontierUs).getOrElse(Long.MinValue)
+      val merged = (prev.map(_.evs.toVector).getOrElse(Vector.empty) ++
+        onlyType.fold(incoming)(t => incoming.filter(_.typ == t)))
+        .sortBy(e => (e.tsUs, e.id))
+      val (out, retained, nextFinalize) = flush(merged, frontier, wmUs)
+      // the firing timer is removed by the framework — deleting it again
+      // only logs a warning, so it is excluded
+      getHandle.listTimers().toSeq.filter(_ != expiringMs)
+        .foreach(getHandle.deleteTimer)
+      if (retained.isEmpty) buf.clear()
+      else {
+        buf.update(PatBuf(retained, math.max(frontier, wmUs)))
+        nextFinalize.foreach { f =>
+          // fire once the watermark strictly passes f (ms granularity) —
+          // the same math as the fMGWS engine's setTimeoutTimestamp
+          getHandle.registerTimer(math.max(f / 1000L + 1, wmUs / 1000L + 1))
+        }
+      }
+      out.iterator
+    }
+    override def handleInputRows(key: Long, rows: Iterator[PatEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[O] =
+      run(rows, tv.getCurrentWatermarkInMs() * 1000L)
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[O] =
+      run(Iterator.empty, tv.getCurrentWatermarkInMs() * 1000L,
+        expiringMs = info.getExpiryTimeInMs())
+  }
+
+  private def runPatternTws[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None,
+      valueCol: Option[String] = None)(
+      flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
+  : Dataset[O] =
+    watermarkedEvents(events, keyCol, tsCol, idCol, typeCol, delay, valueCol)
+      .groupByKey(_.key)
+      .transformWithState(new PatProcessor[O](onlyType, flush),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
 
   /** First `typeB` strictly after `a` in `(ts, id)` order, within the
     * horizon — the batch operator's `_next_b` pick. */
@@ -173,6 +238,17 @@ object StreamPatterns {
                  typeCol: String, typeA: String, typeB: String, withinUs: Long,
                  delay: String): Dataset[SeqMatch] =
     runPattern[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
+      seqFlush[SeqMatch](typeA, withinUs, (evs, a) =>
+        firstB(evs, a, typeB, withinUs).map(bb =>
+          SeqMatch(a.key, a.id, bb.id, bb.tsUs - a.tsUs))))
+
+  /** [[followedBy]] on the `transformWithState` engine — identical output
+    * contract, parity-pinned against both the batch operator and the
+    * fMGWS twin (StreamPatternsSpec). */
+  def followedByTws(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    typeCol: String, typeA: String, typeB: String, withinUs: Long,
+                    delay: String): Dataset[SeqMatch] =
+    runPatternTws[SeqMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
       seqFlush[SeqMatch](typeA, withinUs, (evs, a) =>
         firstB(evs, a, typeB, withinUs).map(bb =>
           SeqMatch(a.key, a.id, bb.id, bb.tsUs - a.tsUs))))

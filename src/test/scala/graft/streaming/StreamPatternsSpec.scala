@@ -74,6 +74,17 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("followedBy parity on the transformWithState engine") {
+    // the same flush contract on Spark 4's successor state API: typed
+    // ValueState + explicit per-key timers on the (required) RocksDB store
+    val got = runStream(src => StreamPatterns.followedByTws(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF,
+      "sp_seq_tws")
+    val want = Patterns.followedBy(staticDf, "k", "ts_us", "id", "typ",
+      "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("stateful twins run on the RocksDB state store (session default)") {
     // the session wires RocksDBStateStoreProvider (GraftSession) so state
     // scales with executor disk, not heap — every parity test in this
