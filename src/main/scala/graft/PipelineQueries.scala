@@ -420,6 +420,16 @@ object PipelineQueries {
     Dedup.substringOverlapPairs(docs(s, dir), SubWin, SubMinShared)
       .orderBy("doc_a", "doc_b")
 
+  /** p27 — balanced language mix (stratified sampling, the data-mixing
+    * step): every language deterministically downsampled to ~the smallest
+    * language's count ([[TF.balancedSample]]'s integer cross-multiply of
+    * the rolling-hash residue — exact in any SQL engine). Output: the
+    * kept (doc_id, lang) rows. */
+  private def p27(s: SparkSession, dir: String): DataFrame =
+    TF.balancedSample(docs(s, dir).select(col("doc_id"), col("lang")),
+      "lang", col("doc_id"))
+      .select("doc_id", "lang").orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -447,6 +457,7 @@ object PipelineQueries {
     "p24_keywords" -> p24 _,
     "p25_frame_energy" -> p25 _,
     "p26_dedup_substring" -> p26 _,
+    "p27_stratified_sample" -> p27 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -713,6 +724,15 @@ object PipelineQueries {
          |FROM w LEFT JOIN wstat ws_ ON w.doc_id = ws_.doc_id
          |       LEFT JOIN bstat bs_ ON w.doc_id = bs_.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+    "p27_stratified_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT min(cnt) AS mn FROM c)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+         |WHERE (${rollHashSql("CAST(d.doc_id AS VARCHAR)")} * ${TF.SampleMix}
+         |        % ${TF.RollHashMod} % ${TF.SampleResidue})
+         |        * c.cnt < m.mn * ${TF.SampleResidue}
+         |ORDER BY d.doc_id""".stripMargin,
     "p16_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
          |  CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket

@@ -187,6 +187,54 @@ object TextFunctions {
   def splitLabel(bucket: Column): Column =
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise(lit("test"))
 
+  /** Hash-residue domain for stratified sampling rates (precision 1e-6). */
+  val SampleResidue = 1000000L
+
+  /** Knuth multiplicative mixing constant — coprime to the prime modulus,
+    * so the multiply is a bijection on [0, RollHashMod). */
+  val SampleMix = 2654435761L
+
+  /** Uniform sampling residue in [0, SampleResidue): the raw rolling hash
+    * of a SHORT id string is far below the modulus (a 3-digit id hashes
+    * under ~57k), so taking `% SampleResidue` directly would keep
+    * everything; one multiplicative mix modulo the prime spreads the
+    * value across the full domain first. `h * SampleMix` peaks at
+    * ~2.7e18 < Long.Max — no overflow in Spark or the SQL oracle. */
+  def sampleResidue(id: Column): Column =
+    rollingHash(id.cast("string")) * SampleMix % RollHashMod % SampleResidue
+
+  /** Stratified corpus sampling — the data-MIXING step of a training
+    * pipeline (weight sources/languages to a target distribution): keep
+    * each row of group g iff `hash(id) % SampleResidue < rate(g)`, with
+    * `rates` a tiny (group, `rate` ∈ [0, SampleResidue]) table. The same
+    * deterministic-hash idiom as [[splitBucket]] — never sample by
+    * position; repartitioning would reshuffle the mix. Groups absent
+    * from `rates` are dropped. One broadcast join; the keep decision is
+    * map-side. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame,
+                       rates: org.apache.spark.sql.DataFrame,
+                       groupCol: String, idCol: Column): org.apache.spark.sql.DataFrame =
+    df.join(broadcast(rates), groupCol)
+      .where(sampleResidue(idCol) < col("rate"))
+      .drop("rate")
+
+  /** Balanced mix: downsample every group to ~the SMALLEST group's size
+    * (rate_g = min_cnt / cnt_g), the classic language-balancing step.
+    * The keep rule is the exact integer cross-multiply
+    * `residue * cnt_g < min_cnt * SampleResidue`, so any SQL engine
+    * reproduces the row set bit-for-bit (the smallest group keeps
+    * everything — residue < SampleResidue always). Two broadcast joins
+    * of group-cardinality aggregates; the decision stays map-side. */
+  def balancedSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     idCol: Column): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_cnt"))
+    val mn = counts.agg(min("_cnt").as("_mn"))
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(mn))
+      .where(sampleResidue(idCol) * col("_cnt") < col("_mn") * SampleResidue)
+      .drop("_cnt", "_mn")
+  }
+
   /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection.
     *
     * Built from three aligned `slice`s zipped together — NOT from

@@ -75,6 +75,34 @@ class PipelineSpec extends SparkSpec {
     assert(cellCnt.agg(sum("count")).as[Long].head === embs.count())
   }
 
+  test("balanced/stratified sampling: deterministic, partition-stable, min group kept whole") {
+    import graft.Tables
+    val d = Tables.documents(spark, sf()).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val mn = counts.values.min
+    val kept = TextFunctions.balancedSample(d, "lang", col("doc_id"))
+    val keptCounts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // the smallest group survives whole (residue < domain always)
+    val minLang = counts.minBy(_._2)._1
+    assert(keptCounts(minLang) === mn)
+    // every group lands near the target (hash residue is uniform-ish)
+    keptCounts.foreach { case (g, n) =>
+      assert(n <= counts(g) && math.abs(n - mn) <= math.max(6L, mn / 2),
+        s"$g kept $n of ${counts(g)}, target $mn")
+    }
+    // the KEPT ROW SET is identical at any partitioning (the whole point
+    // of hashing ids instead of sampling by position)
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextFunctions.balancedSample(d.repartition(17), "lang", col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // caller-provided rates: rate 0 drops the group, full rate keeps it
+    val rates = Seq(("en", TextFunctions.SampleResidue), ("de", 0L)).toDF("lang", "rate")
+    val s = TextFunctions.stratifiedSample(d, rates, "lang", col("doc_id"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(s.get("de").isEmpty && s("en") === counts("en") && s.size === 1)
+  }
+
   test("IVF train-on-sample: cap engages deterministically; below the cap nothing changes") {
     def eq(a: IvfIndex.Model, b: IvfIndex.Model): Boolean =
       a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq
