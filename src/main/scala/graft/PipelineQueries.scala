@@ -430,6 +430,30 @@ object PipelineQueries {
       "lang", col("doc_id"))
       .select("doc_id", "lang").orderBy("doc_id")
 
+  /** Tokens per packed training sequence for p28. */
+  private val PackBudget = 512L
+
+  /** p28 — sequence packing: documents laid out in global doc_id order
+    * into fixed `PackBudget`-token bins; each doc gets (bin, bin_off)
+    * from its exclusive token prefix sum ([[graft.operators.PrefixSum]]
+    * — NO single-partition window; blocks + seam offsets). A doc is
+    * assigned by its START offset (chunked-packing semantics: readers
+    * split straddling docs at bin edges). */
+  private def p28(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks =
+      if (s.catalog.functionExists("word_stats"))
+        d.select(col("doc_id"),
+          call_function("word_stats", col("text")).getField("word_cnt").as("word_cnt"))
+      else d.select(col("doc_id"),
+        TF.wordCount(TF.words(TF.normText(col("text")))).as("word_cnt"))
+    graft.operators.PrefixSum.runningBefore(toks, "doc_id", "word_cnt", "off")
+      .select(col("doc_id"), col("word_cnt"),
+        expr(s"off div ${PackBudget}L").as("bin"),
+        (col("off") % PackBudget).as("bin_off"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -458,6 +482,7 @@ object PipelineQueries {
     "p25_frame_energy" -> p25 _,
     "p26_dedup_substring" -> p26 _,
     "p27_stratified_sample" -> p27 _,
+    "p28_seq_packing" -> p28 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -733,6 +758,17 @@ object PipelineQueries {
          |        % ${TF.RollHashMod} % ${TF.SampleResidue})
          |        * c.cnt < m.mn * ${TF.SampleResidue}
          |ORDER BY d.doc_id""".stripMargin,
+    "p28_seq_packing" ->
+      s"""WITH $NormCte,
+         |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS word_cnt FROM w),
+         |c AS (SELECT doc_id, word_cnt,
+         |        CAST(sum(word_cnt) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - word_cnt AS BIGINT) AS off
+         |      FROM tk)
+         |SELECT doc_id, word_cnt, off // $PackBudget AS bin,
+         |       off % $PackBudget AS bin_off
+         |FROM c ORDER BY doc_id""".stripMargin,
     "p16_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
          |  CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed sequence-gap detection (reference O15,
@@ -43,19 +43,16 @@ object SequenceGaps {
 
   private val MicroBucketsPerBlock = 64
 
-  /** Missing ranges `(missing_from, missing_to)` of the distinct values of
-    * `idCol` (values are assumed unique, e.g. a polling column). */
-  def detect(df: DataFrame, idCol: String, partitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val n = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ids = df.select(col(idCol).cast("long").as("id"))
-
-    // pass 1: deterministic micro-bucket histogram (bounded driver data)
+  /** Deterministic equi-count block BOUNDS (the first id of each block
+    * after the first) for a long column named `id`, from a bounded
+    * micro-bucket histogram (≤ n·64 driver rows) — pass 1 of the gap
+    * scan, shared with [[PrefixSum]]'s global-order decomposition.
+    * Empty input → no bounds. */
+  private[operators] def equiCountBounds(ids: DataFrame, n: Int): Vector[Long] = {
+    // deterministic micro-bucket histogram (bounded driver data)
     val micro = n * MicroBucketsPerBlock
     val stats = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi")).head()
-    if (stats.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("missing_from", "missing_to")
+    if (stats.isNullAt(0)) return Vector.empty
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
     // span via BigInt: ids may legitimately straddle more than half the
@@ -92,10 +89,25 @@ object SequenceGaps {
       }
       b.result()
     }
-    // block id = number of bounds <= id: a pure, deterministic function
-    val blkExpr =
-      if (bounds.isEmpty) lit(0L)
-      else bounds.map(b => when(col("id") >= b, 1L).otherwise(0L)).reduce(_ + _)
+    bounds
+  }
+
+  /** Block id = number of bounds <= the order column: a pure,
+    * deterministic, order-monotonic function. */
+  private[operators] def blockIdExpr(bounds: Vector[Long], order: Column): Column =
+    if (bounds.isEmpty) lit(0L)
+    else bounds.map(b => when(order >= b, 1L).otherwise(0L)).reduce(_ + _)
+
+  /** Missing ranges `(missing_from, missing_to)` of the distinct values of
+    * `idCol` (values are assumed unique, e.g. a polling column). */
+  def detect(df: DataFrame, idCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    val bounds = equiCountBounds(ids, n)
+    val blkExpr = blockIdExpr(bounds, col("id"))
 
     // pass 2: per-block linear scan -> (kind=0 gaps | kind=1 boundaries)
     // encoded as (kind, a, b, blk): gap=(from,to), boundary=(first,last)

@@ -118,6 +118,13 @@ object ScaleSmoke {
           col("_ws"), 3).count()
         finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       }
+      // global-order prefix sum (the packing device): blocks + seam
+      // offsets — must scale like any keyed window, not a 1-task sort
+      time("seq_packing", n) {
+        val toks = docs.select(col("doc_id"),
+          TF.wordCount(TF.words(TF.normText(col("text")))).as("wc"))
+        graft.operators.PrefixSum.runningBefore(toks, "doc_id", "wc", "off").count()
+      }
       // CEP family over a replicated event stream (keys disjoint per
       // replica — the window detectors scale with key parallelism, the
       // guarded band join with horizon density)
