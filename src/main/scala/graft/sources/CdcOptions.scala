@@ -47,7 +47,8 @@ final case class CdcOptions(
     scanColumns: Seq[String] = Seq.empty,
     scanWhere: Option[String] = None,
     connectionRetries: Int = 3,
-    connectionRetryWaitMs: Long = 1000L) {
+    connectionRetryWaitMs: Long = 1000L,
+    pollingHistorySize: Int = 10) {
 
   def jdbcProperties: java.util.Properties = {
     val p = new java.util.Properties()
@@ -149,7 +150,10 @@ object CdcOptions {
         _.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)).getOrElse(Seq.empty),
       scanWhere = Option(options.get("scan.where")).map(_.trim).filter(_.nonEmpty),
       connectionRetries = options.getInt("connection.retries", 3),
-      connectionRetryWaitMs = options.getLong("connection.retry.wait.ms", 1000L))
+      connectionRetryWaitMs = options.getLong("connection.retry.wait.ms", 1000L),
+      // metrics poll-ring depth (CDCSource.java:627-630, default 10) —
+      // consumed by CdcMetrics.Listener(opts.pollingHistorySize)
+      pollingHistorySize = options.getInt("polling.history.size", 10))
     validate(opts)
     opts
   }
@@ -178,6 +182,8 @@ object CdcOptions {
       if (o.scanColumns.nonEmpty)
         require(o.pollingColumn.forall(p => o.scanColumns.contains(p.toLowerCase)),
           s"scan.columns must include the polling column '${o.pollingColumn.get}'")
+      require(o.pollingHistorySize > 0,
+        s"polling.history.size must be positive, got ${o.pollingHistorySize}")
   }
 
   private val CronMonths = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",

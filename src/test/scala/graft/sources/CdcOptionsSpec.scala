@@ -104,6 +104,14 @@ class CdcOptionsSpec extends AnyFunSuite {
     }
   }
 
+  test("polling.history.size parses with the reference default; non-positive rejected") {
+    val base = Seq("mode" -> "polling", "url" -> "jdbc:derby:/tmp/x",
+      "table.name" -> "t", "polling.column" -> "id")
+    assert(opts(base: _*).pollingHistorySize === 10)
+    assert(opts(base :+ ("polling.history.size" -> "25"): _*).pollingHistorySize === 25)
+    intercept[IllegalArgumentException](opts(base :+ ("polling.history.size" -> "0"): _*))
+  }
+
   test("cron + wait.on.missed.record mutually exclusive (polling)") {
     intercept[IllegalArgumentException](opts(
       "mode" -> "polling", "url" -> "jdbc:derby:/tmp/x", "table.name" -> "t",
