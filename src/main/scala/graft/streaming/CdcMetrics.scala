@@ -47,8 +47,13 @@ object CdcMetrics {
 
   val DefaultHistorySize = 10
 
+  /** Listener sized from the source options (`polling.history.size`,
+    * reference default 10 — `CDCSource.java:627-630`). */
+  def listener(opts: graft.sources.CdcOptions): Listener =
+    new Listener(opts.pollingHistorySize)
+
   /** Listener accumulating the reference's counter/gauge set. */
-  class Listener(historySize: Int = DefaultHistorySize) extends StreamingQueryListener {
+  class Listener(val historySize: Int = DefaultHistorySize) extends StreamingQueryListener {
     require(historySize > 0, s"historySize must be positive, got $historySize")
     private val ring = new java.util.ArrayDeque[PollDetail](historySize)
     /** Last `historySize` micro-batch details, newest last. */

@@ -187,6 +187,16 @@ class ListeningModeSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("O20 metrics: listener ring sized from polling.history.size") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val opts = graft.sources.CdcOptions(new CaseInsensitiveStringMap(Map(
+      "mode" -> "polling", "url" -> "jdbc:derby:/tmp/x", "table.name" -> "t",
+      "polling.column" -> "id", "polling.history.size" -> "3").asJava))
+    assert(CdcMetrics.listener(opts).historySize === 3)
+    assert(new CdcMetrics.Listener().historySize === CdcMetrics.DefaultHistorySize)
+  }
+
   test("O20 metrics: db_status is -1 before any batch; status ordinals match the reference") {
     val fresh = new CdcMetrics.Listener
     assert(fresh.dbStatusOrdinal === -1)
