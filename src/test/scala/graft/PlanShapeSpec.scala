@@ -172,6 +172,22 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected global sort:\n${exchanges(p).mkString("\n")}")
   }
 
+  test("p27 sampling: rate tables broadcast, keep decision map-side (no sort-merge)") {
+    val p = plan("p27_stratified_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"group-count joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the rates:\n$p")
+  }
+
+  test("p28 packing: corpus window is block-partitioned, offsets broadcast") {
+    val p = plan("p28_seq_packing")
+    // the running sum over the corpus must carry the block partition key —
+    // an unpartitioned window here would put the whole corpus on one task
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("_blk")), s"no block-partitioned window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"seam offsets must broadcast:\n$p")
+  }
+
   test("scans project only needed columns (embeddings knn reads no extras)") {
     val p = plan("p9_embed_knn")
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
