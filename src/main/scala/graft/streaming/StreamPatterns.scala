@@ -265,6 +265,17 @@ object StreamPatterns {
         if (firstB(evs, a, typeB, withinUs).isEmpty) Some(AbsMatch(a.key, a.id))
         else None))
 
+  /** [[absence]] on the `transformWithState` engine — the timer-driven
+    * flush is the absence detector, so this pins TWS timer semantics
+    * (fire on watermark advance with no further key input). */
+  def absenceTws(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 typeCol: String, typeA: String, typeB: String, withinUs: Long,
+                 delay: String): Dataset[AbsMatch] =
+    runPatternTws[AbsMatch](events, keyCol, tsCol, idCol, typeCol, delay)(
+      seqFlush[AbsMatch](typeA, withinUs, (evs, a) =>
+        if (firstB(evs, a, typeB, withinUs).isEmpty) Some(AbsMatch(a.key, a.id))
+        else None))
+
   /** Streaming guarded sequence `every A -> B[guard(a.v, b.v)] within T`
     * (first-match) — batch twin
     * [[graft.operators.Patterns.guardedFollowedBy]]: the earliest

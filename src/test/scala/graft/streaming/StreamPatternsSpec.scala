@@ -312,4 +312,36 @@ class StreamPatternsSpec extends SparkSpec {
       assert(got === Set((1L, 1L)))
     } finally q.stop()
   }
+
+  test("absence parity + timer-only firing on the transformWithState engine") {
+    // full-stream parity
+    val got = runStream(src => StreamPatterns.absenceTws(
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF,
+      "sp_abs_tws")
+    val want = Patterns.absence(staticDf, "k", "ts_us", "id", "typ",
+      "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+    // timer path: the absence must fire on watermark advance carried by a
+    // DIFFERENT key — TWS handleExpiredTimer, no further input for key 1
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamPatterns.absenceTws(src, "k", "ts", "id", "typ",
+        "signup", "purchase", WithinUs, "0 seconds")
+      .toDF.writeStream.format("memory").queryName("sp_timer_tws")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, 1_000_000L, 1L, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("sp_timer_tws").isEmpty)
+      in.addData((2L, WithinUs + 3_000_000L, 2L, "noise"))
+      q.processAllAvailable()
+      in.addData((2L, WithinUs + 4_000_000L, 3L, "noise"))
+      q.processAllAvailable()
+      val got2 = spark.table("sp_timer_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 === Set((1L, 1L)))
+    } finally q.stop()
+  }
 }
