@@ -525,6 +525,24 @@ object StreamPatterns {
     rateLimited(events, keyCol, tsCol, idCol, periodUs, delay, onlyType,
       _.maxBy(e => (e.tsUs, e.id)))
 
+  /** Rate-limit flush (shared by both engines): the frontier guard is
+    * what makes a bucket emit exactly once across flushes. */
+  private def rateFlush(periodUs: Long, pick: Vector[PatEvent] => PatEvent)(
+      evs: Vector[PatEvent], frontier: Long, wmUs: Long)
+  : (Seq[FirstEveryMatch], Vector[PatEvent], Option[Long]) = {
+    val byBucket = evs.groupBy(e => Math.floorDiv(e.tsUs, periodUs)).toVector.sortBy(_._1)
+    val (done, open) = byBucket.partition { case (b, _) => (b + 1) * periodUs <= wmUs }
+    val out = done.collect {
+      // emit only buckets that were still open at the previous flush
+      case (b, es) if (b + 1) * periodUs > frontier =>
+        val winner = pick(es)
+        FirstEveryMatch(winner.key, winner.id, b * periodUs)
+    }
+    val retained = open.map { case (_, es) => pick(es) }
+    val wake = open.headOption.map { case (b, _) => (b + 1) * periodUs }
+    (out, retained, wake)
+  }
+
   private def rateLimited(events: DataFrame, keyCol: String, tsCol: String,
                           idCol: String, periodUs: Long, delay: String,
                           onlyType: (String, String),
@@ -535,19 +553,21 @@ object StreamPatterns {
       case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
     }
     runPattern[FirstEveryMatch](tagged, keyCol, tsCol, idCol, typeColName,
-        delay = delay, onlyType = Option(onlyType).map(_._2)) { (evs, frontier, wmUs) =>
-      val byBucket = evs.groupBy(e => Math.floorDiv(e.tsUs, periodUs)).toVector.sortBy(_._1)
-      val (done, open) = byBucket.partition { case (b, _) => (b + 1) * periodUs <= wmUs }
-      val out = done.collect {
-        // emit only buckets that were still open at the previous flush
-        case (b, es) if (b + 1) * periodUs > frontier =>
-          val winner = pick(es)
-          FirstEveryMatch(winner.key, winner.id, b * periodUs)
-      }
-      val retained = open.map { case (_, es) => pick(es) }
-      val wake = open.headOption.map { case (b, _) => (b + 1) * periodUs }
-      (out, retained, wake)
-    }
+      delay = delay, onlyType = Option(onlyType).map(_._2))(
+      rateFlush(periodUs, pick))
+  }
+
+  /** [[outputFirstEvery]] on the `transformWithState` engine — pins the
+    * emission-FRONTIER state (exactly-once bucket emission across
+    * flushes), the third distinct state shape after buffer (followedBy)
+    * and timer-driven (absence). */
+  def outputFirstEveryTws(events: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, periodUs: Long, delay: String)
+  : Dataset[FirstEveryMatch] = {
+    require(periodUs > 0, s"period must be positive, got $periodUs")
+    val tagged = events.withColumn("_ptyp", lit("e"))
+    runPatternTws[FirstEveryMatch](tagged, keyCol, tsCol, idCol, "_ptyp", delay)(
+      rateFlush(periodUs, _.minBy(e => (e.tsUs, e.id))))
   }
 
   /** Streaming session windows — batch twin

@@ -195,6 +195,14 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("outputFirstEvery parity on the transformWithState engine (frontier state)") {
+    val got = runStream(src => StreamPatterns.outputFirstEveryTws(
+      src, "k", "ts", "id", WindowUs, "0 seconds").toDF, "sp_first_tws")
+    val want = Patterns.outputFirstEvery(staticDf, "k", "ts_us", "id", WindowUs)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("outputLastEvery parity with batch operator (trailing-edge throttle)") {
     val got = runStream(src => StreamPatterns.outputLastEvery(
       src, "k", "ts", "id", WindowUs, "0 seconds",
