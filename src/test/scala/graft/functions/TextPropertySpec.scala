@@ -187,4 +187,27 @@ class TextPropertySpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).toSet === expectedPairs.toSet)
     assert(!got.exists(p => p._1 == 99L || p._2 == 99L))
   }
+
+  test("sampleResidue is uniform enough for stratified rates on arbitrary id shapes") {
+    // the balancedSample contract leans on the mixed residue being
+    // uniform for ANY id population — short dense ids (the counterexample
+    // that broke the unmixed residue: a 3-digit id hashes below 57k),
+    // sparse ids, and huge ids alike
+    val pops = Seq(
+      ("dense", (1L to 4000L).toSeq),
+      ("strided", (1L to 4000L).map(_ * 7919L)),
+      ("huge", (1L to 4000L).map(_ + 4611686018427387000L)))
+    pops.foreach { case (tag, ids) =>
+      val res = ids.toDF("id")
+        .select(TextFunctions.sampleResidue(col("id")).as("r")).as[Long].collect()
+      assert(res.forall(r => r >= 0 && r < TextFunctions.SampleResidue), tag)
+      // a 30% rate keeps 30% ± 5 points
+      val rate = TextFunctions.SampleResidue * 3 / 10
+      val kept = res.count(_ < rate).toDouble / res.length
+      assert(math.abs(kept - 0.3) < 0.05, s"$tag kept fraction $kept")
+      // and the residues are collision-light (mixing is a bijection on
+      // the hash, so duplicates only arise from hash collisions)
+      assert(res.distinct.length > res.length * 9 / 10, tag)
+    }
+  }
 }
