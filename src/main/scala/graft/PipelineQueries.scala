@@ -454,6 +454,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p29 — per-source corpus health report (the data-audit rollup run
+    * before training): documents, tokens, quality-gate passes (all three
+    * p2 rules), and exact-duplicate count per source. Per-doc stats are
+    * one map-side pass; then two partial-agg shuffles — (source, fp) for
+    * the in-source dedup, source for the rollup — each collapsing
+    * cardinality before the exchange, so nothing row-count-sized ever
+    * shuffles twice. */
+  private def p29(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("norm", TF.normText(col("text")))
+      .withColumn("ws", TF.words(col("norm")))
+      .withColumn("word_cnt", TF.wordCount(col("ws")))
+      .withColumn("stop_milli", TF.milli(TF.setHits(col("ws"), TF.Stopwords), col("word_cnt")))
+      .withColumn("awc", TF.centi(TF.alphaChars(col("norm")), col("word_cnt")))
+      .withColumn("quality", TF.qualityScore(col("word_cnt"), col("stop_milli"), col("awc")))
+      .withColumn("fp", md5(col("norm")))
+    val perFp = d.groupBy("source", "fp").agg(
+      count(lit(1)).as("n"),
+      sum("word_cnt").as("tok"),
+      sum(when(col("quality") === 3, 1L).otherwise(0L)).as("q3"))
+    perFp.groupBy("source").agg(
+        sum("n").as("n_docs"),
+        sum("tok").as("total_tokens"),
+        sum("q3").as("n_quality"),
+        (sum("n") - count(lit(1))).as("n_dup"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -483,6 +510,7 @@ object PipelineQueries {
     "p26_dedup_substring" -> p26 _,
     "p27_stratified_sample" -> p27 _,
     "p28_seq_packing" -> p28 _,
+    "p29_source_report" -> p29 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -769,6 +797,28 @@ object PipelineQueries {
          |SELECT doc_id, word_cnt, off // $PackBudget AS bin,
          |       off % $PackBudget AS bin_off
          |FROM c ORDER BY doc_id""".stripMargin,
+    "p29_source_report" ->
+      s"""WITH $NormCte,
+         |m AS (SELECT w.doc_id, d2.source, md5(norm) AS fp,
+         |        CAST(len(ws) AS BIGINT) AS word_cnt,
+         |        CAST(CASE WHEN len(ws) = 0 THEN 0
+         |             ELSE floor(1000.0 * len(list_filter(ws, x -> ${orChain("x", TF.Stopwords)})) / len(ws)) END AS BIGINT) AS stop_milli,
+         |        CAST(CASE WHEN len(ws) = 0 THEN 0
+         |             ELSE floor(100.0 * length(replace(norm, ' ', '')) / len(ws)) END AS BIGINT) AS awc
+         |      FROM w JOIN documents d2 ON w.doc_id = d2.doc_id),
+         |q AS (SELECT source, fp, word_cnt,
+         |        (CASE WHEN word_cnt BETWEEN 30 AND 1000 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN stop_milli BETWEEN 10 AND 400 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN awc BETWEEN 150 AND 1000 THEN 1 ELSE 0 END) AS quality
+         |      FROM m),
+         |g AS (SELECT source, fp, count(*) AS n, sum(word_cnt) AS tok,
+         |        sum(CASE WHEN quality = 3 THEN 1 ELSE 0 END) AS q3
+         |      FROM q GROUP BY 1, 2)
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |       CAST(sum(q3) AS BIGINT) AS n_quality,
+         |       CAST(sum(n) - count(*) AS BIGINT) AS n_dup
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "p16_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
          |  CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket

@@ -188,6 +188,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"seam offsets must broadcast:\n$p")
   }
 
+  test("p29 source report: partial aggs collapse cardinality before both exchanges") {
+    val p = plan("p29_source_report")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    // (source, fp) dedup exchange + source rollup exchange — nothing else
+    assert(exchanges(p).count(_.contains("hashpartitioning")) <= 2,
+      exchanges(p).mkString("\n"))
+  }
+
   test("scans project only needed columns (embeddings knn reads no extras)") {
     val p = plan("p9_embed_knn")
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
