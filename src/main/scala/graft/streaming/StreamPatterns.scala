@@ -104,7 +104,23 @@ object StreamPatterns {
       .withWatermark("eventTime", delay)
       .as[PatEvent]
 
+  /** Conf key selecting the state engine for the WHOLE pattern family:
+    * `fmgws` (default, flatMapGroupsWithState) or `tws`
+    * (transformWithState) — every operator routes through here, so a
+    * deployment flips engines without code changes. */
+  val EngineConf = "spark.graft.patterns.engine"
+
   private def runPattern[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None,
+      valueCol: Option[String] = None)(
+      flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))
+  : Dataset[O] =
+    if (events.sparkSession.conf.getOption(EngineConf).contains("tws"))
+      runPatternTws(events, keyCol, tsCol, idCol, typeCol, delay, onlyType, valueCol)(flush)
+    else
+      runPatternFmgws(events, keyCol, tsCol, idCol, typeCol, delay, onlyType, valueCol)(flush)
+
+  private def runPatternFmgws[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, typeCol: String, delay: String, onlyType: Option[String] = None,
       valueCol: Option[String] = None)(
       flush: (Vector[PatEvent], Long, Long) => (Seq[O], Vector[PatEvent], Option[Long]))

@@ -85,6 +85,41 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("the whole family runs on transformWithState via the engine conf") {
+    // covers the flush shapes without dedicated Tws pilots: conjunction
+    // (backward horizon), burst (trailing count), lengthWindow (count
+    // window), sessionize (gap merge), chain (two-hop seqFlush emit)
+    spark.conf.set(StreamPatterns.EngineConf, "tws")
+    try {
+      val conj = runStream(src => StreamPatterns.conjunction(
+        src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF,
+        "tws_conj")
+      assert(conj === Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
+        "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet)
+      val burst = runStream(src => StreamPatterns.burst(
+        src, "k", "ts", "id", "typ", "error", WindowUs, 3L, "0 seconds").toDF,
+        "tws_burst")
+      assert(burst === Patterns.burst(staticDf, "k", "ts_us", "id", "typ",
+        "error", WindowUs, 3L).collect().map(_.toSeq).toSet)
+      val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+      val lw = runStream(src => StreamPatterns.lengthWindow(
+        valued(src), "k", "ts", "id", "value", 5, "0 seconds",
+        onlyType = ("typ", "purchase")).toDF, "tws_lw")
+      assert(lw === Patterns.lengthWindow(
+        valued(staticDf).where(col("typ") === "purchase"),
+        "k", "ts_us", "id", "value", 5).collect().map(_.toSeq).toSet)
+      val sess = runStream(src => StreamPatterns.sessionize(
+        src, "k", "ts", GapUs, "0 seconds").toDF, "tws_sess")
+      assert(sess === Patterns.sessionize(staticDf, "k", "ts_us", GapUs)
+        .collect().map(_.toSeq).toSet)
+      val chain = runStream(src => StreamPatterns.chain(
+        src, "k", "ts", "id", "typ", "signup", "noise", "purchase",
+        2 * WithinUs, "0 seconds").toDF, "tws_chain")
+      assert(chain === Patterns.chain(staticDf, "k", "ts_us", "id", "typ",
+        "signup", "noise", "purchase", 2 * WithinUs).collect().map(_.toSeq).toSet)
+    } finally spark.conf.unset(StreamPatterns.EngineConf)
+  }
+
   test("stateful twins run on the RocksDB state store (session default)") {
     // the session wires RocksDBStateStoreProvider (GraftSession) so state
     // scales with executor disk, not heap — every parity test in this
