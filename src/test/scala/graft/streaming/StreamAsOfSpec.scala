@@ -29,6 +29,16 @@ class StreamAsOfSpec extends SparkSpec {
   }
 
   test("streaming temporal join parity with batch AsOfJoin") {
+    parityRun("sa_parity")
+  }
+
+  test("streaming temporal join parity on the transformWithState engine") {
+    spark.conf.set(StreamPatterns.EngineConf, "tws")
+    try parityRun("sa_parity_tws")
+    finally spark.conf.unset(StreamPatterns.EngineConf)
+  }
+
+  private def parityRun(name: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Long)]
     val dimIn = MemoryStream[(Long, Long, String)]
@@ -37,7 +47,7 @@ class StreamAsOfSpec extends SparkSpec {
     val dimSrc = dimIn.toDF.toDF("k", "ts_us", "sv")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamAsOf.asOf(evSrc, dimSrc, "k", "ts", "id", Seq("sv"), "0 seconds")
-      .toDF.writeStream.format("memory").queryName("sa_parity")
+      .toDF.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       // chunk BOTH streams by aligned time ranges: the stateful operator
@@ -60,7 +70,7 @@ class StreamAsOfSpec extends SparkSpec {
         dimIn.addData((SentinelKey, maxTs + i * 10_000_000L, "s"))
         q.processAllAvailable()
       }
-      val got = spark.table("sa_parity").where(col("key") =!= SentinelKey)
+      val got = spark.table(name).where(col("key") =!= SentinelKey)
         .select(col("id"),
           get_json_object(col("state"), "$.sv").as("sv"))
         .as[(Long, Option[String])].collect().toMap
