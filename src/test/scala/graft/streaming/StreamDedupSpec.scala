@@ -29,11 +29,21 @@ class StreamDedupSpec extends SparkSpec {
   }
 
   test("streaming candidates == batch inverted-index candidates (set parity)") {
+    parityRun("sd_pairs")
+  }
+
+  test("streaming candidates parity on the transformWithState engine") {
+    spark.conf.set(StreamPatterns.EngineConf, "tws")
+    try parityRun("sd_pairs_tws")
+    finally spark.conf.unset(StreamPatterns.EngineConf)
+  }
+
+  private def parityRun(name: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val src = in.toDF.toDF("doc_id", "text")
     val q = StreamDedup.lshCandidates(src, Bands)
-      .toDF.writeStream.format("memory").queryName("sd_pairs")
+      .toDF.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       // feed in 3 chunks — near-dup partners land in DIFFERENT batches
@@ -41,7 +51,7 @@ class StreamDedupSpec extends SparkSpec {
         in.addData(chunk: _*)
         q.processAllAvailable()
       }
-      val got = spark.table("sd_pairs").distinct()
+      val got = spark.table(name).distinct()
         .as[(Long, Long)].collect().toSet
       val want = Dedup.lshCandidatePairs(
           Dedup.minhashSignatureRows(
