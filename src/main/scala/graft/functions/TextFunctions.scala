@@ -213,10 +213,16 @@ object TextFunctions {
     * map-side. */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame,
                        rates: org.apache.spark.sql.DataFrame,
-                       groupCol: String, idCol: Column): org.apache.spark.sql.DataFrame =
-    df.join(broadcast(rates), groupCol)
-      .where(sampleResidue(idCol) < col("rate"))
-      .drop("rate")
+                       groupCol: String, idCol: Column): org.apache.spark.sql.DataFrame = {
+    // the contract column `rate` lives on the RATES side only; rename it
+    // to a name provably absent from df before joining, so a caller whose
+    // corpus already has a `rate` column gets neither an ambiguous
+    // reference nor their column silently dropped
+    val rc = freshName(df, "_graft_rate")
+    df.join(broadcast(rates.withColumnRenamed("rate", rc)), groupCol)
+      .where(sampleResidue(idCol) < col(rc))
+      .drop(rc)
+  }
 
   /** Balanced mix: downsample every group to ~the SMALLEST group's size
     * (rate_g = min_cnt / cnt_g), the classic language-balancing step.
@@ -227,12 +233,23 @@ object TextFunctions {
     * of group-cardinality aggregates; the decision stays map-side. */
   def balancedSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
                      idCol: Column): org.apache.spark.sql.DataFrame = {
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_cnt"))
-    val mn = counts.agg(min("_cnt").as("_mn"))
+    // working columns are generated fresh against df's schema — a corpus
+    // that already carries `_cnt`/`_mn` must not collide with them
+    val (cnt, mn) = (freshName(df, "_graft_cnt"), freshName(df, "_graft_mn"))
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as(cnt))
+    val mins = counts.agg(min(cnt).as(mn))
     df.join(broadcast(counts), groupCol)
-      .crossJoin(broadcast(mn))
-      .where(sampleResidue(idCol) * col("_cnt") < col("_mn") * SampleResidue)
-      .drop("_cnt", "_mn")
+      .crossJoin(broadcast(mins))
+      .where(sampleResidue(idCol) * col(cnt) < col(mn) * SampleResidue)
+      .drop(cnt, mn)
+  }
+
+  /** First of `base`, `base1`, `base2`, … not already a column of `df`
+    * (case-insensitive — the analyzer's resolution is). */
+  private def freshName(df: org.apache.spark.sql.DataFrame, base: String): String = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !have.contains(n.toLowerCase)).get
   }
 
   /** Distinct word-trigram shingles ("w1 w2 w3") for near-dup detection.

@@ -34,12 +34,17 @@ object PrefixSum {
                     out: String, partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val bounds = SequenceGaps.equiCountBounds(
-      df.select(col(orderCol).cast("long").as("id")), n)
-    val wBlk = Window.partitionBy("_blk").orderBy(col(orderCol))
+    // one cast, used everywhere order matters: bounds come from the long
+    // view, so the block-id comparison and the window orderBy must see the
+    // SAME long value — the raw column would compare lexically for string
+    // order keys ("10" < "9"), silently scrambling block membership and
+    // within-block order against the numeric bounds
+    val ord = col(orderCol).cast("long")
+    val bounds = SequenceGaps.equiCountBounds(df.select(ord.as("id")), n)
+    val wBlk = Window.partitionBy("_blk").orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withCum = df
-      .withColumn("_blk", SequenceGaps.blockIdExpr(bounds, col(orderCol)))
+      .withColumn("_blk", SequenceGaps.blockIdExpr(bounds, ord))
       .withColumn("_cum", sum(col(valueCol).cast("long")).over(wBlk))
     // per-block totals: bounded at n rows, so THIS unpartitioned window
     // is a driver-sized fold, not the corpus-sized trap above

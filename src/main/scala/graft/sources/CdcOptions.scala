@@ -48,7 +48,8 @@ final case class CdcOptions(
     scanWhere: Option[String] = None,
     connectionRetries: Int = 3,
     connectionRetryWaitMs: Long = 1000L,
-    pollingHistorySize: Int = 10) {
+    pollingHistorySize: Int = 10,
+    statisticsEnabled: Boolean = true) {
 
   def jdbcProperties: java.util.Properties = {
     val p = new java.util.Properties()
@@ -153,7 +154,12 @@ object CdcOptions {
       connectionRetryWaitMs = options.getLong("connection.retry.wait.ms", 1000L),
       // metrics poll-ring depth (CDCSource.java:627-630, default 10) —
       // consumed by CdcMetrics.Listener(opts.pollingHistorySize)
-      pollingHistorySize = options.getInt("polling.history.size", 10))
+      pollingHistorySize = options.getInt("polling.history.size", 10),
+      // size-estimation probe (SELECT COUNT(*) at plan time) — on vendors
+      // where COUNT(*) walks the table (Postgres MVCC, Derby) the probe
+      // taxes every planned scan over a large fact table; disable to trade
+      // auto-broadcast of small snapshots for zero planning-time DB load
+      statisticsEnabled = options.getBoolean("statistics.enabled", true))
     validate(opts)
     opts
   }

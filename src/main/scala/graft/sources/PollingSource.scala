@@ -297,13 +297,18 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
     * this no two reads of the same table ever `sameResult`: exchange
     * reuse for self-joins fails, and the dynamic-pruning broadcast-reuse
     * check above always degrades to `true`. `runtimeWhere` is included
-    * because a runtime-filtered scan emits fewer rows than an unfiltered
-    * one. */
+    * in `equals` because a runtime-filtered scan emits fewer rows than an
+    * unfiltered one — but NOT in `hashCode`: `filter()` mutates the
+    * holder mid-execution, and a hash that changes after a hash-keyed
+    * structure (AQE stage cache, exchange-reuse map) captured the scan
+    * would silently stop matching. Hashing only the immutable fields
+    * keeps the contract (equal ⇒ same hash) while leaving the runtime
+    * distinction to the slower-but-safe `equals`. */
   private def eqKey =
-    (fullSchema, pruned, opts, pushedWhere.toSeq, limit, aggSelect, topN,
-      runtimeHolder.extra.toSeq)
+    (fullSchema, pruned, opts, pushedWhere.toSeq, limit, aggSelect, topN)
   override def equals(o: Any): Boolean = o match {
-    case s: CdcScan => eqKey == s.eqKey
+    case s: CdcScan =>
+      eqKey == s.eqKey && runtimeHolder.extra.toSeq == s.runtimeHolder.extra.toSeq
     case _ => false
   }
   override def hashCode(): Int = eqKey.hashCode()
@@ -315,17 +320,33 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
     * One driver-side `COUNT(*)` carrying the pushed predicates — the
     * vendor answers from its index/metadata, the same trust the offset
     * bootstrap places in `SELECT MAX` — priced once per planned scan
-    * (lazy); failures degrade to unknown, which Spark treats as the old
-    * infinite default. Row width from the pruned schema's type sizes. */
+    * (lazy), memoized across scans of the same (url, table, predicates)
+    * for [[CdcScan.StatsTtlMs]] so re-planning (AQE, repeated queries in
+    * a session) does not re-tax the vendor; failures degrade to unknown,
+    * which Spark treats as the old infinite default. On vendors where
+    * COUNT(*) is a table walk the probe can be switched off entirely with
+    * `statistics.enabled=false` (the scan then reports unknown and small
+    * snapshots need an explicit `broadcast()` hint). Row width from the
+    * pruned schema's type sizes. */
   private lazy val stats: Statistics = {
     val counted: java.util.OptionalLong =
-      try {
+      if (!opts.statisticsEnabled) java.util.OptionalLong.empty()
+      else try {
         val w = if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
         val sql = s"SELECT COUNT(*) FROM ${opts.table}$w"
-        val n = Jdbc.withConnection(opts) { conn =>
-          Jdbc.IssuedSql.add(sql)
-          val rs = conn.createStatement().executeQuery(sql)
-          rs.next(); rs.getLong(1)
+        val key = (opts.url, sql)
+        val now = System.currentTimeMillis()
+        val cached = Option(CdcScan.statsCache.get(key)).collect {
+          case (ts, n) if now - ts < CdcScan.StatsTtlMs => n
+        }
+        val n = cached.getOrElse {
+          val fresh = Jdbc.withConnection(opts) { conn =>
+            Jdbc.IssuedSql.add(sql)
+            val rs = conn.createStatement().executeQuery(sql)
+            rs.next(); rs.getLong(1)
+          }
+          CdcScan.statsCache.put(key, (now, fresh))
+          fresh
         }
         java.util.OptionalLong.of(n)
       } catch { case _: Exception => java.util.OptionalLong.empty() }
@@ -354,6 +375,16 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
   override def toBatch: Batch =
     new CdcBatch(fullSchema, pruned, opts, where, runtimeHolder,
       limit, aggSelect, topN)
+}
+
+object CdcScan {
+  /** How long a COUNT(*) probe result is trusted across plans. Short on
+    * purpose: a stale under-count risks broadcasting a table that grew
+    * past the threshold, so the window only needs to cover the re-plans
+    * of one query burst (AQE, self-joins), not a session. */
+  private[sources] val StatsTtlMs = 30000L
+  private[sources] val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
 }
 
 /** Offset = largest polling-column value emitted; serialized as

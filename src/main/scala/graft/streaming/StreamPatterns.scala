@@ -107,7 +107,15 @@ object StreamPatterns {
   /** Conf key selecting the state engine for the WHOLE pattern family:
     * `fmgws` (default, flatMapGroupsWithState) or `tws`
     * (transformWithState) — every operator routes through here, so a
-    * deployment flips engines without code changes. */
+    * deployment flips engines without code changes.
+    *
+    * ONE CAVEAT: "without code changes" does not mean "mid-stream". The
+    * two engines write checkpoint state in incompatible formats (fMGWS is
+    * a single implicit value state; TWS is named ValueState + timers), so
+    * flipping this conf and restarting an EXISTING streaming query from
+    * its old checkpoint fails at state-store load (or, worse, misreads).
+    * Switching engines requires a fresh `checkpointLocation`; treat the
+    * conf as fixed for the lifetime of a given checkpoint directory. */
   val EngineConf = "spark.graft.patterns.engine"
 
   private def runPattern[O: Encoder](events: DataFrame, keyCol: String, tsCol: String,

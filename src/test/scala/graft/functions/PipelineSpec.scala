@@ -103,6 +103,29 @@ class PipelineSpec extends SparkSpec {
     assert(s.get("de").isEmpty && s("en") === counts("en") && s.size === 1)
   }
 
+  test("sampling: caller columns named rate/_cnt/_mn survive untouched") {
+    import graft.Tables
+    // a corpus that already carries the working-column names — the join
+    // must neither throw ambiguous-reference nor drop the user's columns
+    val d = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("lang"),
+        col("doc_id").cast("int").as("rate"),
+        lit(7).as("_cnt"), lit(8).as("_mn"))
+    val rates = Seq(("en", TextFunctions.SampleResidue)).toDF("lang", "rate")
+    val s = TextFunctions.stratifiedSample(d, rates, "lang", col("doc_id"))
+    assert(s.columns.sorted.toSeq === d.columns.sorted.toSeq)
+    // user's own rate column intact (= doc_id), not overwritten by the table's
+    assert(s.where(col("rate") =!= col("doc_id").cast("int")).count() === 0)
+    val b = TextFunctions.balancedSample(d, "lang", col("doc_id"))
+    assert(b.columns.sorted.toSeq === d.columns.sorted.toSeq)
+    assert(b.where(col("_cnt") =!= 7 || col("_mn") =!= 8).count() === 0)
+    // and the kept row set matches the clean-schema run
+    val clean = TextFunctions.balancedSample(
+      d.select("doc_id", "lang"), "lang", col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(b.select("doc_id").as[Long].collect().sorted.toSeq === clean)
+  }
+
   test("IVF train-on-sample: cap engages deterministically; below the cap nothing changes") {
     def eq(a: IvfIndex.Model, b: IvfIndex.Model): Boolean =
       a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq

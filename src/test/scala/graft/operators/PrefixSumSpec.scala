@@ -39,6 +39,17 @@ class PrefixSumSpec extends SparkSpec {
     assert(windows.exists(_.contains("_blk")), plan)
   }
 
+  test("runningBefore: string order keys order numerically, not lexically") {
+    // "10" < "9" lexically — if the window or block-id ever sees the raw
+    // string column, key 10's offset would be computed before key 9's
+    val df = (1L to 120L).map(i => (i.toString, 1L)).toDF("k", "v")
+    val got = PrefixSum.runningBefore(df, "k", "v", "off", partitions = 4)
+      .select("k", "off").as[(String, Long)].collect().toMap
+    (1L to 120L).foreach { i =>
+      assert(got(i.toString) === i - 1, s"key $i")
+    }
+  }
+
   test("runningBefore on empty input returns empty with the column added") {
     val df = Seq.empty[(Long, Long)].toDF("k", "v")
     val out = PrefixSum.runningBefore(df, "k", "v", "off")

@@ -477,6 +477,45 @@ class PollingSourceSpec extends SparkSpec {
     }
   }
 
+  test("statistics.enabled=false: no COUNT probe is ever issued") {
+    withDb("db_nostats") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE NOSTATS (ID INT NOT NULL, V INT)")
+      val ins = conn.prepareStatement("INSERT INTO NOSTATS VALUES (?, ?)")
+      (1 to 20).foreach { i => ins.setInt(1, i); ins.setInt(2, i); ins.executeUpdate() }
+      Jdbc.IssuedSql.clear()
+      val df = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "NOSTATS").option("polling.column", "id")
+        .option("statistics.enabled", "false").load()
+      assert(df.count() === 20)
+      // the range partitioner's parameterized per-bound counts still run
+      // (they size the scan's partitions); only the PLANNING-time stats
+      // probe — an unparameterized whole-table count — must be absent
+      assert(!Jdbc.IssuedSql.recent.exists(_ == "SELECT COUNT(*) FROM NOSTATS"),
+        Jdbc.IssuedSql.recent.mkString("\n"))
+    }
+  }
+
+  test("CdcScan hash is stable across runtime filter() mutation") {
+    // AQE stage caches and exchange-reuse maps key on the scan's hash; a
+    // hash that moves when dynamic pruning lands mid-execution silently
+    // breaks those lookups. equals still distinguishes (fewer rows).
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType)))
+    val opts = CdcOptions(mode = "polling", url = "jdbc:derby:memory:h", username = None,
+      password = None, table = "T", operation = Seq.empty, pollingColumn = Some("id"),
+      pollingIntervalSec = 1L, waitOnMissedRecord = false, missedRecordTimeoutSec = -1L,
+      cronExpression = None, numPartitions = 2, connectorProperties = Map.empty)
+    val scan = new CdcScan(schema, schema, opts, Array.empty)
+    val twin = new CdcScan(schema, schema, opts, Array.empty)
+    val h0 = scan.hashCode()
+    assert(scan === twin && scan.hashCode() === twin.hashCode())
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(1, 2, 3))))
+    assert(scan.hashCode() === h0, "hash moved after filter()")
+    assert(scan !== twin, "runtime-filtered scan emits fewer rows; equals must see it")
+  }
+
   test("pushdown dialect: SQL Server renders TOP n and refuses top-N") {
     val ms = "jdbc:sqlserver://host:1433;databaseName=d"
     // T-SQL rejects both LIMIT and a bare FETCH FIRST (its fetch form
