@@ -13,7 +13,24 @@ import org.apache.spark.sql.functions._
   * operators; the exhaustive baselines (p6-style all-pairs) are expected
   * to grow with shared-shingle pair count and are excluded here.
   *
+  * Noise defense mirrors [[graft.Bench]]: each (family, factor) point is
+  * the MEDIAN of `SPARK_GRAFT_SMOKE_RUNS` (default 3) samples taken on
+  * INTERLEAVED whole-matrix passes — run every family at every factor,
+  * then repeat the whole matrix — so a minutes-long noisy neighbor can
+  * poison at most one sample per point and the median discards it.
+  * (The r5→r6 substring_overlap 4.4→10.9 s flap was exactly a
+  * single-sample artifact this kills.) Cache cleared between samples.
+  *
+  * The five shuffle-heavy families whose plans the 100 TB story leans on
+  * hardest (minhash_lsh, dedup_clusters, substring_overlap, tfidf_topk,
+  * seq_packing) additionally run DEEP factors 40×/100× — at sf0.1 that
+  * is a 500k-document corpus, big enough that a hidden super-linear
+  * term (pair blow-up, unsplit hot key, corpus-sized window) shows as a
+  * bent curve instead of hiding in noise.
+  *
   * Usage: `runMain graft.tools.ScaleSmoke /root/testdata/sf0.1 1 4 10`
+  * (deep factors via SPARK_GRAFT_SMOKE_DEEP, default "40,100";
+  * set to "" to skip).
   */
 object ScaleSmoke {
 
@@ -27,6 +44,30 @@ object ScaleSmoke {
       docs.select((col("doc_id") + lit(k * step)).as("doc_id"),
         (if (k == 0) col("text")
          else concat(col("text"), lit(s" replicasalt$k"))).as("text"))
+    }.reduce(_ union _)
+  }
+
+  /** N copies with a per-replica tag suffixed onto EVERY word, not
+    * appended at the end: an end-salted replica still shares every
+    * interior 48-char window and most shingles with its siblings, so at
+    * deep factors the cross-replica candidate-pair count would grow
+    * C(n,2) BY CONSTRUCTION — the curve would measure the replication
+    * scheme, not the operator. The per-word suffix is applied UNIFORMLY
+    * within a replica, so two docs that share a shingle / substring
+    * window share its transformed image too: each replica's INTERNAL
+    * near-dup structure is preserved exactly, cross-replica sharing is
+    * impossible (different tags), and pair density stays constant —
+    * time-vs-factor isolates the operator's own scaling. Tag is
+    * fixed-width so window geometry is identical across replicas. */
+  def replicateDocsDistinct(docs: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"replication factor must be positive, got $n")
+    val step = 100000000L
+    (0 until n).map { k =>
+      val salted =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(f"#$k%04d"))), " ")
+      docs.select((col("doc_id") + lit(k * step)).as("doc_id"), salted.as("text"))
     }.reduce(_ union _)
   }
 
@@ -57,25 +98,49 @@ object ScaleSmoke {
     val spark = DevTool.session()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
+    val deepFactors = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DEEP", "40,100")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filterNot(factors.contains)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_RUNS", "3").toInt
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     val embs0 = Tables.embeddings(spark, dir)
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    // (family, factor) -> all samples across passes
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
     def time(tag: String, n: Int)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $tag%-16s x$n%-3d $sec%8.2f s  rows=$rows")
-      results += ((tag, n, sec, rows))
+      println(f"[scale] $tag%-18s x$n%-3d $sec%8.2f s  rows=$rows")
+      samples += ((tag, n, sec, rows))
+      spark.catalog.clearCache() // operator caches must not leak across samples
     }
-    // warm-up
-    Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
 
-    factors.foreach { n =>
+    /** The five families whose 100 TB plans are shuffle-dominated — these
+      * also run the deep factors, over the pervasively-salted corpus so
+      * candidate-pair density stays constant per replica (see
+      * [[replicateDocsDistinct]]). */
+    def deepSuite(n: Int): Unit = {
+      val docs = replicateDocsDistinct(docs0, n)
+      time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
+      time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
+      time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
+      time("tfidf_topk", n) {
+        TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
+          col("_ws"), 3).count()
+      }
+      // global-order prefix sum (the packing device): blocks + seam
+      // offsets — must scale like any keyed window, not a 1-task sort
+      time("seq_packing", n) {
+        val toks = docs.select(col("doc_id"),
+          TF.wordCount(TF.words(TF.normText(col("text")))).as("wc"))
+        graft.operators.PrefixSum.runningBefore(toks, "doc_id", "wc", "off").count()
+      }
+    }
+
+    def fullSuite(n: Int): Unit = {
       val docs = replicateDocs(docs0, n)
       val embs = replicateEmbs(embs0, n)
-      println(s"[scale] ---- x$n (${docs.count()} docs, ${embs.count()} vecs) ----")
       time("exact_dedup", n)(Dedup.exact(docs).count())
-      time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
       time("simhash_buckets", n)(Dedup.simhashBuckets(docs).count())
       time("repetition_p15", n) {
         docs.select(col("doc_id"), call_function("word_rep_stats", col("text")).as("s"))
@@ -91,17 +156,11 @@ object ScaleSmoke {
       }
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
-      time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
-      time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
       time("token_quantiles", n) {
         val wc = docs.select(pmod(col("doc_id"), lit(5)).as("g"),
           TF.wordCount(TF.words(TF.normText(col("text")))).as("v"))
         graft.operators.Distribution.groupedDiscreteQuantiles(wc, "g", "v",
           Seq(("p50", 1, 2), ("p90", 9, 10))).count()
-      }
-      time("tfidf_topk", n) {
-        TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
-          col("_ws"), 3).count()
       }
       // p24's documented hot-word trade, measured: plant a word in EVERY
       // document and force the df join down the sort-merge path (broadcast
@@ -118,13 +177,6 @@ object ScaleSmoke {
           col("_ws"), 3).count()
         finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       }
-      // global-order prefix sum (the packing device): blocks + seam
-      // offsets — must scale like any keyed window, not a 1-task sort
-      time("seq_packing", n) {
-        val toks = docs.select(col("doc_id"),
-          TF.wordCount(TF.words(TF.normText(col("text")))).as("wc"))
-        graft.operators.PrefixSum.runningBefore(toks, "doc_id", "wc", "off").count()
-      }
       // CEP family over a replicated event stream (keys disjoint per
       // replica — the window detectors scale with key parallelism, the
       // guarded band join with horizon density)
@@ -138,22 +190,55 @@ object ScaleSmoke {
       time("cep_guarded_band", n)(graft.operators.Patterns.guardedFollowedBy(events,
         "user_id", "ts_us", "event_id", "event_type", "value",
         "signup", "purchase", h12, (av, bv) => bv > av).count())
+      // the band join's worst case, planted: HALF the stream remapped to
+      // ONE key. A plain key join would pair that key's every A with its
+      // every B (|A|·|B|, quadratic in factor AND horizon count); the
+      // band equi-join keeps pairs inside each 2·within neighborhood, so
+      // growth tracks per-band density (n² only within one band width),
+      // never |A|·|B| over the whole retained history. PatternsSpec pins
+      // the mechanism (B duplicated exactly 2×, _band in the join keys);
+      // this curve records the wall-clock consequence.
+      time("cep_guarded_hotkey", n) {
+        val hot = events.select(
+          when(pmod(col("user_id"), lit(2)) === 0, lit(0L))
+            .otherwise(col("user_id")).as("user_id"),
+          col("event_id"), col("event_type"), col("value"), col("ts_us"))
+        graft.operators.Patterns.guardedFollowedBy(hot,
+          "user_id", "ts_us", "event_id", "event_type", "value",
+          "signup", "purchase", h12, (av, bv) => bv > av).count()
+      }
       time("cep_length_window", n)(graft.operators.Patterns.lengthWindow(
         events.where(col("event_type") === "purchase"),
         "user_id", "ts_us", "event_id", "value", 5).count())
     }
-    // one-line JSON artifact: seconds + result rows per (family, factor),
-    // the recorded scale curve behind the 100 TB sub-quadratic claims
-    val families = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
-      val ser = rs.sortBy(_._2).map { case (_, n, s, rows) =>
+
+    // warm-up
+    Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
+    spark.catalog.clearCache()
+
+    (1 to runs).foreach { pass =>
+      println(s"[scale] ======== pass $pass/$runs ========")
+      factors.foreach { n => fullSuite(n); deepSuite(n) }
+      deepFactors.foreach(deepSuite)
+    }
+
+    // one-line JSON artifact: per (family, factor) the MEDIAN seconds
+    // across interleaved passes + result rows (identical every pass by
+    // determinism) — the recorded scale curve behind the 100 TB
+    // sub-quadratic claims
+    val families = samples.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
+      val ser = rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (n, ss) =>
+        val secs = ss.map(_._3).sorted
+        val med = secs(secs.size / 2)
+        val rows = ss.map(_._4).max
         // Locale.ROOT: the f-interpolator renders decimal COMMAS under
         // de/fr default locales, corrupting the JSON artifact
-        val sec = String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
-        s"""{"factor":$n,"sec":$sec,"rows":$rows}"""
+        val sec = String.format(java.util.Locale.ROOT, "%.2f", Double.box(med))
+        s"""{"factor":$n,"sec":$sec,"rows":$rows,"samples":${ss.size}}"""
       }.mkString("[", ",", "]")
       s""""$fam":$ser"""
     }.mkString("{", ",", "}")
-    println(s"""[scalejson] {"sf":"$dir","families":$families}""")
+    println(s"""[scalejson] {"sf":"$dir","runs":$runs,"families":$families}""")
     spark.stop()
   }
 }

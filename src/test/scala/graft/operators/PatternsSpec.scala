@@ -263,6 +263,52 @@ class PatternsSpec extends SparkSpec {
     assert(exp.nonEmpty && got === exp)
   }
 
+  test("guardedFollowedBy hot key: pairs bounded by the band neighborhood, not |A|·|B|") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    // ONE key owns the whole stream — the regime where a plain key join
+    // degenerates to |A|·|B|. 400 As + 400 Bs spread over ~40 band
+    // widths: the band equi-join must (a) still be correct, (b) duplicate
+    // the B side into EXACTLY two bands each (the 2·within bound), and
+    // (c) carry _band in the join keys so pairing stays per-neighborhood.
+    val rnd = new scala.util.Random(777)
+    val within = 100L
+    val evs = (1L to 800L).map { id =>
+      ("hot", rnd.nextInt(4000).toLong, id,
+        if (id % 2 == 0) "A" else "B", rnd.nextInt(50).toDouble)
+    }
+    val df = evs.toDF("key", "ts", "id", "type", "value")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan: metrics readable per node
+    try {
+      val out = Patterns.guardedFollowedBy(df, "key", "ts", "id", "type", "value",
+        "A", "B", within, (av, bv) => bv > av)
+        .as[(String, Long, Long, Double, Long)]
+      val got = out.collect().toSet
+      case class E(key: String, ts: Long, id: Long, tpe: String, v: Double)
+      val all = evs.map(E.tupled)
+      val exp = all.filter(_.tpe == "A").flatMap { a =>
+        all.filter(e => e.tpe == "B" && e.v > a.v &&
+            (e.ts > a.ts || (e.ts == a.ts && e.id > a.id)) && e.ts - a.ts <= within)
+          .sortBy(e => (e.ts, e.id)).headOption
+          .map(b => (a.key, a.id, b.id, a.v, b.ts - a.ts))
+      }.toSet
+      assert(exp.nonEmpty && got === exp)
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+      val plan = out.queryExecution.executedPlan
+      // (b) the explode emitted each B into exactly 2 bands — the ENTIRE
+      // hot-key blow-up the design permits
+      val gens = nodes(plan).filter(_.getClass.getSimpleName == "GenerateExec")
+      assert(gens.nonEmpty, plan.toString)
+      val bCount = evs.count(_._4 == "B").toLong
+      assert(gens.map(_.metrics("numOutputRows").value).sum === 2L * bCount)
+      // (c) the join is keyed on (_k, _band), never _k alone
+      val joinLine = plan.toString.linesIterator
+        .find(l => l.contains("Join") && l.contains("_band"))
+      assert(joinLine.nonEmpty, plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("lengthWindow: trailing n-event count/sum, ramp-up at key start, exact decimals") {
     import spark.implicits._
     val e = Seq(
