@@ -58,15 +58,36 @@ object ScaleSmoke {
     * near-dup structure is preserved exactly, cross-replica sharing is
     * impossible (different tags), and pair density stays constant —
     * time-vs-factor isolates the operator's own scaling. Tag is
-    * fixed-width so window geometry is identical across replicas. */
+    * fixed-width so window geometry is identical across replicas.
+    *
+    * Measurement hygiene, learned the hard way: the tag MUST be applied
+    * to replica 0 too, MUST be cheap, and the salted corpus MUST be
+    * MATERIALIZED before timing. A first cut left k=0 as the raw column
+    * and salted k>0 via an interpreted higher-order `transform(split)` —
+    * the x1 point then measured codegen'd column reads while x4+
+    * measured mostly interpreted per-word lambda evaluation (re-run once
+    * per downstream consumer of `text`), and the "curve" showed a fake
+    * 15–43× step at x4. Even a uniform single-pass `regexp_replace`
+    * still dominated the timings, multiplied by every consumer of the
+    * column (signature pass + both sides of the verify join). So the
+    * deep suite writes each factor's salted corpus to parquet ONCE,
+    * outside the timed region, and times operators against the table —
+    * which is also what production looks like.
+    *
+    * The tag must also survive `normText` as PART of its word: an
+    * earlier `word#0001` variant normalized to two tokens
+    * (`word 0001`), so every trigram shingle of shape
+    * (tag, word, tag) depended on ONE word — all docs sharing any
+    * common word shared that shingle, the shared shingle won the
+    * min-hash in every band, and LSH collapsed the corpus into a
+    * handful of buckets (4.9M candidate pairs from 5k docs). The
+    * alphanumeric no-separator suffix keeps one-token words and full
+    * three-word shingle context. */
   def replicateDocsDistinct(docs: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"replication factor must be positive, got $n")
     val step = 100000000L
     (0 until n).map { k =>
-      val salted =
-        if (k == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          w => concat(w, lit(f"#$k%04d"))), " ")
+      val salted = regexp_replace(col("text"), "(\\S+)", f"$$1x$k%04d")
       docs.select((col("doc_id") + lit(k * step)).as("doc_id"), salted.as("text"))
     }.reduce(_ union _)
   }
@@ -115,12 +136,24 @@ object ScaleSmoke {
       spark.catalog.clearCache() // operator caches must not leak across samples
     }
 
+    // materialize every deep factor's salted corpus once, before any
+    // timing: the salting transform must never sit inside a timed plan
+    // (see the replicateDocsDistinct scaladoc)
+    val smokeDir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+    val allFactors = (factors ++ deepFactors).distinct.sorted
+    allFactors.foreach { n =>
+      val t0 = System.nanoTime()
+      replicateDocsDistinct(docs0, n)
+        .write.mode("overwrite").parquet(s"$smokeDir/docs_x$n")
+      println(f"[scale] materialize deep corpus x$n%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
     /** The five families whose 100 TB plans are shuffle-dominated — these
       * also run the deep factors, over the pervasively-salted corpus so
       * candidate-pair density stays constant per replica (see
       * [[replicateDocsDistinct]]). */
     def deepSuite(n: Int): Unit = {
-      val docs = replicateDocsDistinct(docs0, n)
+      val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
       time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
