@@ -6,73 +6,138 @@ import graft.GraftSession
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.Trigger
 
-/** Polling-source ingest throughput: N rows through the V2 source
-  * (Derby → micro-batch → count), reported as rows/s. The reference's
-  * polling path is a single-threaded JDBC scan dispatching events
-  * row-at-a-time through Siddhi; ours splits the range across executor
-  * threads ('numPartitions'). */
+/** Polling-source ingest throughput — the per-round artifact for the
+  * engine's CAPTURE path (Bench covers only the query surface). The
+  * reference's polling loop is a single-threaded JDBC scan dispatching
+  * events row-at-a-time through the host engine
+  * (`polling/CDCPoller.java:262-321`); ours splits the range across
+  * executor threads (`numpartitions`), so throughput-vs-partitions is
+  * the number that justifies the design.
+  *
+  * Measures, per partition count in {1, 4, 10}:
+  *   - batch snapshot rows/s (range-partitioned full-table read);
+  *   - streaming capture rows/s (rows inserted AFTER the stream
+  *     bootstraps, drained through the micro-batch path);
+  * and once: recovery-replay seconds — kill the query, insert rows
+  * while it is down, restart from the checkpoint, time to drain the
+  * missed rows (the reference's pause/resume contract, O17/O18).
+  *
+  * Emits one `[ingestjson] {...}` line: the driver-committable artifact
+  * (`INGEST_r{N}.json`).
+  *
+  * Usage: `runMain graft.tools.IngestBench [rows] [recoveryRows]`
+  */
 object IngestBench {
-  def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toInt else 200000
-    val parts = if (args.length > 1) args(1) else "8"
-    System.setProperty("derby.system.home", "/tmp/graft-derby-bench")
-    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-    val dbUrl = s"jdbc:derby:/tmp/graft-derby-bench/ingest_${System.nanoTime()};create=true"
-    val conn = DriverManager.getConnection(dbUrl)
-    conn.createStatement().execute(
-      "CREATE TABLE EVENTS (ID INT, NAME VARCHAR(64), V DOUBLE)")
+
+  private def bulkInsert(conn: java.sql.Connection, table: String,
+                         from: Int, to: Int): Unit = {
     conn.setAutoCommit(false)
-    val ps = conn.prepareStatement("INSERT INTO EVENTS VALUES (?, ?, ?)")
-    (1 to n).foreach { i =>
+    val ps = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+    (from to to).foreach { i =>
       ps.setInt(1, i); ps.setString(2, s"payload_$i"); ps.setDouble(3, i * 0.5)
       ps.addBatch()
       if (i % 10000 == 0) ps.executeBatch()
     }
     ps.executeBatch(); conn.commit(); conn.setAutoCommit(true)
+  }
 
-    val spark = GraftSession.create("32")
-    // offset -1 fixture: read from a checkpoint-free AvailableNow run over
-    // a pre-seeded table requires an initial offset below the data; use a
-    // second empty-bootstrap trick: bootstrap on empty table, then insert.
-    // Simpler: batch-mode snapshot measures the same executor read path.
-    var seen = 0L
-    val t0 = System.nanoTime()
-    val df = spark.read.format("cdc")
-      .option("mode", "polling").option("url", dbUrl.stripSuffix(";create=true"))
-      .option("table.name", "EVENTS").option("polling.column", "id")
-      .option("numpartitions", parts).load()
-    seen = df.count()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[ingest] snapshot read: $seen rows in $dt%.2f s = ${seen / dt}%.0f rows/s")
-
-    // streaming path: new table, stream established first, then bulk insert
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 200000
+    val recoveryN = if (args.length > 1) args(1).toInt else 50000
+    val partsList = Seq(1, 4, 10)
+    System.setProperty("derby.system.home", "/tmp/graft-derby-bench")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val dbPath = s"/tmp/graft-derby-bench/ingest_${System.nanoTime()}"
+    val dbUrl = s"jdbc:derby:$dbPath;create=true"
+    val conn = DriverManager.getConnection(dbUrl)
+    val url = dbUrl.stripSuffix(";create=true")
     conn.createStatement().execute(
-      "CREATE TABLE EVENTS2 (ID INT, NAME VARCHAR(64), V DOUBLE)")
-    val sdf = spark.readStream.format("cdc")
-      .option("mode", "polling").option("url", dbUrl.stripSuffix(";create=true"))
-      .option("table.name", "EVENTS2").option("polling.column", "id")
-      .option("numpartitions", parts).load()
-    val counter = new java.util.concurrent.atomic.AtomicLong()
-    val q = sdf.writeStream
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ingest_ckpt").toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (b: DataFrame, _: Long) => counter.addAndGet(b.count()); () }
-      .start()
-    q.processAllAvailable() // bootstrap offset on empty table
-    conn.setAutoCommit(false)
-    val ps2 = conn.prepareStatement("INSERT INTO EVENTS2 VALUES (?, ?, ?)")
-    (1 to n).foreach { i =>
-      ps2.setInt(1, i); ps2.setString(2, s"payload_$i"); ps2.setDouble(3, i * 0.5)
-      ps2.addBatch()
-      if (i % 10000 == 0) ps2.executeBatch()
+      "CREATE TABLE SNAP (ID INT, NAME VARCHAR(64), V DOUBLE)")
+    bulkInsert(conn, "SNAP", 1, n)
+
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+
+    // ---- batch snapshot: same table, varying range partitions ----
+    val snapshot = partsList.map { p =>
+      val t0 = System.nanoTime()
+      val seen = spark.read.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "SNAP").option("polling.column", "id")
+        .option("statistics.enabled", "false") // measure the read, not the probe
+        .option("numpartitions", p.toString).load().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(seen == n, s"snapshot read $seen of $n rows")
+      println(f"[ingest] snapshot p=$p%-2d $seen rows in $dt%.2f s = ${seen / dt}%.0f rows/s")
+      p -> seen / dt
     }
-    ps2.executeBatch(); conn.commit()
-    val t1 = System.nanoTime()
-    q.processAllAvailable()
-    val dt2 = (System.nanoTime() - t1) / 1e9
-    q.stop()
-    println(f"[ingest] stream drain: ${counter.get} rows in $dt2%.2f s = ${counter.get / dt2}%.0f rows/s")
+
+    // ---- streaming capture: stream bootstraps on an empty table, then
+    // rows arrive; drain time = capture throughput through micro-batches ----
+    val stream = partsList.map { p =>
+      val table = s"STREAM$p"
+      conn.createStatement().execute(
+        s"CREATE TABLE $table (ID INT, NAME VARCHAR(64), V DOUBLE)")
+      val counter = new java.util.concurrent.atomic.AtomicLong()
+      val q = spark.readStream.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", table).option("polling.column", "id")
+        .option("numpartitions", p.toString).load()
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ingest_ckpt_$p").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: DataFrame, _: Long) => counter.addAndGet(b.count()); () }
+        .start()
+      q.processAllAvailable() // bootstrap offset on the empty table
+      bulkInsert(conn, table, 1, n)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val dt = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      require(counter.get == n, s"stream captured ${counter.get} of $n rows")
+      println(f"[ingest] stream   p=$p%-2d ${counter.get} rows in $dt%.2f s = ${counter.get / dt}%.0f rows/s")
+      p -> counter.get / dt
+    }
+
+    // ---- recovery replay: kill, insert while down, restart from the
+    // checkpoint — time from restart to the missed rows drained ----
+    conn.createStatement().execute(
+      "CREATE TABLE RECOV (ID INT, NAME VARCHAR(64), V DOUBLE)")
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt_recov").toString
+    val counter = new java.util.concurrent.atomic.AtomicLong()
+    def startRecov(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("cdc")
+        .option("mode", "polling").option("url", url)
+        .option("table.name", "RECOV").option("polling.column", "id")
+        .option("numpartitions", "4").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: DataFrame, _: Long) => counter.addAndGet(b.count()); () }
+        .start()
+    val q1 = startRecov()
+    q1.processAllAvailable() // bootstrap
+    bulkInsert(conn, "RECOV", 1, 1000) // some pre-kill traffic, checkpointed
+    q1.processAllAvailable()
+    q1.stop() // the "kill"
+    require(counter.get == 1000, s"pre-kill captured ${counter.get} of 1000")
+    bulkInsert(conn, "RECOV", 1001, 1000 + recoveryN) // arrives while down
+    val t0 = System.nanoTime()
+    val q2 = startRecov()
+    q2.processAllAvailable()
+    val recoverySec = (System.nanoTime() - t0) / 1e9
+    q2.stop()
+    require(counter.get == 1000L + recoveryN,
+      s"recovery captured ${counter.get} of ${1000 + recoveryN}")
+    println(f"[ingest] recovery: $recoveryN missed rows drained in $recoverySec%.2f s after restart")
+
+    val snapJson = snapshot.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
+    val streamJson = stream.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
+    println(s"""[ingestjson] {"rows":$n,"snapshot_rows_per_sec":{$snapJson},""" +
+      s""""stream_rows_per_sec":{$streamJson},""" +
+      s""""recovery":{"missed_rows":$recoveryN,"sec":${fmt(recoverySec)}}}""")
     spark.stop()
     conn.close()
   }
