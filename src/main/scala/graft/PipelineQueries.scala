@@ -481,6 +481,38 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p30 — near-dup keeper selection ([[Dedup.keepBest]]): the KEPT
+    * corpus after LSH dedup. p22 labels duplicate clusters; a training
+    * run reads the survivors. Per cluster keep the best p2-quality doc
+    * (lowest id tiebreak — quality varies within a NEAR-dup cluster,
+    * unlike exact-dup groups where identical normalized text forces
+    * identical quality); unclustered docs pass through with cluster_sz
+    * 1. The keeper argmax is a struct-min aggregation over the small
+    * clustered set and the pass-through is a broadcast anti-join — the
+    * corpus never shuffles beyond what the LSH pair generation already
+    * required. */
+  private def p30(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q =
+      if (s.catalog.functionExists("word_stats"))
+        d.withColumn("_st", call_function("word_stats", col("text")))
+          .withColumn("word_cnt", col("_st.word_cnt"))
+          .withColumn("stop_milli", TF.milli(col("_st.stop_hits"), col("word_cnt")))
+          .withColumn("awc", TF.centi(col("_st.alpha_chars"), col("word_cnt")))
+          .select(col("doc_id"),
+            TF.qualityScore(col("word_cnt"), col("stop_milli"), col("awc")).as("quality"))
+      else
+        d.withColumn("norm", TF.normText(col("text")))
+          .withColumn("ws", TF.words(col("norm")))
+          .withColumn("word_cnt", TF.wordCount(col("ws")))
+          .withColumn("stop_milli", TF.milli(TF.setHits(col("ws"), TF.Stopwords), col("word_cnt")))
+          .withColumn("awc", TF.centi(TF.alphaChars(col("norm")), col("word_cnt")))
+          .select(col("doc_id"),
+            TF.qualityScore(col("word_cnt"), col("stop_milli"), col("awc")).as("quality"))
+    Dedup.keepBest(q, Dedup.nearDupClusters(d, Bands, JaccThreshold))
+      .orderBy("kept_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -511,6 +543,7 @@ object PipelineQueries {
     "p27_stratified_sample" -> p27 _,
     "p28_seq_packing" -> p28 _,
     "p29_source_report" -> p29 _,
+    "p30_dedup_keep" -> p30 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -904,6 +937,37 @@ object PipelineQueries {
          |SELECT c.doc_id, c.canonical_id, s.cluster_sz
          |FROM canon c JOIN sz s USING (canonical_id)
          |ORDER BY doc_id""".stripMargin,
+    "p30_dedup_keep" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |$LshInterCtes,
+         |pairs AS (SELECT i.da AS doc_a, i.db AS doc_b
+         |          FROM inter i JOIN sizes sa ON i.da = sa.sid JOIN sizes sb ON i.db = sb.sid
+         |          WHERE CAST(floor(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) >= $JaccThreshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+         |          FROM reach GROUP BY src),
+         |sz AS (SELECT canonical_id, count(*) AS cluster_sz FROM canon GROUP BY canonical_id),
+         |m AS (SELECT doc_id,
+         |        CAST((CASE WHEN len(ws) BETWEEN 30 AND 1000 THEN 1 ELSE 0 END) +
+         |             (CASE WHEN (CASE WHEN len(ws) = 0 THEN 0
+         |                  ELSE floor(1000.0 * len(list_filter(ws, x -> ${orChain("x", TF.Stopwords)})) / len(ws)) END) BETWEEN 10 AND 400 THEN 1 ELSE 0 END) +
+         |             (CASE WHEN (CASE WHEN len(ws) = 0 THEN 0
+         |                  ELSE floor(100.0 * length(replace(norm, ' ', '')) / len(ws)) END) BETWEEN 150 AND 1000 THEN 1 ELSE 0 END) AS INT) AS quality
+         |      FROM w),
+         |ranked AS (SELECT c.doc_id, c.canonical_id, s.cluster_sz, m.quality,
+         |             row_number() OVER (PARTITION BY c.canonical_id
+         |               ORDER BY m.quality DESC, c.doc_id ASC) AS rn
+         |           FROM canon c JOIN sz s USING (canonical_id) JOIN m USING (doc_id))
+         |SELECT doc_id AS kept_id, quality, cluster_sz FROM ranked WHERE rn = 1
+         |UNION ALL
+         |SELECT m.doc_id AS kept_id, m.quality, CAST(1 AS BIGINT) AS cluster_sz
+         |FROM m LEFT JOIN canon c ON m.doc_id = c.doc_id WHERE c.doc_id IS NULL
+         |ORDER BY kept_id""".stripMargin,
     "p23_token_dist" ->
       s"""WITH $NormCte,
          |wc AS (SELECT d.lang, CAST(len(w.ws) AS BIGINT) AS word_cnt

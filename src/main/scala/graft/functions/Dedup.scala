@@ -355,6 +355,37 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("cluster_sz"))
   }
 
+  /** Keeper selection — the KEPT-corpus emitter a dedup pipeline ends
+    * with: pair/cluster queries name the duplicates, but a training run
+    * reads the survivors. Per cluster keep the highest-`qualityCol` doc
+    * (lowest id on ties); docs in no cluster pass through with
+    * cluster_sz 1. Output: (kept_id, `qualityCol`, cluster_sz), one row
+    * per distinct content.
+    *
+    * `docsQ` = (idCol, qualityCol) for the whole corpus; `clusters` =
+    * (doc_id, canonical_id, cluster_sz) as produced by
+    * [[nearDupClusters]]. Scale shape: the clustered set is tiny
+    * relative to the corpus (it holds only docs with a near-dup), so
+    * both joins broadcast it under AQE — the keeper argmax is a
+    * struct-min aggregation (fully partial-aggregated, never a window)
+    * over that small set, and the singleton pass-through is a broadcast
+    * anti-join. The corpus itself never shuffles here at all. */
+  def keepBest(docsQ: DataFrame, clusters: DataFrame,
+               idCol: String = "doc_id", qualityCol: String = "quality"): DataFrame = {
+    val clustered = clusters
+      .join(docsQ.select(col(idCol), col(qualityCol)), idCol)
+    val keepers = clustered
+      .groupBy(col("canonical_id"))
+      .agg(min(struct((-col(qualityCol)).as("qn"), col(idCol).as("id"))).as("_k"),
+        max(col("cluster_sz")).as("cluster_sz"))
+      .select(col("_k.id").as("kept_id"), (-col("_k.qn")).as(qualityCol),
+        col("cluster_sz"))
+    val singles = docsQ.select(col(idCol), col(qualityCol))
+      .join(clusters.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("kept_id"), col(qualityCol), lit(1L).as("cluster_sz"))
+    keepers.unionByName(singles)
+  }
+
   /** SimHash bucket dedup: 16-bit simhash per doc, report buckets holding
     * >1 doc. Output: (simhash, dup_cnt, min_doc, max_doc). */
   def simhashBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

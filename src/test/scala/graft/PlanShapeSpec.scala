@@ -117,6 +117,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"AQE did not broadcast the probe side:\n$p")
   }
 
+  test("p30 keeper selection: clustered set broadcasts on both joins (AQE final plan)") {
+    // the clustered set rides checkpointed RDDs (unknown static stats), so
+    // the broadcast decision is AQE's — assert the adaptive final plan:
+    // quality join AND singleton anti-join both broadcast the small side,
+    // leaving the corpus scan shuffle-free in this query
+    val df = SparkEntry.queries("p30_dedup_keep")(spark, sf())
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    assert(whole.contains("isFinalPlan=true"))
+    // the adaptive plan string carries the pre-adaptive "Initial Plan"
+    // section too — assert only on what actually ran
+    val p = whole.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"clustered set not broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"singleton pass-through should be an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join in keeper selection may sort-merge the corpus:\n$p")
+  }
+
   test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

@@ -165,6 +165,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keepBest keeps the best-quality doc per cluster, lowest id on ties, singletons pass through") {
+    val docsQ = Seq((1L, 1), (2L, 3), (3L, 3), (10L, 2), (11L, 0))
+      .toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
+      .toDF("doc_id", "canonical_id", "cluster_sz")
+    val out = Dedup.keepBest(docsQ, clusters).orderBy("kept_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    // cluster {1,2,3} qualities (1,3,3): doc 2 wins quality desc, id asc;
+    // 10 and 11 are unclustered and pass through with cluster_sz 1
+    assert(out === Seq((2L, 3, 3L), (10L, 2, 1L), (11L, 0, 1L)))
+  }
+
+  test("keepBest over real nearDupClusters emits exactly one survivor per cluster plus all singletons") {
+    val clusters = Dedup.nearDupClusters(docs, Bands, 800)
+    val q = docs.select(col("doc_id"), lit(1).as("quality"))
+    val kept = Dedup.keepBest(q, clusters).as[(Long, Int, Long)].collect()
+    val nClusters = clusters.select("canonical_id").distinct().count()
+    val nClustered = clusters.count()
+    val nDocs = docs.count()
+    assert(kept.length === (nDocs - nClustered + nClusters))
+    assert(kept.map(_._1).distinct.length === kept.length)
+    // constant quality -> keeper is the cluster's min id = canonical_id
+    val canons = clusters.select("canonical_id").distinct()
+      .as[Long].collect().toSet
+    assert(canons.subsetOf(kept.map(_._1).toSet))
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()
