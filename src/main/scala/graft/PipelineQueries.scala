@@ -513,6 +513,23 @@ object PipelineQueries {
       .orderBy("kept_id")
   }
 
+  /** p31 — per-document vocabulary coverage vs the corpus top-K vocab
+    * (p18's table): out-of-vocabulary tokens are the fertility cost
+    * driver of tokenizer training and a strong junk signal. Per doc:
+    * token count, in-vocab count, OOV rate (milli) and the mean RANK of
+    * its in-vocab tokens (centi; rank 1 = the corpus's most frequent
+    * word) — the commonness score separating stopword boilerplate from
+    * topical text. Scale shape: the vocab is K rows by construction, so
+    * its rank window is K-bounded (same benign unpartitioned-window
+    * class as PrefixSum's block fold) and the token join broadcasts it;
+    * the corpus pays one word-keyed partial-agg exchange (the p18
+    * vocab-count shape) and one doc-keyed partial-agg exchange (the
+    * rollup). Empty docs survive via explode_outer (tok_cnt 0), while
+    * the vocab build uses plain explode so no null word can enter the
+    * top-K. */
+  private def p31(s: SparkSession, dir: String): DataFrame =
+    TF.vocabCoverage(docs(s, dir), VocabK).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -544,6 +561,7 @@ object PipelineQueries {
     "p28_seq_packing" -> p28 _,
     "p29_source_report" -> p29 _,
     "p30_dedup_keep" -> p30 _,
+    "p31_vocab_coverage" -> p31 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -886,6 +904,24 @@ object PipelineQueries {
          |wx AS (SELECT unnest(ws) AS word FROM w)
          |SELECT word, count(*) AS cnt FROM wx GROUP BY word
          |ORDER BY cnt DESC, word LIMIT $VocabK""".stripMargin,
+    "p31_vocab_coverage" ->
+      s"""WITH $NormCte,
+         |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |v AS (SELECT word, count(*) AS cnt FROM wx GROUP BY word
+         |      ORDER BY cnt DESC, word LIMIT $VocabK),
+         |r AS (SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank FROM v),
+         |j AS (SELECT wx.doc_id, r.rank FROM wx LEFT JOIN r USING (word)),
+         |agg AS (SELECT doc_id, count(*) AS tok_cnt, count(rank) AS in_vocab,
+         |          coalesce(sum(rank), 0) AS rank_sum
+         |        FROM j GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  CAST(coalesce(a.tok_cnt, 0) AS BIGINT) AS tok_cnt,
+         |  CAST(coalesce(a.in_vocab, 0) AS BIGINT) AS in_vocab,
+         |  CAST(CASE WHEN coalesce(a.tok_cnt, 0) = 0 THEN 0
+         |       ELSE floor(1000.0 * (a.tok_cnt - a.in_vocab) / a.tok_cnt) END AS BIGINT) AS oov_milli,
+         |  CAST(CASE WHEN coalesce(a.in_vocab, 0) = 0 THEN 0
+         |       ELSE floor(100.0 * a.rank_sum / a.in_vocab) END AS BIGINT) AS mean_rank_centi
+         |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "p19_contamination" ->
       s"""WITH $ShingleCte,
          |bk AS (SELECT doc_id,

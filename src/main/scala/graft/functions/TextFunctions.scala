@@ -316,4 +316,38 @@ object TextFunctions {
       .where(col("rk") <= k)
       .select("doc_id", "word", "tf", "df", "score", "rk")
   }
+
+  /** Per-document vocabulary coverage vs the corpus top-`k` vocab:
+    * (id, tok_cnt, in_vocab, oov_milli, mean_rank_centi). OOV tokens are
+    * the fertility cost driver of tokenizer training and a strong junk
+    * signal; mean in-vocab rank (1 = most frequent word) separates
+    * stopword boilerplate from topical text. Scale shape: the vocab is
+    * k rows by construction, so its rank window is k-bounded and the
+    * token join broadcasts it; the corpus pays one word-keyed and one
+    * id-keyed exchange, both behind partial aggregation. Empty docs
+    * survive via explode_outer (tok_cnt 0); the vocab build uses plain
+    * explode so no null word can enter the top-k. */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, k: Int,
+                    idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = freshName(docs, "_graft_ws")
+    val word = freshName(docs, "_graft_word")
+    val rank = freshName(docs, "_graft_rank")
+    val base = docs.withColumn(ws, words(normText(col(textCol))))
+    val toks = base.select(col(idCol), explode(col(ws)).as(word))
+    val ranked = toks.groupBy(word).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col(word)).limit(k)
+      .select(col(word), row_number().over(
+        Window.orderBy(col("_cnt").desc, col(word))).cast("long").as(rank))
+    base.select(col(idCol), explode_outer(col(ws)).as(word))
+      .join(broadcast(ranked), Seq(word), "left")
+      .groupBy(col(idCol))
+      .agg(count(col(word)).as("tok_cnt"),
+        count(col(rank)).as("in_vocab"),
+        coalesce(sum(rank), lit(0L)).as("_rank_sum"))
+      .select(col(idCol), col("tok_cnt"), col("in_vocab"),
+        milli(col("tok_cnt") - col("in_vocab"), col("tok_cnt")).as("oov_milli"),
+        centi(col("_rank_sum"), col("in_vocab")).as("mean_rank_centi"))
+  }
 }

@@ -493,6 +493,29 @@ class PipelineSpec extends SparkSpec {
     assert(got.count(_._1 == 5L) === 1)
   }
 
+  test("vocabCoverage: hand oracle incl. empty doc, all-OOV doc, and rank ties") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the"),
+      (3L, ""),
+      (4L, "zebra unique xylophone")).toDF("doc_id", "text")
+    // counts: the=5; cat,mat,on,sat... all 1 -> top-2 = the(r1), cat(r2)
+    val out = TextFunctions.vocabCoverage(d, 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 6L, 3L, 500L, 133L), // the,the,cat in vocab: ranks 1+1+2 -> mean 1.33
+      (2L, 3L, 3L, 0L, 100L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 3L, 0L, 1000L, 0L)))
+  }
+
+  test("vocabCoverage survives a corpus already carrying working-column names") {
+    val d = Seq((1L, "one two three", "x", "y", "z"))
+      .toDF("doc_id", "text", "_graft_ws", "_graft_word", "_graft_rank")
+    val out = TextFunctions.vocabCoverage(d, 2).collect()
+    assert(out.length === 1)
+  }
+
   test("hash split: deterministic buckets in [0,100), 90/5/5 labels") {
     val df = spark.range(1000).select(col("id").as("doc_id"))
       .select(col("doc_id"), TextFunctions.splitBucket(col("doc_id")).as("bucket"))
