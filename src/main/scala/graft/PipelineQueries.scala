@@ -530,6 +530,19 @@ object PipelineQueries {
   private def p31(s: SparkSession, dir: String): DataFrame =
     TF.vocabCoverage(docs(s, dir), VocabK).orderBy("doc_id")
 
+  private val OutlierK = 10
+
+  /** p32 — label-centroid outlier scan ([[Similarity.labelCentroidOutliers]]):
+    * per label, the top-10 vectors farthest from their own label's
+    * centroid — the mislabeled/noisy-example review queue of an
+    * embedding-space curation pass. Integer-exact end to end (scaled
+    * components, floor-div centroid, integer squared distance) so the
+    * DuckDB oracle hash-matches; per-label top-k is the salted
+    * two-phase take, never a one-reducer-per-label window. */
+  private def p32(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidOutliers(embs(s, dir), OutlierK)
+      .orderBy("label", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -562,6 +575,7 @@ object PipelineQueries {
     "p29_source_report" -> p29 _,
     "p30_dedup_keep" -> p30 _,
     "p31_vocab_coverage" -> p31 _,
+    "p32_embed_outliers" -> p32 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -922,6 +936,23 @@ object PipelineQueries {
          |  CAST(CASE WHEN coalesce(a.in_vocab, 0) = 0 THEN 0
          |       ELSE floor(100.0 * a.rank_sum / a.in_vocab) END AS BIGINT) AS mean_rank_centi
          |FROM w LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "p32_embed_outliers" ->
+      s"""WITH s AS (SELECT vec_id, label,
+         |       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xs
+         |     FROM embeddings),
+         |e AS (SELECT vec_id, label, unnest(xs) AS v, generate_subscripts(xs, 1) AS pos FROM s),
+         |c AS (SELECT label, pos,
+         |        CAST((sum(v) - (((sum(v) % count(*)) + count(*)) % count(*))) // count(*) AS BIGINT) AS c
+         |      FROM e GROUP BY label, pos),
+         |d AS (SELECT e.vec_id, e.label,
+         |        CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
+         |      FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+         |      GROUP BY e.vec_id, e.label),
+         |r AS (SELECT label, vec_id, dist2,
+         |        CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rk
+         |      FROM d)
+         |SELECT label, vec_id, dist2, rk FROM r WHERE rk <= $OutlierK
+         |ORDER BY label, rk""".stripMargin,
     "p19_contamination" ->
       s"""WITH $ShingleCte,
          |bk AS (SELECT doc_id,

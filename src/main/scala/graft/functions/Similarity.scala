@@ -175,4 +175,46 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim_micro"))
   }
+
+  /** Label-centroid outlier scan — embedding-space quality filtering:
+    * the top-`k` vectors farthest from their own label's centroid are
+    * the mislabeled / noisy candidates a curation pass reviews first.
+    *
+    * Every step is INTEGER-exact so a SQL oracle reproduces it
+    * bit-for-bit: components scale to `floor(1e6 * x)` longs per row
+    * (the distributed float-sum trap — partition-order-dependent
+    * rounding — never arises), the centroid is an exact floor-division
+    * `(sum - pmod(sum, cnt)) div cnt` per (label, dimension), and the
+    * outlier score is the integer squared distance in scaled space.
+    *
+    * Scale shape: the component explode is map-side and collapses to
+    * (label, dim) cells behind partial aggregation (the shuffle is
+    * labels × dims × partitions, never row-count-sized); the centroid
+    * table broadcasts back; the per-vector distance sum is one
+    * partial-agg'd vec-keyed exchange. The per-label top-k avoids the
+    * one-reducer-per-label window trap with a salted two-phase take:
+    * top-k within each (label, salt) bucket — `salts`-way parallel —
+    * then the exact top-k over the labels × salts × k candidates (any
+    * true top-k row is top-k in its bucket, so phase 2 is exact).
+    * Output: (label, vec_id, dist2, rk), rk 1-based by (dist2 desc,
+    * vec_id). */
+  def labelCentroidOutliers(emb: DataFrame, k: Int, salts: Int = 16,
+                            idCol: String = "vec_id", labelCol: String = "label",
+                            vecCol: String = "embedding"): DataFrame = {
+    val xs = emb.select(col(idCol), col(labelCol),
+      posexplode(transform(toDoubleVec(col(vecCol)),
+        x => floor(x * lit(1000000.0)).cast("long"))).as(Seq("pos", "v")))
+    val cent = xs.groupBy(col(labelCol), col("pos"))
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+      .select(col(labelCol), col("pos"), expr("(s - pmod(s, cnt)) div cnt").as("c"))
+    val d2 = xs.join(broadcast(cent), Seq(labelCol, "pos"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist2"))
+    val w1 = Window.partitionBy(col(labelCol), pmod(col(idCol), lit(salts)))
+      .orderBy(col("dist2").desc, col(idCol))
+    val cand = d2.withColumn("_rk", row_number().over(w1)).where(col("_rk") <= k)
+    val w2 = Window.partitionBy(col(labelCol)).orderBy(col("dist2").desc, col(idCol))
+    cand.select(col(labelCol), col(idCol), col("dist2"))
+      .withColumn("rk", row_number().over(w2).cast("long")).where(col("rk") <= k)
+  }
 }

@@ -135,6 +135,13 @@ class PlanShapeSpec extends SparkSpec {
       s"no join in keeper selection may sort-merge the corpus:\n$p")
   }
 
+  test("p31 vocab coverage: top-K vocab via TakeOrderedAndProject, rank table broadcast") {
+    val p = plan("p31_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-K must be a heap take, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"K-row vocab must broadcast:\n$p")
+  }
+
   test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

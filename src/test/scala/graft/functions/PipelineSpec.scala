@@ -516,6 +516,37 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 1)
   }
 
+  test("labelCentroidOutliers: hand centroid math incl. negative components and exact-zero dist") {
+    val d = Seq(
+      (1L, Array(0f, 0f), 0),
+      (2L, Array(2f, 0f), 0),
+      (3L, Array(-1f, 0f), 0),
+      (10L, Array(5f, 5f), 1),
+      (11L, Array(5f, 5f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(d, 10).orderBy("label", "rk")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // label 0: scaled sum dim0 = 1e6, cnt 3 -> centroid floor-div 333333
+    //   dist2: v2 (2e6-333333)^2 > v3 (-1e6-333333)^2 > v1 333333^2
+    val c = 333333L
+    def sq(x: Long) = x * x
+    assert(out === Seq(
+      (0, 2L, sq(2000000L - c), 1L),
+      (0, 3L, sq(-1000000L - c), 2L),
+      (0, 1L, sq(c), 3L),
+      // label 1: identical vectors -> exact centroid, dist2 0, id tiebreak
+      (1, 10L, 0L, 1L),
+      (1, 11L, 0L, 2L)))
+  }
+
+  test("labelCentroidOutliers: salted two-phase take equals the naive single take") {
+    val a = Similarity.labelCentroidOutliers(embs, 5, salts = 1)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val b = Similarity.labelCentroidOutliers(embs, 5, salts = 16)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
   test("hash split: deterministic buckets in [0,100), 90/5/5 labels") {
     val df = spark.range(1000).select(col("id").as("doc_id"))
       .select(col("doc_id"), TextFunctions.splitBucket(col("doc_id")).as("bucket"))
