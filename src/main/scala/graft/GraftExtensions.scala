@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
 import graft.functions.expr.{CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
 import graft.functions.TextFunctions
@@ -101,6 +102,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashBands(children.head,
           intLit("minhash_bands", children(1), 2),
           intLit("minhash_bands", children(2), 3))
+      }))
+    // Spark's own runtime-filter Bloom expressions, surfaced as session
+    // functions (they are internal-only in OSS Spark — InjectRuntimeFilter
+    // builds them directly): bloom_agg(value, estItems, numBits) -> binary
+    // sketch; bloom_contains(sketch, value) -> boolean with NO false
+    // negatives. Values are xxhash64-bridged on BOTH sides so insert and
+    // probe hash identically. The decontamination prefilter
+    // (Dedup.contaminationPairs) rides these instead of a custom sketch:
+    // TypedImperativeAggregate with map-side partial merge, codegen probe.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (children: Seq[Expression]) => {
+        arity("bloom_agg", children, 3)
+        new BloomFilterAggregate(new XxHash64(Seq(children.head)),
+          Literal(longLit("bloom_agg", children(1), 2)),
+          Literal(longLit("bloom_agg", children(2), 3)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (children: Seq[Expression]) => {
+        arity("bloom_contains", children, 2)
+        BloomFilterMightContain(children.head, new XxHash64(Seq(children(1))))
       }))
   }
 }

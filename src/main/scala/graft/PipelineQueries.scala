@@ -543,6 +543,25 @@ object PipelineQueries {
     Similarity.labelCentroidOutliers(embs(s, dir), OutlierK)
       .orderBy("label", "rk")
 
+  /** p33 — decontamination, Bloom-prefiltered ([[Dedup.contaminationPairs]]):
+    * same contract and output as p19 (the oracle is the identical SQL),
+    * different physical regime — the test-suite shingles collapse to a
+    * one-row Bloom sketch that drops train shingles MAP-SIDE before the
+    * exact verify join, the middle-regime shape for probe sets too big
+    * to broadcast as a hash relation but whose sketch fits anywhere.
+    * Exactness: Bloom has no false negatives, and its false positives
+    * die in the verify join + threshold. */
+  private def p33(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleArrays(docs(s, dir))
+      .withColumn("bucket", TF.splitBucket(col("sid")))
+    val train = sh.where(col("bucket") < 90)
+      .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+    val test = sh.where(col("bucket") >= 95)
+      .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+    Dedup.contaminationPairs(train, test, ContamShingles)
+      .orderBy("train_id", "test_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -576,6 +595,7 @@ object PipelineQueries {
     "p30_dedup_keep" -> p30 _,
     "p31_vocab_coverage" -> p31 _,
     "p32_embed_outliers" -> p32 _,
+    "p33_contamination_bloom" -> p33 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -954,6 +974,21 @@ object PipelineQueries {
          |SELECT label, vec_id, dist2, rk FROM r WHERE rk <= $OutlierK
          |ORDER BY label, rk""".stripMargin,
     "p19_contamination" ->
+      s"""WITH $ShingleCte,
+         |bk AS (SELECT doc_id,
+         |         CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+         |       FROM documents),
+         |tr AS (SELECT s.sid AS train_id, s.sh FROM sh s
+         |       JOIN bk ON bk.doc_id = s.sid WHERE bk.bucket < 90),
+         |te AS (SELECT s.sid AS test_id, s.sh FROM sh s
+         |       JOIN bk ON bk.doc_id = s.sid WHERE bk.bucket >= 95)
+         |SELECT tr.train_id, te.test_id, count(*) AS shared
+         |FROM tr JOIN te ON tr.sh = te.sh
+         |GROUP BY 1, 2 HAVING count(*) >= $ContamShingles
+         |ORDER BY train_id, test_id""".stripMargin,
+    // p33 contracts the SAME output as p19 — the bloom is a physical
+    // prefilter, not a semantic change, so the oracle is identical SQL
+    "p33_contamination_bloom" ->
       s"""WITH $ShingleCte,
          |bk AS (SELECT doc_id,
          |         CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket

@@ -355,6 +355,47 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("cluster_sz"))
   }
 
+  /** Train/test shingle-overlap pairs with a Bloom prefilter — the
+    * decontamination scan's MIDDLE-regime scale path. `train`/`test` are
+    * exploded (id, sh) streams; output (train_id, test_id, shared) with
+    * `shared >= minShared`, IDENTICAL to the plain equi-join
+    * formulation: a Bloom filter has no false negatives, so the
+    * prefilter drops only never-matching train shingles, and its false
+    * positives die in the exact equi-join + threshold that follows.
+    *
+    * Why a third regime: with a SMALL held-out suite, AQE broadcasts the
+    * test side of the plain join and the prefilter buys nothing; with a
+    * HUGE one, neither fits anywhere and the shuffle join is the only
+    * shape. In between — a probe set too big for the broadcast
+    * hash-relation budget but whose ~1 bit/element sketch fits
+    * comfortably — the bloom drops the train shingle stream map-side
+    * BEFORE it shuffles, which at 100 TB is the difference between
+    * shuffling the corpus's shingles and shuffling the contaminated
+    * sliver. Rides Spark's own runtime-filter expressions
+    * (bloom_agg/bloom_contains, registered by [[graft.GraftExtensions]]):
+    * map-side-merged TypedImperativeAggregate build, codegen probe.
+    *
+    * The sketch materializes through one bounded driver job (ONE row of
+    * `bloomBits/8` bytes — the same bounded-collect class as the IVF
+    * codebook; `might_contain` requires its sketch to be a constant or
+    * scalar subquery, so a join-column sketch is not analyzable) and
+    * ships into the scan stage as a literal. Empty test side → no pairs
+    * by construction; the prefilter is skipped rather than probing a
+    * null sketch. */
+  def contaminationPairs(train: DataFrame, test: DataFrame, minShared: Long,
+                         bloomItems: Long = 1000000L,
+                         bloomBits: Long = 8000000L): DataFrame = {
+    val row = test.agg(
+      call_function("bloom_agg", col("sh"), lit(bloomItems), lit(bloomBits)).as("_bf")).head()
+    val pruned =
+      if (row.isNullAt(0)) train
+      else train.where(
+        call_function("bloom_contains", lit(row.getAs[Array[Byte]](0)), col("sh")))
+    pruned.join(test, Seq("sh"))
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Keeper selection — the KEPT-corpus emitter a dedup pipeline ends
     * with: pair/cluster queries name the duplicates, but a training run
     * reads the survivors. Per cluster keep the highest-`qualityCol` doc

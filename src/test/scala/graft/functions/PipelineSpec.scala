@@ -516,6 +516,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 1)
   }
 
+  test("bloom prefilter: no false negatives on inserted values; prunes non-members") {
+    val vals = (1 to 1000).map(i => s"shingle $i")
+    val df = vals.toDF("sh")
+    val sketch = df.agg(call_function("bloom_agg", col("sh"), lit(10000L), lit(80000L)))
+      .head().getAs[Array[Byte]](0)
+    val probe = (1 to 2000).map(i => s"shingle $i").toDF("sh")
+      .where(call_function("bloom_contains", lit(sketch), col("sh")))
+    val kept = probe.select("sh").as[String].collect().toSet
+    assert(vals.toSet.subsetOf(kept), "bloom dropped an inserted value (false negative)")
+    // 8 bits/element -> FP rate ~2%; 1000 non-members must not all survive
+    assert(kept.size < 1300, s"bloom pruned nothing: ${kept.size} of 2000 kept")
+  }
+
+  test("bloom-prefiltered decontamination equals the plain equi-join (p19 == p33)") {
+    val a = graft.PipelineQueries.queries("p19_contamination")(spark, sf())
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = graft.PipelineQueries.queries("p33_contamination_bloom")(spark, sf())
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
   test("labelCentroidOutliers: hand centroid math incl. negative components and exact-zero dist") {
     val d = Seq(
       (1L, Array(0f, 0f), 0),
