@@ -168,6 +168,17 @@ object ScaleSmoke {
           TF.wordCount(TF.words(TF.normText(col("text")))).as("wc"))
         graft.operators.PrefixSum.runningBefore(toks, "doc_id", "wc", "off").count()
       }
+      // bloom-prefiltered decontamination (p33 shape): ~5% of docs play
+      // the held-out suite; the sketch build + map-side prune + verify
+      // join are all shingle-volume-bound, the axis the factor scales
+      time("contam_bloom", n) {
+        val sh = Dedup.shingleArrays(docs)
+        val train = sh.where(pmod(col("sid"), lit(20)) =!= 0)
+          .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+        val test = sh.where(pmod(col("sid"), lit(20)) === 0)
+          .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+        Dedup.contaminationPairs(train, test, 3L).count()
+      }
     }
 
     def fullSuite(n: Int): Unit = {
@@ -189,6 +200,9 @@ object ScaleSmoke {
       }
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
+      time("vocab_coverage", n)(TF.vocabCoverage(docs, 100).count())
+      time("embed_outliers", n)(
+        Similarity.labelCentroidOutliers(embs, 10).count())
       time("token_quantiles", n) {
         val wc = docs.select(pmod(col("doc_id"), lit(5)).as("g"),
           TF.wordCount(TF.words(TF.normText(col("text")))).as("v"))
