@@ -408,6 +408,19 @@ class PipelineSpec extends SparkSpec {
       spark.sql("SELECT vec_dot(array(1.0D))").collect()
     }
     assert(e3.getMessage.contains("vec_dot"))
+    val e4 = intercept[AnalysisException] {
+      spark.sql("SELECT bloom_agg('x')").collect()
+    }
+    assert(e4.getMessage.contains("bloom_agg"))
+    val e5 = intercept[AnalysisException] {
+      spark.sql("SELECT bloom_agg(sh, n, 100) FROM (SELECT 'a' AS sh, 5 AS n)").collect()
+    }
+    assert(e5.getMessage.toLowerCase.contains("foldable") ||
+      e5.getMessage.contains("bloom_agg"))
+    val e6 = intercept[AnalysisException] {
+      spark.sql("SELECT bloom_contains(CAST('ab' AS BINARY))").collect()
+    }
+    assert(e6.getMessage.contains("bloom_contains"))
   }
 
   test("redaction: email/phone masks + match counts (PII scrub)") {
