@@ -155,6 +155,27 @@ object CoreQueries {
       .select("user_id", "event_type").distinct()
       .orderBy("user_id", "event_type")
 
+  /** Q26 — snapshot differencing ([[graft.operators.SnapshotDiff]]): the
+    * capture mode the reference LACKS — its polling contract requires a
+    * monotonic column and its listening mode a binlog; a table with
+    * neither is captured by diffing two point-in-time snapshots into
+    * the same envelope (op + `before_` images). Fixture: two
+    * deterministic snapshots of `orders` — before drops keys ≡0 (mod
+    * 7), after drops ≡0 (mod 5) and doubles the cents of keys ≡0 (mod
+    * 3) — so all three ops appear. Prices ride as integer cents
+    * (`floor(100·price)`), the repo-wide float-determinism contract. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), floor(col("o_totalprice") * 100).cast("long").as("o_cents"))
+    val before = o.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val after = o.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .withColumn("o_cents",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_cents") * 2)
+          .otherwise(col("o_cents")))
+    graft.operators.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   // CEP pattern surface (north star: the Siddhi host-language capability
   // the reference's streams feed — `from every a=S -> b=S within T ...`).
   // Implemented by graft.operators.Patterns; streaming analogs in
@@ -333,6 +354,7 @@ object CoreQueries {
     "q23_length_window" -> q23 _,
     "q24_rate_limit" -> q24 _,
     "q25_rate_limit_last" -> q25 _,
+    "q26_snapshot_diff" -> q26 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -558,5 +580,25 @@ object CoreQueries {
          |SELECT user_id, event_id, b * $Hours6Us AS bucket_start_us
          |FROM r WHERE rn = 1
          |ORDER BY user_id, bucket_start_us""".stripMargin,
+    "q26_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS o_cents FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        |a AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_cents * 2 ELSE o_cents END AS o_cents
+        |      FROM o WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  a.o_custkey AS o_custkey, a.o_orderstatus AS o_orderstatus,
+        |  a.o_cents AS o_cents,
+        |  b.o_custkey AS before_o_custkey, b.o_orderstatus AS before_o_orderstatus,
+        |  b.o_cents AS before_o_cents,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |       WHEN a.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS op
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |   OR a.o_cents IS DISTINCT FROM b.o_cents
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
