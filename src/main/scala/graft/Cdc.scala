@@ -83,4 +83,34 @@ object Cdc {
     * own replay fixtures ([[ChangeEnvelope.schema]] re-export). */
   def envelopeSchema(rowSchema: StructType): StructType =
     ChangeEnvelope.schema(rowSchema)
+
+  /** Point-in-time snapshot of the table through the range-partitioned
+    * batch path of the polling source (executor-parallel JDBC range
+    * scans — `CdcBatch.planInputPartitions`). Same option names as
+    * [[stream]] with `mode=polling`. */
+  def snapshot(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    val reader = spark.read.format("cdc")
+    (options + ("mode" -> CdcOptions.ModePolling)).foreach {
+      case (k, v) => reader.option(k, v)
+    }
+    reader.load()
+  }
+
+  /** Capture mode for tables the reference cannot capture AT ALL:
+    * updates and deletes with no binlog access (listening contract) and
+    * no monotonically-GROWING offset column (polling deltas only ever
+    * see `> last`, so they miss updates in place and deletes entirely —
+    * `CDCPoller`'s contract). Takes a point-in-time [[snapshot]], diffs
+    * it against a caller-held previous snapshot
+    * ([[graft.operators.SnapshotDiff.diff]]), and returns the change
+    * set in the envelope convention (`op`, `before_` images). The
+    * `polling.column` here serves ONLY as the range-split key for the
+    * parallel snapshot read — any roughly-uniform numeric column (the
+    * PK itself, typically); monotonicity is not required because deltas
+    * come from the diff, not from offsets. Typical loop: persist each
+    * snapshot (e.g. parquet, bucketed on `pk` to co-locate the join),
+    * call with the previous round's frame. */
+  def snapshotDiff(spark: SparkSession, options: Map[String, String],
+                   previous: DataFrame, pk: Seq[String]): DataFrame =
+    graft.operators.SnapshotDiff.diff(previous, snapshot(spark, options), pk)
 }

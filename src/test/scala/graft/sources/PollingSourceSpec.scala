@@ -644,4 +644,29 @@ class PollingSourceSpec extends SparkSpec {
       assert(rows(0).getInt(0) === 1 && rows(0).getString(1) === "x" && rows(0).getDouble(2) === 1.5)
     }
   }
+
+  test("Cdc.snapshotDiff captures in-place updates and deletes polling deltas can never see") {
+    withDb("db_diff") { (url, conn) =>
+      conn.createStatement().execute("CREATE TABLE ACC (ID INT, NAME VARCHAR(32), V DOUBLE)")
+      conn.createStatement().execute(
+        "INSERT INTO ACC VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
+      val opts = Map("url" -> url, "table.name" -> "ACC",
+        "polling.column" -> "id", "numpartitions" -> "2")
+      // materialize t1 — a real deployment persists it; localCheckpoint
+      // stands in so the diff does not re-read the mutated table
+      val t1 = graft.Cdc.snapshot(spark, opts).localCheckpoint()
+      // mutations the reference's `> last offset` delta scan misses:
+      conn.createStatement().execute("UPDATE ACC SET V = 9.0 WHERE ID = 2")
+      conn.createStatement().execute("DELETE FROM ACC WHERE ID = 3")
+      conn.createStatement().execute("INSERT INTO ACC VALUES (4,'d',4.0)")
+      val diff = graft.Cdc.snapshotDiff(spark, opts, t1, Seq("id"))
+        .orderBy("id").collect()
+      assert(diff.map(r => (r.getInt(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("op")))).toSeq ===
+        Seq((2, "update"), (3, "delete"), (4, "insert")))
+      val upd = diff(0)
+      assert(upd.getDouble(upd.fieldIndex("v")) === 9.0)
+      assert(upd.getDouble(upd.fieldIndex("before_v")) === 2.0)
+    }
+  }
 }
