@@ -305,6 +305,19 @@ object CoreQueries {
       .withColumnRenamed("id", "event_id")
       .orderBy("user_id", "event_id")
 
+  /** Q27 — tumbling count window (Siddhi `s#window.lengthBatch(n)`):
+    * every complete batch of 5 purchases per user emits one aggregate
+    * row; the trailing partial batch emits nothing. Completes the
+    * count-window pair (q23 is the SLIDING one). Via
+    * [[graft.operators.Patterns.lengthBatch]]; streaming twin
+    * `StreamPatterns.lengthBatch` (parity + both engines in
+    * StreamPatternsSpec). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.lengthBatch(
+      eventsUs(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_us", "event_id", "value", 5)
+      .orderBy("user_id", "batch_no")
+
   /** Q24 — output rate limiting (Siddhi `output first every T`): the
     * first error per user per 6 h bucket — alert throttling. Via
     * [[graft.operators.Patterns.outputFirstEvery]]. */
@@ -355,6 +368,7 @@ object CoreQueries {
     "q24_rate_limit" -> q24 _,
     "q25_rate_limit_last" -> q25 _,
     "q26_snapshot_diff" -> q26 _,
+    "q27_length_batch" -> q27 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -560,6 +574,17 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q27_length_batch" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pos
+        |      FROM e),
+        |b AS (SELECT user_id, CAST((pos - 1) // 5 AS BIGINT) AS batch_no, count(*) AS cnt,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_sum,
+        |        arg_min(event_id, pos) AS first_id, arg_max(event_id, pos) AS last_id
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, batch_no, batch_sum, first_id, last_id
+        |FROM b WHERE cnt = 5 ORDER BY user_id, batch_no""".stripMargin,
     "q24_rate_limit" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
          |           WHERE event_type = 'error'),

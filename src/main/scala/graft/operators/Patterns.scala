@@ -311,6 +311,41 @@ object Patterns {
       .select(col(keyCol), col(idCol).as("id"), col("win_cnt"), col("win_sum"))
   }
 
+  /** Tumbling LENGTH-BATCH window `s#window.lengthBatch(n)` — the
+    * count-TUMBLING member of the window family ([[lengthWindow]] is the
+    * count-SLIDING one): events partition into consecutive batches of
+    * exactly `n` per key in (ts, id) order, and each COMPLETE batch
+    * emits one aggregate row; the trailing partial batch emits nothing
+    * (Siddhi's lengthBatch flushes only when the window fills).
+    * Output: (key, batch_no, batch_sum, first_id, last_id), batch_no
+    * 0-based.
+    *
+    * One keyed exchange: the row_number frame assigns positions, the
+    * batch id is an integer floor-division of the position, and the
+    * per-batch rollup groups on (key, batch) — partial-aggregated, and
+    * never wider than the window exchange that precedes it. Sum rides
+    * decimal like [[lengthWindow]] (float order would diverge between
+    * engines).
+    *
+    * Siddhi analog: `from s[type=='X']#window.lengthBatch(n)
+    * select sum(value)`. */
+  def lengthBatch(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  valueCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"batch length must be >= 1, got $n")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_pos", row_number().over(w))
+      .withColumn("_batch", ((col("_pos") - 1) / n).cast("long"))
+      .groupBy(col(keyCol), col("_batch").as("batch_no"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("batch_sum"),
+        min_by(col(idCol), col("_pos")).as("first_id"),
+        max_by(col(idCol), col("_pos")).as("last_id"))
+      .where(col("_cnt") === n)
+      .select(col(keyCol), col("batch_no"), col("batch_sum"),
+        col("first_id"), col("last_id"))
+  }
+
   /** Output rate limiting `output first every T` (alert throttling): of
     * each key's events, keep only the FIRST inside every `period`-wide
     * tumbling time bucket — Siddhi's output-rate-limit clause, the knob

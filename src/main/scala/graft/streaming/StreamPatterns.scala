@@ -58,6 +58,8 @@ object StreamPatterns {
   case class AbsMatch(key: Long, a_id: Long)
   case class BurstMatch(key: Long, id: Long, cnt: Long)
   case class Session(key: Long, session_start: Long, n_events: Long)
+  case class LenBatchMatch(key: Long, batch_no: Long, batch_sum: Double,
+                           first_id: Long, last_id: Long)
   case class CountSeqMatch(key: Long, b_id: Long, a_cnt: Long)
 
   implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
@@ -66,6 +68,7 @@ object StreamPatterns {
   implicit private val chainEnc: Encoder[ChainMatch] = Encoders.product[ChainMatch]
   implicit private val guardEnc: Encoder[GuardMatch] = Encoders.product[GuardMatch]
   implicit private val lenWinEnc: Encoder[LenWinMatch] = Encoders.product[LenWinMatch]
+  implicit private val lenBatchEnc: Encoder[LenBatchMatch] = Encoders.product[LenBatchMatch]
   implicit private val firstEnc: Encoder[FirstEveryMatch] = Encoders.product[FirstEveryMatch]
   implicit private val orEnc: Encoder[OrMatch] = Encoders.product[OrMatch]
   implicit private val absEnc: Encoder[AbsMatch] = Encoders.product[AbsMatch]
@@ -517,6 +520,61 @@ object StreamPatterns {
         else evs.slice(math.max(0, pendingIdx - (n - 1)), evs.size)
       val wake = if (pendingIdx < 0) None else Some(evs(pendingIdx).tsUs)
       (out, retained, wake)
+    }
+  }
+
+  /** The type tag of the per-key counter sentinel [[lengthBatch]] rides
+    * in its event buffer — impossible in real input: untyped streams are
+    * tagged `"e"` and typed ones are filtered to the requested type
+    * before state. */
+  private val BatchSentinel = "#b"
+
+  /** Streaming twin of [[graft.operators.Patterns.lengthBatch]] —
+    * Siddhi's TUMBLING count window `s#window.lengthBatch(n)`: every
+    * complete batch of `n` finalized (below-watermark) events per key
+    * emits one aggregate row, in event-time order; the trailing partial
+    * batch waits for more events (lengthBatch flushes only when full).
+    *
+    * State: the < n leftover events of the current batch, everything
+    * still pending above the watermark, and ONE sentinel row carrying
+    * the consumed-batch counter (batch numbering must survive eviction
+    * of emitted events; the sentinel sorts first at ts = Long.MinValue
+    * and is the same one-permanent-row-per-key class as
+    * [[lengthWindow]]'s context — the soak pins both). Emitted events
+    * are never retained at all, so state is O(n + pending) per key. */
+  def lengthBatch(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                  valueCol: String, n: Int, delay: String,
+                  onlyType: (String, String) = null): Dataset[LenBatchMatch] = {
+    require(n >= 1, s"batch length must be >= 1, got $n")
+    val (typeColName, tagged) = Option(onlyType) match {
+      case Some((tc, _)) => (tc, events)
+      case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
+    }
+    runPattern[LenBatchMatch](tagged, keyCol, tsCol, idCol, typeColName,
+        delay = delay, onlyType = Option(onlyType).map(_._2),
+        valueCol = Some(valueCol)) { (evs, _, wmUs) =>
+      if (evs.isEmpty) (Nil, Vector.empty, None)
+      else {
+        val key = evs.head.key
+        val (sentinels, real) = evs.partition(_.typ == BatchSentinel)
+        val consumed = sentinels.headOption.map(_.id).getOrElse(0L)
+        val (ready, pending) = real.partition(_.tsUs < wmUs) // sorted: pending is a suffix
+        val complete = ready.size / n
+        val out = (0 until complete).map { b =>
+          val batch = ready.slice(b * n, (b + 1) * n)
+          val sum = batch.map(x =>
+            BigDecimal(x.v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          LenBatchMatch(key, consumed + b, sum.toDouble, batch.head.id, batch.last.id)
+        }
+        val leftover = ready.drop(complete * n)
+        val total = consumed + complete
+        val retained =
+          if (total == 0 && leftover.isEmpty && pending.isEmpty) Vector.empty
+          else PatEvent(key, Long.MinValue, total, BatchSentinel,
+            new Timestamp(0L), 0.0) +: (leftover ++ pending)
+        val wake = pending.headOption.map(_.tsUs)
+        (out, retained, wake)
+      }
     }
   }
 

@@ -135,6 +135,16 @@ class PlanShapeSpec extends SparkSpec {
       s"no join in keeper selection may sort-merge the corpus:\n$p")
   }
 
+  test("q26 snapshot diff: one full-outer join on the PK, no window or extra exchange") {
+    val p = plan("q26_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("window"),
+      s"diff needs no window:\n$p")
+    // both snapshots exchange once on the key; the final orderBy adds its
+    // range exchange — nothing else may shuffle
+    assert(exchanges(p).size <= 3, s"unexpected exchanges:\n${exchanges(p)}")
+  }
+
   test("p31 vocab coverage: top-K vocab via TakeOrderedAndProject, rank table broadcast") {
     val p = plan("p31_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"),

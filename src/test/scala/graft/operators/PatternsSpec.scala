@@ -326,6 +326,24 @@ class PatternsSpec extends SparkSpec {
       Row("k2", 5L, 1L, 1.5)))
   }
 
+  test("lengthBatch: tumbling count batches, partial batch withheld, order by (ts, id)") {
+    import spark.implicits._
+    val e = Seq(
+      ("k1", 10L, 9L, 0.1), ("k1", 20L, 2L, 0.2), ("k1", 30L, 3L, 0.3),
+      ("k1", 40L, 4L, 0.4), ("k1", 50L, 5L, 0.5), ("k1", 60L, 6L, 0.6),
+      ("k1", 70L, 7L, 0.7), // trailing partial: withheld
+      ("k2", 10L, 8L, 1.0), ("k2", 20L, 1L, 2.0), ("k2", 30L, 0L, 4.0),
+    ).toDF("key", "ts", "id", "value")
+    val out = Patterns.lengthBatch(e, "key", "ts", "id", "value", 3)
+      .orderBy("key", "batch_no").collect().toSeq
+    assert(out === Seq(
+      // first/last follow (ts, id) order, NOT id order (k1 batch 0 starts
+      // at id 9; k2's ids descend with ts)
+      Row("k1", 0L, 0.6, 9L, 3L),
+      Row("k1", 1L, 1.5, 4L, 6L),
+      Row("k2", 0L, 7.0, 8L, 0L)))
+  }
+
   test("outputFirstEvery keeps the first event per key per tumbling bucket") {
     import spark.implicits._
     val e = Seq(

@@ -220,6 +220,33 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("lengthBatch parity with batch operator (tumbling count window, partial batch withheld)") {
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+    val got = runStream(src => StreamPatterns.lengthBatch(
+      valued(src), "k", "ts", "id", "value", 5, "0 seconds",
+      onlyType = ("typ", "purchase")).toDF, "sp_lenbatch")
+    val want = Patterns.lengthBatch(
+      valued(staticDf).where(col("typ") === "purchase"),
+      "k", "ts_us", "id", "value", 5)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("lengthBatch parity on the transformWithState engine") {
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+    spark.conf.set(StreamPatterns.EngineConf, "tws")
+    val got =
+      try runStream(src => StreamPatterns.lengthBatch(
+        valued(src), "k", "ts", "id", "value", 5, "0 seconds",
+        onlyType = ("typ", "purchase")).toDF, "sp_lenbatch_tws")
+      finally spark.conf.unset(StreamPatterns.EngineConf)
+    val want = Patterns.lengthBatch(
+      valued(staticDf).where(col("typ") === "purchase"),
+      "k", "ts_us", "id", "value", 5)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("outputFirstEvery parity with batch operator (rate-limit throttle)") {
     val got = runStream(src => StreamPatterns.outputFirstEvery(
       src, "k", "ts", "id", WindowUs, "0 seconds",
