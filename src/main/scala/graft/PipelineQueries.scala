@@ -562,6 +562,21 @@ object PipelineQueries {
       .orderBy("train_id", "test_id")
   }
 
+  private val AcLags = Seq(1, 2, 4)
+
+  /** p34 — frame-level autocorrelation ([[Multimodal.frameAutocorr]]):
+    * per 256-byte frame, lag-{1,2,4} autocorrelation of the unsigned
+    * sample values — the periodicity/pitch primitive next to p25's
+    * energy, REAL integer math through the typed Dataset path (codec
+    * still env-blocked; the windowed signal math is not). Oracle
+    * re-derives it from string slices on the ascii fixture like p25. */
+  private def p34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.documentsAsMedia(docs(s, dir)).as[Multimodal.MediaFile]
+    Multimodal.frameAutocorr(media, FrameLen, AcLags)
+      .orderBy("media_id", "frame_no", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -596,6 +611,7 @@ object PipelineQueries {
     "p31_vocab_coverage" -> p31 _,
     "p32_embed_outliers" -> p32 _,
     "p33_contamination_bloom" -> p33 _,
+    "p34_frame_autocorr" -> p34 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1108,6 +1124,19 @@ object PipelineQueries {
          |         c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
          |FROM fr
          |ORDER BY media_id, frame_no""".stripMargin,
+    "p34_frame_autocorr" ->
+      s"""WITH fr AS (SELECT doc_id AS media_id,
+         |        unnest(range(0, CAST(ceil(length(text) / $FrameLen.0) AS INT))) AS f,
+         |        text
+         |      FROM documents WHERE length(text) > 0),
+         |c AS (SELECT media_id, CAST(f AS INT) AS frame_no,
+         |        string_split(substr(text, f * $FrameLen + 1, $FrameLen), '') AS cs
+         |      FROM fr),
+         |l AS (SELECT media_id, frame_no, unnest([${AcLags.mkString(", ")}]) AS lag, cs FROM c)
+         |SELECT media_id, frame_no, CAST(lag AS INT) AS lag,
+         |  CAST(coalesce(list_sum(list_transform(range(1, len(cs) - lag + 1),
+         |    i -> ascii(cs[i]) * ascii(cs[i + lag]))), 0) AS BIGINT) AS ac
+         |FROM l ORDER BY media_id, frame_no, lag""".stripMargin,
     "p26_dedup_substring" ->
       s"""WITH $NormCte,
          |wh AS (SELECT DISTINCT doc_id AS sid,

@@ -103,6 +103,36 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "energy")
   }
 
+  /** Frame-level autocorrelation at small lags — the
+    * periodicity/pitch-detection primitive of an audio pipeline (lag-L
+    * autocorrelation peaks where the signal repeats every L samples),
+    * REAL windowed byte math like [[frameEnergy]]: per `frameLen`-byte
+    * frame and lag, `sum(x[i] * x[i+L])` over unsigned sample values.
+    * Integer arithmetic end-to-end so a SQL oracle reproduces it
+    * exactly; frames shorter than the lag score 0. Output:
+    * (media_id, frame_no, lag, ac). */
+  def frameAutocorr(files: Dataset[MediaFile], frameLen: Int, lags: Seq[Int]): DataFrame = {
+    require(frameLen >= 1, s"frame length must be >= 1, got $frameLen")
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1, got $lags")
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        f.content.grouped(frameLen).zipWithIndex.flatMap { case (win, i) =>
+          lags.map { lag =>
+            var ac = 0L
+            var j = 0
+            val m = win.length - lag
+            while (j < m) {
+              ac += (win(j) & 0xff).toLong * (win(j + lag) & 0xff)
+              j += 1
+            }
+            (f.media_id, i, lag, ac)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_no", "lag", "ac")
+  }
+
   /** RESIZE STUB — a real implementation would decode, scale, re-encode;
     * the fake deterministically re-derives target metadata and truncates
     * the payload proportionally, so the pipeline shape (payload in,

@@ -474,6 +474,22 @@ class PipelineSpec extends SparkSpec {
     assert(bad.getMessage.contains("frame length"))
   }
 
+  test("frameAutocorr: lag products over unsigned bytes, short frames score 0") {
+    import spark.implicits._
+    val files = Seq(
+      Multimodal.MediaFile(1L, "audio", Array[Byte](1, 2, 3, 4, 5)), // frames [1,2,3,4],[5]
+      Multimodal.MediaFile(2L, "audio", Array[Byte](-1, 2)),          // unsigned: 255*2
+    ).toDS()
+    val out = Multimodal.frameAutocorr(files, 4, Seq(1, 2))
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0, 1, 1L * 2 + 2 * 3 + 3 * 4), // lag 1 over [1,2,3,4]
+      (1L, 0, 2, 1L * 3 + 2 * 4),          // lag 2
+      (1L, 1, 1, 0L), (1L, 1, 2, 0L),      // single-byte frame: no pairs
+      (2L, 0, 1, 255L * 2), (2L, 0, 2, 0L)))
+    intercept[IllegalArgumentException](Multimodal.frameAutocorr(files, 4, Seq(0)))
+  }
+
   test("tfidfTopK matches a brute-force oracle; empty docs emit nothing") {
     import spark.implicits._
     val corpus = Seq(
