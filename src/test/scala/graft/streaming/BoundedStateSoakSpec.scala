@@ -80,6 +80,47 @@ class BoundedStateSoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** [[StreamPatterns.lengthBatch]] keeps one PERMANENT sentinel row per
+    * key (the consumed-batch counter) plus the current partial batch —
+    * emitted batches must be evicted, so rows stay flat as complete
+    * batches churn through and grow only with open keys. */
+  private def lengthBatchSoak(engine: String): Unit = withEngine(engine) {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val src = in.toDF.toDF("k", "ts_us", "id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", lit(1.0))
+    val q = StreamPatterns.lengthBatch(src, "k", "ts", "id", "value", 5, "0 seconds")
+      .toDF.writeStream.format("memory").queryName(s"soak_lb_$engine")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var id = 0L
+      var ts = 0L
+      def feed(keys: Range, batches: Int, perKey: Int): Unit =
+        (1 to batches).foreach { _ =>
+          val evs = keys.flatMap { k =>
+            (1 to perKey).map { _ => id += 1; ts += 1000L; (k.toLong, ts, id) }
+          }
+          in.addData(evs: _*)
+          q.processAllAvailable()
+        }
+      val K = 20
+      feed(1 to K, 10, 5) // 10 complete batches per key flow through
+      val rows1 = stateRows(q)
+      feed(1 to K, 10, 5) // 10 MORE: emitted batches must not accumulate
+      val rows2 = stateRows(q)
+      feed(K + 1 to 2 * K, 5, 5)
+      val rows3 = stateRows(q)
+      assert(rows1 > 0, s"no state metrics reported ($engine)")
+      assert(rows2 === rows1,
+        s"$engine: state rows grew as complete batches churned ($rows1 -> $rows2)")
+      assert(rows3 === 2 * rows1,
+        s"$engine: doubling open keys did not double state rows ($rows1 -> $rows3)")
+      assert(rows1 % K === 0L, s"$engine: $rows1 rows not a multiple of $K keys")
+      if (engine == "fmgws") assert(rows1 === K.toLong)
+    } finally q.stop()
+  }
+
   private def asOfSoak(engine: String): Unit = withEngine(engine) {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Long)]
@@ -126,6 +167,12 @@ class BoundedStateSoakSpec extends SparkSpec {
   }
   test("lengthWindow soak: state rows track open keys exactly (tws)") {
     lengthWindowSoak("tws")
+  }
+  test("lengthBatch soak: emitted batches evicted, rows track open keys (fmgws)") {
+    lengthBatchSoak("fmgws")
+  }
+  test("lengthBatch soak: emitted batches evicted, rows track open keys (tws)") {
+    lengthBatchSoak("tws")
   }
   test("as-of join soak: state rows track open keys exactly (fmgws)") {
     asOfSoak("fmgws")
