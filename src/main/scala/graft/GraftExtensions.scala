@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.expr.{AnchorWindowHashes, CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -102,6 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashBands(children.head,
           intLit("minhash_bands", children(1), 2),
           intLit("minhash_bands", children(2), 3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("anchor_window_hashes"),
+      new ExpressionInfo(classOf[AnchorWindowHashes].getName, "anchor_window_hashes"),
+      (children: Seq[Expression]) => {
+        arity("anchor_window_hashes", children, 2)
+        AnchorWindowHashes(children.head,
+          intLit("anchor_window_hashes", children(1), 2))
       }))
     // Spark's own runtime-filter Bloom expressions, surfaced as session
     // functions (they are internal-only in OSS Spark — InjectRuntimeFilter

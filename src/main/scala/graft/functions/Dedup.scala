@@ -248,14 +248,16 @@ object Dedup {
     * contract. */
   def substringOverlapPairs(docs: DataFrame, windowLen: Int,
                             minShared: Long): DataFrame = {
-    val wh = docs
-      .withColumn("_norm", TextFunctions.normText(col("text")))
-      .where(length(col("_norm")) >= windowLen)
-      .select(col("doc_id").as("sid"),
-        explode(array_distinct(expr(
-          s"transform(filter(sequence(1, length(_norm) - $windowLen + 1), " +
-            s"i -> i = 1 OR substring(_norm, i - 1, 1) = ' '), " +
-            s"i -> md5(substring(_norm, i, $windowLen)))"))).as("wh"))
+    // one-pass codegen kernel when the session has GraftExtensions; the
+    // composable HOF chain (interpreted, text-length integer array per
+    // row) is the parity-pinned fallback — DedupSpec asserts equality
+    val hashes =
+      if (docs.sparkSession.catalog.functionExists("anchor_window_hashes"))
+        docs.select(col("doc_id").as("sid"),
+          explode(call_function("anchor_window_hashes",
+            col("text"), lit(windowLen))).as("wh"))
+      else substringWindowHashesFallback(docs, windowLen)
+    val wh = hashes
       .hint("merge") // same Generate-underestimate guard as the shingle joins
     val a = wh.select(col("sid").as("doc_a"), col("wh"))
     val b = wh.select(col("sid").as("doc_b"), col("wh"))
@@ -263,6 +265,19 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_windows"))
       .where(col("shared_windows") >= minShared)
   }
+
+  /** Composable twin of the `anchor_window_hashes` kernel (parity-pinned
+    * in DedupSpec; mirrors the DuckDB oracle's formulation). */
+  private[functions] def substringWindowHashesFallback(docs: DataFrame,
+                                                       windowLen: Int): DataFrame =
+    docs
+      .withColumn("_norm", TextFunctions.normText(col("text")))
+      .where(length(col("_norm")) >= windowLen)
+      .select(col("doc_id").as("sid"),
+        explode(array_distinct(expr(
+          s"transform(filter(sequence(1, length(_norm) - $windowLen + 1), " +
+            s"i -> i = 1 OR substring(_norm, i - 1, 1) = ' '), " +
+            s"i -> md5(substring(_norm, i, $windowLen)))"))).as("wh"))
 
   /** Connected components over an undirected pair set — the step that
     * turns near-dup PAIRS ([[minhashLsh]] output) into duplicate CLUSTERS

@@ -165,6 +165,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("anchor_window_hashes codegen kernel is identical to the composable fallback") {
+    assert(spark.catalog.functionExists("anchor_window_hashes"))
+    val edge = Seq(
+      (9101L, "İstanbul ŞEHİR Güzel Bir Yer padding words to pass the window length"),
+      (9102L, "  --?! leading junk then a long enough run of words to anchor on  "),
+      (9103L, "short"),
+      (9104L, ""),
+      (9105L, "repeat me repeat me repeat me repeat me repeat me repeat me repeat me"),
+      (9106L, "点の between 漢字 multibyte separators still leave long ascii word runs here"),
+    ).toDF("doc_id", "text")
+    for (src <- Seq(docs.select("doc_id", "text"), edge); w <- Seq(12, 48)) {
+      val native = src.select(col("doc_id").as("sid"),
+          call_function("anchor_window_hashes", col("text"), lit(w)).as("whs"))
+        .select(col("sid"), explode(col("whs")).as("wh"))
+        .as[(Long, String)].collect().toSet
+      val fallback = Dedup.substringWindowHashesFallback(src, w)
+        .as[(Long, String)].collect().toSet
+      assert(native === fallback, s"window $w diverged")
+      assert(src.limit(1).count() === 0 || native.nonEmpty || w > 40)
+    }
+  }
+
   test("keepBest keeps the best-quality doc per cluster, lowest id on ties, singletons pass through") {
     val docsQ = Seq((1L, 1), (2L, 3), (3L, 3), (10L, 2), (11L, 0))
       .toDF("doc_id", "quality")
