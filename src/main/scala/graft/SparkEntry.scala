@@ -618,7 +618,7 @@ object CoreQueries {
         |  b.o_custkey AS before_o_custkey, b.o_orderstatus AS before_o_orderstatus,
         |  b.o_cents AS before_o_cents,
         |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
-        |       WHEN a.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS op
+        |       WHEN a.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS _op
         |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |   OR a.o_custkey IS DISTINCT FROM b.o_custkey

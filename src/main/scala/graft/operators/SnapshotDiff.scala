@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** Change set `after − before`, keyed by `pk`. Output: pk columns,
-    * `op`, the after-image (original names), and the `before_`-prefixed
-    * before-image of every non-key column. Unchanged rows are omitted. */
+  /** Change set `after − before`, keyed by `pk`. Output: pk columns
+    * (coalesced, so deletes still carry their key), `_op`
+    * (insert/update/delete — [[graft.core.ChangeEnvelope]] constants),
+    * the after-image (original names), and the `before_`-prefixed
+    * before-image of every non-key column. Unchanged rows are omitted.
+    * The column contract matches the flatten convention, so the output
+    * feeds [[graft.streaming.JdbcApply]] unchanged — capture by diff,
+    * apply by batched statements, a full replication loop for tables
+    * with no binlog (round-trip pinned in SnapshotDiffSpec). */
   def diff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
     val cols = after.columns.toSeq
     require(before.columns.toSeq == cols,
@@ -41,7 +47,7 @@ object SnapshotDiff {
     val changed = nonPk.map(c => !(col(c) <=> col(s"before_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     a.join(b, pk, "full_outer")
-      .withColumn("op",
+      .withColumn("_op",
         when(col("_in_before").isNull, lit("insert"))
           .when(col("_in_after").isNull, lit("delete"))
           .otherwise(lit("update")))

@@ -21,8 +21,8 @@ class SnapshotDiffSpec extends SparkSpec {
       (5L, Some("e"), 50L)).toDF("id", "s", "v")
     val out = SnapshotDiff.diff(before, after, Seq("id")).orderBy("id")
     assert(out.columns.toSeq ===
-      Seq("id", "s", "v", "before_s", "before_v", "op"))
-    val rows = out.select("id", "op", "s", "before_s")
+      Seq("id", "s", "v", "before_s", "before_v", "_op"))
+    val rows = out.select("id", "_op", "s", "before_s")
       .as[(Long, String, Option[String], Option[String])].collect().toSeq
     assert(rows === Seq(
       (1L, "delete", None, Some("a")),
@@ -31,7 +31,7 @@ class SnapshotDiffSpec extends SparkSpec {
       (5L, "insert", Some("e"), None)))
     // delete keeps the before image and null-pads the after image (O6
     // padding convention), insert the reverse
-    val del = out.where(col("op") === "delete").select("v", "before_v")
+    val del = out.where(col("_op") === "delete").select("v", "before_v")
       .as[(Option[Long], Option[Long])].head()
     assert(del === ((None, Some(10L))))
   }
@@ -44,12 +44,37 @@ class SnapshotDiffSpec extends SparkSpec {
     intercept[IllegalArgumentException](SnapshotDiff.diff(a, a, Seq.empty))
   }
 
+  test("diff output feeds JdbcApply unchanged: a binlog-free replication round-trip") {
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:/tmp/graft-derby/sdiff_rt;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE TGT") catch { case _: Exception => }
+      conn.createStatement().execute("CREATE TABLE TGT (ID INT, NAME VARCHAR(32), V DOUBLE)")
+      conn.createStatement().execute(
+        "INSERT INTO TGT VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
+      // the target mirrors the previous snapshot; the source has since
+      // updated 2, deleted 3, inserted 4
+      val prev = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)).toDF("id", "name", "v")
+      val now = Seq((1, "a", 1.0), (2, "B", 9.0), (4, "d", 4.0)).toDF("id", "name", "v")
+      val diff = SnapshotDiff.diff(prev, now, Seq("id"))
+      graft.streaming.JdbcApply(
+        graft.sources.Jdbc.ConnectionSpec(url.stripSuffix(";create=true"), Map.empty),
+        "TGT", Seq("id"))(diff, 0L)
+      val rs = conn.createStatement().executeQuery("SELECT ID, NAME, V FROM TGT ORDER BY ID")
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(got === Seq((1, "a", 1.0), (2, "B", 9.0), (4, "d", 4.0)))
+    } finally conn.close()
+  }
+
   test("identical snapshots diff to empty; fully disjoint ones to inserts + deletes") {
     val x = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     assert(SnapshotDiff.diff(x, x, Seq("id")).isEmpty)
     val y = Seq((3L, "c")).toDF("id", "s")
     val ops = SnapshotDiff.diff(x, y, Seq("id"))
-      .groupBy("op").count().as[(String, Long)].collect().toMap
+      .groupBy("_op").count().as[(String, Long)].collect().toMap
     assert(ops === Map("insert" -> 1L, "delete" -> 2L))
   }
 }
