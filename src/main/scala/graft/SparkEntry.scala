@@ -318,6 +318,25 @@ object CoreQueries {
       "user_id", "ts_us", "event_id", "value", 5)
       .orderBy("user_id", "batch_no")
 
+  /** Q28 — pruned snapshot differencing
+    * ([[graft.operators.SnapshotDiff.diffPruned]]): q26's change set
+    * computed behind the per-bucket digest prune that makes REPEATED
+    * snapshot capture viable at 100 TB — matching bucket digests prove
+    * their rows unchanged, so only dirty buckets enter the PK join.
+    * Same fixture and the IDENTICAL oracle SQL as q26 (the prune is a
+    * physical optimization, not a semantic change). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), floor(col("o_totalprice") * 100).cast("long").as("o_cents"))
+    val before = o.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val after = o.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .withColumn("o_cents",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_cents") * 2)
+          .otherwise(col("o_cents")))
+    graft.operators.SnapshotDiff.diffPruned(before, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q24 — output rate limiting (Siddhi `output first every T`): the
     * first error per user per 6 h bucket — alert throttling. Via
     * [[graft.operators.Patterns.outputFirstEvery]]. */
@@ -369,6 +388,7 @@ object CoreQueries {
     "q25_rate_limit_last" -> q25 _,
     "q26_snapshot_diff" -> q26 _,
     "q27_length_batch" -> q27 _,
+    "q28_snapshot_diff_pruned" -> q28 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -606,6 +626,27 @@ object CoreQueries {
          |FROM r WHERE rn = 1
          |ORDER BY user_id, bucket_start_us""".stripMargin,
     "q26_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS o_cents FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        |a AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_cents * 2 ELSE o_cents END AS o_cents
+        |      FROM o WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  a.o_custkey AS o_custkey, a.o_orderstatus AS o_orderstatus,
+        |  a.o_cents AS o_cents,
+        |  b.o_custkey AS before_o_custkey, b.o_orderstatus AS before_o_orderstatus,
+        |  b.o_cents AS before_o_cents,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |       WHEN a.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS _op
+        |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |   OR a.o_cents IS DISTINCT FROM b.o_cents
+        |ORDER BY o_orderkey""".stripMargin,
+    // identical SQL to q26: the digest prune is physical, not semantic
+    "q28_snapshot_diff_pruned" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |             CAST(floor(o_totalprice * 100) AS BIGINT) AS o_cents FROM orders),
         |b AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),

@@ -54,4 +54,54 @@ object SnapshotDiff {
       .where(col("_in_before").isNull || col("_in_after").isNull || changed)
       .drop("_in_before", "_in_after")
   }
+
+  /** [[diff]] behind a digest prune — the shape that makes repeated
+    * snapshot capture viable at 100 TB, where between rounds almost
+    * nothing changed: both snapshots first collapse map-side to one
+    * xxhash64 row-signature per row, bit_xor-folded per PK-hash bucket
+    * (order-independent, so the aggregation is fully partial — the
+    * shuffle carries `buckets` cells per partition, never rows). Bucket
+    * digests that MATCH on both sides prove their rows need no
+    * comparison; only rows of dirty buckets (digest mismatch, or a
+    * bucket present on one side) enter the full-outer PK join. A
+    * same-bucket-count sync over an unchanged table shuffles two
+    * bucket-count-sized digest tables and zero rows.
+    *
+    * Trust model: a change is missed only if a bucket's xor of 64-bit
+    * row signatures collides before and after — the rsync/Merkle-sync
+    * trade, astronomically unlikely by accident and verifiable by
+    * running the exact [[diff]] on any schedule. Output and column
+    * contract are identical to [[diff]] (parity pinned in
+    * SnapshotDiffSpec). */
+  def diffPruned(before: DataFrame, after: DataFrame, pk: Seq[String],
+                 buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq == cols,
+      s"snapshots must share a schema; got ${before.columns.toSeq} vs $cols")
+    val dirty = dirtyBuckets(before, after, pk, buckets)
+    def prune(df: DataFrame): DataFrame =
+      df.withColumn("_bkt", bucketOf(pk, buckets))
+        .join(broadcast(dirty), "_bkt").drop("_bkt")
+    diff(prune(before), prune(after), pk)
+  }
+
+  private def bucketOf(pk: Seq[String], buckets: Int) =
+    pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong))
+
+  /** The PK-hash buckets whose digest or row count differs between the
+    * snapshots — the rows [[diffPruned]] actually compares. Exposed so a
+    * deployment (and the spec) can observe prune effectiveness. */
+  def dirtyBuckets(before: DataFrame, after: DataFrame, pk: Seq[String],
+                   buckets: Int): DataFrame = {
+    val cols = after.columns.toSeq
+    def sig(df: DataFrame, name: String): DataFrame =
+      df.select(bucketOf(pk, buckets).as("_bkt"),
+          xxhash64(cols.map(col): _*).as("_sig"))
+        .groupBy("_bkt").agg(bit_xor(col("_sig")).as(name),
+          count(lit(1)).as(name + "_n"))
+    sig(before, "_db").join(sig(after, "_da"), Seq("_bkt"), "full_outer")
+      .where(!(col("_db") <=> col("_da")) || !(col("_db_n") <=> col("_da_n")))
+      .select("_bkt")
+  }
 }

@@ -69,6 +69,27 @@ class SnapshotDiffSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("diffPruned equals diff, and a localized change dirties few buckets") {
+    val before = (1L to 2000L).map(i => (i, s"name_$i", i * 10)).toDF("id", "s", "v")
+    // one update, one delete, one insert — everything else untouched
+    val after = ((1L to 2000L).filter(_ != 1700L).map { i =>
+      (i, s"name_$i", if (i == 300L) -1L else i * 10)
+    } :+ (9999L, "new", 0L)).toDF("id", "s", "v")
+    val full = SnapshotDiff.diff(before, after, Seq("id"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val pruned = SnapshotDiff.diffPruned(before, after, Seq("id"), buckets = 256)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(full === pruned)
+    assert(full.size === 3)
+    // 3 changed keys -> at most 3 dirty buckets of 256; unchanged buckets
+    // are proven clean by digest and never enter the PK join
+    val dirty = SnapshotDiff.dirtyBuckets(before, after, Seq("id"), 256).count()
+    assert(dirty >= 1 && dirty <= 3, s"expected <=3 dirty buckets, got $dirty")
+    // unchanged snapshots: zero dirty buckets, empty diff
+    assert(SnapshotDiff.dirtyBuckets(before, before, Seq("id"), 256).isEmpty)
+    assert(SnapshotDiff.diffPruned(before, before, Seq("id"), 256).isEmpty)
+  }
+
   test("identical snapshots diff to empty; fully disjoint ones to inserts + deletes") {
     val x = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     assert(SnapshotDiff.diff(x, x, Seq("id")).isEmpty)
