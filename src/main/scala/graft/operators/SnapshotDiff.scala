@@ -79,7 +79,26 @@ object SnapshotDiff {
     val cols = after.columns.toSeq
     require(before.columns.toSeq == cols,
       s"snapshots must share a schema; got ${before.columns.toSeq} vs $cols")
-    val dirty = dirtyBuckets(before, after, pk, buckets)
+    prunedDiff(before, after,
+      dirtyBuckets(bucketDigests(before, pk, buckets),
+        bucketDigests(after, pk, buckets)), pk, buckets)
+  }
+
+  /** [[diffPruned]] with the BEFORE side's digests supplied instead of
+    * recomputed — the shape a capture LOOP actually runs: each round
+    * persists [[bucketDigests]] of its snapshot (a `buckets`-row
+    * artifact), and the next round pays ONE full scan (digesting the new
+    * snapshot) instead of the plain diff's two-scans-plus-full-join or
+    * the self-contained prune's four scans. Rows enter the PK join only
+    * from dirty buckets. */
+  def diffPrunedIncremental(before: DataFrame, beforeDigests: DataFrame,
+                            after: DataFrame, pk: Seq[String],
+                            buckets: Int = 4096): DataFrame =
+    prunedDiff(before, after,
+      dirtyBuckets(beforeDigests, bucketDigests(after, pk, buckets)), pk, buckets)
+
+  private def prunedDiff(before: DataFrame, after: DataFrame, dirty: DataFrame,
+                         pk: Seq[String], buckets: Int): DataFrame = {
     def prune(df: DataFrame): DataFrame =
       df.withColumn("_bkt", bucketOf(pk, buckets))
         .join(broadcast(dirty), "_bkt").drop("_bkt")
@@ -89,18 +108,29 @@ object SnapshotDiff {
   private def bucketOf(pk: Seq[String], buckets: Int) =
     pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong))
 
-  /** The PK-hash buckets whose digest or row count differs between the
-    * snapshots — the rows [[diffPruned]] actually compares. Exposed so a
-    * deployment (and the spec) can observe prune effectiveness. */
-  def dirtyBuckets(before: DataFrame, after: DataFrame, pk: Seq[String],
-                   buckets: Int): DataFrame = {
-    val cols = after.columns.toSeq
-    def sig(df: DataFrame, name: String): DataFrame =
-      df.select(bucketOf(pk, buckets).as("_bkt"),
-          xxhash64(cols.map(col): _*).as("_sig"))
-        .groupBy("_bkt").agg(bit_xor(col("_sig")).as(name),
-          count(lit(1)).as(name + "_n"))
-    sig(before, "_db").join(sig(after, "_da"), Seq("_bkt"), "full_outer")
+  /** The persistable sync artifact: one (bucket, digest, row count) row
+    * per PK-hash bucket — xxhash64 row signatures bit_xor-folded, so the
+    * aggregation is order-independent and fully partial (the shuffle
+    * carries bucket cells, never rows). `buckets` rows total; write it
+    * next to each snapshot and the next capture round never re-scans
+    * this one. */
+  def bucketDigests(df: DataFrame, pk: Seq[String], buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    df.select(bucketOf(pk, buckets).as("_bkt"),
+        xxhash64(df.columns.toSeq.map(col): _*).as("_sig"))
+      .groupBy("_bkt").agg(bit_xor(col("_sig")).as("_digest"),
+        count(lit(1)).as("_n"))
+  }
+
+  /** The buckets whose digest or row count differs — the rows the pruned
+    * diffs actually compare. Exposed so a deployment (and the spec) can
+    * observe prune effectiveness. */
+  def dirtyBuckets(beforeDigests: DataFrame, afterDigests: DataFrame): DataFrame = {
+    val b = beforeDigests.select(col("_bkt"),
+      col("_digest").as("_db"), col("_n").as("_db_n"))
+    val a = afterDigests.select(col("_bkt"),
+      col("_digest").as("_da"), col("_n").as("_da_n"))
+    b.join(a, Seq("_bkt"), "full_outer")
       .where(!(col("_db") <=> col("_da")) || !(col("_db_n") <=> col("_da_n")))
       .select("_bkt")
   }

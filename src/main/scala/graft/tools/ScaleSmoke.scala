@@ -101,6 +101,18 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  /** N copies of orders with disjoint key ranges — the snapshot-diff
+    * growth axis (table size grows, the change set stays FIXED, which is
+    * what a real capture round looks like). */
+  def replicateOrders(orders: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"replication factor must be positive, got $n")
+    val step = 100000000L
+    (0 until n).map { k =>
+      orders.select((col("o_orderkey") + lit(k * step)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    }.reduce(_ union _)
+  }
+
   /** N copies of the event stream with disjoint key ranges (scaling the
     * USER population, the realistic growth axis for keyed CEP) and ids
     * remapped to stay unique. */
@@ -146,6 +158,20 @@ object ScaleSmoke {
       replicateDocsDistinct(docs0, n)
         .write.mode("overwrite").parquet(s"$smokeDir/docs_x$n")
       println(f"[scale] materialize deep corpus x$n%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    factors.foreach { n =>
+      val t0 = System.nanoTime()
+      val ordersN = replicateOrders(Tables.orders(spark, dir), n)
+      ordersN.write.mode("overwrite").parquet(s"$smokeDir/orders_before_x$n")
+      ordersN.where(!col("o_orderkey").isin(197L, 397L, 597L))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") < 100, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(s"$smokeDir/orders_after_x$n")
+      graft.operators.SnapshotDiff.bucketDigests(
+          spark.read.parquet(s"$smokeDir/orders_before_x$n"), Seq("o_orderkey"), 4096)
+        .write.mode("overwrite").parquet(s"$smokeDir/orders_digests_x$n")
+      println(f"[scale] materialize snapshots   x$n%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
     /** The five families whose 100 TB plans are shuffle-dominated — these
@@ -200,6 +226,28 @@ object ScaleSmoke {
       }
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
+      // snapshot diff: table grows with the factor, the CHANGE SET stays
+      // fixed (keys < 100 updated, three keys deleted — all in the base
+      // replica's range) — the realistic repeated-capture round, against
+      // PERSISTED snapshots (a capture loop diffs stored parquet images,
+      // and a lazily-recomputed snapshot would bill its own lineage to
+      // every scan the diff makes). The digest prune trades two extra
+      // parquet scans for the full-table PK-join exchange; the avoided
+      // exchange is the term that dominates on a real cluster's network.
+      val beforeSnap = spark.read.parquet(s"$smokeDir/orders_before_x$n")
+      val afterSnap = spark.read.parquet(s"$smokeDir/orders_after_x$n")
+      time("snap_diff_full", n)(
+        graft.operators.SnapshotDiff.diff(beforeSnap, afterSnap,
+          Seq("o_orderkey")).count())
+      // the loop shape: last round's digests are a stored artifact, so a
+      // round costs ONE full scan (digesting the new snapshot) + the
+      // dirty-bucket-only joins — vs the full diff's two scans + a
+      // full-table PK-join exchange
+      time("snap_diff_incr", n) {
+        val prevDigests = spark.read.parquet(s"$smokeDir/orders_digests_x$n")
+        graft.operators.SnapshotDiff.diffPrunedIncremental(
+          beforeSnap, prevDigests, afterSnap, Seq("o_orderkey")).count()
+      }
       time("vocab_coverage", n)(TF.vocabCoverage(docs, 100).count())
       time("embed_outliers", n)(
         Similarity.labelCentroidOutliers(embs, 10).count())

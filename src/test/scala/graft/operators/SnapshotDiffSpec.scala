@@ -83,10 +83,18 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(full.size === 3)
     // 3 changed keys -> at most 3 dirty buckets of 256; unchanged buckets
     // are proven clean by digest and never enter the PK join
-    val dirty = SnapshotDiff.dirtyBuckets(before, after, Seq("id"), 256).count()
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      SnapshotDiff.bucketDigests(df, Seq("id"), 256)
+    val dirty = SnapshotDiff.dirtyBuckets(digests(before), digests(after)).count()
     assert(dirty >= 1 && dirty <= 3, s"expected <=3 dirty buckets, got $dirty")
+    // the capture-loop shape: last round's PERSISTED digests, one scan of
+    // the new snapshot — identical change set
+    val incr = SnapshotDiff.diffPrunedIncremental(
+        before, digests(before).localCheckpoint(), after, Seq("id"), 256)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(incr === full)
     // unchanged snapshots: zero dirty buckets, empty diff
-    assert(SnapshotDiff.dirtyBuckets(before, before, Seq("id"), 256).isEmpty)
+    assert(SnapshotDiff.dirtyBuckets(digests(before), digests(before)).isEmpty)
     assert(SnapshotDiff.diffPruned(before, before, Seq("id"), 256).isEmpty)
   }
 
