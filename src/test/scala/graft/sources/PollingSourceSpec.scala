@@ -662,7 +662,7 @@ class PollingSourceSpec extends SparkSpec {
       val diff = graft.Cdc.snapshotDiff(spark, opts, t1, Seq("id"))
         .orderBy("id").collect()
       assert(diff.map(r => (r.getInt(r.fieldIndex("id")),
-        r.getString(r.fieldIndex("op")))).toSeq ===
+        r.getString(r.fieldIndex("_op")))).toSeq ===
         Seq((2, "update"), (3, "delete"), (4, "insert")))
       val upd = diff(0)
       assert(upd.getDouble(upd.fieldIndex("v")) === 9.0)
