@@ -577,6 +577,20 @@ object PipelineQueries {
       .orderBy("media_id", "frame_no", "lag")
   }
 
+  private val DriftK = 50
+
+  /** p35 — vocabulary drift ([[TF.vocabDrift]]): the top-50 words whose
+    * parts-per-million frequency moved most between two corpus
+    * snapshots — the crawl-over-crawl monitoring report run before
+    * retraining. Snapshots derive deterministically from the split
+    * buckets (docs hashing < 50 play the old crawl, >= 50 the new), so
+    * the drift is real: the two halves genuinely differ. */
+  private def p35(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("_bk", TF.splitBucket(col("doc_id")))
+    TF.vocabDrift(d.where(col("_bk") < 50), d.where(col("_bk") >= 50), DriftK)
+      .orderBy(abs(col("delta_ppm")).desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -612,6 +626,7 @@ object PipelineQueries {
     "p32_embed_outliers" -> p32 _,
     "p33_contamination_bloom" -> p33 _,
     "p34_frame_autocorr" -> p34 _,
+    "p35_vocab_drift" -> p35 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1137,6 +1152,23 @@ object PipelineQueries {
          |  CAST(coalesce(list_sum(list_transform(range(1, len(cs) - lag + 1),
          |    i -> ascii(cs[i]) * ascii(cs[i + lag]))), 0) AS BIGINT) AS ac
          |FROM l ORDER BY media_id, frame_no, lag""".stripMargin,
+    "p35_vocab_drift" ->
+      s"""WITH $NormCte,
+         |bk AS (SELECT doc_id,
+         |         CAST(${rollHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket
+         |       FROM documents),
+         |wx AS (SELECT w.doc_id, unnest(ws) AS word FROM w),
+         |oc AS (SELECT word, count(*) AS cnt FROM wx JOIN bk USING (doc_id)
+         |       WHERE bk.bucket < 50 GROUP BY word),
+         |nc AS (SELECT word, count(*) AS cnt FROM wx JOIN bk USING (doc_id)
+         |       WHERE bk.bucket >= 50 GROUP BY word),
+         |od AS (SELECT word, CAST(cnt * 1000000 // (SELECT sum(cnt) FROM oc) AS BIGINT) AS old_ppm FROM oc),
+         |nd AS (SELECT word, CAST(cnt * 1000000 // (SELECT sum(cnt) FROM nc) AS BIGINT) AS new_ppm FROM nc),
+         |j AS (SELECT coalesce(od.word, nd.word) AS word,
+         |        coalesce(old_ppm, 0) AS old_ppm, coalesce(new_ppm, 0) AS new_ppm
+         |      FROM od FULL OUTER JOIN nd ON od.word = nd.word)
+         |SELECT word, old_ppm, new_ppm, new_ppm - old_ppm AS delta_ppm
+         |FROM j ORDER BY abs(new_ppm - old_ppm) DESC, word LIMIT $DriftK""".stripMargin,
     "p26_dedup_substring" ->
       s"""WITH $NormCte,
          |wh AS (SELECT DISTINCT doc_id AS sid,

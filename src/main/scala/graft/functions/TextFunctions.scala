@@ -317,6 +317,38 @@ object TextFunctions {
       .select("doc_id", "word", "tf", "df", "score", "rk")
   }
 
+  /** Vocabulary drift between two corpus snapshots — the crawl-over-crawl
+    * monitoring step run before retraining on a refreshed corpus: the
+    * `k` words whose normalized frequency moved most. Frequencies are
+    * integer parts-per-million of each side's token total (side sizes
+    * differ, so raw counts would measure volume, not drift); words
+    * absent from a side score 0 ppm. Output: (word, old_ppm, new_ppm,
+    * delta_ppm), ordered by |delta| desc then word.
+    *
+    * Scale shape: two word-keyed partial-agg exchanges (the p18 count
+    * shape), each side's one-row token total rides a broadcast cross
+    * join (never a driver collect), a word-keyed full-outer join, and
+    * the top-k is TakeOrderedAndProject — never a global sort of the
+    * vocabulary. */
+  def vocabDrift(oldDocs: org.apache.spark.sql.DataFrame,
+                 newDocs: org.apache.spark.sql.DataFrame, k: Int,
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    def ppm(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val counts = df.withColumn("_ws", words(normText(col(textCol))))
+        .select(explode(col("_ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("_cnt"))
+      counts.crossJoin(broadcast(counts.agg(sum("_cnt").as("_tot"))))
+        .select(col("word"), expr(s"_cnt * 1000000L div _tot").as(name))
+    }
+    ppm(oldDocs, "old_ppm").join(ppm(newDocs, "new_ppm"), Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("old_ppm"), lit(0L)).as("old_ppm"),
+        coalesce(col("new_ppm"), lit(0L)).as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("word"))
+      .limit(k)
+  }
+
   /** Per-document vocabulary coverage vs the corpus top-`k` vocab:
     * (id, tok_cnt, in_vocab, oov_milli, mean_rank_centi). OOV tokens are
     * the fertility cost driver of tokenizer training and a strong junk

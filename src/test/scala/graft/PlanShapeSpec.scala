@@ -152,6 +152,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"K-row vocab must broadcast:\n$p")
   }
 
+  test("p35 vocab drift: top-k is a heap take, token totals broadcast (no driver collect)") {
+    val p = plan("p35_vocab_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"drift top-k must be a heap take, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row token totals must broadcast:\n$p")
+  }
+
   test("p9 brute knn broadcasts the query side — the corpus never shuffles") {
     val p = plan("p9_embed_knn")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

@@ -522,6 +522,26 @@ class PipelineSpec extends SparkSpec {
     assert(got.count(_._1 == 5L) === 1)
   }
 
+  test("vocabDrift: ppm normalization, new/vanished words, abs-delta order, top-k") {
+    val old = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val nw = Seq((2L, "a b b c")).toDF("doc_id", "text")
+    val out = TextFunctions.vocabDrift(old, nw, 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // old: a 750000, b 250000 ppm; new: a/b/c 250000/500000/250000 —
+    // c is NEW (old 0); order |delta| desc then word
+    assert(out === Seq(
+      ("a", 750000L, 250000L, -500000L),
+      ("b", 250000L, 500000L, 250000L),
+      ("c", 0L, 250000L, 250000L)))
+    // top-k cuts after ordering
+    assert(TextFunctions.vocabDrift(old, nw, 1)
+      .as[(String, Long, Long, Long)].collect().toSeq.map(_._1) === Seq("a"))
+    // a vanished word scores 0 new_ppm
+    val gone = TextFunctions.vocabDrift(nw, old, 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(gone.exists { case (w, o, n, d) => w == "c" && n == 0L && d == -o })
+  }
+
   test("vocabCoverage: hand oracle incl. empty doc, all-OOV doc, and rank ties") {
     val d = Seq(
       (1L, "the cat sat on the mat"),
