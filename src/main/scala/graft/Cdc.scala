@@ -113,4 +113,31 @@ object Cdc {
   def snapshotDiff(spark: SparkSession, options: Map[String, String],
                    previous: DataFrame, pk: Seq[String]): DataFrame =
     graft.operators.SnapshotDiff.diff(previous, snapshot(spark, options), pk)
+
+  /** The snapshot-diff capture LOOP with managed state — entry-point
+    * parity with `mode=polling`/`mode=listening` for the no-binlog
+    * capture mode: where polling checkpoints an offset under the stream's
+    * checkpoint dir, this checkpoints the last snapshot (parquet + digest
+    * artifact) under `stateDir` and each call returns one round's change
+    * set plus the commit that publishes the new baseline
+    * ([[graft.streaming.SnapshotCapture]]; recovery semantics and the
+    * crash-replay round-trip pinned in CdcSpec). Same option names as
+    * [[snapshot]]. */
+  def snapshotCapture(spark: SparkSession, options: Map[String, String],
+                      pk: Seq[String], stateDir: String,
+                      buckets: Int = 4096): graft.streaming.SnapshotCapture.CaptureRound =
+    graft.streaming.SnapshotCapture.capture(
+      spark, snapshot(spark, options), pk, stateDir, buckets)
+
+  /** One-call capture → apply → commit: [[snapshotCapture]] pushed into
+    * `targetTable` through [[graft.streaming.JdbcApply]], the complete
+    * binlog-free replication round as a single scheduled call. Returns
+    * the number of changes applied (0 on a quiet round — two digest
+    * tables compared, zero rows joined). */
+  def snapshotDiffApply(spark: SparkSession, options: Map[String, String],
+                        pk: Seq[String], stateDir: String,
+                        target: graft.sources.Jdbc.ConnectionSpec,
+                        targetTable: String, buckets: Int = 4096): Long =
+    graft.streaming.SnapshotCapture.captureAndApply(
+      spark, snapshot(spark, options), pk, stateDir, target, targetTable, buckets)
 }

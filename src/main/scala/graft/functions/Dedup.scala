@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), n-gram Jaccard, MinHash+LSH (Broder 1997, "On the
@@ -301,49 +303,78 @@ object Dedup {
     * (the quadratic-recompute trap of naive iterative DataFrames); the
     * convergence check is a bounded driver-side count, like the IVF
     * codebook loop. Nothing registers in the CacheManager.
+    *
+    * Storage lifecycle: checkpoint blocks are freed DETERMINISTICALLY —
+    * each round's label table is unpersisted as soon as the next round
+    * materializes, and the edge table on every exit path, so a call
+    * leaves behind only the blocks backing the RETURNED label table (its
+    * lineage is truncated; freeing it would make the result
+    * unrecomputable). Those final blocks are registered in a
+    * session-wide ledger: call [[releaseCcLabels]] after the result has
+    * been fully consumed (written / aggregated / joined away) to return
+    * executor storage to baseline — repeated dedup passes in a
+    * long-lived session (a bench session runs ~8 CC passes) otherwise
+    * accumulate one vertex-set table per call.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // checkpoint the edge list ONCE: it is referenced by every round's
     // join, and without truncation each round would re-derive the whole
     // upstream pair pipeline (for LSH pairs that is the full shingle +
     // signature + verify dag — measured 3x the entire query cost)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges
+    val (edges, edgeBlocks) = trackedLocalCheckpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var (labels, labelBlocks) = trackedLocalCheckpoint(edges
       .select(col("src").as("doc_id"), least(col("src"), col("dst")).as("label"))
-      .groupBy("doc_id").agg(min("label").as("label"))
-      .localCheckpoint()
+      .groupBy("doc_id").agg(min("label").as("label")))
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(edges("dst").as("doc_id"), col("label"))
-      // pointer jumping (label-of-label): halves every label-chain each
-      // round, so convergence is O(log diameter) instead of O(diameter)
-      // — a pathological near-dup CHAIN longer than maxIters would
-      // otherwise silently keep per-link labels. One extra equi-join of
-      // the (small) label table with itself per round.
-      val jump = labels.alias("l")
-        .join(labels.select(col("doc_id").as("_m"), col("label").as("_ml")),
-          col("l.label") === col("_m"))
-        .select(col("l.doc_id").as("doc_id"), col("_ml").as("label"))
-      // carry each vertex's previous label through the min-aggregation —
-      // as a typed NULL on the prop/jump branches (min skips nulls, and
-      // every vertex has exactly one labels-branch row, so min(_old) IS
-      // the previous label; a numeric MaxValue sentinel would coerce to
-      // string for non-numeric ids and sort BEFORE alphabetic labels,
-      // corrupting the carry) — so the convergence probe is a filter
-      // over the checkpointed result, no extra join
-      val nullOld = lit(null).cast(labels.schema("label").dataType)
-      val next = labels.withColumn("_old", col("label"))
-        .unionByName(prop.withColumn("_old", nullOld))
-        .unionByName(jump.withColumn("_old", nullOld))
-        .groupBy("doc_id").agg(min("label").as("label"), min("_old").as("_old"))
-        .localCheckpoint()
-      converged = next.where(col("label") < col("_old")).isEmpty
-      labels = next.select("doc_id", "label")
-      iter += 1
+    try {
+      while (!converged && iter < maxIters) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(edges("dst").as("doc_id"), col("label"))
+        // pointer jumping (label-of-label): halves every label-chain each
+        // round, so convergence is O(log diameter) instead of O(diameter)
+        // — a pathological near-dup CHAIN longer than maxIters would
+        // otherwise silently keep per-link labels. One extra equi-join of
+        // the (small) label table with itself per round.
+        val jump = labels.alias("l")
+          .join(labels.select(col("doc_id").as("_m"), col("label").as("_ml")),
+            col("l.label") === col("_m"))
+          .select(col("l.doc_id").as("doc_id"), col("_ml").as("label"))
+        // carry each vertex's previous label through the min-aggregation —
+        // as a typed NULL on the prop/jump branches (min skips nulls, and
+        // every vertex has exactly one labels-branch row, so min(_old) IS
+        // the previous label; a numeric MaxValue sentinel would coerce to
+        // string for non-numeric ids and sort BEFORE alphabetic labels,
+        // corrupting the carry) — so the convergence probe is a filter
+        // over the checkpointed result, no extra join
+        val nullOld = lit(null).cast(labels.schema("label").dataType)
+        val (next, nextBlocks) = trackedLocalCheckpoint(
+          labels.withColumn("_old", col("label"))
+            .unionByName(prop.withColumn("_old", nullOld))
+            .unionByName(jump.withColumn("_old", nullOld))
+            .groupBy("doc_id").agg(min("label").as("label"), min("_old").as("_old")))
+        converged = next.where(col("label") < col("_old")).isEmpty
+        if (converged) {
+          // at a fixpoint `next`'s (doc_id, label) set EQUALS the previous
+          // round's (no vertex changed): return the previous checkpoint and
+          // free this round's blocks now, so a call leaves behind exactly
+          // one vertex-set table
+          nextBlocks.foreach(_.unpersist(blocking = false))
+        } else {
+          // the previous round's checkpoint is dead once the next round has
+          // materialized — unpersisting here is what keeps an iterative run
+          // at two live label tables instead of one per round forever
+          labelBlocks.foreach(_.unpersist(blocking = false))
+          labels = next.select("doc_id", "label")
+          labelBlocks = nextBlocks
+        }
+        iter += 1
+      }
+    } finally {
+      edgeBlocks.foreach(_.unpersist(blocking = false))
+      if (!converged) labelBlocks.foreach(_.unpersist(blocking = false))
     }
     // pointer jumping converges in O(log diameter) rounds, so hitting
     // maxIters means either a pathological graph or a far-too-small cap —
@@ -354,7 +385,44 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds; " +
           "raise maxIters (rounds needed grow only logarithmically with " +
           "component diameter)")
+    ccLedger.synchronized { ccLedger ++= labelBlocks }
     labels.withColumnRenamed("label", "canonical_id")
+  }
+
+  /** `localCheckpoint` a frame eagerly and hand back the persisted RDDs
+    * that now back it, found by walking the physical plan's RDD
+    * dependency graph from `queryExecution.toRdd` down to the first
+    * storage-bearing ancestors (the checkpoint blocks; the walk stops at
+    * them, so unrelated persisted RDDs deeper in a lineage are never
+    * touched). This is the unpersist handle `Dataset` itself does not
+    * expose: `Dataset.unpersist` only talks to the CacheManager, which
+    * knows nothing about checkpoint blocks. */
+  private def trackedLocalCheckpoint(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val cp = df.localCheckpoint()
+    val out = scala.collection.mutable.Buffer[RDD[_]]()
+    def walk(r: RDD[_]): Unit =
+      if (r.getStorageLevel != StorageLevel.NONE) out += r
+      else r.dependencies.foreach(d => walk(d.rdd))
+    walk(cp.queryExecution.toRdd)
+    (cp, out.toSeq)
+  }
+
+  /** Final checkpointed label tables of every [[connectedComponents]]
+    * call in this JVM — everything else the algorithm pins is freed
+    * inside the call itself. */
+  private val ccLedger = scala.collection.mutable.Buffer[RDD[_]]()
+
+  /** Free the checkpoint blocks behind the label tables returned by ALL
+    * previous [[connectedComponents]] calls, returning executor storage
+    * to baseline. Only call once those results (and every frame derived
+    * from them — [[nearDupClusters]] output, keeper selections) have been
+    * fully consumed: their lineage is truncated, so a released result can
+    * never be recomputed. The bench/smoke harnesses call this between
+    * timed queries; a long-lived ingest session should call it at the end
+    * of each dedup pass. */
+  def releaseCcLabels(): Unit = ccLedger.synchronized {
+    ccLedger.foreach(_.unpersist(blocking = false))
+    ccLedger.clear()
   }
 
   /** Near-dup clusters end-to-end: [[minhashLsh]] pairs →
@@ -396,7 +464,17 @@ object Dedup {
     * scalar subquery, so a join-column sketch is not analyzable) and
     * ships into the scan stage as a literal. Empty test side → no pairs
     * by construction; the prefilter is skipped rather than probing a
-    * null sketch. */
+    * null sketch.
+    *
+    * CONTRACT — `test` must be deterministic: it is evaluated twice,
+    * once eagerly at CALL time to build the sketch (a Spark job fires
+    * before any action on the returned frame — surprising for a builder,
+    * but forced by the literal-sketch requirement above) and again in
+    * the verify join. A non-deterministic test side (un-seeded `sample`,
+    * a re-read of mutating storage) can surface a shingle at join time
+    * that the sketch never saw — a REAL false negative, breaking the
+    * identical-to-equi-join guarantee. Persist or checkpoint such a
+    * frame before passing it here. */
   def contaminationPairs(train: DataFrame, test: DataFrame, minShared: Long,
                          bloomItems: Long = 1000000L,
                          bloomBits: Long = 8000000L): DataFrame = {

@@ -95,7 +95,43 @@ object SnapshotDiff {
                             after: DataFrame, pk: Seq[String],
                             buckets: Int = 4096): DataFrame =
     prunedDiff(before, after,
-      dirtyBuckets(beforeDigests, bucketDigests(after, pk, buckets)), pk, buckets)
+      dirtyBuckets(validateDigests(beforeDigests, colsTag(after.columns.toSeq, pk), buckets),
+        bucketDigests(after, pk, buckets)), pk, buckets)
+
+  /** Guard for persisted digest artifacts: a digest table built with a
+    * different bucket count (or a different column list/order) than this
+    * call's would misalign bucket ids and silently prune rows that DID
+    * change. [[bucketDigests]] stamps `_buckets`/`_cols` into the
+    * artifact; when present they are checked row-wise (digest tables are
+    * `buckets`-sized, so the check is free) and the diff fails loudly on
+    * mismatch. Artifacts from before the stamp existed only get the
+    * weaker range check `0 <= _bkt < buckets` — which cannot catch a
+    * SMALLER original bucket count, hence the stamp. */
+  private def validateDigests(digests: DataFrame, expectTag: String,
+                              buckets: Int): DataFrame = {
+    val hasMeta = digests.columns.contains("_buckets")
+    if (hasMeta) {
+      val d = if (digests.columns.contains("_cols"))
+        digests.where(assert_true(col("_cols") === lit(expectTag),
+          concat(lit("digest artifact was built over ["), col("_cols"),
+            lit(s"] but this diff runs over [$expectTag]; signatures would " +
+              "not be comparable"))).isNull)
+          .drop("_cols")
+      else digests
+      d.where(assert_true(col("_buckets") === lit(buckets.toLong),
+          concat(lit("digest artifact was built with buckets="), col("_buckets"),
+            lit(s" but this diff uses buckets=$buckets; bucket ids would " +
+              "misalign and changed rows would be silently pruned"))).isNull)
+        .drop("_buckets")
+    } else
+      digests.where(assert_true(col("_bkt") >= 0 && col("_bkt") < lit(buckets.toLong),
+        concat(lit("digest artifact carries bucket id "), col("_bkt"),
+          lit(s" outside [0, $buckets) — built with a different bucket " +
+            "count?"))).isNull)
+  }
+
+  private def colsTag(cols: Seq[String], pk: Seq[String]): String =
+    s"pk=${pk.mkString(",")};cols=${cols.mkString(",")}"
 
   private def prunedDiff(before: DataFrame, after: DataFrame, dirty: DataFrame,
                          pk: Seq[String], buckets: Int): DataFrame = {
@@ -113,13 +149,27 @@ object SnapshotDiff {
     * aggregation is order-independent and fully partial (the shuffle
     * carries bucket cells, never rows). `buckets` rows total; write it
     * next to each snapshot and the next capture round never re-scans
-    * this one. */
+    * this one.
+    *
+    * The row signature hashes every column's value AND its null flag:
+    * Spark's hash functions skip NULL inputs (the running hash is
+    * unchanged), so without the flags two rows differing only in WHICH
+    * column is null — e.g. (a='x', b=NULL) updated to (a=NULL, b='x') —
+    * would hash identically and the update would be invisibly pruned, a
+    * deterministic collision class rather than the documented 64-bit
+    * accident. The artifact also carries `_buckets` and `_cols` stamps so
+    * [[diffPrunedIncremental]] can refuse a digest built with a
+    * mismatched bucket count or column order instead of silently
+    * misaligning bucket ids. */
   def bucketDigests(df: DataFrame, pk: Seq[String], buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val cols = df.columns.toSeq
     df.select(bucketOf(pk, buckets).as("_bkt"),
-        xxhash64(df.columns.toSeq.map(col): _*).as("_sig"))
+        xxhash64((cols.map(col) ++ cols.map(c => col(c).isNull)): _*).as("_sig"))
       .groupBy("_bkt").agg(bit_xor(col("_sig")).as("_digest"),
         count(lit(1)).as("_n"))
+      .withColumn("_buckets", lit(buckets.toLong))
+      .withColumn("_cols", lit(colsTag(cols, pk)))
   }
 
   /** The buckets whose digest or row count differs — the rows the pruned

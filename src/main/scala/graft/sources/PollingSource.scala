@@ -345,7 +345,7 @@ class CdcScan(fullSchema: StructType, pruned: StructType, opts: CdcOptions,
             val rs = conn.createStatement().executeQuery(sql)
             rs.next(); rs.getLong(1)
           }
-          CdcScan.statsCache.put(key, (now, fresh))
+          CdcScan.statsPut(key, now, fresh)
           fresh
         }
         java.util.OptionalLong.of(n)
@@ -383,8 +383,22 @@ object CdcScan {
     * past the threshold, so the window only needs to cover the re-plans
     * of one query burst (AQE, self-joins), not a session. */
   private[sources] val StatsTtlMs = 30000L
+  /** Hard cap on live entries: every distinct (url, probe-SQL) pair —
+    * i.e. every table × pushed-predicate combination a session ever
+    * plans — gets a slot, so without a bound a long-lived driver over
+    * many tables accumulates forever. Entries past the TTL are useless
+    * by definition (never read again), so inserts sweep them out; the
+    * cap is a backstop for >512 distinct probes inside one 30 s window,
+    * where clearing (losing at worst one probe per re-plan) beats
+    * unbounded growth. */
+  private[sources] val StatsMaxEntries = 512
   private[sources] val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+  private[sources] def statsPut(key: (String, String), ts: Long, n: Long): Unit = {
+    statsCache.entrySet().removeIf(e => ts - e.getValue._1 >= StatsTtlMs)
+    if (statsCache.size >= StatsMaxEntries) statsCache.clear()
+    statsCache.put(key, (ts, n))
+  }
 }
 
 /** Offset = largest polling-column value emitted; serialized as

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.SnapshotDiff
+import graft.sources.Jdbc
+
+/** The capture LOOP for snapshot differencing — entry-point parity with
+  * the polling and listening modes for tables the reference cannot
+  * capture at all (no binlog, no monotonic offset column; see
+  * [[graft.operators.SnapshotDiff]] and ref `CDCSource.java` polling
+  * contract). Where polling checkpoints an offset, this loop checkpoints
+  * the LAST SNAPSHOT — as parquet plus its `buckets`-row digest table —
+  * under `stateDir`, so each round pays ONE source scan (write the fresh
+  * snapshot) and a digest-pruned diff against the persisted state.
+  *
+  * State layout (any Hadoop filesystem — local, HDFS, S3A):
+  * {{{
+  * stateDir/round_<n>/snapshot/   parquet image of the source at round n
+  * stateDir/round_<n>/digests/    SnapshotDiff.bucketDigests of it
+  * stateDir/round_<n>/_COMMIT     marker, written LAST by commit()
+  * }}}
+  *
+  * Delivery is AT-LEAST-ONCE with the same commit geometry as the
+  * streaming engine's foreachBatch checkpoint (offsets commit AFTER the
+  * batch handler returns): [[CaptureRound.commit]] is called after the
+  * change set has been applied, so a crash between apply and commit
+  * replays the round — the next capture finds the previous committed
+  * state, recomputes the IDENTICAL change set (the uncommitted round's
+  * files are swept on entry), and re-applies it. Round-trip and recovery
+  * are pinned in CdcSpec.
+  */
+object SnapshotCapture {
+
+  /** One capture round: the change set (envelope convention — feeds
+    * [[JdbcApply]] unchanged) and the commit that publishes this round's
+    * snapshot as the new baseline. Call `commit()` only after `changes`
+    * has been fully applied/persisted downstream. */
+  final case class CaptureRound(round: Long, changes: DataFrame, commit: () => Unit)
+
+  /** Run one round against `source` (evaluated exactly once, into this
+    * round's snapshot parquet — the diff then reads parquet, never the
+    * live table, so mutations during the round cannot tear the image).
+    * Bootstrap (no committed round yet): every row returns as an insert —
+    * the initial-sync convention of the reference's snapshot-then-stream
+    * modes. */
+  def capture(spark: SparkSession, source: DataFrame, pk: Seq[String],
+              stateDir: String, buckets: Int = 4096): CaptureRound = {
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = listRounds(fs, dir)
+    sweepUncommitted(fs, dir, committed)
+    val round = committed.lastOption.map(_ + 1L).getOrElse(0L)
+    val roundDir = new Path(dir, s"round_$round")
+    // ONE scan of the live source; everything downstream reads the image
+    source.write.mode("overwrite").parquet(new Path(roundDir, "snapshot").toString)
+    val cur = spark.read.parquet(new Path(roundDir, "snapshot").toString)
+    SnapshotDiff.bucketDigests(cur, pk, buckets)
+      .write.mode("overwrite").parquet(new Path(roundDir, "digests").toString)
+    val changes = committed.lastOption match {
+      case Some(prev) =>
+        val prevDir = new Path(dir, s"round_$prev")
+        SnapshotDiff.diffPrunedIncremental(
+          spark.read.parquet(new Path(prevDir, "snapshot").toString),
+          spark.read.parquet(new Path(prevDir, "digests").toString),
+          cur, pk, buckets)
+      case None => SnapshotDiff.diff(cur.limit(0), cur, pk)
+    }
+    CaptureRound(round, changes,
+      () => { fs.create(new Path(roundDir, "_COMMIT"), true).close(); () })
+  }
+
+  /** One-call capture → apply → commit: runs [[capture]], pushes the
+    * change set into `targetTable` through [[JdbcApply]]'s batched
+    * prepared statements, commits the round, returns the number of
+    * changes applied. The full no-binlog replication loop as a single
+    * call — schedule it (cron, Airflow) and the target converges on the
+    * source every round. */
+  def captureAndApply(spark: SparkSession, source: DataFrame, pk: Seq[String],
+                      stateDir: String, target: Jdbc.ConnectionSpec,
+                      targetTable: String, buckets: Int = 4096): Long = {
+    val r = capture(spark, source, pk, stateDir, buckets)
+    // the change set is consumed twice (count + apply): pin it so the
+    // pruned diff's join does not run twice; released before returning
+    r.changes.persist()
+    try {
+      val n = r.changes.count()
+      JdbcApply(target, targetTable, pk)(r.changes, r.round)
+      r.commit()
+      n
+    } finally { r.changes.unpersist(blocking = false); () }
+  }
+
+  private def listRounds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("round_\\d+"))
+      .filter(p => fs.exists(new Path(p, "_COMMIT")))
+      .map(_.getName.stripPrefix("round_").toLong).sorted
+
+  /** Crash garbage: a round directory without its `_COMMIT` marker is a
+    * capture that died before (or during) apply — its change set was
+    * never acknowledged, so the files are dead and the round number will
+    * be reused by the re-capture. */
+  private def sweepUncommitted(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                               committed: Seq[Long]): Unit =
+    if (fs.exists(dir)) {
+      val keep = committed.toSet
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.matches("round_\\d+"))
+        .filterNot(p => keep.contains(p.getName.stripPrefix("round_").toLong))
+        .foreach(p => fs.delete(p, true))
+    }
+}

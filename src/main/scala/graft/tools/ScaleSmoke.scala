@@ -139,6 +139,20 @@ object ScaleSmoke {
     val embs0 = Tables.embeddings(spark, dir)
     // (family, factor) -> all samples across passes
     val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    // machine-health probe, identical to Bench's: pure codegen arithmetic
+    // over an in-memory range — constant work, no I/O, nothing under
+    // test. Timed at the start of every pass; a pass whose sentinel blows
+    // past the best pass's marks a contention window the interleaved
+    // median could NOT absorb (the round-7 bench failure, and the suspect
+    // for the non-monotone contam_bloom 40x point in SCALE_SMOKE_r07)
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("sum(xxhash64(id)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     def time(tag: String, n: Int)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -159,7 +173,12 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$smokeDir/docs_x$n")
       println(f"[scale] materialize deep corpus x$n%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    factors.foreach { n =>
+    // snapshots materialize for EVERY factor including the deep ones: the
+    // snap-diff families are exactly where the digest prune's claim must
+    // be proven at depth (a fixed ~100-row change set over a table that
+    // grows 100x — churn 0.07% at 1x, 0.0007% at 100x; the verdict-r7
+    // low-churn crossover requirement)
+    allFactors.foreach { n =>
       val t0 = System.nanoTime()
       val ordersN = replicateOrders(Tables.orders(spark, dir), n)
       ordersN.write.mode("overwrite").parquet(s"$smokeDir/orders_before_x$n")
@@ -205,6 +224,29 @@ object ScaleSmoke {
           .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
         Dedup.contaminationPairs(train, test, 3L).count()
       }
+      // snapshot diff at depth: table grows with the factor, the CHANGE
+      // SET stays fixed (keys < 100 updated, three keys deleted — all in
+      // the base replica's range) — the realistic repeated-capture round,
+      // against PERSISTED snapshots (a capture loop diffs stored parquet
+      // images; a lazily-recomputed snapshot would bill its own lineage
+      // to every scan the diff makes). The full diff pays two scans plus
+      // a full-table PK-join exchange on BOTH sides; the incremental
+      // prune pays ONE scan (digesting the new snapshot — last round's
+      // digests are a stored artifact) plus dirty-bucket-only joins. At
+      // 1x the four-scan overhead can exceed the avoided join (expected,
+      // documented); as the table grows and churn falls toward zero the
+      // avoided exchange dominates and incr must CROSS BELOW full by a
+      // widening margin — that crossover is the claim this curve records.
+      val beforeSnap = spark.read.parquet(s"$smokeDir/orders_before_x$n")
+      val afterSnap = spark.read.parquet(s"$smokeDir/orders_after_x$n")
+      time("snap_diff_full", n)(
+        graft.operators.SnapshotDiff.diff(beforeSnap, afterSnap,
+          Seq("o_orderkey")).count())
+      time("snap_diff_incr", n) {
+        val prevDigests = spark.read.parquet(s"$smokeDir/orders_digests_x$n")
+        graft.operators.SnapshotDiff.diffPrunedIncremental(
+          beforeSnap, prevDigests, afterSnap, Seq("o_orderkey")).count()
+      }
     }
 
     def fullSuite(n: Int): Unit = {
@@ -226,28 +268,6 @@ object ScaleSmoke {
       }
       time("hash_split", n)(
         docs.select(TF.splitBucket(col("doc_id")).as("b")).groupBy("b").count().count())
-      // snapshot diff: table grows with the factor, the CHANGE SET stays
-      // fixed (keys < 100 updated, three keys deleted — all in the base
-      // replica's range) — the realistic repeated-capture round, against
-      // PERSISTED snapshots (a capture loop diffs stored parquet images,
-      // and a lazily-recomputed snapshot would bill its own lineage to
-      // every scan the diff makes). The digest prune trades two extra
-      // parquet scans for the full-table PK-join exchange; the avoided
-      // exchange is the term that dominates on a real cluster's network.
-      val beforeSnap = spark.read.parquet(s"$smokeDir/orders_before_x$n")
-      val afterSnap = spark.read.parquet(s"$smokeDir/orders_after_x$n")
-      time("snap_diff_full", n)(
-        graft.operators.SnapshotDiff.diff(beforeSnap, afterSnap,
-          Seq("o_orderkey")).count())
-      // the loop shape: last round's digests are a stored artifact, so a
-      // round costs ONE full scan (digesting the new snapshot) + the
-      // dirty-bucket-only joins — vs the full diff's two scans + a
-      // full-table PK-join exchange
-      time("snap_diff_incr", n) {
-        val prevDigests = spark.read.parquet(s"$smokeDir/orders_digests_x$n")
-        graft.operators.SnapshotDiff.diffPrunedIncremental(
-          beforeSnap, prevDigests, afterSnap, Seq("o_orderkey")).count()
-      }
       time("vocab_coverage", n)(TF.vocabCoverage(docs, 100).count())
       time("embed_outliers", n)(
         Similarity.labelCentroidOutliers(embs, 10).count())
@@ -310,11 +330,14 @@ object ScaleSmoke {
     // warm-up
     Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
     spark.catalog.clearCache()
+    sentinel() // JIT the probe itself before any timed use
 
     (1 to runs).foreach { pass =>
-      println(s"[scale] ======== pass $pass/$runs ========")
+      val s = sentinel(); sentinels += s
+      println(f"[scale] ======== pass $pass/$runs (sentinel $s%.3f s) ========")
       factors.foreach { n => fullSuite(n); deepSuite(n) }
       deepFactors.foreach(deepSuite)
+      graft.functions.Dedup.releaseCcLabels()
     }
 
     // one-line JSON artifact: per (family, factor) the MEDIAN seconds
@@ -333,7 +356,16 @@ object ScaleSmoke {
       }.mkString("[", ",", "]")
       s""""$fam":$ser"""
     }.mkString("{", ",", "}")
-    println(s"""[scalejson] {"sf":"$dir","runs":$runs,"families":$families}""")
+    val sentJson = sentinels.map(s =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))).mkString("[", ",", "]")
+    val contended = sentinels.zipWithIndex.collect {
+      case (s, i) if s > 2.5 * sentinels.min => i
+    }
+    if (contended.nonEmpty)
+      System.err.println(s"[scale] CONTENDED passes ${contended.mkString(",")}: " +
+        s"sentinels $sentJson — treat this artifact as suspect and re-run")
+    println(s"""[scalejson] {"sf":"$dir","runs":$runs,"sentinel":$sentJson,""" +
+      s""""contended_passes":${contended.mkString("[", ",", "]")},"families":$families}""")
     spark.stop()
   }
 }

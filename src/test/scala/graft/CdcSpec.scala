@@ -125,6 +125,65 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("snapshot-diff capture loop: bootstrap sync, quiet round, crash replay (no-binlog O17/O18 analog)") {
+    // the capture-mode mirror of the polling checkpoint-recovery spec:
+    // state lives under stateDir instead of a stream checkpoint, commit
+    // happens AFTER apply (at-least-once, same geometry as foreachBatch)
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:/tmp/graft-derby/cap_loop;create=true"
+    val plain = url.stripSuffix(";create=true")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      for (t <- Seq("CSRC", "CTGT")) {
+        try conn.createStatement().execute(s"DROP TABLE $t") catch { case _: Exception => }
+        conn.createStatement().execute(s"CREATE TABLE $t (ID INT, NAME VARCHAR(32), V DOUBLE)")
+      }
+      conn.createStatement().execute(
+        "INSERT INTO CSRC VALUES (1,'a',1.0), (2,'b',2.0), (3,'c',3.0)")
+      val opts = Map("url" -> plain, "table.name" -> "CSRC",
+        "polling.column" -> "id", "numpartitions" -> "2")
+      val state = Files.createTempDirectory("cap_state").toString
+      val spec = graft.sources.Jdbc.ConnectionSpec(plain, Map.empty)
+      def src() = query("CSRC"); def tgt() = query("CTGT")
+      def query(t: String) = {
+        val rs = conn.createStatement().executeQuery(s"SELECT ID, NAME, V FROM $t ORDER BY ID")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+      }
+      // round 0: bootstrap — the initial full sync arrives as inserts
+      assert(Cdc.snapshotDiffApply(spark, opts, Seq("id"), state, spec, "CTGT") === 3L)
+      assert(tgt() === src())
+      // quiet round: two digest tables compared, zero changes applied
+      assert(Cdc.snapshotDiffApply(spark, opts, Seq("id"), state, spec, "CTGT") === 0L)
+      // mutations while the loop was "down" — including the in-place
+      // update and delete the reference's polling deltas can never see
+      conn.createStatement().execute("UPDATE CSRC SET V = 9.0 WHERE ID = 2")
+      conn.createStatement().execute("DELETE FROM CSRC WHERE ID = 3")
+      conn.createStatement().execute("INSERT INTO CSRC VALUES (4,'d',4.0)")
+      // crash BEFORE apply: a capture that derives its change set and
+      // dies — never applied, never committed
+      val crashed = Cdc.snapshotCapture(spark, opts, Seq("id"), state)
+      val lost = crashed.changes.select("id", "_op").orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(lost === Seq((2, "update"), (3, "delete"), (4, "insert")))
+      // restart: the orphaned round is swept, the SAME change set is
+      // recomputed from the last committed baseline, applied, committed
+      assert(Cdc.snapshotDiffApply(spark, opts, Seq("id"), state, spec, "CTGT") === 3L)
+      assert(tgt() === src())
+      // crash AFTER apply, before commit: the round replays and
+      // re-applies — at-least-once, and row-level ops converge
+      conn.createStatement().execute("UPDATE CSRC SET NAME = 'B2' WHERE ID = 2")
+      val applied = Cdc.snapshotCapture(spark, opts, Seq("id"), state)
+      graft.streaming.JdbcApply(spec, "CTGT", Seq("id"))(applied.changes, applied.round)
+      assert(tgt() === src()) // applied... then "crash" (no commit)
+      assert(Cdc.snapshotDiffApply(spark, opts, Seq("id"), state, spec, "CTGT") === 1L)
+      assert(tgt() === src()) // replayed update is idempotent
+      // and the loop is settled: nothing left to deliver
+      assert(Cdc.snapshotDiffApply(spark, opts, Seq("id"), state, spec, "CTGT") === 0L)
+    } finally conn.close()
+  }
+
   test("polling mode routes to the V2 source with options intact") {
     // no DB behind it — assert routing by the source's own failure mode:
     // the error must come from the JDBC layer hitting OUR url (proving

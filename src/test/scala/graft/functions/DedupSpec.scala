@@ -214,6 +214,32 @@ class DedupSpec extends SparkSpec {
     assert(canons.subsetOf(kept.map(_._1).toSet))
   }
 
+  test("repeated nearDupClusters + releaseCcLabels returns executor storage to baseline") {
+    // the round-7 finding: every connectedComponents call localCheckpoints
+    // edges + one label table per round and never unpersisted any — ~8 CC
+    // runs per bench session of permanently pinned blocks. The fix frees
+    // intermediates inside the call; the returned table's blocks go to a
+    // ledger drained by releaseCcLabels. Assert on getPersistentRDDs (the
+    // only view that sees checkpoint blocks — the CacheManager doesn't).
+    Dedup.releaseCcLabels()
+    def live(): Int = spark.sparkContext.getPersistentRDDs.size
+    val baseline = live()
+    val perCall = new scala.collection.mutable.ArrayBuffer[Int]
+    (1 to 3).foreach { _ =>
+      Dedup.nearDupClusters(docs, Bands, 800).count()
+      perCall += live() - baseline
+    }
+    // each call may leave ONLY its returned label table's blocks (one
+    // tracked checkpoint), never the edges or per-round intermediates:
+    // growth must be exactly linear in calls, one checkpoint table each
+    assert(perCall(0) >= 1, "expected the returned label table to stay pinned")
+    assert(perCall.toSeq === Seq(perCall(0), 2 * perCall(0), 3 * perCall(0)),
+      s"per-round intermediates leaked: persistent-RDD growth $perCall")
+    Dedup.releaseCcLabels()
+    assert(live() === baseline,
+      "releaseCcLabels must return executor storage to baseline")
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()

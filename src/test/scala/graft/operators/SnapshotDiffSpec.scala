@@ -98,6 +98,91 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(SnapshotDiff.diffPruned(before, before, Seq("id"), 256).isEmpty)
   }
 
+  test("digest prune detects a null-position swap (hash functions skip NULLs)") {
+    // (a='x', b=NULL) -> (a=NULL, b='x'): xxhash64 over values alone is
+    // IDENTICAL for both rows (null inputs leave the running hash
+    // unchanged), so a signature without null flags silently prunes this
+    // update — the deterministic collision class from the round-7 advice
+    val before = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("k"), Option("m"))).toDF("id", "a", "b")
+    val after = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("k"), Option("m"))).toDF("id", "a", "b")
+    val full = SnapshotDiff.diff(before, after, Seq("id"))
+      .select("id", "_op").as[(Long, String)].collect().toSeq
+    assert(full === Seq((1L, "update")))
+    val pruned = SnapshotDiff.diffPruned(before, after, Seq("id"), buckets = 64)
+      .select("id", "_op").as[(Long, String)].collect().toSeq
+    assert(pruned === full)
+    // and the same through the persisted-digest capture-loop path
+    val incr = SnapshotDiff.diffPrunedIncremental(before,
+        SnapshotDiff.bucketDigests(before, Seq("id"), 64), after, Seq("id"), 64)
+      .select("id", "_op").as[(Long, String)].collect().toSeq
+    assert(incr === full)
+  }
+
+  test("incremental diff refuses a digest artifact with a mismatched bucket count or column set") {
+    val before = (1L to 500L).map(i => (i, s"s$i")).toDF("id", "s")
+    val after = (1L to 500L).map(i => (i, if (i == 7) "CHANGED" else s"s$i")).toDF("id", "s")
+    // bucket-count mismatch: stamped artifact fails loudly instead of
+    // misaligning bucket ids and silently pruning real changes
+    val wrongBuckets = SnapshotDiff.bucketDigests(before, Seq("id"), 128)
+    val e1 = intercept[Exception] {
+      SnapshotDiff.diffPrunedIncremental(before, wrongBuckets, after, Seq("id"), 256).count()
+    }
+    assert(e1.getMessage.contains("buckets"), e1.getMessage)
+    // column-order mismatch: signatures not comparable
+    val wrongCols = SnapshotDiff.bucketDigests(before.select("s", "id"), Seq("id"), 256)
+    val e2 = intercept[Exception] {
+      SnapshotDiff.diffPrunedIncremental(before, wrongCols, after, Seq("id"), 256).count()
+    }
+    assert(e2.getMessage.contains("not be comparable"), e2.getMessage)
+    // legacy artifact (no stamps): the weaker range check still catches a
+    // LARGER original bucket count
+    val legacyBig = SnapshotDiff.bucketDigests(before, Seq("id"), 4096)
+      .drop("_buckets", "_cols")
+    val e3 = intercept[Exception] {
+      SnapshotDiff.diffPrunedIncremental(before, legacyBig, after, Seq("id"), 64).count()
+    }
+    assert(e3.getMessage.contains("outside"), e3.getMessage)
+    // matching stamped artifact passes and finds the change
+    val ok = SnapshotDiff.diffPrunedIncremental(before,
+      SnapshotDiff.bucketDigests(before, Seq("id"), 256), after, Seq("id"), 256)
+    assert(ok.select("id").as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("diff over two PK-bucketed snapshots plans ZERO hash exchanges (co-located full outer)") {
+    // the scaladoc claim (SnapshotDiff.scala header): snapshots written
+    // bucketBy(pk) make the full-outer join exchange-free. BucketedJoinSpec
+    // proves it for inner joins; a full-outer SortMergeJoin has the same
+    // required distribution, so the bucketed scan must satisfy it too —
+    // this is what makes a RECURRING capture loop pay zero shuffle per
+    // round at 100 TB (each snapshot is bucket-written once, on ingest).
+    val before = (1L to 2000L).map(i => (i, s"s$i", i * 10)).toDF("id", "s", "v")
+    val after = (3L to 2002L).map(i =>
+      (i, if (i % 97 == 0) "CHANGED" else s"s$i", i * 10)).toDF("id", "s", "v")
+    try {
+      Bucketing.writeBucketed(before, "snap_before", "id", 4)
+      Bucketing.writeBucketed(after, "snap_after", "id", 4)
+      // kill broadcast: a BHJ cannot serve a full outer join anyway, but
+      // keep the plan deterministic under AQE
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = SnapshotDiff.diff(
+        spark.table("snap_before"), spark.table("snap_after"), Seq("id"))
+      val p = d.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+        s"expected full-outer SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot diff must not shuffle either side:\n$p")
+      // and parity with the unbucketed diff (plan change, same rows)
+      val plain = SnapshotDiff.diff(before, after, Seq("id"))
+      assert(d.exceptAll(plain).isEmpty && plain.exceptAll(d).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS snap_before")
+      spark.sql("DROP TABLE IF EXISTS snap_after")
+    }
+  }
+
   test("identical snapshots diff to empty; fully disjoint ones to inserts + deletes") {
     val x = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     assert(SnapshotDiff.diff(x, x, Seq("id")).isEmpty)
