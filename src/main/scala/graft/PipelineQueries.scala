@@ -591,6 +591,31 @@ object PipelineQueries {
       .orderBy(abs(col("delta_ppm")).desc, col("word"))
   }
 
+  /** p36 — duplicate-n-gram fraction ([[Dedup.dupNgramFraction]]): the
+    * CROSS-document boilerplate signal (Gopher-family corpus filter) —
+    * per doc, the milli-fraction of its distinct trigram shingles that
+    * occur in ≥ 2 docs corpus-wide. Complements p15 (INTRA-doc
+    * repetition) and the pair dedups (which miss boilerplate no single
+    * pair carries past a threshold). */
+  private def p36(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupNgramFraction(docs(s, dir)).orderBy("doc_id")
+
+  /** p37 — cross-corpus near-dup pairs ([[Dedup.lshIndex]] +
+    * [[Dedup.crossCorpusPairs]]): dedup-on-INGEST — which docs of a new
+    * crawl increment near-duplicate a doc already in the indexed corpus.
+    * Fixture: docs with `doc_id % 4 = 0` play the increment, the rest
+    * the indexed corpus (real cross-split near-dups exist by the corpus'
+    * planted near-dup structure). The index is built in-query here; a
+    * deployment writes it to parquet once and each increment probes it
+    * without re-touching the corpus. */
+  private def p37(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val newDocs = d.where(pmod(col("doc_id"), lit(4)) === 0)
+    val oldIdx = Dedup.lshIndex(d.where(pmod(col("doc_id"), lit(4)) =!= 0), Bands)
+    Dedup.crossCorpusPairs(newDocs, oldIdx, Bands, JaccThreshold)
+      .orderBy("new_id", "old_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -627,6 +652,8 @@ object PipelineQueries {
     "p33_contamination_bloom" -> p33 _,
     "p34_frame_autocorr" -> p34 _,
     "p35_vocab_drift" -> p35 _,
+    "p36_dup_ngram_fraction" -> p36 _,
+    "p37_dedup_cross_corpus" -> p37 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1169,6 +1196,36 @@ object PipelineQueries {
          |      FROM od FULL OUTER JOIN nd ON od.word = nd.word)
          |SELECT word, old_ppm, new_ppm, new_ppm - old_ppm AS delta_ppm
          |FROM j ORDER BY abs(new_ppm - old_ppm) DESC, word LIMIT $DriftK""".stripMargin,
+    "p36_dup_ngram_fraction" ->
+      s"""WITH $ShingleCte,
+         |df AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+         |per AS (SELECT s.sid, count(*) AS total_shingles,
+         |          CAST(floor(1000.0 * sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END)
+         |               / count(*)) AS BIGINT) AS dup_milli
+         |        FROM sh s JOIN df d ON s.sh = d.sh GROUP BY s.sid)
+         |SELECT w.doc_id, coalesce(p.total_shingles, 0) AS total_shingles,
+         |       coalesce(p.dup_milli, 0) AS dup_milli
+         |FROM w LEFT JOIN per p ON w.doc_id = p.sid
+         |ORDER BY doc_id""".stripMargin,
+    "p37_dedup_cross_corpus" ->
+      s"""WITH $ShingleCte,
+         |bands AS (SELECT unnest(${(0 until Bands).map(b => s"'$b'").mkString("[", ", ", "]")}) AS band),
+         |sig AS (SELECT sid, band,
+         |          ${(0 until Dedup.RowsPerBand)
+                      .map(r => s"min(md5(band || '.$r|' || sh))").mkString(" || ")} AS sig
+         |        FROM sh CROSS JOIN bands GROUP BY sid, band),
+         |cand AS (SELECT DISTINCT n.sid AS new_id, o.sid AS old_id
+         |         FROM sig n JOIN sig o ON n.band = o.band AND n.sig = o.sig
+         |         WHERE n.sid % 4 = 0 AND o.sid % 4 <> 0),
+         |inter AS (SELECT a.sid AS new_id, b.sid AS old_id, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh
+         |          JOIN cand c ON c.new_id = a.sid AND c.old_id = b.sid
+         |          GROUP BY 1, 2)
+         |SELECT i.new_id, i.old_id,
+         |       CAST(floor(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) AS jacc_milli
+         |FROM inter i JOIN sizes sa ON i.new_id = sa.sid JOIN sizes sb ON i.old_id = sb.sid
+         |WHERE CAST(floor(1000.0 * i.inter / (sa.n + sb.n - i.inter)) AS BIGINT) >= $JaccThreshold
+         |ORDER BY new_id, old_id""".stripMargin,
     "p26_dedup_substring" ->
       s"""WITH $NormCte,
          |wh AS (SELECT DISTINCT doc_id AS sid,

@@ -219,6 +219,96 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
   }
 
+  /** Per-document duplicate-n-gram fraction — the CROSS-document
+    * repetition quality signal (the "duplicate n-gram fraction" family of
+    * corpus filters, Rae et al. 2021 "Scaling Language Models" Gopher
+    * filtering; distinct from p15's INTRA-document repetition): for each
+    * doc, the fraction of its distinct word-trigram shingles that occur
+    * in at least `minDocs` documents corpus-wide. High values mark
+    * boilerplate (headers, licenses, navigation chrome) that pair-level
+    * dedup never removes because no single pair crosses its threshold.
+    * Output: (doc_id, total_shingles, dup_milli) — integer milli per the
+    * repo determinism contract; shingle-less docs (< 3 words) emit
+    * (0, 0).
+    *
+    * Scale shape: two passes over the exploded shingle stream — one
+    * shingle-keyed partial-agg count (doc frequency; shingles are
+    * distinct per doc so `count(*)` IS df), one join back + doc-keyed
+    * rollup. Both shuffles carry (shingle, count) / (doc, counts) cells,
+    * never text; hot shingles (stopword runs) are exactly the p24 df-join
+    * skew class — AQE's skew split handles them, measured in the
+    * `tfidf_skew_smj` smoke curve. */
+  def dupNgramFraction(docs: DataFrame, minDocs: Long = 2L,
+                       idCol: String = "doc_id"): DataFrame = {
+    val shArr = shingleArrays(docs, idCol)
+    // merge hints: both sides derive from a Generate whose row estimate
+    // Catalyst reads as the small scan underneath — an auto-broadcast of
+    // the blown-up side is the same trap documented on ngramJaccardPairs
+    val sh = shArr.select(col("sid"), explode(col("shs")).as("sh")).hint("merge")
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df")).hint("merge")
+    val perDoc = sh.join(df, "sh")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("total_shingles"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("_dup"))
+      .withColumn("dup_milli",
+        floor(lit(1000.0) * col("_dup") / col("total_shingles")).cast("long"))
+    shArr.select(col("sid")).join(perDoc, Seq("sid"), "left")
+      .select(col("sid").as(idCol),
+        coalesce(col("total_shingles"), lit(0L)).as("total_shingles"),
+        coalesce(col("dup_milli"), lit(0L)).as("dup_milli"))
+  }
+
+  /** Persistable near-dup INDEX of a corpus: one row per doc with its
+    * shingle array and the full MinHash band-signature array (map-side
+    * expressions only — building the index costs one corpus scan, no
+    * shuffle). Write it next to the corpus; [[crossCorpusPairs]] probes
+    * it without ever re-reading, re-shingling, or re-signing the indexed
+    * corpus — the INCREMENTAL ingestion shape: a 100 TB corpus is indexed
+    * once, and each new crawl increment pays only its own size, exactly
+    * like the snapshot-diff digest artifact turns repeated capture into
+    * one scan per round. */
+  def lshIndex(docs: DataFrame, bands: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val shArr = shingleArrays(docs, idCol, textCol)
+    shArr.select(col("sid"), col("shs"),
+      minhashBandsCol(col("shs"), bands, shArr.sparkSession).as("bandsigs"))
+  }
+
+  /** New-vs-indexed near-dup pairs: which incoming docs near-duplicate a
+    * doc already in the corpus (dedup-on-ingest; also the cross-SPLIT
+    * leak check when `index` is the held-out set). `index` is a
+    * [[lshIndex]] frame — typically read back from parquet. Candidates
+    * collide on any (band, signature); verification is exact trigram
+    * Jaccard on the candidate pairs only, identical to [[minhashLsh]]'s
+    * verify. Output: (new_id, old_id, jacc_milli).
+    *
+    * Scale shape: the new increment is shingled/signed map-side; the one
+    * large shuffle is the (band, sig) equi-join of new signatures against
+    * the index's — both sides partial-agg'd to distinct signature rows
+    * first. The verify joins are candidate-sized and AQE-broadcast. The
+    * indexed corpus' TEXT is never touched. */
+  def crossCorpusPairs(newDocs: DataFrame, index: DataFrame, bands: Int,
+                       thresholdMilli: Int): DataFrame = {
+    val newIdx = lshIndex(newDocs, bands)
+    val nSig = newIdx.select(col("sid").as("new_id"),
+      posexplode(col("bandsigs")).as(Seq("band", "sig"))).hint("merge")
+    val oSig = index.select(col("sid").as("old_id"),
+      posexplode(col("bandsigs")).as(Seq("band", "sig"))).hint("merge")
+    val cands = nSig.join(oSig, Seq("band", "sig"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val a = newIdx.select(col("sid").as("new_id"), col("shs").as("shs_a"))
+    val b = index.select(col("sid").as("old_id"), col("shs").as("shs_b"))
+    cands.join(a, Seq("new_id")).join(b, Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+        size(col("shs_a")).cast("long").as("na"),
+        size(col("shs_b")).cast("long").as("nb"))
+      .withColumn("jacc_milli",
+        floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .where(col("jacc_milli") >= thresholdMilli)
+      .select(col("new_id"), col("old_id"), col("jacc_milli"))
+  }
+
   /** Exact-substring overlap pairs — the copied-span dedup family member
     * (suffix-array dedup à la Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better", re-expressed for Spark): docs

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.functions.{Dedup, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Dev diagnostic: time ONE smoke family at one factor in a fresh JVM —
+  * for adjudicating whether a deep-factor ScaleSmoke point reflects the
+  * operator or accumulated JVM state (heap churn, code-cache pressure)
+  * from the families that ran before it in the same process.
+  * `runMain graft.tools.ProbeFamily <smokeDir> <family> <factor> [reps]` */
+object ProbeFamily {
+  def main(args: Array[String]): Unit = {
+    val spark = DevTool.session()
+    val smokeDir = args(0)
+    val family = args(1)
+    val n = args(2).toInt
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
+    def run(): Long = family match {
+      case "tfidf_topk" =>
+        TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
+          col("_ws"), 3).count()
+      case "substring_overlap" => Dedup.substringOverlapPairs(docs, 48, 2L).count()
+      case "minhash_lsh" => Dedup.minhashLsh(docs, 8, 800).count()
+      case "contam_bloom" =>
+        val sh = Dedup.shingleArrays(docs)
+        val train = sh.where(pmod(col("sid"), lit(20)) =!= 0)
+          .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+        val test = sh.where(pmod(col("sid"), lit(20)) === 0)
+          .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+        Dedup.contaminationPairs(train, test, 3L).count()
+      case other => sys.error(s"unknown family $other")
+    }
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val rows = run()
+      println(f"[probe] $family x$n rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * Noise defense mirrors [[graft.Bench]]: each (family, factor) point is
   * the MEDIAN of `SPARK_GRAFT_SMOKE_RUNS` (default 3) samples taken on
-  * INTERLEAVED whole-matrix passes — run every family at every factor,
-  * then repeat the whole matrix — so a minutes-long noisy neighbor can
-  * poison at most one sample per point and the median discards it.
-  * (The r5→r6 substring_overlap 4.4→10.9 s flap was exactly a
-  * single-sample artifact this kills.) Cache cleared between samples.
+  * whole-matrix passes — run every family at every factor, then repeat
+  * the whole matrix — so a minutes-long noisy neighbor can poison at
+  * most one sample per point and the median discards it. (The r5→r6
+  * substring_overlap 4.4→10.9 s flap was exactly a single-sample
+  * artifact this kills.) Cache cleared between samples. Passes run in
+  * SEPARATE JVMs by default (`SPARK_GRAFT_SMOKE_FORK=0` opts out): an
+  * in-process pass loop contaminates the late samples of every pass
+  * with accumulated executor state — see the note in [[main]].
   *
   * The five shuffle-heavy families whose plans the 100 TB story leans on
   * hardest (minhash_lsh, dedup_clusters, substring_overlap, tfidf_topk,
@@ -128,45 +131,33 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = DevTool.session()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 4, 10)
     val deepFactors = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DEEP", "40,100")
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
       .filterNot(factors.contains)
     val runs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_RUNS", "3").toInt
-    val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
-    val embs0 = Tables.embeddings(spark, dir)
-    // (family, factor) -> all samples across passes
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
-    // machine-health probe, identical to Bench's: pure codegen arithmetic
-    // over an in-memory range — constant work, no I/O, nothing under
-    // test. Timed at the start of every pass; a pass whose sentinel blows
-    // past the best pass's marks a contention window the interleaved
-    // median could NOT absorb (the round-7 bench failure, and the suspect
-    // for the non-monotone contam_bloom 40x point in SCALE_SMOKE_r07)
-    def sentinel(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 400000000L, 1L, 32)
-        .selectExpr("sum(xxhash64(id)) AS s")
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def time(tag: String, n: Int)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $tag%-18s x$n%-3d $sec%8.2f s  rows=$rows")
-      samples += ((tag, n, sec, rows))
-      spark.catalog.clearCache() // operator caches must not leak across samples
-    }
+    // PROCESS-PER-PASS is the default for multi-pass runs: an in-process
+    // pass loop poisons the late (deep-factor) points of every early pass
+    // — shuffle-file and broadcast registries are cleaned by the
+    // ContextCleaner only on driver GC, which a 48g heap defers for most
+    // of a pass, so samples taken ~90 queries into a JVM measure the
+    // accumulated-state drag, not the operator (observed: tfidf_topk
+    // 100x at 54-68 s in passes whose JVM had history vs 11.7-15 s in a
+    // fresh one, same code). A forked pass starts with a fresh JVM; the
+    // parent merges medians, and the per-pass sentinel then compares
+    // MACHINE state cleanly across identical process lifecycles.
+    if (runs > 1 && sys.env.getOrElse("SPARK_GRAFT_SMOKE_FORK", "1") != "0")
+      forkedPasses(dir, factors, deepFactors, runs)
+    else inProcess(dir, factors, deepFactors, runs)
+  }
 
-    // materialize every deep factor's salted corpus once, before any
-    // timing: the salting transform must never sit inside a timed plan
-    // (see the replicateDocsDistinct scaladoc)
-    val smokeDir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
-    val allFactors = (factors ++ deepFactors).distinct.sorted
+  /** Materialize the salted corpora + snapshot fixtures once (the salting
+    * transform must never sit inside a timed plan — see
+    * [[replicateDocsDistinct]]); forked passes share one materialization. */
+  private def materialize(spark: SparkSession, dir: String,
+                          allFactors: Seq[Int], smokeDir: String): Unit = {
+    val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     allFactors.foreach { n =>
       val t0 = System.nanoTime()
       replicateDocsDistinct(docs0, n)
@@ -191,6 +182,95 @@ object ScaleSmoke {
           spark.read.parquet(s"$smokeDir/orders_before_x$n"), Seq("o_orderkey"), 4096)
         .write.mode("overwrite").parquet(s"$smokeDir/orders_digests_x$n")
       println(f"[scale] materialize snapshots   x$n%-3d ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+  }
+
+  private val SampleRe = """\[scalesample\] (\S+) (\d+) ([0-9.]+) (\d+)""".r
+  private val SentinelRe = """\[scalesentinel\] ([0-9.]+)""".r
+
+  /** Parent mode: materialize once, then run each pass as a CHILD JVM
+    * (same JVM flags + classpath, `SPARK_GRAFT_SMOKE_RUNS=1`, shared
+    * corpus dir), parse its `[scalesample]`/`[scalesentinel]` lines, and
+    * merge cross-process medians into the artifact. */
+  private def forkedPasses(dir: String, factors: Seq[Int],
+                           deepFactors: Seq[Int], runs: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val smokeDir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+    locally {
+      val spark = DevTool.session()
+      materialize(spark, dir, (factors ++ deepFactors).distinct.sorted, smokeDir)
+      spark.stop()
+    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to runs).foreach { pass =>
+      println(s"[scale] ======== forked pass $pass/$runs ========")
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.tools.ScaleSmoke", dir) ++
+        factors.map(_.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SMOKE_RUNS", "1")
+      pb.environment().put("SPARK_GRAFT_SMOKE_FORK", "0")
+      pb.environment().put("SPARK_GRAFT_SMOKE_DIR", smokeDir)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      Iterator.continually(out.readLine()).takeWhile(_ != null).foreach {
+        case SampleRe(tag, n, sec, rows) =>
+          samples += ((tag, n.toInt, sec.toDouble, rows.toLong))
+        case SentinelRe(s) => sentinels += s.toDouble
+        case l if l.startsWith("[scale]") => println(l)
+        case _ => ()
+      }
+      val rc = p.waitFor()
+      require(rc == 0, s"forked pass $pass failed with rc=$rc")
+    }
+    emitArtifact(dir, runs, samples.toSeq, sentinels.toSeq)
+  }
+
+  private def inProcess(dir: String, factors: Seq[Int],
+                        deepFactors: Seq[Int], runs: Int): Unit = {
+    val spark = DevTool.session()
+    val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
+    val embs0 = Tables.embeddings(spark, dir)
+    // (family, factor) -> all samples across passes
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    // machine-health probe, identical to Bench's: pure codegen arithmetic
+    // over an in-memory range — constant work, no I/O, nothing under
+    // test. Timed at the start of every pass; a pass whose sentinel blows
+    // past the best pass's marks a contention window the interleaved
+    // median could NOT absorb (the round-7 bench failure, and the suspect
+    // for the non-monotone contam_bloom 40x point in SCALE_SMOKE_r07)
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode makes a 400M-term Long sum an
+      // arithmetic-overflow error; xor is overflow-free and same work
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def time(tag: String, n: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $tag%-18s x$n%-3d $sec%8.2f s  rows=$rows")
+      println(f"[scalesample] $tag $n $sec%.4f $rows")
+      samples += ((tag, n, sec, rows))
+      spark.catalog.clearCache() // operator caches must not leak across samples
+    }
+
+    val smokeDir = sys.env.get("SPARK_GRAFT_SMOKE_DIR") match {
+      case Some(d) => d // forked child: parent already materialized
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft_smoke").toString
+        materialize(spark, dir, (factors ++ deepFactors).distinct.sorted, d)
+        d
     }
 
     /** The five families whose 100 TB plans are shuffle-dominated — these
@@ -335,15 +415,27 @@ object ScaleSmoke {
     (1 to runs).foreach { pass =>
       val s = sentinel(); sentinels += s
       println(f"[scale] ======== pass $pass/$runs (sentinel $s%.3f s) ========")
+      println(f"[scalesentinel] $s%.4f")
       factors.foreach { n => fullSuite(n); deepSuite(n) }
       deepFactors.foreach(deepSuite)
       graft.functions.Dedup.releaseCcLabels()
     }
 
-    // one-line JSON artifact: per (family, factor) the MEDIAN seconds
-    // across interleaved passes + result rows (identical every pass by
-    // determinism) — the recorded scale curve behind the 100 TB
-    // sub-quadratic claims
+    spark.stop()
+    // a forked child (runs=1) feeds its parent via the [scalesample]
+    // lines; its own one-sample artifact line is parsed by nobody and
+    // harmless. Multi-pass in-process runs (SPARK_GRAFT_SMOKE_FORK=0)
+    // keep the original single-JVM artifact path.
+    emitArtifact(dir, runs, samples.toSeq, sentinels.toSeq)
+  }
+
+  /** One-line JSON artifact: per (family, factor) the MEDIAN seconds
+    * across passes + result rows (identical every pass by determinism) —
+    * the recorded scale curve behind the 100 TB sub-quadratic claims,
+    * with the per-pass sentinel values and contended-pass flags. */
+  private def emitArtifact(dir: String, runs: Int,
+                           samples: Seq[(String, Int, Double, Long)],
+                           sentinels: Seq[Double]): Unit = {
     val families = samples.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
       val ser = rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (n, ss) =>
         val secs = ss.map(_._3).sorted
@@ -358,14 +450,15 @@ object ScaleSmoke {
     }.mkString("{", ",", "}")
     val sentJson = sentinels.map(s =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))).mkString("[", ",", "]")
-    val contended = sentinels.zipWithIndex.collect {
-      case (s, i) if s > 2.5 * sentinels.min => i
-    }
+    val contended =
+      if (sentinels.isEmpty) Seq.empty
+      else sentinels.zipWithIndex.collect {
+        case (s, i) if s > 2.5 * sentinels.min => i
+      }
     if (contended.nonEmpty)
       System.err.println(s"[scale] CONTENDED passes ${contended.mkString(",")}: " +
         s"sentinels $sentJson — treat this artifact as suspect and re-run")
     println(s"""[scalejson] {"sf":"$dir","runs":$runs,"sentinel":$sentJson,""" +
       s""""contended_passes":${contended.mkString("[", ",", "]")},"families":$families}""")
-    spark.stop()
   }
 }

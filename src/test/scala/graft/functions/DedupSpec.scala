@@ -214,6 +214,56 @@ class DedupSpec extends SparkSpec {
     assert(canons.subsetOf(kept.map(_._1).toSet))
   }
 
+  test("dupNgramFraction: shared boilerplate scores, unique content 0, shingle-less (0,0)") {
+    val d = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}
+      (2L, "a b c d"), // identical -> every shingle shared -> 1000
+      (3L, "p q r s"), // unique -> 0
+      (4L, "xy"), // < 3 words -> no shingles -> (0, 0)
+      (5L, "a b c x y z w") // 5 shingles, 1 shared ("a b c") -> 200
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramFraction(d).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1000L), (2L, 2L, 1000L), (3L, 2L, 0L),
+      (4L, 0L, 0L), (5L, 5L, 200L)))
+    // and on the real corpus, against a plain recomputation (no hints,
+    // aggregation formulation) — formulations must agree row-for-row
+    val sh = Dedup.shingles(docs)
+    val df2 = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+    val expect = sh.join(df2, "sh").groupBy("sid")
+      .agg(count(lit(1)).as("t"),
+        floor(lit(1000.0) * sum(when(col("c") >= 2, 1L).otherwise(0L)) / count(lit(1)))
+          .cast("long").as("m"))
+    val expectAll = docs.select(col("doc_id")).join(
+        expect.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("t"), lit(0L)), coalesce(col("m"), lit(0L)))
+      .as[(Long, Long, Long)].collect().toSet
+    val gotCorpus = Dedup.dupNgramFraction(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotCorpus === expectAll && gotCorpus.exists(_._3 > 0))
+  }
+
+  test("crossCorpusPairs == full-corpus LSH pairs that cross the split; index round-trips parquet") {
+    val full = Dedup.minhashLsh(docs, Bands, 800)
+      .as[(Long, Long, Long)].collect().toSet
+    // expected: the full-corpus pair set restricted to pairs with exactly
+    // one end in the increment, re-oriented (new_id first) — candidate
+    // generation collides on the same (band, sig) criterion either way
+    val expected = full.collect {
+      case (a, b, j) if a % 4 == 0 ^ b % 4 == 0 =>
+        if (a % 4 == 0) (a, b, j) else (b, a, j)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    Dedup.lshIndex(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), Bands)
+      .write.mode("overwrite").parquet(dir)
+    val got = Dedup.crossCorpusPairs(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0),
+        spark.read.parquet(dir), Bands, 800)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must contain cross-split near-dups")
+  }
+
   test("repeated nearDupClusters + releaseCcLabels returns executor storage to baseline") {
     // the round-7 finding: every connectedComponents call localCheckpoints
     // edges + one label table per round and never unpersisted any — ~8 CC
