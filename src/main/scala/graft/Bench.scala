@@ -30,12 +30,18 @@ import org.apache.spark.sql.SparkSession
   *     vs 11.7-15 s in a fresh JVM, identical code — exactly the r7
   *     "contention that spanned all three passes"). Fresh JVM per pass
   *     makes passes independent and the sentinel comparable.
-  *   - SENTINEL: a fixed-cost machine-health probe (bit_xor of xxhash64
+  *   - SEGMENT SENTINELS (round 9 — the r08 artifact recorded 10
+  *     queries >3x slower in two adjacent-in-run-order neighborhoods
+  *     while all three START-of-pass sentinels were clean, i.e. the
+  *     contention windows opened mid-pass where a per-pass probe is
+  *     blind): a fixed-cost machine-health probe (bit_xor of xxhash64
   *     over a 400M-row range — constant work, no I/O, no code under
-  *     test) timed at the start of every pass, emitted as
-  *     `"sentinel":[...]`; a pass over 2.5x the best pass lands in
-  *     `"contended_passes"` so a reader can tell "machine was busy" from
-  *     "engine got slower".
+  *     test) runs every [[SegLen]] queries; each sample is tagged with
+  *     its segment's sentinel, and the reported median uses samples
+  *     from CLEAN segments only (sentinel ≤ 2.5x the run's best).
+  *     Probes are emitted as `"sentinel":[...]`, contended ones in
+  *     `"contended_segments"`, and any query left with zero clean
+  *     samples in `"contaminated_queries"`.
   *   - ROTATION: each pass visits the queries at a rotated offset, so a
   *     stationary noisy window cannot hit the same neighborhood in every
   *     sample.
@@ -53,7 +59,14 @@ object Bench {
     else inProcess(runs)
   }
 
-  private val SampleRe = """\[benchsample\] (\S+) (-?[0-9.]+)""".r
+  /** Queries per sentinel segment: a machine-health probe runs every
+    * SegLen queries WITHIN a pass (not just at pass start — the r07/r08
+    * artifacts were poisoned by contention windows that opened mid-pass,
+    * which a start-of-pass probe cannot see). Each sample is tagged with
+    * its segment's sentinel, and the median is taken over samples from
+    * CLEAN segments only. */
+  private val SegLen = 8
+  private val SampleRe = """\[benchsample\] (\S+) (-?[0-9.]+) ([0-9.]+)""".r
   private val SentinelRe = """\[benchsentinel\] ([0-9.]+)""".r
 
   /** Parent mode: one child JVM per pass (same flags + classpath,
@@ -67,7 +80,7 @@ object Bench {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     (0 until runs).foreach { pass =>
       System.err.println(s"[bench] ======== forked pass ${pass + 1}/$runs ========")
@@ -83,21 +96,15 @@ object Bench {
       val out = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
       Iterator.continually(out.readLine()).takeWhile(_ != null).foreach {
-        case SampleRe(name, sec) =>
-          samples(name) = sec.toDouble :: samples.getOrElse(name, Nil)
+        case SampleRe(name, sec, seg) =>
+          samples(name) = (sec.toDouble, seg.toDouble) :: samples.getOrElse(name, Nil)
         case SentinelRe(s) => sentinels += s.toDouble
         case _ => () // children's own JSON line etc — parent emits the real one
       }
       val rc = p.waitFor()
       require(rc == 0, s"forked bench pass ${pass + 1} failed with rc=$rc")
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { n =>
-      val ts = samples.getOrElse(n, Nil)
-      n -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0
-            else ts.sorted.apply(ts.size / 2))
-    }
-    emit(sfDir, results, sentinels.toSeq)
+    emit(sfDir, samples.toMap, sentinels.toSeq)
   }
 
   /** One JVM: warm-up then `runs` in-process passes (the forked children
@@ -135,33 +142,58 @@ object Bench {
     spark.catalog.clearCache() // drop warm-up caches: measure steady state
     graft.functions.Dedup.releaseCcLabels()
     val sentinels = new scala.collection.mutable.ArrayBuffer[Double]
-    val samples: Seq[Map[String, Double]] = (0 until runs).map { inPass =>
-      val s = sentinel(); sentinels += s
-      println(f"[benchsentinel] $s%.4f")
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
+    (0 until runs).foreach { inPass =>
       // rotate the visit order per pass: a stationary contention window
       // then hits a different neighborhood each sample
       val pass = passOffset + inPass
       val rotated = names.drop(pass * names.size / math.max(nPass, 1)) ++
         names.take(pass * names.size / math.max(nPass, 1))
-      rotated.map { n =>
+      var seg = -1.0 // re-probed every SegLen queries
+      rotated.zipWithIndex.foreach { case (n, i) =>
+        if (i % SegLen == 0) {
+          seg = sentinel(); sentinels += seg
+          println(f"[benchsentinel] $seg%.4f")
+        }
         val t = execOnce(n, sfDir)
-        println(f"[benchsample] $n $t%.4f")
+        println(f"[benchsample] $n $t%.4f $seg%.4f")
         spark.catalog.clearCache() // operator caches must not leak across runs
         graft.functions.Dedup.releaseCcLabels()
-        n -> t
-      }.toMap
-    }
-    // per-query median ACROSS suite passes; any failed sample poisons the query
-    val results = names.map { n =>
-      val ts = samples.map(_(n))
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(runs / 2))
+        samples(n) = (t, seg) :: samples.getOrElse(n, Nil)
+      }
     }
     spark.stop()
-    emit(sfDir, results, sentinels.toSeq)
+    emit(sfDir, samples.toMap, sentinels.toSeq)
   }
 
-  private def emit(sfDir: String, results: Seq[(String, Double)],
+  /** Clean-segment median: samples from segments whose sentinel ran
+    * >2.5x the run's best are discarded before the median, so a
+    * contention window — even one spanning whole passes, the r07/r08
+    * failure mode — only costs samples, not the reported number. A query
+    * with NO clean sample keeps the all-sample median but is listed in
+    * `"contaminated_queries"`: re-run before trusting it. */
+  private[graft] def summarize(samples: Map[String, List[(Double, Double)]],
+                               sentinels: Seq[Double])
+      : (Seq[(String, Double)], Seq[String]) = {
+    val floor = if (sentinels.isEmpty) Double.MaxValue else sentinels.min * 2.5
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val contaminated = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = names.map { n =>
+      val all = samples.getOrElse(n, Nil)
+      if (all.isEmpty || all.exists(_._1 < 0)) n -> -1.0
+      else {
+        val clean = all.collect { case (t, seg) if seg <= floor => t }
+        if (clean.nonEmpty) n -> median(clean)
+        else { contaminated += n; n -> median(all.map(_._1)) }
+      }
+    }
+    (results, contaminated.toSeq)
+  }
+
+  private def emit(sfDir: String, samples: Map[String, List[(Double, Double)]],
                    sentinels: Seq[Double]): Unit = {
+    val (results, contaminated) = summarize(samples, sentinels)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures carry a -1 sentinel per query; keep them OUT of the total
@@ -183,13 +215,18 @@ object Bench {
       }
     }
     val sentJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flags =
-      s""""sentinel":$sentJson,"contended_passes":${contended.mkString("[", ",", "]")},""" +
+      s""""sentinel":$sentJson,"contended_segments":${contended.mkString("[", ",", "]")},""" +
+        s""""contaminated_queries":$contamJson,""" +
         s""""prior":${prior.map(p => "\"" + p._1 + "\"").getOrElse("null")},""" +
         s""""deviant_vs_prior":${deviant.mkString("{", ",", "}")}"""
     if (contended.nonEmpty)
-      System.err.println(s"[bench] CONTENDED passes ${contended.mkString(",")}: " +
-        s"sentinels ${sentJson} — treat this artifact as suspect and re-run")
+      System.err.println(s"[bench] CONTENDED segments ${contended.mkString(",")}: " +
+        s"sentinels ${sentJson}" +
+        (if (contaminated.nonEmpty)
+           s"; queries with NO clean sample (all-sample median kept): ${contaminated.mkString(",")}"
+         else "; every query retained at least one clean sample"))
     if (deviant.nonEmpty)
       System.err.println(s"[bench] DEVIANT >3x vs prior round: ${deviant.mkString(",")}" +
         " — on unchanged code, re-run before committing")
@@ -197,8 +234,7 @@ object Bench {
   }
 
   /** The latest committed BENCH_r*.json (or SPARK_GRAFT_BENCH_PRIOR): the
-    * per-query baseline for the >3x deviation flag. Parsed with a regex —
-    * the artifact is the one JSON line this very main emits. */
+    * per-query baseline for the >3x deviation flag. */
   private def priorRound(): Option[(String, Map[String, Double])] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
     val candidate = explicit.orElse {
@@ -210,16 +246,45 @@ object Bench {
     }
     candidate.filter(_.isFile).flatMap { f =>
       try {
-        val txt = scala.io.Source.fromFile(f)
-        val line = try txt.mkString finally txt.close()
-        val start = line.indexOf("\"queries\":{")
-        if (start < 0) None else {
-          val body = line.substring(start + 11, line.indexOf("}", start))
-          val pairs = "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          Some(f.getName -> pairs)
-        }
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        parsePriorQueries(txt).map(f.getName -> _)
       } catch { case _: Exception => None }
     }
+  }
+
+  /** Per-query seconds from a prior artifact in ANY of its real shapes
+    * (rounds 1-8 all recorded `prior:null` because the old regex only
+    * matched the compact line this main emits, never the committed
+    * form):
+    *   1. the raw one-line JSON Bench prints (`{"metric":...,"queries":{...}}`);
+    *   2. the driver wrapper — pretty-printed, with the bench line
+    *      JSON-escaped inside `"tail"` and re-parsed under `"parsed"`;
+    *   3. a wrapper whose `parsed` is null and whose `tail` is truncated
+    *      mid-line (BENCH_r07): salvage every `"q/pNN_name":secs` pair
+    *      still present in the unescaped tail text.
+    * Jackson ships with Spark, so this is a real JSON parse, not string
+    * matching. Query keys are pinned to the `[pq]<digits>_` namespace so
+    * wrapper metadata (`n`, `cpus`, `value`, sentinel arrays) can never
+    * masquerade as a query. */
+  private[graft] def parsePriorQueries(txt: String): Option[Map[String, Double]] = {
+    import scala.jdk.CollectionConverters._
+    val QueryName = "[pq]\\d+_\\w+"
+    def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] = {
+      val q = n.path("queries")
+      if (!q.isObject) None
+      else Some(q.fields().asScala
+        .filter(e => e.getKey.matches(QueryName) && e.getValue.isNumber)
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap).filter(_.nonEmpty)
+    }
+    def fromText(s: String): Option[Map[String, Double]] =
+      Some(("\"(" + QueryName + ")\":(-?[0-9][0-9.eE+-]*)").r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap).filter(_.nonEmpty)
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      fromNode(root) // shape 1
+        .orElse(fromNode(root.path("parsed"))) // shape 2
+        .orElse(fromText(root.path("tail").asText(""))) // shape 3
+    } catch { case _: Exception => fromText(txt) } // not JSON at all
   }
 }

@@ -616,6 +616,37 @@ object PipelineQueries {
       .orderBy("new_id", "old_id")
   }
 
+  /** Chunking constants shared with the p38 oracle. */
+  private val ChunkLen = 200
+  private val ChunkStride = 150
+
+  /** p38 — fixed-length context-window chunking with overlap
+    * ([[TF.chunkFixed]]): the tokenize-and-pack precursor every training
+    * run needs. Map-side only — the 100 TB corpus is one scan. */
+  private def p38(s: SparkSession, dir: String): DataFrame =
+    TF.chunkFixed(docs(s, dir), ChunkLen, ChunkStride)
+      .orderBy("doc_id", "chunk_ix")
+
+  /** p39 — data-mixture weights per source ([[TF.mixtureWeights]]):
+    * sqrt-damped (α=0.5) token-share sampling weights, all-integer after
+    * the per-group sqrt so no float-sum-order drift. */
+  private def p39(s: SparkSession, dir: String): DataFrame =
+    TF.mixtureWeights(docs(s, dir)).orderBy("source")
+
+  /** p40 — int8 embedding quantization audit ([[Similarity.quantizeInt8Summary]]):
+    * per-vector reconstruction scale + integer digests of the quantized
+    * components. Map-side HOFs, zero shuffles. */
+  private def p40(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Summary(embs(s, dir)).orderBy("vec_id")
+
+  /** p41 — exact per-source length quantiles ([[TF.groupQuantiles]]):
+    * nearest-rank p50/p90/p99 of `n_chars` — the corpus length profile
+    * that sizes packing and truncation budgets. */
+  private def p41(s: SparkSession, dir: String): DataFrame =
+    TF.groupQuantiles(docs(s, dir), "source", "n_chars",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -654,6 +685,10 @@ object PipelineQueries {
     "p35_vocab_drift" -> p35 _,
     "p36_dup_ngram_fraction" -> p36 _,
     "p37_dedup_cross_corpus" -> p37 _,
+    "p38_chunking" -> p38 _,
+    "p39_mixture_weights" -> p39 _,
+    "p40_embed_quant" -> p40 _,
+    "p41_length_quantiles" -> p41 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1238,5 +1273,65 @@ object PipelineQueries {
          |GROUP BY 1, 2
          |HAVING count(*) >= $SubMinShared
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Spark sequence(0, greatest(len-1,0), s) is stop-INCLUSIVE; DuckDB
+    // range(a, b, s) is stop-EXCLUSIVE, so b = greatest(len-1,0)+1 visits
+    // the identical start set (including the single start 0 of an empty
+    // text). `//` = integer division, like Spark's chunk_ix from posexplode.
+    "p38_chunking" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |    unnest(range(0, greatest(length(text) - 1, 0) + 1, $ChunkStride)) AS start
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(start // $ChunkStride AS BIGINT) AS chunk_ix,
+         |  CAST(start AS BIGINT) AS chunk_start,
+         |  substr(text, CAST(start AS INT) + 1, $ChunkLen) AS chunk,
+         |  CAST(length(substr(text, CAST(start AS INT) + 1, $ChunkLen)) AS BIGINT) AS chunk_chars
+         |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+    "p39_mixture_weights" ->
+      """WITH g AS (SELECT source,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, tokens,
+        |    CAST(floor(1e6 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_micro FROM g),
+        |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM s)
+        |SELECT source, tokens, sqrt_micro,
+        |  CAST((sqrt_micro * 1000000) // denom AS BIGINT) AS weight_ppm
+        |FROM s, d ORDER BY source""".stripMargin,
+    // float->double widening is exact in both engines; x*127.0/amax + 0.5
+    // is evaluated in the identical operation order, and floor(x+0.5)
+    // replaces round() (the engines disagree on round-half semantics)
+    "p40_embed_quant" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |a AS (SELECT vec_id, vd,
+        |    list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS amax FROM e),
+        |q AS (SELECT vec_id, amax,
+        |    CASE WHEN amax = 0 THEN list_transform(vd, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(vd, x -> greatest(CAST(-127 AS BIGINT),
+        |           least(CAST(127 AS BIGINT), CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))))
+        |    END AS ql FROM a)
+        |SELECT vec_id,
+        |  CAST(floor(amax * 1e6 / 127.0) AS BIGINT) AS scale_micro,
+        |  CAST(len(ql) AS BIGINT) AS dim,
+        |  CAST(list_sum(ql) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(ql, x -> x * x)) AS BIGINT) AS q_sq_sum,
+        |  CAST(list_aggregate(ql, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(ql, 'max') AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // nearest-rank (ceil(q*n), 1-based) discrete quantiles; q is cast to
+    // DOUBLE so both engines run the same IEEE multiply (DuckDB would
+    // otherwise use exact DECIMAL — same integer result, but keep the
+    // arithmetic literally identical)
+    "p41_length_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN n_chars END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN n_chars END) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -217,4 +217,35 @@ object Similarity {
     cand.select(col(labelCol), col(idCol), col("dist2"))
       .withColumn("rk", row_number().over(w2).cast("long")).where(col("rk") <= k)
   }
+
+  /** Symmetric int8 quantization summary per vector (the
+    * serving/index-compression step of an embedding pipeline): each
+    * component maps to `clamp(floor(v·127/amax + 0.5), -127, 127)` with
+    * `amax = max(|v|)`; an all-zero vector quantizes to all zeros. The
+    * output carries the reconstruction scale in µ-units
+    * (`floor(1e6·amax/127)`) plus integer digests of the quantized
+    * vector (sum, Σq², min, max) rather than 100 TB of int8 payloads —
+    * a deployment writes `transform(...)` itself, this op is the audit
+    * table. Determinism: elements cast float→double once, then every
+    * op (·127, /amax, +0.5, floor) is IEEE-correctly-rounded and
+    * identically ordered in Spark and DuckDB; `floor(x+0.5)` is used
+    * instead of round() because the engines disagree on round-half
+    * semantics. Scale shape: pure map-side HOFs over the scan — zero
+    * shuffles, no UDFs. */
+  def quantizeInt8Summary(emb: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    emb.select(col(idCol), toDoubleVec(col(vecCol)).as("_vd"))
+      .withColumn("_amax",
+        aggregate(col("_vd"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("_q", when(col("_amax") === 0.0,
+        transform(col("_vd"), _ => lit(0L))).otherwise(
+        transform(col("_vd"), x => greatest(lit(-127L), least(lit(127L),
+          floor(x * lit(127.0) / col("_amax") + lit(0.5)).cast("long"))))))
+      .select(col(idCol),
+        floor(col("_amax") * lit(1e6) / lit(127.0)).cast("long").as("scale_micro"),
+        size(col("_q")).cast("long").as("dim"),
+        aggregate(col("_q"), lit(0L), _ + _).as("q_sum"),
+        aggregate(col("_q"), lit(0L), (acc, x) => acc + x * x).as("q_sq_sum"),
+        array_min(col("_q")).as("q_min"), array_max(col("_q")).as("q_max"))
+  }
 }

@@ -382,4 +382,81 @@ object TextFunctions {
         milli(col("tok_cnt") - col("in_vocab"), col("tok_cnt")).as("oov_milli"),
         centi(col("_rank_sum"), col("in_vocab")).as("mean_rank_centi"))
   }
+
+  /** Fixed-length character chunking with stride (training context
+    * windows): chunk c starts at `c * stride` (0-based) and carries up
+    * to `chunkLen` chars, so consecutive chunks overlap by
+    * `chunkLen - stride`. The last chunk may be short; an empty text
+    * yields one empty chunk (start 0) so no document silently vanishes.
+    * Scale shape: `posexplode(sequence(...))` + `substring` is pure
+    * map-side whole-stage codegen — chunking 100 TB is exactly one scan
+    * with zero shuffles, and chunk ids are deterministic (no
+    * monotonically_increasing_id), so re-runs are reproducible. */
+  def chunkFixed(docs: org.apache.spark.sql.DataFrame, chunkLen: Int,
+                 stride: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(chunkLen > 0 && stride > 0, s"chunkLen/stride must be positive")
+    val len = length(col(textCol))
+    docs
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0), greatest(len - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_ix", "chunk_start")))
+      .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col(textCol).substr(col("chunk_start") + 1, lit(chunkLen)).as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+  }
+
+  /** Data-mixture weights per corpus slice (the "how much of each source
+    * does the training run sample" table): token share per group, then a
+    * sqrt-damped weight (α = 0.5 temperature in the multinomial-sampling
+    * sense of multilingual/multi-source pretraining, e.g. XLM-R) so head
+    * sources are de-emphasized and tail sources up-sampled.
+    * Determinism-by-construction: `sqrt` is IEEE-correctly-rounded in
+    * both engines, each group's sqrt is floored to integer µ-units
+    * BEFORE the normalizing sum, and the final ppm weight is integer
+    * division — so no float-summation-order drift can reach the output.
+    * Scale shape: one partial-agg exchange to K group rows, then the
+    * K-row denominator rides a broadcast cross join — the 100 TB corpus
+    * is touched exactly once. */
+  def mixtureWeights(docs: org.apache.spark.sql.DataFrame,
+                     groupCol: String = "source",
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val perGroup = docs
+      .groupBy(col(groupCol))
+      .agg(sum(wsTokenCount(col(textCol))).as("tokens"))
+      .withColumn("sqrt_micro",
+        floor(lit(1e6) * sqrt(col("tokens").cast("double"))).cast("long"))
+    val denom = perGroup.agg(sum(col("sqrt_micro")).as("_denom"))
+    perGroup.crossJoin(broadcast(denom))
+      .select(col(groupCol), col("tokens"), col("sqrt_micro"),
+        // `div`, not `/`: Long / Long is a DOUBLE divide in Spark SQL, and a
+        // truncated double can disagree with the oracle's integer `//`
+        expr("sqrt_micro * 1000000 div _denom").as("weight_ppm"))
+  }
+
+  /** Exact discrete per-group quantiles of a numeric column: the value
+    * at 1-based ascending rank `ceil(q·n)` — the nearest-rank definition,
+    * all-integer once the rank is fixed, so the DuckDB twin matches
+    * bit-for-bit (no interpolation arithmetic to drift). Emitted wide
+    * (one row per group, one column per quantile).
+    * Scale shape: one hash exchange on the group key, a per-group sort
+    * (window), conditional-agg collapse — no global sort. At 100 TB with
+    * few groups you'd range-repartition within groups or switch to
+    * approx_percentile; the exact form stays the oracle anchor. */
+  def groupQuantiles(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     valueCol: String, qs: Seq[(String, Double)])
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w.orderBy(col(valueCol))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(w))
+    val aggs = qs.map { case (name, q) =>
+      max(when(col("_rn") === ceil(lit(q) * col("_n")).cast("long"),
+        col(valueCol))).as(name)
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }

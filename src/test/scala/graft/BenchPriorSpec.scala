@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench.parsePriorQueries must read the prior-round artifact in every
+  * shape it actually occurs in — the ADVICE r08 finding was that rounds
+  * 1-8 all recorded `"prior":null` because the old token-match only
+  * understood the compact line Bench itself emits, while the committed
+  * artifacts are driver wrappers (pretty-printed `parsed`, JSON-escaped
+  * `tail`), so the >3x deviation guard was dead code. */
+class BenchPriorSpec extends AnyFunSuite {
+
+  test("shape 1: the raw one-line JSON Bench emits") {
+    val raw =
+      """{"metric":"total","value":12.5,"unit":"sec","queries":{"q1_op_filter":0.457,"p4_fingerprint":1.0046},"sf":"/root/testdata/sf0.1","sentinel":[0.288],"contended_passes":[],"prior":null,"deviant_vs_prior":{}}"""
+    val got = Bench.parsePriorQueries(raw)
+    assert(got === Some(Map("q1_op_filter" -> 0.457, "p4_fingerprint" -> 1.0046)))
+  }
+
+  test("shape 2: driver wrapper with pretty-printed parsed and escaped tail") {
+    // exactly the BENCH_r08.json layout: queries appear BOTH escaped in
+    // "tail" and as a real object under "parsed"; parsed must win and
+    // wrapper metadata (n, cpus, value) must never leak in as queries
+    val wrapper =
+      """{
+        |  "n": 8,
+        |  "rc": 0,
+        |  "cpus": 32,
+        |  "sf": 0.1,
+        |  "tail": "some log line\n{\"metric\":\"total\",\"value\":111.8,\"unit\":\"sec\",\"queries\":{\"q1_op_filter\":0.457,\"q12_dedup\":4.7997},\"sf\":\"/root/testdata/sf0.1\"}\n[success] Total time: 710 s\n",
+        |  "parsed": {
+        |    "metric": "total",
+        |    "value": 111.8,
+        |    "unit": "sec",
+        |    "queries": {
+        |      "q1_op_filter": 0.457,
+        |      "q12_dedup": 4.7997
+        |    },
+        |    "sf": "/root/testdata/sf0.1"
+        |  }
+        |}""".stripMargin
+    val got = Bench.parsePriorQueries(wrapper)
+    assert(got === Some(Map("q1_op_filter" -> 0.457, "q12_dedup" -> 4.7997)))
+  }
+
+  test("shape 3: wrapper with parsed:null and a tail truncated mid-line (BENCH_r07)") {
+    // r07's tail drops the head of the emitted line (starts mid-value)
+    // and is cut before the closing brace; every intact pair must still
+    // be salvaged so at least a partial prior baseline exists
+    val wrapper =
+      """{
+        |  "n": 7,
+        |  "rc": 0,
+        |  "cpus": 32,
+        |  "sf": 0.1,
+        |  "tail": ":1.8274,\"p11_media_meta\":0.2945,\"q11_delete_apply\":0.2901,\"q12_dedup\":0.3859,\"""".stripMargin + "\",\n  \"parsed\": null\n}"
+    val got = Bench.parsePriorQueries(wrapper)
+    assert(got === Some(Map(
+      "p11_media_meta" -> 0.2945,
+      "q11_delete_apply" -> 0.2901,
+      "q12_dedup" -> 0.3859)))
+  }
+
+  test("garbage and query-free inputs yield None, not a bogus baseline") {
+    assert(Bench.parsePriorQueries("not json at all").isEmpty)
+    assert(Bench.parsePriorQueries("""{"n": 9, "parsed": null, "tail": "no queries here"}""").isEmpty)
+    assert(Bench.parsePriorQueries("").isEmpty)
+  }
+}
