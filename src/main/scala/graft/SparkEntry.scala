@@ -360,6 +360,26 @@ object CoreQueries {
       .withColumnRenamed("bucket_start", "bucket_start_us")
       .orderBy("user_id", "bucket_start_us")
 
+  /** Q29 — sort window (Siddhi `s#window.sort(n, value, 'asc')`): per
+    * user, the 3 cheapest purchases by (value, event_id) — the window's
+    * final contents after stream replay, the same final-state framing
+    * as q6. Via [[graft.operators.Patterns.sortWindow]]. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.sortWindow(
+      Tables.events(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "event_id", "value", 3)
+      .withColumnRenamed("id", "event_id")
+      .orderBy("user_id", "rk")
+
+  /** Q30 — frequent window (Siddhi `s#window.frequent(k)`): per user,
+    * the 2 most frequent event types (exact form of the Misra–Gries
+    * sketch the reference host language ships), count-desc /
+    * type-asc tie-break. Via [[graft.operators.Patterns.frequentTypes]]. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.frequentTypes(
+      Tables.events(s, dir), "user_id", "event_type", 2)
+      .orderBy("user_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -389,6 +409,8 @@ object CoreQueries {
     "q26_snapshot_diff" -> q26 _,
     "q27_length_batch" -> q27 _,
     "q28_snapshot_diff_pruned" -> q28 _,
+    "q29_sort_window" -> q29 _,
+    "q30_frequent" -> q30 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -666,5 +688,22 @@ object CoreQueries {
         |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
         |   OR a.o_cents IS DISTINCT FROM b.o_cents
         |ORDER BY o_orderkey""".stripMargin,
+    "q29_sort_window" ->
+      """WITH p AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value, event_id) AS rk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(rk AS BIGINT) AS rk, event_id, value
+        |FROM p WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "q30_frequent" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, CAST(rk AS BIGINT) AS rk, event_type,
+        |       CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin,
   )
 }

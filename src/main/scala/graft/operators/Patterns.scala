@@ -409,4 +409,49 @@ object Patterns {
       .agg(min(col(tsCol)).as("session_start"), count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_start"), col("n_events"))
   }
+
+  /** Sort window `s#window.sort(n, value, 'asc')` — the window that
+    * holds the n BEST events by sort order seen so far (an arriving
+    * event evicts the current worst when the window is full). The batch
+    * analog answers "what does the window hold after the stream
+    * replays": per key, the top-`n` events by (value asc, id asc) — the
+    * same final-state framing as the latest-state and session queries.
+    * Output: (key, rk, id, value), rk 1-based in window order.
+    *
+    * One keyed exchange + per-key row_number; at 100 TB key cardinality
+    * is the parallelism and n is a constant, so no reducer ever holds
+    * more than its keys' rows (this is the window-function shape, not a
+    * global top-n sort). */
+  def sortWindow(events: DataFrame, keyCol: String, idCol: String,
+                 valueCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"sort window size must be >= 1, got $n")
+    val w = Window.partitionBy(keyCol).orderBy(col(valueCol), col(idCol))
+    events
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= n)
+      .select(col(keyCol), col("rk"), col(idCol).as("id"), col(valueCol))
+  }
+
+  /** Frequent window `s#window.frequent(k)` — Siddhi keeps the events
+    * whose attribute value is among the k most frequent (via the
+    * Misra–Gries lossy counter). The batch analog is the EXACT answer
+    * the sketch approximates: per key, the top-`k` attribute values by
+    * count, deterministic tie-break (count desc, value asc). Output:
+    * (key, rk, attribute value, cnt), rk 1-based.
+    *
+    * Scale shape: partial aggregation collapses rows to (key, value)
+    * CELLS before the exchange, and the top-k window runs over
+    * cell-sized data — the sketch becomes necessary only when a single
+    * key's DISTINCT attribute cardinality explodes, which an
+    * `approx_top_k` swap-in covers without changing the contract. */
+  def frequentTypes(events: DataFrame, keyCol: String, attrCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"frequent window size must be >= 1, got $k")
+    val counts = events.groupBy(col(keyCol), col(attrCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCol).orderBy(col("cnt").desc, col(attrCol))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(keyCol), col("rk"), col(attrCol), col("cnt"))
+  }
 }

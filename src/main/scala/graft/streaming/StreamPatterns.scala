@@ -61,6 +61,8 @@ object StreamPatterns {
   case class LenBatchMatch(key: Long, batch_no: Long, batch_sum: Double,
                            first_id: Long, last_id: Long)
   case class CountSeqMatch(key: Long, b_id: Long, a_cnt: Long)
+  case class SortWinSnap(key: Long, rev: Long, rk: Long, id: Long, value: Double)
+  case class FreqSnap(key: Long, rev: Long, rk: Long, attr: String, cnt: Long)
 
   implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
   implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
@@ -75,6 +77,8 @@ object StreamPatterns {
   implicit private val burstEnc: Encoder[BurstMatch] = Encoders.product[BurstMatch]
   implicit private val sessEnc: Encoder[Session] = Encoders.product[Session]
   implicit private val cseqEnc: Encoder[CountSeqMatch] = Encoders.product[CountSeqMatch]
+  implicit private val sortWinEnc: Encoder[SortWinSnap] = Encoders.product[SortWinSnap]
+  implicit private val freqEnc: Encoder[FreqSnap] = Encoders.product[FreqSnap]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
   /** The engine: key, sort, flush-on-data-or-timer.
@@ -673,6 +677,104 @@ object StreamPatterns {
         val retained = open.flatten
         val wake = open.headOption.map(_.last.tsUs + gapUs)
         (out, retained, wake)
+      }
+    }
+  }
+
+  /** Sort-window member rows and consumed-event counters ride the state
+    * buffer under reserved type tags (same trick as [[BatchSentinel]] —
+    * `#`-prefixed tags are impossible in real input: untyped streams tag
+    * `"e"` and typed ones filter to the requested type before state). */
+  private val WinMember = "#s"
+  private val CntSentinel = "#c"
+  private val FreqPrefix = "#f:"
+
+  /** Streaming twin of [[graft.operators.Patterns.sortWindow]] — Siddhi
+    * `s#window.sort(n, value, 'asc')`. Emits a SNAPSHOT of the window
+    * (its full ≤ n contents, rk 1-based by (value, id)) each time
+    * finalized events change it, tagged `rev` = total events consumed so
+    * far — a batch-split-independent version number, so the snapshot at
+    * any given `rev` is deterministic and the max-rev snapshot equals
+    * the batch operator's final contents (parity spec). An element
+    * evicted from a sort window can never re-enter, so the window after
+    * m events is exactly top-n of the first m — the flush exploits that
+    * (merge + take n) instead of replaying insert/evict.
+    *
+    * State per key: the ≤ n window members + one counter sentinel +
+    * whatever is pending above the watermark — O(n + pending). */
+  def sortWindow(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 valueCol: String, n: Int, delay: String,
+                 onlyType: (String, String) = null): Dataset[SortWinSnap] = {
+    require(n >= 1, s"sort window size must be >= 1, got $n")
+    val (typeColName, tagged) = Option(onlyType) match {
+      case Some((tc, _)) => (tc, events)
+      case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
+    }
+    runPattern[SortWinSnap](tagged, keyCol, tsCol, idCol, typeColName,
+        delay = delay, onlyType = Option(onlyType).map(_._2),
+        valueCol = Some(valueCol)) { (evs, _, wmUs) =>
+      if (evs.isEmpty) (Nil, Vector.empty, None)
+      else {
+        val key = evs.head.key
+        val (sent, rest) = evs.partition(_.typ == CntSentinel)
+        val consumed0 = sent.headOption.map(_.id).getOrElse(0L)
+        val (members, live) = rest.partition(_.typ == WinMember)
+        val (ready, pending) = live.partition(_.tsUs < wmUs)
+        val window = (members ++ ready).sortBy(e => (e.v, e.id)).take(n)
+        val consumed = consumed0 + ready.size
+        val out =
+          if (ready.isEmpty) Nil
+          else window.zipWithIndex.map { case (e, i) =>
+            SortWinSnap(key, consumed, i + 1L, e.id, e.v) }
+        val retained =
+          if (consumed == 0 && pending.isEmpty) Vector.empty
+          else PatEvent(key, Long.MinValue, consumed, CntSentinel,
+            new Timestamp(0L), 0.0) +: (window.map(_.copy(typ = WinMember)) ++ pending)
+        (out, retained, pending.headOption.map(_.tsUs))
+      }
+    }
+  }
+
+  /** Streaming twin of [[graft.operators.Patterns.frequentTypes]] —
+    * Siddhi `s#window.frequent(k)`, exact form: per key, the top-`k`
+    * attribute values by count (count desc, value asc). Same snapshot
+    * contract as [[sortWindow]]: the full top-k is re-emitted with
+    * `rev` = events consumed whenever finalized events arrive, and the
+    * max-rev snapshot equals the batch answer.
+    *
+    * State per key: one counter row PER DISTINCT attribute value (the
+    * exact counts the Misra–Gries sketch approximates) + the consumed
+    * sentinel + pending — bounded by attribute cardinality, not stream
+    * length; a deployment whose per-key attribute cardinality explodes
+    * swaps the exact map for the sketch without changing the contract. */
+  def frequentTypes(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                    attrCol: String, k: Int, delay: String): Dataset[FreqSnap] = {
+    require(k >= 1, s"frequent window size must be >= 1, got $k")
+    runPattern[FreqSnap](events, keyCol, tsCol, idCol, attrCol,
+        delay = delay) { (evs, _, wmUs) =>
+      if (evs.isEmpty) (Nil, Vector.empty, None)
+      else {
+        val key = evs.head.key
+        val (cntRows, rest) = evs.partition(_.typ.startsWith(FreqPrefix))
+        val (sent, live) = rest.partition(_.typ == CntSentinel)
+        val consumed0 = sent.headOption.map(_.id).getOrElse(0L)
+        val (ready, pending) = live.partition(_.tsUs < wmUs)
+        val counts = ready.foldLeft(
+          cntRows.map(e => e.typ.drop(FreqPrefix.length) -> e.id).toMap) {
+          (m, e) => m.updated(e.typ, m.getOrElse(e.typ, 0L) + 1L) }
+        val consumed = consumed0 + ready.size
+        val out =
+          if (ready.isEmpty) Nil
+          else counts.toSeq.sortBy { case (a, c) => (-c, a) }.take(k)
+            .zipWithIndex.map { case ((a, c), i) => FreqSnap(key, consumed, i + 1L, a, c) }
+        val retained =
+          if (consumed == 0 && pending.isEmpty) Vector.empty
+          else PatEvent(key, Long.MinValue, consumed, CntSentinel,
+            new Timestamp(0L), 0.0) +:
+            (counts.toVector.sortBy(_._1).map { case (a, c) =>
+              PatEvent(key, Long.MinValue, c, FreqPrefix + a, new Timestamp(0L), 0.0)
+            } ++ pending)
+        (out, retained, pending.headOption.map(_.tsUs))
       }
     }
   }

@@ -246,4 +246,38 @@ class PlanShapeSpec extends SparkSpec {
     // embeddings table: only vec_id + embedding are needed
     scans.foreach(s => assert(!s.contains("model"), s"unused column read:\n$s"))
   }
+
+  test("p38 chunking is map-side: no data shuffle, scan reads only id + text") {
+    val p = plan("p38_chunking")
+    // the only exchange is the range partitioning for the ORDER BY
+    assert(exchanges(p).count(_.contains("hashpartitioning")) === 0,
+      exchanges(p).mkString("\n"))
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"scan reads unused columns:\n$scanLine")
+  }
+
+  test("p39 mixture weights: partial agg to K group rows, denominator broadcast") {
+    val p = plan("p39_mixture_weights")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"denominator must ride a broadcast, not a shuffle:\n$p")
+  }
+
+  test("p40 quantization is map-side: zero hash exchanges") {
+    val p = plan("p40_embed_quant")
+    assert(exchanges(p).count(_.contains("hashpartitioning")) === 0,
+      exchanges(p).mkString("\n"))
+  }
+
+  test("q29/q30 windows partition by key — never a single-partition sort") {
+    for (q <- Seq("q29_sort_window", "q30_frequent")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q plans a global window:\n$p")
+    }
+    // q29's type filter reaches the scan
+    val p29 = plan("q29_sort_window")
+    assert(p29.contains("PushedFilters: [") && p29.contains("EqualTo(event_type"),
+      s"purchase filter not pushed:\n$p29")
+  }
 }

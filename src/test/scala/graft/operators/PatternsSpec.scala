@@ -437,4 +437,28 @@ class PatternsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
     assert(df.count() > 0)
   }
+
+  test("sortWindow holds the n best by (value, id); ties broken by id; short keys keep all") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1L, 5.0), ("u1", 2L, 1.0), ("u1", 3L, 3.0), ("u1", 4L, 1.0),
+      ("u2", 5L, 9.0)).toDF("key", "id", "value")
+    val got = Patterns.sortWindow(df, "key", "id", "value", 3)
+      .orderBy("key", "rk").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("u1", 1L, 2L, 1.0), ("u1", 2L, 4L, 1.0), ("u1", 3L, 3L, 3.0),
+      ("u2", 1L, 5L, 9.0)))
+  }
+
+  test("frequentTypes is the exact top-k by count with (cnt desc, value asc) ties") {
+    import spark.implicits._
+    val df = Seq(
+      "u1" -> "a", "u1" -> "a", "u1" -> "b", "u1" -> "b", "u1" -> "c",
+      "u2" -> "x").toDF("key", "type")
+    val got = Patterns.frequentTypes(df, "key", "type", 2)
+      .orderBy("key", "rk").as[(String, Long, String, Long)].collect().toSeq
+    // u1: a and b both count 2 -> 'a' wins rank 1 lexicographically; c cut
+    assert(got === Seq(
+      ("u1", 1L, "a", 2L), ("u1", 2L, "b", 2L), ("u2", 1L, "x", 1L)))
+  }
 }

@@ -414,4 +414,48 @@ class StreamPatternsSpec extends SparkSpec {
       assert(got2 === Set((1L, 1L)))
     } finally q.stop()
   }
+
+  /** Snapshot twins emit the full window contents tagged with
+    * `rev` = events consumed; parity contract = the max-rev snapshot
+    * per key equals the batch operator's final answer. */
+  private def lastSnapshots(rows: Seq[Seq[Any]]): Set[Seq[Any]] =
+    rows.groupBy(_.head).flatMap { case (_, rs) =>
+      val maxRev = rs.map(_(1).asInstanceOf[Long]).max
+      rs.filter(_(1) == maxRev).map(r => r.head +: r.drop(2))
+    }.toSet
+
+  test("sortWindow snapshot parity: max-rev window equals batch top-n (both engines)") {
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+    val want = Patterns.sortWindow(
+        valued(staticDf).where(col("typ") === "purchase"), "k", "id", "value", 4)
+      .select("k", "rk", "id", "value").collect().map(_.toSeq).toSet
+    for (engine <- Seq(None, Some("tws"))) {
+      engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
+      val rows =
+        try runStreamRows(src => StreamPatterns.sortWindow(
+          valued(src), "k", "ts", "id", "value", 4, "0 seconds",
+          onlyType = ("typ", "purchase")).toDF,
+          s"sp_sortwin_${engine.getOrElse("fmgws")}")
+        finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
+      // every snapshot's ranks are contiguous from 1 (internally consistent)
+      rows.groupBy(r => (r.head, r(1))).foreach { case (_, snap) =>
+        assert(snap.map(_(2).asInstanceOf[Long]).sorted === (1L to snap.size).toSeq)
+      }
+      assert(want.nonEmpty && lastSnapshots(rows) === want)
+    }
+  }
+
+  test("frequentTypes snapshot parity: max-rev top-k equals batch counts (both engines)") {
+    val want = Patterns.frequentTypes(staticDf, "k", "typ", 2)
+      .select("k", "rk", "typ", "cnt").collect().map(_.toSeq).toSet
+    for (engine <- Seq(None, Some("tws"))) {
+      engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
+      val rows =
+        try runStreamRows(src => StreamPatterns.frequentTypes(
+          src, "k", "ts", "id", "typ", 2, "0 seconds").toDF,
+          s"sp_freq_${engine.getOrElse("fmgws")}")
+        finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
+      assert(want.nonEmpty && lastSnapshots(rows).map(r => r.head +: r.drop(1)) === want)
+    }
+  }
 }
