@@ -564,17 +564,32 @@ object Dedup {
     * a re-read of mutating storage) can surface a shingle at join time
     * that the sketch never saw — a REAL false negative, breaking the
     * identical-to-equi-join guarantee. Persist or checkpoint such a
-    * frame before passing it here. */
+    * frame before passing it here.
+    *
+    * `broadcastTest` (default true): the verify join HINTS broadcast on
+    * the test side instead of letting size estimates pick. The held-out
+    * suite is small by this operator's contract, and sort-merging
+    * instead means sorting the (huge) pruned TRAIN stream — at smoke
+    * depth that SMJ's cold run cost 2-5x its steady state (shuffle-file
+    * + sort-buffer bring-up was the entire non-monotone
+    * `contam_bloom` variance of SCALE_SMOKE_r07-r09), and at 100 TB it
+    * is a corpus-sized sort that the broadcast shape never pays: with
+    * the hint the train side stays map-side END-TO-END (bloom prune →
+    * broadcast probe → partial agg), shuffling only candidate-pair
+    * cells. Pass false only when the test side is too big for executor
+    * memory — the middle-regime shuffle join then still benefits from
+    * the bloom prune. */
   def contaminationPairs(train: DataFrame, test: DataFrame, minShared: Long,
                          bloomItems: Long = 1000000L,
-                         bloomBits: Long = 8000000L): DataFrame = {
+                         bloomBits: Long = 8000000L,
+                         broadcastTest: Boolean = true): DataFrame = {
     val row = test.agg(
       call_function("bloom_agg", col("sh"), lit(bloomItems), lit(bloomBits)).as("_bf")).head()
     val pruned =
       if (row.isNullAt(0)) train
       else train.where(
         call_function("bloom_contains", lit(row.getAs[Array[Byte]](0)), col("sh")))
-    pruned.join(test, Seq("sh"))
+    pruned.join(if (broadcastTest) broadcast(test) else test, Seq("sh"))
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }

@@ -162,6 +162,89 @@ class BoundedStateSoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** [[StreamPatterns.sortWindow]] keeps ≤ n member rows + one counter
+    * sentinel per key forever BY DESIGN (evicted events are dropped, so
+    * churn must not grow state); [[StreamPatterns.frequentTypes]] keeps
+    * one counter row per distinct attribute value per key (bounded by
+    * attribute cardinality). Both must stay flat as events churn on a
+    * fixed key set and grow exactly linearly with open keys. */
+  private def sortWindowSoak(engine: String): Unit = withEngine(engine) {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val src = in.toDF.toDF("k", "ts_us", "id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", (col("id") * 31 % 997).cast("double"))
+    val q = StreamPatterns.sortWindow(src, "k", "ts", "id", "value", 5, "0 seconds")
+      .toDF.writeStream.format("memory").queryName(s"soak_sw_$engine")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var id = 0L
+      var ts = 0L
+      def feed(keys: Range, batches: Int, perKey: Int): Unit =
+        (1 to batches).foreach { _ =>
+          val evs = keys.flatMap { k =>
+            (1 to perKey).map { _ => id += 1; ts += 1000L; (k.toLong, ts, id) }
+          }
+          in.addData(evs: _*)
+          q.processAllAvailable()
+        }
+      val K = 20
+      feed(1 to K, 10, 5) // windows fill and churn
+      val rows1 = stateRows(q)
+      feed(1 to K, 10, 5) // 1000 MORE evictions: rows must not move
+      val rows2 = stateRows(q)
+      feed(K + 1 to 2 * K, 5, 5)
+      val rows3 = stateRows(q)
+      assert(rows1 > 0, s"no state metrics reported ($engine)")
+      assert(rows2 === rows1,
+        s"$engine: state rows grew as the sort window churned ($rows1 -> $rows2)")
+      assert(rows3 === 2 * rows1,
+        s"$engine: doubling open keys did not double state rows ($rows1 -> $rows3)")
+      assert(rows1 % K === 0L, s"$engine: $rows1 rows not a multiple of $K keys")
+      if (engine == "fmgws") assert(rows1 === K.toLong)
+    } finally q.stop()
+  }
+
+  private def frequentSoak(engine: String): Unit = withEngine(engine) {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamPatterns.frequentTypes(src, "k", "ts", "id", "typ", 2, "0 seconds")
+      .toDF.writeStream.format("memory").queryName(s"soak_fq_$engine")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var id = 0L
+      var ts = 0L
+      val types = Seq("a", "b", "c")
+      def feed(keys: Range, batches: Int, perKey: Int): Unit =
+        (1 to batches).foreach { _ =>
+          val evs = keys.flatMap { k =>
+            (1 to perKey).map { _ =>
+              id += 1; ts += 1000L
+              (k.toLong, ts, id, types((id % 3).toInt))
+            }
+          }
+          in.addData(evs: _*)
+          q.processAllAvailable()
+        }
+      val K = 20
+      feed(1 to K, 10, 6) // every attr value seen many times per key
+      val rows1 = stateRows(q)
+      feed(1 to K, 10, 6) // counts grow, DISTINCT attrs don't: rows flat
+      val rows2 = stateRows(q)
+      feed(K + 1 to 2 * K, 5, 6)
+      val rows3 = stateRows(q)
+      assert(rows1 > 0, s"no state metrics reported ($engine)")
+      assert(rows2 === rows1,
+        s"$engine: state rows grew though attr cardinality was fixed ($rows1 -> $rows2)")
+      assert(rows3 === 2 * rows1,
+        s"$engine: doubling open keys did not double state rows ($rows1 -> $rows3)")
+      assert(rows1 % K === 0L, s"$engine: $rows1 rows not a multiple of $K keys")
+      if (engine == "fmgws") assert(rows1 === K.toLong)
+    } finally q.stop()
+  }
+
   test("lengthWindow soak: state rows track open keys exactly (fmgws)") {
     lengthWindowSoak("fmgws")
   }
@@ -179,5 +262,17 @@ class BoundedStateSoakSpec extends SparkSpec {
   }
   test("as-of join soak: state rows track open keys exactly (tws)") {
     asOfSoak("tws")
+  }
+  test("sort window soak: eviction churn leaves state flat, rows track open keys (fmgws)") {
+    sortWindowSoak("fmgws")
+  }
+  test("sort window soak: eviction churn leaves state flat, rows track open keys (tws)") {
+    sortWindowSoak("tws")
+  }
+  test("frequent window soak: counts grow but state rows stay attr-bounded (fmgws)") {
+    frequentSoak("fmgws")
+  }
+  test("frequent window soak: counts grow but state rows stay attr-bounded (tws)") {
+    frequentSoak("tws")
   }
 }
