@@ -380,6 +380,18 @@ object CoreQueries {
       Tables.events(s, dir), "user_id", "event_type", 2)
       .orderBy("user_id", "rk")
 
+  /** Q31 — time-length window (Siddhi `s#window.timeLength(T, n)`):
+    * per purchase, count and sum over the last min(5, within-12h)
+    * purchases — the doubly-bounded member completing the window family
+    * (q23 count-only sliding, q27 count tumbling). Via
+    * [[graft.operators.Patterns.timeLengthWindow]]. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.timeLengthWindow(
+      eventsUs(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_us", "event_id", "value", Hours12Us, 5)
+      .withColumnRenamed("id", "event_id")
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -411,6 +423,7 @@ object CoreQueries {
     "q28_snapshot_diff_pruned" -> q28 _,
     "q29_sort_window" -> q29 _,
     "q30_frequent" -> q30 _,
+    "q31_time_length" -> q31 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -705,5 +718,22 @@ object CoreQueries {
         |SELECT user_id, CAST(rk AS BIGINT) AS rk, event_type,
         |       CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rk <= 2 ORDER BY user_id, rk""".stripMargin,
+    "q31_time_length" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus
+         |  FROM events WHERE event_type = 'purchase'),
+         |r AS (SELECT user_id, event_id, tus, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY tus
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND $Hours12Us PRECEDING) AS expired,
+         |    sum(CAST(value AS DECIMAL(18,2))) OVER (
+         |      PARTITION BY user_id ORDER BY tus, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM e)
+         |SELECT a.user_id, a.event_id,
+         |  CAST(least(a.rn - a.expired, 5) AS BIGINT) AS win_cnt,
+         |  CAST(a.cum - coalesce(b.cum, 0) AS DOUBLE) AS win_sum
+         |FROM r a LEFT JOIN r b
+         |  ON a.user_id = b.user_id AND b.rn = a.rn - least(a.rn - a.expired, 5)
+         |ORDER BY a.user_id, a.event_id""".stripMargin,
   )
 }

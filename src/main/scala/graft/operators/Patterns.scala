@@ -410,6 +410,45 @@ object Patterns {
       .select(col(keyCol), col("session_start"), col("n_events"))
   }
 
+  /** Time-length window `s#window.timeLength(T, n)` — sliding window
+    * bounded by BOTH a time span and a count: for each event, the
+    * window holds the last `min(n, events within (ts−T, ts])` events in
+    * (ts, id) order. Output: (key, id, win_cnt, win_sum) like
+    * [[lengthWindow]].
+    *
+    * Shape: the time bound rides a RANGE frame (events expired at
+    * `ts − T` counted from unbounded-preceding — ties on ts stay
+    * consistent with the (ts, id) total order because an expired event's
+    * ts is strictly smaller), the count cap turns into a dynamic-length
+    * suffix sum computed as a difference of running sums
+    * (`cum[i] − cum[i − win_cnt]`) via a self-join on (key, rn) — Spark
+    * window frames cannot vary per row, but the join's both sides
+    * already hash-cluster on the key, so no NEW exchange is introduced
+    * (hashpartitioning(key) satisfies the join's clustering); sums ride
+    * decimal, the repo-wide float-order contract. */
+  def timeLengthWindow(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueCol: String, spanUs: Long,
+                       n: Int): DataFrame = {
+    require(spanUs > 0 && n >= 1, s"need positive span and count, got $spanUs/$n")
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val expiredFrame = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(Window.unboundedPreceding, -spanUs)
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .withColumn("_rn", row_number().over(order).cast("long"))
+      .withColumn("_expired", count(lit(1)).over(expiredFrame))
+      .withColumn("_wcnt", least(col("_rn") - col("_expired"), lit(n.toLong)))
+      .withColumn("_cum", sum(col(valueCol).cast("decimal(18,2)")).over(cum))
+    val prev = base.select(col(keyCol).as("_pk"), col("_rn").as("_prn"),
+      col("_cum").as("_pcum"))
+    base
+      .join(prev, col(keyCol) === col("_pk") &&
+        (col("_rn") - col("_wcnt")) === col("_prn"), "left")
+      .select(col(keyCol), col(idCol).as("id"), col("_wcnt").as("win_cnt"),
+        (col("_cum") - coalesce(col("_pcum"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("win_sum"))
+  }
+
   /** Sort window `s#window.sort(n, value, 'asc')` — the window that
     * holds the n BEST events by sort order seen so far (an arriving
     * event evicts the current worst when the window is full). The batch

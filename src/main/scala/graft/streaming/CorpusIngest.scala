@@ -100,12 +100,17 @@ object CorpusIngest {
     } finally { docs.unpersist(); () }
   }
 
-  /** The whole accepted corpus (seed + every committed batch). */
+  /** The whole accepted corpus (seed + every committed batch).
+    * Only `seed` and `b<n>` directories are read — compaction temp /
+    * retired dirs (`_`-prefixed) are invisible, so a reader racing a
+    * crashed compact() never double-counts. */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame = {
     val root = new Path(s"$corpusDir/docs")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dirs = if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.toString).sorted
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName == "seed" || p.getName.matches("b\\d+"))
+        .map(_.toString).sorted
     require(dirs.nonEmpty, s"no ingested corpus under $corpusDir/docs")
     spark.read.parquet(dirs: _*)
   }
@@ -118,4 +123,44 @@ object CorpusIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(handler(corpusDir, bands, thresholdMilli))
+
+  /** Offline compaction: fold every per-batch directory into `seed/` so
+    * directory count stays O(1) across long ingest histories (the
+    * admission decisions are already final — compaction moves bytes,
+    * never re-judges). Index rows are REUSED, not recomputed: the
+    * corpus' text is not re-shingled.
+    *
+    * Crash contract: the consolidated seed is written to a `_`-prefixed
+    * temp dir (invisible to readers), swapped in, and only then are the
+    * batch dirs removed. A crash before the swap changes nothing; a
+    * crash between swap and cleanup leaves batch dirs whose rows are
+    * already in seed — ADMISSION stays correct (a duplicate signature
+    * row makes the same reject decision) and the next compact() folds
+    * the duplicates away (it dedupes on id); docs are never lost.
+    *
+    * Run only while no ingest query is active AND after the query's
+    * last batch is committed to its checkpoint (clean stop() after
+    * processAllAvailable): folding an UNCOMMITTED trailing batch into
+    * seed would make its replay probe its own rows and self-reject. */
+  def compact(spark: SparkSession, corpusDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def swap(sub: String): Unit = {
+      val root = new Path(s"$corpusDir/$sub")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return
+      val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      if (dirs.size <= 1) return
+      val all = spark.read.parquet(dirs.map(_.toString): _*)
+        .dropDuplicates(if (sub == "docs") Seq("doc_id") else Seq("sid"))
+      val tmp = new Path(root, "_compact_tmp")
+      all.write.mode("overwrite").parquet(tmp.toString)
+      val seed = new Path(root, "seed")
+      val old = new Path(root, s"_old_${System.nanoTime()}")
+      if (fs.exists(seed)) fs.rename(seed, old)
+      fs.rename(tmp, seed)
+      (dirs.filterNot(_.getName == "seed") :+ old).foreach(fs.delete(_, true))
+    }
+    swap("docs")
+    swap("index")
+  }
 }

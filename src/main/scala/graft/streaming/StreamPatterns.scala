@@ -527,6 +527,44 @@ object StreamPatterns {
     }
   }
 
+  /** Streaming twin of [[graft.operators.Patterns.timeLengthWindow]] —
+    * Siddhi's doubly-bounded `s#window.timeLength(T, n)`: per finalized
+    * event, the count and decimal-exact sum over the last
+    * `min(n, events within (ts−T, ts])` events in (ts, id) order.
+    * Output shape shared with [[lengthWindow]] ([[LenWinMatch]]).
+    *
+    * Unlike the count-only window (whose state is permanent BY DESIGN),
+    * the time bound gives this one natural eviction: events at or below
+    * `watermark − T` can enter no future window and drop from state, so
+    * retention is O(span × rate + pending) per key. */
+  def timeLengthWindow(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueCol: String, spanUs: Long, n: Int,
+                       delay: String, onlyType: (String, String) = null)
+  : Dataset[LenWinMatch] = {
+    require(spanUs > 0 && n >= 1, s"need positive span and count, got $spanUs/$n")
+    val (typeColName, tagged) = Option(onlyType) match {
+      case Some((tc, _)) => (tc, events)
+      case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
+    }
+    runPattern[LenWinMatch](tagged, keyCol, tsCol, idCol, typeColName,
+        delay = delay, onlyType = Option(onlyType).map(_._2),
+        valueCol = Some(valueCol)) { (evs, frontier, wmUs) =>
+      val out = evs.zipWithIndex
+        .filter { case (e, _) => e.tsUs < wmUs && e.tsUs >= frontier }
+        .map { case (e, i) =>
+          val win = evs.slice(0, i + 1)
+            .filter(_.tsUs > e.tsUs - spanUs).takeRight(n)
+          val sum = win.map(x =>
+            BigDecimal(x.v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          LenWinMatch(e.key, e.id, win.size.toLong, sum.toDouble)
+        }
+      val pendingIdx = evs.indexWhere(_.tsUs >= wmUs)
+      val retained = evs.filter(x => x.tsUs > wmUs - spanUs || x.tsUs >= wmUs)
+      val wake = if (pendingIdx < 0) None else Some(evs(pendingIdx).tsUs)
+      (out, retained, wake)
+    }
+  }
+
   /** The type tag of the per-key counter sentinel [[lengthBatch]] rides
     * in its event buffer — impossible in real input: untyped streams are
     * tagged `"e"` and typed ones are filtered to the requested type

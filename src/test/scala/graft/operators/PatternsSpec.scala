@@ -450,6 +450,29 @@ class PatternsSpec extends SparkSpec {
       ("u2", 1L, 5L, 9.0)))
   }
 
+  test("timeLengthWindow: doubly-bounded window matches a brute-force oracle") {
+    import spark.implicits._
+    // span 100µs, count 3; values = id for easy sums
+    val evs = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 90L, 3L), (1L, 120L, 4L),
+      (1L, 130L, 5L), (1L, 400L, 6L), (2L, 0L, 7L))
+    val df = evs.toDF("key", "ts", "id").withColumn("value", col("id").cast("double"))
+    val got = Patterns.timeLengthWindow(df, "key", "ts", "id", "value", 100L, 3)
+      .orderBy("key", "id").as[(Long, Long, Long, Double)].collect().toSeq
+    // brute force: per event, the last min(3, within (ts-100, ts]) events
+    val want = evs.map { case (k, ts, id) =>
+      val win = evs.filter(e => e._1 == k && e._2 > ts - 100 &&
+        (e._2 < ts || (e._2 == ts && e._3 <= id)))
+        .sortBy(e => (e._2, e._3)).takeRight(3)
+      (k, id, win.size.toLong, win.map(_._3.toDouble).sum)
+    }.sortBy(e => (e._1, e._2))
+    assert(got === want)
+    // spot checks: id=4 at ts=120 sees {2(50),3(90),4(120)} -> cnt 3 sum 9;
+    // id=6 at ts=400 is alone in its span -> cnt 1 sum 6
+    assert(got.find(_._2 == 4L).get === ((1L, 4L, 3L, 9.0)))
+    assert(got.find(_._2 == 6L).get === ((1L, 6L, 1L, 6.0)))
+  }
+
   test("frequentTypes is the exact top-k by count with (cnt desc, value asc) ties") {
     import spark.implicits._
     val df = Seq(

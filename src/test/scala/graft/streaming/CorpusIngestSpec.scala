@@ -56,6 +56,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert(afterReplay === after1)
   }
 
+  test("compact folds batch dirs into seed: same corpus, same admission decisions after") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_compact").toString
+    val h = CorpusIngest.handler(dir, Bands, Thresh)
+    CorpusIngest.seed(mkDocs(1L -> body("alpha")), dir, Bands)
+    h(mkDocs(10L -> body("gamma")), 0L)
+    h(mkDocs(11L -> body("delta")), 1L)
+    val before = CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    CorpusIngest.compact(spark, dir)
+    // one docs dir and one index dir remain, both named seed
+    def subdirs(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(subdirs("docs") === Seq("seed") && subdirs("index") === Seq("seed"))
+    val after = CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(after === before)
+
+    // admission against the compacted index is unchanged: a near-dup of a
+    // pre-compaction doc still rejects, a fresh doc still lands
+    h(mkDocs(20L -> edited("gamma"), 21L -> body("epsilon")), 2L)
+    val ids = CorpusIngest.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 10L, 11L, 21L))
+  }
+
   test("streaming wiring: MemoryStream micro-batches drive the same loop") {
     val dir = java.nio.file.Files.createTempDirectory("corpus_ingest_stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("corpus_ingest_ckpt").toString

@@ -220,6 +220,24 @@ class StreamPatternsSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("timeLengthWindow parity with batch operator on both engines (doubly-bounded window)") {
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+    val want = Patterns.timeLengthWindow(
+      valued(staticDf).where(col("typ") === "purchase"),
+      "k", "ts_us", "id", "value", WindowUs, 5)
+      .collect().map(_.toSeq).toSet
+    for (engine <- Seq(None, Some("tws"))) {
+      engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
+      val got =
+        try runStream(src => StreamPatterns.timeLengthWindow(
+          valued(src), "k", "ts", "id", "value", WindowUs, 5, "0 seconds",
+          onlyType = ("typ", "purchase")).toDF,
+          s"sp_tlwin_${engine.getOrElse("fmgws")}")
+        finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
+      assert(want.nonEmpty && got === want)
+    }
+  }
+
   test("lengthBatch parity with batch operator (tumbling count window, partial batch withheld)") {
     val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
     val got = runStream(src => StreamPatterns.lengthBatch(
