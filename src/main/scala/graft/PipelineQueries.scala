@@ -647,6 +647,41 @@ object PipelineQueries {
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
       .orderBy("source")
 
+  /** Words per synthetic "line" of the p42 fixture (the corpus text
+    * carries no newlines, so boilerplate lines are planted by re-lining
+    * every doc at a fixed word stride — shared spans then collide as
+    * whole lines, exactly the web-page chrome shape the filter targets). */
+  private val LineWords = 10
+
+  private def relinedDocs(s: SparkSession, dir: String): DataFrame = {
+    val ws = TF.words(TF.normText(col("text")))
+    docs(s, dir).withColumn("text",
+      when(size(ws) === 0, lit("")).otherwise(
+        array_join(transform(
+          sequence(lit(0),
+            ((size(ws) + LineWords - 1) / LineWords).cast("int") - 1, lit(1)),
+          i => array_join(slice(ws, i * LineWords + 1, lit(LineWords)), " ")), "\n")))
+  }
+
+  /** p42 — corpus duplicate-line removal ([[Dedup.lineDedup]]): the
+    * C4/RefinedWeb boilerplate filter — any line in >= 2 distinct docs
+    * is dropped everywhere and docs are reassembled from the survivors.
+    * The between-doc REWRITE next to p36's boilerplate SCORE. */
+  private def p42(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(relinedDocs(s, dir), minDocs = 2).orderBy("doc_id")
+
+  /** p43 — corpus bigram-LM quality score ([[TF.bigramLmScore]]): the
+    * CCNet-style "how typical are this doc's word transitions under the
+    * corpus' own model" filter, integer-exact (mean transition ppm). */
+  private def p43(s: SparkSession, dir: String): DataFrame =
+    TF.bigramLmScore(docs(s, dir)).orderBy("doc_id")
+
+  /** p44 — mixture draw ([[TF.mixtureSample]]): materialize p39's
+    * sqrt-damped weights as an actual deterministic hash-sampled corpus
+    * draw — the weights→sample loop closed. */
+  private def p44(s: SparkSession, dir: String): DataFrame =
+    TF.mixtureSample(docs(s, dir)).select("doc_id", "source").orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -689,6 +724,9 @@ object PipelineQueries {
     "p39_mixture_weights" -> p39 _,
     "p40_embed_quant" -> p40 _,
     "p41_length_quantiles" -> p41 _,
+    "p42_line_dedup" -> p42 _,
+    "p43_bigram_lm" -> p43 _,
+    "p44_mixture_draw" -> p44 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1333,5 +1371,64 @@ object PipelineQueries {
         |  max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN n_chars END) AS p90,
         |  max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN n_chars END) AS p99
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // the relined fixture is rebuilt in SQL (10-word lines), split again
+    // (round-trip exact: words carry no newline), then the filter: lines
+    // in >= 2 DISTINCT docs drop, blanks never count, docs reassemble in
+    // line order; parallel unnests zip positionally (0-based ix =
+    // posexplode's pos)
+    "p42_line_dedup" ->
+      s"""WITH $NormCte,
+         |r AS (SELECT doc_id,
+         |        CASE WHEN len(ws) = 0 THEN ''
+         |             ELSE array_to_string(list_transform(
+         |               range(0, (len(ws) + ${LineWords - 1}) // $LineWords),
+         |               i -> array_to_string(ws[i*$LineWords+1 : i*$LineWords+$LineWords], ' ')), chr(10))
+         |        END AS rt
+         |      FROM w),
+         |ls AS (SELECT doc_id, string_split(rt, chr(10)) AS la FROM r),
+         |l AS (SELECT doc_id, unnest(la) AS line, unnest(range(len(la))) AS ix FROM ls),
+         |bad AS (SELECT line FROM (
+         |          SELECT line, count(DISTINCT doc_id) AS nd FROM l
+         |          WHERE trim(line) <> '' GROUP BY line) WHERE nd >= 2),
+         |k AS (SELECT l.doc_id, l.ix, l.line, (b.line IS NOT NULL) AS isbad
+         |      FROM l LEFT JOIN bad b ON l.line = b.line)
+         |SELECT doc_id,
+         |  count(CASE WHEN NOT isbad THEN 1 END) AS kept_lines,
+         |  count(CASE WHEN isbad THEN 1 END) AS dropped_lines,
+         |  coalesce(string_agg(CASE WHEN NOT isbad THEN line END,
+         |    chr(10) ORDER BY ix), '') AS new_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p43_bigram_lm" ->
+      s"""WITH $NormCte,
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |         END) AS b FROM w),
+         |c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY b),
+         |c1 AS (SELECT split_part(b, ' ', 1) AS w1, CAST(sum(n2) AS BIGINT) AS n1
+         |       FROM c2 GROUP BY 1),
+         |m AS (SELECT b, CAST((n2 * 1000000) // n1 AS BIGINT) AS ppm
+         |      FROM c2 JOIN c1 ON split_part(c2.b, ' ', 1) = c1.w1),
+         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(ppm) AS BIGINT) AS s
+         |      FROM bg JOIN m USING (b) GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(p.s // p.n_bigrams, 0) AS score_ppm
+         |FROM w LEFT JOIN p ON w.doc_id = p.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
+    "p44_mixture_draw" ->
+      s"""WITH g AS (SELECT source,
+         |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT source,
+         |    CAST(floor(1e6 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_micro FROM g),
+         |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM s),
+         |r AS (SELECT source, CAST((sqrt_micro * 1000000) // denom AS BIGINT) AS rate
+         |  FROM s, d)
+         |SELECT doc.doc_id, doc.source
+         |FROM documents doc JOIN r ON doc.source = r.source
+         |WHERE (${rollHashSql("CAST(doc.doc_id AS VARCHAR)")} * ${TF.SampleMix}
+         |        % ${TF.RollHashMod} % ${TF.SampleResidue}) < r.rate
+         |ORDER BY doc.doc_id""".stripMargin,
   )
 }

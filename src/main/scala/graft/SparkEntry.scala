@@ -392,6 +392,54 @@ object CoreQueries {
       .withColumnRenamed("id", "event_id")
       .orderBy("user_id", "event_id")
 
+  /** Q32 — delay window (Siddhi `s#window.delay(T)`): per purchase,
+    * count + sum of its user's purchases the 12 h-delayed stream had
+    * RELEASED at its arrival (`ts' <= ts − 12h`) — the compare-with-
+    * the-past primitive. Via [[graft.operators.Patterns.delayWindow]];
+    * streaming twin `StreamPatterns.delayWindow` folds the released
+    * prefix into a (count, cents) sentinel. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.delayWindow(
+      eventsUs(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_us", "event_id", "value", Hours12Us)
+      .withColumnRenamed("id", "event_id")
+      .orderBy("user_id", "event_id")
+
+  /** Q33 — lossy-frequent window (Siddhi
+    * `s#window.lossyFrequent(support)`): per user, the event types
+    * holding at least 25% of the user's events — the exact answer the
+    * lossy-counting sketch approximates, support tested by integer
+    * cross-multiply. Via [[graft.operators.Patterns.lossyFrequent]]. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Patterns.lossyFrequent(
+      Tables.events(s, dir), "user_id", "event_type", 250L)
+      .orderBy("user_id", "event_type")
+
+  private val HourUs = 3600L * 1000000L
+  private val DayUs = 24L * HourUs
+  // q34 on-demand range: [2024-01-05, 2024-01-21) UTC — inside the test
+  // data's 30-day span, day-aligned like Siddhi's `within` clause
+  private val AggFromUs = 1704412800000000L
+  private val AggToUs = 1705795200000000L
+
+  /** Q34 — incremental multi-granularity aggregation (Siddhi `define
+    * aggregation ... aggregate by ts every hour...day` + on-demand
+    * `within ... per 'days'`): per-user purchase count + sum at DAY
+    * grain, answered through the hour→day rollup ladder (only the hour
+    * level ever reads raw rows; the day level re-aggregates hour cells)
+    * and restricted to a 16-day `within` range. Via
+    * [[graft.operators.IncrementalAgg]]; streaming twin
+    * `IncrementalAggStream.finestLevel` (built-in watermark + tumbling
+    * window, parity in IncrementalAggSpec). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val ladder = graft.operators.IncrementalAgg.rollup(
+      eventsUs(s, dir).filter(col("event_type") === "purchase"),
+      "user_id", "ts_us", "value", Seq("hour" -> HourUs, "day" -> DayUs))
+    graft.operators.IncrementalAgg.query(ladder, "day", AggFromUs, AggToUs)
+      .withColumnRenamed("bucket_start", "bucket_start_us")
+      .orderBy("user_id", "bucket_start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -424,6 +472,9 @@ object CoreQueries {
     "q29_sort_window" -> q29 _,
     "q30_frequent" -> q30 _,
     "q31_time_length" -> q31 _,
+    "q32_delay_window" -> q32 _,
+    "q33_lossy_frequent" -> q33 _,
+    "q34_incremental_agg" -> q34 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -735,5 +786,36 @@ object CoreQueries {
          |FROM r a LEFT JOIN r b
          |  ON a.user_id = b.user_id AND b.rn = a.rn - least(a.rn - a.expired, 5)
          |ORDER BY a.user_id, a.event_id""".stripMargin,
+    "q32_delay_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT user_id, event_id,
+         |  count(*) OVER w AS rel_cnt,
+         |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) OVER w,
+         |       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rel_sum
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+         |             RANGE BETWEEN UNBOUNDED PRECEDING AND $Hours12Us PRECEDING)
+         |ORDER BY user_id, event_id""".stripMargin,
+    "q33_lossy_frequent" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type),
+        |t AS (SELECT user_id, event_type, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total FROM c)
+        |SELECT user_id, event_type, cnt, total
+        |FROM t WHERE cnt * 1000 >= 250 * total
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the oracle aggregates DIRECTLY at day grain — the Spark side must
+    // reach the identical cells through the hour→day ladder
+    "q34_incremental_agg" ->
+      s"""WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus
+         |  FROM events WHERE event_type = 'purchase'),
+         |d AS (SELECT user_id, (tus // $DayUs) * $DayUs AS bucket_start_us,
+         |    count(*) AS cnt,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |  FROM e GROUP BY 1, 2)
+         |SELECT user_id, bucket_start_us, cnt, total FROM d
+         |WHERE bucket_start_us >= $AggFromUs AND bucket_start_us < $AggToUs
+         |ORDER BY user_id, bucket_start_us""".stripMargin,
   )
 }

@@ -258,6 +258,50 @@ object Dedup {
         coalesce(col("dup_milli"), lit(0L)).as("dup_milli"))
   }
 
+  /** Corpus-level duplicate-LINE removal (the C4/RefinedWeb boilerplate
+    * filter): a line occurring in >= `minDocs` DISTINCT documents is
+    * boilerplate (navigation chrome, license banners, cookie notices)
+    * and is dropped from every document; each document is reassembled
+    * from its surviving lines in original order. Blank lines are
+    * structure, not content — never counted, never dropped. Output:
+    * (idCol, kept_lines, dropped_lines, new_text) — one row per input
+    * document (a fully-boilerplate document survives with new_text '').
+    *
+    * This is the between-doc sibling of [[dupNgramFraction]]: that one
+    * SCORES a doc's boilerplate load, this one REWRITES the corpus.
+    *
+    * Scale shape: lines explode map-side; the distinct-doc count per
+    * line is two partial-agg passes over (line, doc) cells; the
+    * boilerplate verdict set (only lines clearing `minDocs`) is a small
+    * fraction of the corpus and rides a broadcast back onto the line
+    * stream — the corpus itself is never shuffled by line text. The
+    * reassembly groupBy is the one row-sized exchange (keyed on the doc
+    * id, the same key the corpus is usually already partitioned by). If
+    * a corpus' boilerplate set ever outgrows broadcast, drop the hint
+    * and the same plan degrades to a shuffle join — semantics
+    * unchanged. */
+  def lineDedup(docs: DataFrame, minDocs: Long = 2L, idCol: String = "doc_id",
+                textCol: String = "text", delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("_ix", "_line")))
+    val bad = lines.where(trim(col("_line")) =!= "")
+      .select(col(idCol), col("_line")).distinct()
+      .groupBy(col("_line")).agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select(col("_line").as("_badline"))
+    lines.join(broadcast(bad), col("_line") === col("_badline"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("_badline").isNull, 1)).as("kept_lines"),
+        count(when(col("_badline").isNotNull, 1)).as("dropped_lines"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_badline").isNull,
+            struct(col("_ix"), col("_line"))))),
+          x => x.getField("_line")), delim).as("new_text"))
+  }
+
   /** Persistable near-dup INDEX of a corpus: one row per doc with its
     * shingle array and the full MinHash band-signature array (map-side
     * expressions only — building the index costs one corpus scan, no

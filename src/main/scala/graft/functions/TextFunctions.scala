@@ -435,6 +435,59 @@ object TextFunctions {
         expr("sqrt_micro * 1000000 div _denom").as("weight_ppm"))
   }
 
+  /** Materialize ONE sampling pass of the [[mixtureWeights]] table — the
+    * step that turns the mixture REPORT into an actual training corpus
+    * draw: every source g is hash-sampled at `rate = weight_ppm(g)`, so
+    * sqrt-damped sources keep proportionally more of their tail and the
+    * draw totals roughly one source-equivalent of the corpus. The keep
+    * decision is [[stratifiedSample]]'s deterministic residue rule —
+    * reproducible across engines, runs and repartitionings, which is
+    * what makes the drawn corpus auditable. Scale: the weight table is K
+    * rows riding a broadcast; the corpus scan stays map-side. */
+  def mixtureSample(docs: org.apache.spark.sql.DataFrame,
+                    groupCol: String = "source", textCol: String = "text",
+                    idCol: Column = col("doc_id")): org.apache.spark.sql.DataFrame =
+    stratifiedSample(docs,
+      mixtureWeights(docs, groupCol, textCol)
+        .select(col(groupCol), col("weight_ppm").as("rate")),
+      groupCol, idCol)
+
+  /** Corpus bigram language-model quality score (the CCNet/LLaMA-family
+    * filter idea: score each document by how "typical" its word
+    * transitions are under a model trained on the corpus itself; gibberish,
+    * boilerplate-mangled and wrong-language docs score low). The model is
+    * the corpus' own bigram table — p(w2|w1) = count(w1 w2)/count(w1·) —
+    * and a document's score is the mean transition probability over its
+    * bigram OCCURRENCES, all in integer ppm (`count·1e6 div prefix-count`,
+    * sum, `div n`) so no log/float can drift between engines; a real
+    * deployment swaps the mean-prob for mean-log-prob (perplexity) without
+    * changing any shuffle. Output: (idCol, n_bigrams, score_ppm) — docs
+    * with < 2 words score 0 over 0 bigrams.
+    *
+    * Scale shape: bigram and prefix counts are two partial-agg passes
+    * over cells (never text); the model join back onto doc bigrams keys
+    * on the bigram string — the hot-bigram skew class AQE handles (same
+    * as tf-idf's df join); the per-doc rollup is one id-keyed exchange.
+    * Training and scoring share one corpus scan pipeline. */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(bigrams(words(normText(col(textCol))))).as("_bg"))
+    val c2 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_n2"))
+    val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+      .agg(sum(col("_n2")).as("_n1"))
+    val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
+      .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
+    val perDoc = bg.join(model, "_bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("_s div n_bigrams"), lit(0L)).as("score_ppm"))
+  }
+
   /** Exact discrete per-group quantiles of a numeric column: the value
     * at 1-based ascending rank `ceil(q·n)` — the nearest-rank definition,
     * all-integer once the rank is fixed, so the DuckDB twin matches

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-granularity incremental aggregation — the Siddhi host-language
+  * feature (`define aggregation A from S select sum(value) aggregate by ts
+  * every sec ... year`) that pre-computes an aggregate at a ladder of time
+  * granularities and answers on-demand queries (`from A within ... per
+  * 'days'`) from the matching level. The reference's CDC streams are the
+  * canonical feed for exactly this (change stream → running per-entity
+  * rollups).
+  *
+  * Spark-first shape: ONLY the finest level ever touches raw rows — one
+  * partial-aggregated exchange collapses the stream to (key, bucket)
+  * cells — and every coarser level re-aggregates the PREVIOUS level, so
+  * its input is cell-count-sized, not row-count-sized. At 100 TB the
+  * hour→day→month chain costs one full scan plus a few cell-table
+  * passes, the same cascade Siddhi's IncrementalExecutor runs in-memory
+  * per event. Sums ride decimal(18,2) through every level (sum-of-sums
+  * of decimals is exact, so the chain answers bit-identically to a
+  * direct aggregation at any level — the correctness contract q34 pins
+  * against DuckDB).
+  *
+  * Deployment note: each level is a plain DataFrame — persist the ladder
+  * as parquet and a capture loop (see [[graft.streaming.SnapshotCapture]])
+  * updates it incrementally by re-aggregating only the buckets its delta
+  * touches; the streaming twin
+  * [[graft.streaming.IncrementalAggStream.finestLevel]] maintains the
+  * finest level live with the built-in watermark + tumbling-window
+  * aggregation.
+  */
+object IncrementalAgg {
+
+  /** Largest multiple of `g` at or below the value — floor semantics for
+    * any timestamp sign (pmod is non-negative). */
+  private def bucketStart(c: Column, g: Long): Column = c - pmod(c, lit(g))
+
+  /** Build the granularity ladder: `granularities` are (name, bucket
+    * width in the ts column's unit), ascending, each width a multiple of
+    * the previous (hour → day → month alignment — the same constraint
+    * Siddhi's `every sec...year` ladder has). Returns one table per
+    * level: (key, bucket_start, cnt, sum_dec). */
+  def rollup(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+             granularities: Seq[(String, Long)]): Seq[(String, DataFrame)] = {
+    require(granularities.nonEmpty, "need at least one granularity")
+    granularities.foreach { case (n, g) =>
+      require(g > 0, s"granularity $n must be positive, got $g") }
+    granularities.sliding(2).foreach {
+      case Seq((nf, f), (nc, c)) =>
+        require(c > f && c % f == 0,
+          s"granularities must ascend and nest: $nc ($c) is not a multiple of $nf ($f)")
+      case _ => ()
+    }
+    val (finestName, finest) = granularities.head
+    val base = events
+      .groupBy(col(keyCol), bucketStart(col(tsCol), finest).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
+    granularities.tail.foldLeft(Vector(finestName -> base)) { case (acc, (name, g)) =>
+      val prev = acc.last._2
+      acc :+ (name -> prev
+        .groupBy(col(keyCol), bucketStart(col("bucket_start"), g).as("bucket_start"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sum_dec")).as("sum_dec")))
+    }
+  }
+
+  /** The on-demand query (Siddhi `from A within [from, to) per 'level'`):
+    * answer from the named level's cells, bucket_start in [fromTs, toTs).
+    * Output: (key, bucket_start, cnt, total) with the decimal chain cast
+    * to double only here, at the edge. */
+  def query(levels: Seq[(String, DataFrame)], level: String,
+            fromTs: Long, toTs: Long): DataFrame = {
+    val tbl = levels.collectFirst { case (n, df) if n == level => df }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown level '$level' (have ${levels.map(_._1).mkString(", ")})"))
+    tbl.where(col("bucket_start") >= fromTs && col("bucket_start") < toTs)
+      .select(col(tbl.columns.head), col("bucket_start"), col("cnt"),
+        col("sum_dec").cast("double").as("total"))
+  }
+}

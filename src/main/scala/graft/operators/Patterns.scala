@@ -471,6 +471,61 @@ object Patterns {
       .select(col(keyCol), col("rk"), col(idCol).as("id"), col(valueCol))
   }
 
+  /** Delay window `s#window.delay(T)` — Siddhi holds every event back
+    * for `T` before releasing it downstream, so a consumer at time t
+    * sees the stream as of `t − T` (the classic late-joining /
+    * change-vs-past comparison primitive). The batch analog answers,
+    * per event, "what had the delayed stream released when this event
+    * arrived": count + decimal-exact sum of the key's events with
+    * `ts' <= ts − T` (an event delayed at ts' surfaces at ts' + T, so
+    * it is visible at ts iff ts' + T <= ts). Output:
+    * (key, id, rel_cnt, rel_sum) — rel_cnt 0 while the delayed stream
+    * is still "dark" at the key's start.
+    *
+    * One keyed exchange + one RANGE frame (ts-bounded, so intra-ts
+    * ordering cannot matter — the released set is a ts cut, never a row
+    * cut). The streaming twin's state is O(T·rate) per key: events
+    * older than `watermark − T` fold into a running (cnt, cents)
+    * sentinel and leave the buffer. */
+  def delayWindow(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String, delayUs: Long): DataFrame = {
+    require(delayUs > 0, s"delay must be positive, got $delayUs")
+    val released = Window.partitionBy(keyCol).orderBy(col(tsCol))
+      .rangeBetween(Window.unboundedPreceding, -delayUs)
+    events
+      .withColumn("rel_cnt", count(lit(1)).over(released))
+      .withColumn("rel_sum",
+        coalesce(sum(col(valueCol).cast("decimal(18,2)")).over(released),
+          lit(0).cast("decimal(18,2)")).cast("double"))
+      .select(col(keyCol), col(idCol).as("id"), col("rel_cnt"), col("rel_sum"))
+  }
+
+  /** Lossy-frequent window `s#window.lossyFrequent(support)` — Siddhi
+    * keeps events whose attribute value's frequency exceeds a SUPPORT
+    * FRACTION of the stream (via the lossy-counting sketch, the
+    * variable-cardinality sibling of [[frequentTypes]]'s fixed top-k).
+    * The batch analog is the exact answer: per key, the attribute
+    * values with `cnt/total >= support`, tested as the integer
+    * cross-multiply `cnt * 1000 >= support_milli * total` so no float
+    * ratio can drift between engines. Output: (key, attr, cnt, total)
+    * ordered (cnt desc, attr asc) by the caller's ORDER BY.
+    *
+    * Scale shape: the same two partial-agg passes as [[frequentTypes]]
+    * — rows collapse to (key, attr) cells map-side, the per-key total
+    * rides a window over cell-sized data; the sketch becomes necessary
+    * only when one key's distinct-attribute cardinality explodes. */
+  def lossyFrequent(events: DataFrame, keyCol: String, attrCol: String,
+                    supportMilli: Long): DataFrame = {
+    require(supportMilli > 0 && supportMilli <= 1000,
+      s"support must be in (0, 1000] milli-units, got $supportMilli")
+    val counts = events.groupBy(col(keyCol), col(attrCol))
+      .agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy(keyCol)
+    counts.withColumn("total", sum(col("cnt")).over(total))
+      .where(col("cnt") * 1000 >= lit(supportMilli) * col("total"))
+      .select(col(keyCol), col(attrCol), col("cnt"), col("total"))
+  }
+
   /** Frequent window `s#window.frequent(k)` — Siddhi keeps the events
     * whose attribute value is among the k most frequent (via the
     * Misra–Gries lossy counter). The batch analog is the EXACT answer

@@ -63,6 +63,8 @@ object StreamPatterns {
   case class CountSeqMatch(key: Long, b_id: Long, a_cnt: Long)
   case class SortWinSnap(key: Long, rev: Long, rk: Long, id: Long, value: Double)
   case class FreqSnap(key: Long, rev: Long, rk: Long, attr: String, cnt: Long)
+  case class DelayMatch(key: Long, id: Long, rel_cnt: Long, rel_sum: Double)
+  case class LossyFreqSnap(key: Long, rev: Long, attr: String, cnt: Long, total: Long)
 
   implicit private val patEventEnc: Encoder[PatEvent] = Encoders.product[PatEvent]
   implicit private val patBufEnc: Encoder[PatBuf] = Encoders.product[PatBuf]
@@ -79,6 +81,8 @@ object StreamPatterns {
   implicit private val cseqEnc: Encoder[CountSeqMatch] = Encoders.product[CountSeqMatch]
   implicit private val sortWinEnc: Encoder[SortWinSnap] = Encoders.product[SortWinSnap]
   implicit private val freqEnc: Encoder[FreqSnap] = Encoders.product[FreqSnap]
+  implicit private val delayEnc: Encoder[DelayMatch] = Encoders.product[DelayMatch]
+  implicit private val lossyEnc: Encoder[LossyFreqSnap] = Encoders.product[LossyFreqSnap]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
   /** The engine: key, sort, flush-on-data-or-timer.
@@ -726,6 +730,13 @@ object StreamPatterns {
   private val WinMember = "#s"
   private val CntSentinel = "#c"
   private val FreqPrefix = "#f:"
+  private val DelayCnt = "#dc"
+  private val DelaySum = "#ds"
+
+  /** Exact cents of a value under the repo-wide decimal(18,2) contract —
+    * the integer the batch operators' `cast("decimal(18,2)")` sums. */
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
 
   /** Streaming twin of [[graft.operators.Patterns.sortWindow]] — Siddhi
     * `s#window.sort(n, value, 'asc')`. Emits a SNAPSHOT of the window
@@ -805,6 +816,115 @@ object StreamPatterns {
           if (ready.isEmpty) Nil
           else counts.toSeq.sortBy { case (a, c) => (-c, a) }.take(k)
             .zipWithIndex.map { case ((a, c), i) => FreqSnap(key, consumed, i + 1L, a, c) }
+        val retained =
+          if (consumed == 0 && pending.isEmpty) Vector.empty
+          else PatEvent(key, Long.MinValue, consumed, CntSentinel,
+            new Timestamp(0L), 0.0) +:
+            (counts.toVector.sortBy(_._1).map { case (a, c) =>
+              PatEvent(key, Long.MinValue, c, FreqPrefix + a, new Timestamp(0L), 0.0)
+            } ++ pending)
+        (out, retained, pending.headOption.map(_.tsUs))
+      }
+    }
+  }
+
+  /** Streaming twin of [[graft.operators.Patterns.delayWindow]] — Siddhi
+    * `s#window.delay(T)`: per finalized event, the count and
+    * decimal-exact sum of its key's events already RELEASED at its
+    * arrival (`ts' <= ts − T`). Output: (key, id, rel_cnt, rel_sum).
+    *
+    * State per key: the events inside the trailing `T` span plus two
+    * permanent sentinel rows — everything at or below `watermark − T`
+    * can never leave a future event's released set, so it folds into a
+    * running (count, cents) pair and leaves the buffer; the buffer is
+    * O(T × rate), the same natural-eviction class as
+    * [[timeLengthWindow]]. Cents (not floats) accumulate in the
+    * sentinel so the fold order can never drift from the batch twin's
+    * decimal sum. */
+  def delayWindow(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String, delayUs: Long,
+                  delay: String, onlyType: (String, String) = null)
+  : Dataset[DelayMatch] = {
+    require(delayUs > 0, s"delay must be positive, got $delayUs")
+    val (typeColName, tagged) = Option(onlyType) match {
+      case Some((tc, _)) => (tc, events)
+      case None => ("_ptyp", events.withColumn("_ptyp", lit("e")))
+    }
+    runPattern[DelayMatch](tagged, keyCol, tsCol, idCol, typeColName,
+        delay = delay, onlyType = Option(onlyType).map(_._2),
+        valueCol = Some(valueCol)) { (evs, frontier, wmUs) =>
+      if (evs.isEmpty) (Nil, Vector.empty, None)
+      else {
+        val key = evs.head.key
+        val (sent, live) = evs.partition(e => e.typ == DelayCnt || e.typ == DelaySum)
+        val foldedCnt = sent.find(_.typ == DelayCnt).map(_.id).getOrElse(0L)
+        val foldedCents = sent.find(_.typ == DelaySum).map(_.id).getOrElse(0L)
+        val out = live
+          .filter(e => e.tsUs < wmUs && e.tsUs >= frontier)
+          .map { e =>
+            // folded events all satisfy ts <= prevWm − T <= e.ts − T
+            // (e finalizes now, so e.ts >= prevWm); the buffer holds the rest
+            val rel = live.filter(_.tsUs <= e.tsUs - delayUs)
+            DelayMatch(e.key, e.id, foldedCnt + rel.size,
+              (foldedCents + rel.map(x => cents(x.v)).sum) / 100.0)
+          }
+        // fold what no future cut (>= wm − T) can exclude
+        val (fold, keep) = live.partition(_.tsUs <= wmUs - delayUs)
+        val cnt = foldedCnt + fold.size
+        val cs = foldedCents + fold.map(x => cents(x.v)).sum
+        val retained =
+          if (cnt == 0 && keep.isEmpty) Vector.empty
+          else Vector(
+            PatEvent(key, Long.MinValue, cnt, DelayCnt, new Timestamp(0L), 0.0),
+            PatEvent(key, Long.MinValue, cs, DelaySum, new Timestamp(0L), 0.0)) ++ keep
+        // wake at the next finalization, else to fold the buffer tail
+        // once wm passes ts + T (state shrinks to the two permanent
+        // sentinels on dead keys)
+        val wake = keep.find(_.tsUs >= wmUs).map(_.tsUs)
+          .orElse(keep.lastOption.map(_.tsUs + delayUs))
+        (out, retained, wake)
+      }
+    }
+  }
+
+  /** Streaming twin of [[graft.operators.Patterns.lossyFrequent]] —
+    * Siddhi `s#window.lossyFrequent(support)`, exact form: per key, the
+    * attribute values whose count clears the support fraction of ALL
+    * events consumed, by the integer cross-multiply
+    * `cnt * 1000 >= support_milli * total`. Same snapshot contract as
+    * [[frequentTypes]]: each batch of finalized events re-emits the full
+    * passing set tagged `rev` = events consumed, and the max-rev
+    * snapshot equals the batch answer. Output:
+    * (key, rev, attr, cnt, total).
+    *
+    * State per key: one counter row per distinct attribute + the
+    * consumed sentinel + pending — the exact counters the lossy-counting
+    * sketch approximates; a cardinality-exploding deployment swaps in
+    * the sketch without changing the contract. */
+  def lossyFrequent(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, attrCol: String, supportMilli: Long,
+                    delay: String): Dataset[LossyFreqSnap] = {
+    require(supportMilli > 0 && supportMilli <= 1000,
+      s"support must be in (0, 1000] milli-units, got $supportMilli")
+    runPattern[LossyFreqSnap](events, keyCol, tsCol, idCol, attrCol,
+        delay = delay) { (evs, _, wmUs) =>
+      if (evs.isEmpty) (Nil, Vector.empty, None)
+      else {
+        val key = evs.head.key
+        val (cntRows, rest) = evs.partition(_.typ.startsWith(FreqPrefix))
+        val (sent, live) = rest.partition(_.typ == CntSentinel)
+        val consumed0 = sent.headOption.map(_.id).getOrElse(0L)
+        val (ready, pending) = live.partition(_.tsUs < wmUs)
+        val counts = ready.foldLeft(
+          cntRows.map(e => e.typ.drop(FreqPrefix.length) -> e.id).toMap) {
+          (m, e) => m.updated(e.typ, m.getOrElse(e.typ, 0L) + 1L) }
+        val consumed = consumed0 + ready.size
+        val out =
+          if (ready.isEmpty) Nil
+          else counts.toSeq
+            .filter { case (_, c) => c * 1000 >= supportMilli * consumed }
+            .sortBy { case (a, c) => (-c, a) }
+            .map { case (a, c) => LossyFreqSnap(key, consumed, a, c, consumed) }
         val retained =
           if (consumed == 0 && pending.isEmpty) Vector.empty
           else PatEvent(key, Long.MinValue, consumed, CntSentinel,

@@ -78,4 +78,21 @@ class ChunkMixQuantSpec extends SparkSpec {
       .select("n_rows", "p50", "p90", "p99").as[(Long, Long, Long, Long)].head()
     assert(r === ((100L, 50L, 90L, 99L)))
   }
+
+  test("mixtureSample keeps exactly the residue-below-weight rows of every source") {
+    val rates = TextFunctions.mixtureWeights(docs)
+      .select(col("source"), col("weight_ppm"))
+    val kept = TextFunctions.mixtureSample(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val want = docs.join(rates, "source")
+      .where(TextFunctions.sampleResidue(col("doc_id")) < col("weight_ppm"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === want)
+    // a genuine draw: something kept, something dropped
+    assert(kept.nonEmpty && kept.size < docs.count())
+    // deterministic under repartitioning (hash, not position)
+    val re = TextFunctions.mixtureSample(docs.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === kept)
+  }
 }

@@ -290,6 +290,29 @@ class DedupSpec extends SparkSpec {
       "releaseCcLabels must return executor storage to baseline")
   }
 
+  test("lineDedup drops cross-doc boilerplate lines, keeps blanks, repeats-in-one-doc and order") {
+    val d = Seq(
+      (1L, "COOKIE NOTICE\nunique alpha content\n\nfooter legal"),
+      (2L, "COOKIE NOTICE\nunique beta content\nfooter legal"),
+      (3L, "solo document only\n"), // trailing newline -> preserved blank line
+      (4L, "COOKIE NOTICE"),        // fully boilerplate -> survives empty
+      (5L, "dup line\ndup line"))   // repeated in ONE doc only -> kept (distinct-doc count = 1)
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(d).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, "unique alpha content\n"),
+      (2L, 1L, 2L, "unique beta content"),
+      (3L, 2L, 0L, "solo document only\n"),
+      (4L, 0L, 1L, ""),
+      (5L, 2L, 0L, "dup line\ndup line")))
+    // minDocs = 3: only the 3-doc COOKIE NOTICE line remains boilerplate
+    val loose = Dedup.lineDedup(d, minDocs = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(loose.head === ((1L, 3L, 1L, "unique alpha content\n\nfooter legal")))
+    assert(loose(3) === ((4L, 0L, 1L, "")))
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()

@@ -633,4 +633,24 @@ class PipelineSpec extends SparkSpec {
     // all three splits materialize on 1000 ids
     assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
   }
+
+  test("bigramLmScore: mean transition ppm under the corpus' own bigram model") {
+    // model: 'the cat' 2/3, 'cat sat'/'cat ran' 1/2, 'the dog' 1/3,
+    // 'dog sat' 1/1 (prefix counts: the=3, cat=2, dog=1)
+    val d = Seq(
+      (1L, "The cat sat"), (2L, "the cat ran!"), (3L, "the dog sat"),
+      (4L, "solo"), (5L, "")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLmScore(d).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, (666666L + 500000L) / 2),   // 583333
+      (2L, 2L, (666666L + 500000L) / 2),
+      (3L, 2L, (333333L + 1000000L) / 2),  // 666666
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+    // corpus run: scores are valid ppm and every multi-word doc is scored
+    val corpus = TextFunctions.bigramLmScore(docs)
+    assert(corpus.where(col("score_ppm") < 0 || col("score_ppm") > 1000000L).count() === 0)
+    assert(corpus.where(col("n_bigrams") > 0 && col("score_ppm") === 0).count() === 0)
+    assert(corpus.count() === docs.count())
+  }
 }

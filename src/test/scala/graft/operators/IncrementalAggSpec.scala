@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.IncrementalAggStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** The incremental-aggregation ladder must answer every level
+  * bit-identically to a DIRECT aggregation at that level — that is the
+  * whole correctness contract of re-aggregating cells instead of rows
+  * (and what lets a 100 TB deployment never re-scan raw data for coarse
+  * grains). */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Hour = 3600L
+  private val Day = 24 * Hour
+
+  // deterministic pseudo-random events across 10 days, NEGATIVE and
+  // positive timestamps (the bucket floor must not truncate toward zero)
+  private lazy val evData: Seq[(Long, Long, Double)] = {
+    val rnd = new scala.util.Random(11)
+    (1 to 400).map { i =>
+      (1L + rnd.nextInt(4), rnd.between(-5 * Day, 5 * Day), rnd.nextInt(1000) / 10.0)
+    }
+  }
+  private def evDf = evData.toDF("key", "ts", "value")
+
+  test("every ladder level equals a direct aggregation at that grain") {
+    val ladder = IncrementalAgg.rollup(evDf, "key", "ts", "value",
+      Seq("hour" -> Hour, "day" -> Day))
+    for ((_, g) <- Seq("hour" -> Hour, "day" -> Day)) {
+      val got = ladder.collectFirst { case (n, df) if n == (if (g == Hour) "hour" else "day") => df }.get
+        .select(col("key"), col("bucket_start"), col("cnt"),
+          col("sum_dec").cast("double").as("total"))
+        .orderBy("key", "bucket_start").collect().map(_.toSeq).toSeq
+      val direct = evDf
+        .groupBy(col("key"), (col("ts") - pmod(col("ts"), lit(g))).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("key", "bucket_start").collect().map(_.toSeq).toSeq
+      assert(got === direct)
+    }
+  }
+
+  test("buckets floor for negative timestamps (no truncation toward zero)") {
+    val df = Seq((1L, -1L, 1.0), (1L, -Hour, 2.0), (1L, 1L, 4.0)).toDF("key", "ts", "value")
+    val hour = IncrementalAgg.rollup(df, "key", "ts", "value", Seq("hour" -> Hour)).head._2
+    val got = hour.select("bucket_start", "cnt").orderBy("bucket_start")
+      .as[(Long, Long)].collect().toSeq
+    // ts = -1 and ts = -3600 both land in the [-3600, 0) bucket
+    assert(got === Seq((-Hour, 2L), (0L, 1L)))
+  }
+
+  test("query answers from the named level within [from, to); unknown level refused") {
+    val ladder = IncrementalAgg.rollup(evDf, "key", "ts", "value",
+      Seq("hour" -> Hour, "day" -> Day))
+    val got = IncrementalAgg.query(ladder, "day", -2 * Day, 2 * Day)
+      .select("bucket_start").distinct().as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(b => b >= -2 * Day && b < 2 * Day))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.query(ladder, "month", 0L, Day)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.rollup(evDf, "key", "ts", "value",
+        Seq("hour" -> Hour, "ninety-min" -> (Hour + Hour / 2)))
+    }
+  }
+
+  test("streaming finest level: emitted cells equal the batch ladder's (built-in window agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val src = in.toDF.toDF("key", "ts_s", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+    val q = IncrementalAggStream.finestLevel(src, "key", "ts", "value",
+        Hour * 1000000L, "0 seconds")
+      .writeStream.format("memory").queryName("inc_agg_stream")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val pos = evData.filter(_._2 >= 0).sortBy(_._2) // window() needs valid epochs
+      pos.grouped((pos.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      in.addData((99L, 100 * Day, 0.0)); q.processAllAvailable()
+      in.addData((99L, 200 * Day, 0.0)); q.processAllAvailable()
+      val got = spark.table("inc_agg_stream").where(col("key") =!= 99L)
+        .select(col("key"), (col("bucket_start") / 1000000L).cast("long").as("bucket_start"),
+          col("cnt"), col("sum_dec").cast("double").as("total"))
+        .collect().map(_.toSeq).toSet
+      val want = IncrementalAgg.rollup(
+          pos.toDF("key", "ts", "value"), "key", "ts", "value", Seq("hour" -> Hour))
+        .head._2
+        .select(col("key"), col("bucket_start"), col("cnt"),
+          col("sum_dec").cast("double").as("total"))
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+}

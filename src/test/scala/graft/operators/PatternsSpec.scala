@@ -473,6 +473,41 @@ class PatternsSpec extends SparkSpec {
     assert(got.find(_._2 == 6L).get === ((1L, 6L, 1L, 6.0)))
   }
 
+  test("delayWindow: released set is the ts' <= ts - T cut, tie-safe, dark at start") {
+    import spark.implicits._
+    // T = 100µs; two events share ts=100 (both see only ts=0's release)
+    val evs = Seq(
+      (1L, 0L, 1L, 2.0), (1L, 100L, 2L, 3.0), (1L, 100L, 3L, 4.0),
+      (1L, 150L, 4L, 5.0), (1L, 250L, 5L, 6.0), (2L, 0L, 6L, 7.0))
+    val df = evs.toDF("key", "ts", "id", "value")
+    val got = Patterns.delayWindow(df, "key", "ts", "id", "value", 100L)
+      .orderBy("key", "id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 0.0),        // nothing released yet
+      (1L, 2L, 1L, 2.0),        // ts=0 released exactly at 100
+      (1L, 3L, 1L, 2.0),        // tie on ts sees the same cut
+      (1L, 4L, 1L, 2.0),        // 100-ts events release only at 200
+      (1L, 5L, 4L, 14.0),       // 0, 100, 100 and (exactly at 250) 150
+      (2L, 6L, 0L, 0.0)))
+  }
+
+  test("lossyFrequent keeps exactly the attrs clearing the support cross-multiply") {
+    import spark.implicits._
+    // u1: a=3, b=2, c=1 of 6 -> support 1/3 (334 milli) keeps only a
+    //     (b: 2000 < 334*6 = 2004; boundary intentionally knife-edge)
+    val df = Seq(
+      "u1" -> "a", "u1" -> "a", "u1" -> "a", "u1" -> "b", "u1" -> "b",
+      "u1" -> "c", "u2" -> "x").toDF("key", "type")
+    val got = Patterns.lossyFrequent(df, "key", "type", 334L)
+      .orderBy("key", "type").as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("u1", "a", 3L, 6L), ("u2", "x", 1L, 1L)))
+    // at exactly 1/3 (333.33... -> 333 milli) b's 2*1000 >= 333*6 holds
+    val loose = Patterns.lossyFrequent(df, "key", "type", 333L)
+      .orderBy("key", "type").as[(String, String, Long, Long)].collect().toSeq
+    assert(loose === Seq(
+      ("u1", "a", 3L, 6L), ("u1", "b", 2L, 6L), ("u2", "x", 1L, 1L)))
+  }
+
   test("frequentTypes is the exact top-k by count with (cnt desc, value asc) ties") {
     import spark.implicits._
     val df = Seq(

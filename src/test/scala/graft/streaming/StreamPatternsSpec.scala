@@ -476,4 +476,36 @@ class StreamPatternsSpec extends SparkSpec {
       assert(want.nonEmpty && lastSnapshots(rows).map(r => r.head +: r.drop(1)) === want)
     }
   }
+
+  test("delayWindow parity with batch operator on both engines (released-prefix fold)") {
+    val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
+    val want = Patterns.delayWindow(
+        valued(staticDf).where(col("typ") === "purchase"),
+        "k", "ts_us", "id", "value", WindowUs)
+      .collect().map(_.toSeq).toSet
+    for (engine <- Seq(None, Some("tws"))) {
+      engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
+      val got =
+        try runStream(src => StreamPatterns.delayWindow(
+          valued(src), "k", "ts", "id", "value", WindowUs, "0 seconds",
+          onlyType = ("typ", "purchase")).toDF,
+          s"sp_delay_${engine.getOrElse("fmgws")}")
+        finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
+      assert(want.nonEmpty && got === want)
+    }
+  }
+
+  test("lossyFrequent snapshot parity: max-rev passing set equals batch answer (both engines)") {
+    val want = Patterns.lossyFrequent(staticDf, "k", "typ", 250L)
+      .collect().map(_.toSeq).toSet
+    for (engine <- Seq(None, Some("tws"))) {
+      engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
+      val rows =
+        try runStreamRows(src => StreamPatterns.lossyFrequent(
+          src, "k", "ts", "id", "typ", 250L, "0 seconds").toDF,
+          s"sp_lossy_${engine.getOrElse("fmgws")}")
+        finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
+      assert(want.nonEmpty && lastSnapshots(rows) === want)
+    }
+  }
 }
