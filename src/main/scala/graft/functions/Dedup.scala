@@ -281,16 +281,47 @@ object Dedup {
     * and the same plan degrades to a shuffle join — semantics
     * unchanged. */
   def lineDedup(docs: DataFrame, minDocs: Long = 2L, idCol: String = "doc_id",
-                textCol: String = "text", delim: String = "\n"): DataFrame = {
+                textCol: String = "text", delim: String = "\n"): DataFrame =
+    lineDedupAgainst(docs, lineStats(docs, idCol, textCol, delim), minDocs,
+      idCol, textCol, delim)
+
+  /** Persistable line-statistics artifact: (line, n_docs) for every
+    * non-blank line, n_docs = DISTINCT documents carrying it. Built in
+    * one corpus scan (two cell-sized partial-agg passes); write it next
+    * to the corpus and each ingest increment pays only its own size —
+    * the same incremental-artifact shape as [[lshIndex]] and the
+    * snapshot-diff digests. */
+  def lineStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", delim: String = "\n"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+          .as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+
+  /** Fold an increment's [[lineStats]] into the stored artifact —
+    * cell-sized work, valid whenever the two corpora's document ids are
+    * disjoint (the ingest contract: each batch gets fresh ids), since
+    * then per-line distinct-doc counts simply add. */
+  def mergeLineStats(stored: DataFrame, increment: DataFrame): DataFrame =
+    stored.unionByName(increment)
+      .groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Rewrite `docs` against a (possibly merged) [[lineStats]] artifact —
+    * the dedup-on-ingest form: a new crawl increment is rewritten
+    * against the statistics of everything seen so far without ever
+    * re-reading the indexed corpus' text. [[lineDedup]] is the
+    * whole-corpus special case. */
+  def lineDedupAgainst(docs: DataFrame, stats: DataFrame, minDocs: Long = 2L,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       delim: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
           .as(Seq("_ix", "_line")))
-    val bad = lines.where(trim(col("_line")) =!= "")
-      .select(col(idCol), col("_line")).distinct()
-      .groupBy(col("_line")).agg(count(lit(1)).as("_docs"))
-      .where(col("_docs") >= minDocs)
-      .select(col("_line").as("_badline"))
+    val bad = stats.where(col("n_docs") >= minDocs)
+      .select(col("line").as("_badline"))
     lines.join(broadcast(bad), col("_line") === col("_badline"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -57,12 +57,46 @@ object IncrementalAgg {
       .groupBy(col(keyCol), bucketStart(col(tsCol), finest).as("bucket_start"))
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
-    granularities.tail.foldLeft(Vector(finestName -> base)) { case (acc, (name, g)) =>
+    ladderFrom(keyCol, finestName, base, granularities)
+  }
+
+  /** Coarser levels from a finest-level cell table (shared by [[rollup]]
+    * and [[advance]] so both produce identical level schemas). */
+  private def ladderFrom(keyCol: String, finestName: String, finest: DataFrame,
+                         granularities: Seq[(String, Long)]): Seq[(String, DataFrame)] =
+    granularities.tail.foldLeft(Vector(finestName -> finest)) { case (acc, (name, g)) =>
       val prev = acc.last._2
       acc :+ (name -> prev
         .groupBy(col(keyCol), bucketStart(col("bucket_start"), g).as("bucket_start"))
         .agg(sum(col("cnt")).as("cnt"), sum(col("sum_dec")).as("sum_dec")))
     }
+
+  /** Incrementally fold a DELTA of raw events into a stored ladder — the
+    * capture-loop form (Siddhi's IncrementalExecutor folds each arriving
+    * event; a Spark deployment persists the finest level as parquet and
+    * calls this per polling/capture round): only the delta ever pays
+    * raw-row work — its cells merge with the stored finest level by a
+    * (key, bucket) re-aggregation over CELLS, and the coarser levels
+    * rebuild from the merged cells, cell-sized passes all the way up.
+    * Exactness: decimal sums are associative, so
+    * `advance(rollup(A).head._2, B, ...) == rollup(A ∪ B)` level by
+    * level, bit-for-bit (the IncrementalAggSpec contract, through a
+    * parquet round-trip). The merged sum is cast back to the finest
+    * level's decimal(28,2) so repeated advances keep a stable stored
+    * schema (28,2 holds > 1e26 XX.xx-cents — unreachable). */
+  def advance(prevFinest: DataFrame, delta: DataFrame, keyCol: String,
+              tsCol: String, valueCol: String,
+              granularities: Seq[(String, Long)]): Seq[(String, DataFrame)] = {
+    val deltaFinest = rollup(delta, keyCol, tsCol, valueCol,
+      granularities.take(1)).head._2
+    val merged = prevFinest
+      .select(col(keyCol), col("bucket_start"), col("cnt"), col("sum_dec"))
+      .unionByName(deltaFinest.select(col(keyCol), col("bucket_start"),
+        col("cnt"), col("sum_dec").cast(prevFinest.schema("sum_dec").dataType)))
+      .groupBy(col(keyCol), col("bucket_start"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).cast("decimal(28,2)").as("sum_dec"))
+    ladderFrom(keyCol, granularities.head._1, merged, granularities)
   }
 
   /** The on-demand query (Siddhi `from A within [from, to) per 'level'`):

@@ -405,6 +405,21 @@ object ScaleSmoke {
       time("cep_length_window", n)(graft.operators.Patterns.lengthWindow(
         events.where(col("event_type") === "purchase"),
         "user_id", "ts_us", "event_id", "value", 5).count())
+      // round-9b ops. line_dedup runs word-as-line (the corpus carries no
+      // newlines): identical plan shape — explode, two cell-sized partial
+      // aggs for the verdict set, broadcast back, id-keyed reassembly —
+      // so the curve measures the operator, not a synthetic reline pass
+      time("line_dedup", n)(Dedup.lineDedup(docs, 2L, delim = " ").count())
+      time("bigram_lm", n)(TF.bigramLmScore(docs).count())
+      // the aggregation ladder: hour cells from raw rows, day from hour
+      // cells — growth must track the ONE finest-grain exchange
+      time("incr_agg", n) {
+        val ladder = graft.operators.IncrementalAgg.rollup(events,
+          "user_id", "ts_us", "value", Seq(
+            "hour" -> 3600000000L, "day" -> 86400000000L))
+        graft.operators.IncrementalAgg.query(ladder, "day",
+          Long.MinValue, Long.MaxValue).count()
+      }
     }
 
     // warm-up

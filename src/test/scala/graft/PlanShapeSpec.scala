@@ -280,4 +280,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p29.contains("PushedFilters: [") && p29.contains("EqualTo(event_type"),
       s"purchase filter not pushed:\n$p29")
   }
+
+  test("q32/q33 delay + lossy-frequent windows: keyed, partial-agg'd, never global") {
+    for (q <- Seq("q32_delay_window", "q33_lossy_frequent")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q plans a global window:\n$p")
+    }
+    // q33's counts collapse to cells map-side before any exchange
+    assert(plan("q33_lossy_frequent").contains("partial_"))
+  }
+
+  test("q34 aggregation ladder: exactly two keyed exchanges (hour from rows, day from cells)") {
+    val p = plan("q34_incremental_agg")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    val ex = exchanges(p)
+    assert(ex.count(_.contains("hashpartitioning")) == 2,
+      s"ladder must cost one exchange per level:\n${ex.mkString("\n")}")
+  }
+
+  test("p42 line dedup: boilerplate set broadcasts back — corpus never sort-merges by line") {
+    val p = plan("p42_line_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"verdict join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle by line text:\n$p")
+  }
+
+  test("p43 bigram LM: two-phase aggregation everywhere, no single-partition stage") {
+    val p = plan("p43_bigram_lm")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("SinglePartition"), s"global stage in the model build:\n$p")
+  }
+
+  test("p44 mixture draw: weight table broadcasts, keep decision map-side") {
+    val p = plan("p44_mixture_draw")
+    assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the rate join:\n$p")
+  }
 }

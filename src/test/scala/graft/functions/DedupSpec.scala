@@ -313,6 +313,27 @@ class DedupSpec extends SparkSpec {
     assert(loose(3) === ((4L, 0L, 1L, "")))
   }
 
+  test("line stats merge incrementally: increment rewrite == full-corpus rewrite (via parquet)") {
+    val batch1 = Seq(
+      (1L, "COOKIE NOTICE\nalpha content"),
+      (2L, "COOKIE NOTICE\nbeta content\nrare footer")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (4L, "COOKIE NOTICE\ngamma content"),  // boilerplate known only from batch1
+      (5L, "rare footer\ndelta content"),    // 1+1 across batches -> crosses minDocs
+      (6L, "unique epsilon")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_linestats").toString
+    Dedup.lineStats(batch1).write.mode("overwrite").parquet(dir)
+    val merged = Dedup.mergeLineStats(spark.read.parquet(dir), Dedup.lineStats(batch2))
+    val got = Dedup.lineDedupAgainst(batch2, merged).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val want = Dedup.lineDedup(batch1.unionByName(batch2))
+      .where(col("doc_id") >= 4).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === want)
+    // the cross-batch 'rare footer' line (once per batch) must be caught
+    assert(got.find(_._1 == 5L).get === ((5L, 1L, 1L, "delta content")))
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()

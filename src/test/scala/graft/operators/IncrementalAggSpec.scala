@@ -68,6 +68,26 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("advance folds a delta exactly: advance(rollup(A), B) == rollup(A ++ B), via parquet") {
+    val grans = Seq("hour" -> Hour, "day" -> Day)
+    val (a, b) = evData.partition(t => t._2 % 3 != 0) // arbitrary uneven split
+    val stored = IncrementalAgg.rollup(a.toDF("key", "ts", "value"),
+      "key", "ts", "value", grans).head._2
+    val dir = java.nio.file.Files.createTempDirectory("graft_ladder").toString
+    stored.write.mode("overwrite").parquet(s"$dir/hour")
+    val adv = IncrementalAgg.advance(spark.read.parquet(s"$dir/hour"),
+      b.toDF("key", "ts", "value"), "key", "ts", "value", grans)
+    val full = IncrementalAgg.rollup(evDf, "key", "ts", "value", grans)
+    adv.zip(full).foreach { case ((an, adf), (fn, fdf)) =>
+      assert(an === fn)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("key"), col("bucket_start"), col("cnt"),
+          col("sum_dec").cast("string"))
+        .collect().map(_.toSeq).toSet
+      assert(rows(adf) === rows(fdf), s"level $an diverges")
+    }
+  }
+
   test("streaming finest level: emitted cells equal the batch ladder's (built-in window agg)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]

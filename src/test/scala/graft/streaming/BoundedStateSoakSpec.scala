@@ -245,6 +245,52 @@ class BoundedStateSoakSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** [[StreamPatterns.delayWindow]] keeps two PERMANENT sentinel rows
+    * (the released-prefix count + cents fold) plus only the trailing
+    * `T` span of events per key — the fold must keep draining the buffer
+    * as the watermark advances, so state stays flat under churn and
+    * tracks open keys exactly. The delay here (0.1 s) is far smaller
+    * than the feed horizon (1 s per feed), so folding is continuously
+    * active — a regression that stopped folding would strand events and
+    * (on either engine) blow the per-key row multiple. */
+  private def delaySoak(engine: String): Unit = withEngine(engine) {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val src = in.toDF.toDF("k", "ts_us", "id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", lit(1.0))
+    val q = StreamPatterns.delayWindow(src, "k", "ts", "id", "value",
+        100_000L, "0 seconds")
+      .toDF.writeStream.format("memory").queryName(s"soak_dw_$engine")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var id = 0L
+      var ts = 0L
+      def feed(keys: Range, batches: Int, perKey: Int): Unit =
+        (1 to batches).foreach { _ =>
+          val evs = keys.flatMap { k =>
+            (1 to perKey).map { _ => id += 1; ts += 1000L; (k.toLong, ts, id) }
+          }
+          in.addData(evs: _*)
+          q.processAllAvailable()
+        }
+      val K = 20
+      feed(1 to K, 10, 5)
+      val rows1 = stateRows(q)
+      feed(1 to K, 10, 5) // 1000 MORE events fold through: rows must not move
+      val rows2 = stateRows(q)
+      feed(K + 1 to 2 * K, 5, 5)
+      val rows3 = stateRows(q)
+      assert(rows1 > 0, s"no state metrics reported ($engine)")
+      assert(rows2 === rows1,
+        s"$engine: state rows grew as the delay buffer folded ($rows1 -> $rows2)")
+      assert(rows3 === 2 * rows1,
+        s"$engine: doubling open keys did not double state rows ($rows1 -> $rows3)")
+      assert(rows1 % K === 0L, s"$engine: $rows1 rows not a multiple of $K keys")
+      if (engine == "fmgws") assert(rows1 === K.toLong)
+    } finally q.stop()
+  }
+
   test("lengthWindow soak: state rows track open keys exactly (fmgws)") {
     lengthWindowSoak("fmgws")
   }
@@ -274,5 +320,11 @@ class BoundedStateSoakSpec extends SparkSpec {
   }
   test("frequent window soak: counts grow but state rows stay attr-bounded (tws)") {
     frequentSoak("tws")
+  }
+  test("delay window soak: prefix fold drains the buffer, rows track open keys (fmgws)") {
+    delaySoak("fmgws")
+  }
+  test("delay window soak: prefix fold drains the buffer, rows track open keys (tws)") {
+    delaySoak("tws")
   }
 }
