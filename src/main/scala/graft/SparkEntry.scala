@@ -440,6 +440,35 @@ object CoreQueries {
       .orderBy("user_id", "bucket_start_us")
   }
 
+  /** Q35 — maintained aggregation (the CDC→aggregation loop closed):
+    * a per-user day-grain ladder maintained by FOLDING A CHANGE SET
+    * ([[graft.operators.IncrementalAgg.advanceChanges]] — updates
+    * retract their before-image, deletes only retract) must equal a
+    * direct aggregation of the after-table. Fixture: the q26 snapshot
+    * convention on `events` — before drops ids ≡0 (mod 7), after drops
+    * ≡0 (mod 5) and doubles the value of ids ≡0 (mod 3) — so the fold
+    * sees all three ops; the oracle aggregates the after-table
+    * directly. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(s, dir).select(col("event_id"), col("user_id"),
+      col("ts_us"), col("value"))
+    val before = e.where(pmod(col("event_id"), lit(7)) =!= 0)
+    val after = e.where(pmod(col("event_id"), lit(5)) =!= 0)
+      .withColumn("value",
+        when(pmod(col("event_id"), lit(3)) === 0, col("value") * 2)
+          .otherwise(col("value")))
+    val changes = graft.operators.SnapshotDiff.diff(before, after, Seq("event_id"))
+    val ladder = graft.operators.IncrementalAgg.rollup(before,
+      "user_id", "ts_us", "value", Seq("hour" -> HourUs, "day" -> DayUs))
+    val maintained = graft.operators.IncrementalAgg.advanceChanges(
+      ladder.head._2, changes, "user_id", "ts_us", "value",
+      Seq("hour" -> HourUs, "day" -> DayUs))
+    graft.operators.IncrementalAgg.query(maintained, "day",
+      Long.MinValue, Long.MaxValue)
+      .withColumnRenamed("bucket_start", "bucket_start_us")
+      .orderBy("user_id", "bucket_start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -475,6 +504,7 @@ object CoreQueries {
     "q32_delay_window" -> q32 _,
     "q33_lossy_frequent" -> q33 _,
     "q34_incremental_agg" -> q34 _,
+    "q35_agg_maintain" -> q35 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -816,6 +846,18 @@ object CoreQueries {
          |  FROM e GROUP BY 1, 2)
          |SELECT user_id, bucket_start_us, cnt, total FROM d
          |WHERE bucket_start_us >= $AggFromUs AND bucket_start_us < $AggToUs
+         |ORDER BY user_id, bucket_start_us""".stripMargin,
+    // the oracle aggregates the AFTER-table directly — the Spark side
+    // must reach identical cells by folding the change set into the
+    // before-table's ladder (retraction correctness)
+    "q35_agg_maintain" ->
+      s"""WITH a AS (SELECT user_id, epoch_us(ts) AS tus,
+         |    CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+         |  FROM events WHERE event_id % 5 <> 0)
+         |SELECT user_id, (tus // $DayUs) * $DayUs AS bucket_start_us,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM a GROUP BY 1, 2
          |ORDER BY user_id, bucket_start_us""".stripMargin,
   )
 }

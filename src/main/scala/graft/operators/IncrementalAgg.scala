@@ -99,6 +99,46 @@ object IncrementalAgg {
     ladderFrom(keyCol, granularities.head._1, merged, granularities)
   }
 
+  /** Fold a CHANGE SET (the envelope convention every capture mode of
+    * this engine emits — [[graft.operators.SnapshotDiff]], the polling
+    * source, Debezium replay) into a stored ladder: count and sum are
+    * RETRACTABLE aggregates, so an update subtracts its before-image
+    * cell contribution and adds its after-image one (an event that moved
+    * buckets or keys retracts where it was and lands where it is now), a
+    * delete only subtracts, an insert only adds. Cells whose count nets
+    * to zero are pruned, so the maintained ladder is EXACTLY
+    * `rollup(currentTable)` at every level — the contract
+    * `advanceChanges(rollup(S), diff(S, S')) == rollup(S')`, pinned
+    * bit-for-bit in IncrementalAggSpec. This closes the CDC→aggregation
+    * loop: a 100 TB source is scanned once at bootstrap and each capture
+    * round pays only its change set. */
+  def advanceChanges(prevFinest: DataFrame, changes: DataFrame, keyCol: String,
+                     tsCol: String, valueCol: String,
+                     granularities: Seq[(String, Long)], opCol: String = "_op",
+                     beforePrefix: String = "before_"): Seq[(String, DataFrame)] = {
+    val g = granularities.head._2
+    val pos = changes.where(col(opCol).isin("insert", "update"))
+      .select(col(keyCol).as("_k"), col(tsCol).as("_t"),
+        col(valueCol).cast("decimal(18,2)").as("_v"), lit(1L).as("_s"))
+    val neg = changes.where(col(opCol).isin("update", "delete"))
+      .select(col(beforePrefix + keyCol).as("_k"), col(beforePrefix + tsCol).as("_t"),
+        (-col(beforePrefix + valueCol)).cast("decimal(18,2)").as("_v"),
+        lit(-1L).as("_s"))
+    val cells = pos.unionByName(neg)
+      .groupBy(col("_k"), bucketStart(col("_t"), g).as("bucket_start"))
+      .agg(sum(col("_s")).as("cnt"), sum(col("_v")).as("sum_dec"))
+      .withColumnRenamed("_k", keyCol)
+    val merged = prevFinest
+      .select(col(keyCol), col("bucket_start"), col("cnt"), col("sum_dec"))
+      .unionByName(cells.select(col(keyCol), col("bucket_start"), col("cnt"),
+        col("sum_dec").cast(prevFinest.schema("sum_dec").dataType)))
+      .groupBy(col(keyCol), col("bucket_start"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).cast("decimal(28,2)").as("sum_dec"))
+      .where(col("cnt") =!= 0)
+    ladderFrom(keyCol, granularities.head._1, merged, granularities)
+  }
+
   /** The on-demand query (Siddhi `from A within [from, to) per 'level'`):
     * answer from the named level's cells, bucket_start in [fromTs, toTs).
     * Output: (key, bucket_start, cnt, total) with the decimal chain cast

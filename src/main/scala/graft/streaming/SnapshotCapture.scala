@@ -92,6 +92,47 @@ object SnapshotCapture {
     } finally { r.changes.unpersist(blocking = false); () }
   }
 
+  /** One capture round that also MAINTAINS an aggregation ladder
+    * ([[graft.operators.IncrementalAgg]]) as part of the round's state:
+    * bootstrap builds the finest level from the snapshot
+    * (`rollup`), every later round folds the round's change set in
+    * signed (`advanceChanges` — updates retract their before-image,
+    * deletes only retract) and persists the new finest level under
+    * `round_<n>/ladder/` BEFORE the commit marker, so the
+    * crash-replay contract is unchanged: an uncommitted round is swept
+    * and recomputed identically, and the committed ladder always equals
+    * `rollup(snapshot_n)` (pinned in CdcSpec round by round, plus a
+    * replay case). Returns the round number and the committed finest
+    * level; coarser levels re-derive cell-sized via
+    * `IncrementalAgg.ladder` semantics (`rollup` on the stored cells is
+    * NOT needed — pass the finest level to `advanceChanges`/`query`).
+    *
+    * 100 TB shape: round 0 pays the one full scan every capture mode
+    * pays; every later round pays its change set plus a cell-sized
+    * merge — the aggregation ladder rides the capture loop for free. */
+  def captureIntoLadder(spark: SparkSession, source: DataFrame, pk: Seq[String],
+                        stateDir: String, keyCol: String, tsCol: String,
+                        valueCol: String, granularities: Seq[(String, Long)],
+                        buckets: Int = 4096): (Long, DataFrame) = {
+    import graft.operators.IncrementalAgg
+    val r = capture(spark, source, pk, stateDir, buckets)
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val roundDir = new Path(dir, s"round_${r.round}")
+    val prevLadder = new Path(new Path(dir, s"round_${r.round - 1}"), "ladder")
+    val finest =
+      if (r.round == 0L || !fs.exists(prevLadder))
+        IncrementalAgg.rollup(
+          spark.read.parquet(new Path(roundDir, "snapshot").toString),
+          keyCol, tsCol, valueCol, granularities.take(1)).head._2
+      else
+        IncrementalAgg.advanceChanges(spark.read.parquet(prevLadder.toString),
+          r.changes, keyCol, tsCol, valueCol, granularities.take(1)).head._2
+    finest.write.mode("overwrite").parquet(new Path(roundDir, "ladder").toString)
+    r.commit()
+    (r.round, spark.read.parquet(new Path(roundDir, "ladder").toString))
+  }
+
   private def listRounds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath)

@@ -88,6 +88,78 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("advanceChanges folds a capture round's change set: maintained ladder == rollup of the new table") {
+    val grans = Seq("hour" -> Hour, "day" -> Day)
+    // (event_id pk, key, ts, value) — ts spans negative and positive
+    val prevRows = (1 to 300).map { i =>
+      (i.toLong, (i % 7).toLong, (i.toLong * 137 % (5 * Day)) - 2 * Day, (i % 50) / 10.0)
+    }
+    // deletes (id % 11), updates (id % 5: value moves; id % 10 also moves
+    // KEY and id % 15 moves the ts BUCKET), fresh inserts
+    val newRows = prevRows.filterNot(_._1 % 11 == 0).map {
+      case r @ (id, k, ts, v) if id % 5 == 0 =>
+        (id, if (id % 10 == 0) k + 100 else k,
+          if (id % 15 == 0) ts + Hour + Hour / 2 else ts, v + 1.5)
+      case r => r
+    } ++ (1001 to 1040).map { i =>
+      (i.toLong, (i % 7).toLong, (i.toLong * 211 % (5 * Day)) - Day, (i % 30) / 10.0)
+    }
+    val sPrev = prevRows.toDF("event_id", "key", "ts", "value")
+    val sNew = newRows.toDF("event_id", "key", "ts", "value")
+    val changes = SnapshotDiff.diff(sPrev, sNew, Seq("event_id"))
+    assert(changes.where(col("_op") === "delete").count() > 0 &&
+      changes.where(col("_op") === "update").count() > 0 &&
+      changes.where(col("_op") === "insert").count() > 0)
+    val prevLadder = IncrementalAgg.rollup(sPrev, "key", "ts", "value", grans)
+    val adv = IncrementalAgg.advanceChanges(prevLadder.head._2, changes,
+      "key", "ts", "value", grans)
+    val full = IncrementalAgg.rollup(sNew, "key", "ts", "value", grans)
+    adv.zip(full).foreach { case ((an, adf), (fn, fdf)) =>
+      assert(an === fn)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("key"), col("bucket_start"), col("cnt"),
+          col("sum_dec").cast("string"))
+        .collect().map(_.toSeq).toSet
+      assert(rows(adf) === rows(fdf), s"level $an diverges after change-set fold")
+    }
+  }
+
+  test("captureIntoLadder: the ladder rides the capture loop; crash before commit replays identically") {
+    import graft.streaming.SnapshotCapture
+    val grans = Seq("b" -> 100L)
+    val state = java.nio.file.Files.createTempDirectory("graft_lcap").toString
+    def ladderOf(rows: Seq[(Long, Long, Long, Double)]) = IncrementalAgg
+      .rollup(rows.toDF("event_id", "key", "ts", "value"), "key", "ts", "value", grans)
+      .head._2.select(col("key"), col("bucket_start"), col("cnt"),
+        col("sum_dec").cast("string")).collect().map(_.toSeq).toSet
+    def committed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("bucket_start"), col("cnt"),
+        col("sum_dec").cast("string")).collect().map(_.toSeq).toSet
+    val s0 = (1 to 60).map(i => (i.toLong, (i % 3).toLong, i.toLong * 7 - 200, i / 4.0))
+    val (r0, l0) = SnapshotCapture.captureIntoLadder(spark,
+      s0.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", grans)
+    assert(r0 === 0L && committed(l0) === ladderOf(s0))
+    // mutate: delete, update (value + bucket move), insert
+    val s1 = s0.filterNot(_._1 % 10 == 0).map {
+      case (id, k, ts, v) if id % 7 == 0 => (id, k, ts + 150, v + 2.25)
+      case r => r
+    } ++ Seq((101L, 0L, 777L, 9.5))
+    val (r1, l1) = SnapshotCapture.captureIntoLadder(spark,
+      s1.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", grans)
+    assert(r1 === 1L && committed(l1) === ladderOf(s1))
+    // crash: a round that derives its state but never commits...
+    val s2 = s1.map { case (id, k, ts, v) => (id, k, ts, v + 1.0) }
+    SnapshotCapture.capture(spark, s2.toDF("event_id", "key", "ts", "value"),
+      Seq("event_id"), state) // no commit -> orphaned round dir
+    // ...is swept on restart and the SAME round recomputes identically
+    val (r2, l2) = SnapshotCapture.captureIntoLadder(spark,
+      s2.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", grans)
+    assert(r2 === 2L && committed(l2) === ladderOf(s2))
+  }
+
   test("streaming finest level: emitted cells equal the batch ladder's (built-in window agg)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]
