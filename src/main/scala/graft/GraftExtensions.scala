@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -110,6 +110,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("anchor_window_hashes", children, 2)
         AnchorWindowHashes(children.head,
           intLit("anchor_window_hashes", children(1), 2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("anchor_window_pos_hashes"),
+      new ExpressionInfo(classOf[AnchorWindowPosHashes].getName,
+        "anchor_window_pos_hashes"),
+      (children: Seq[Expression]) => {
+        arity("anchor_window_pos_hashes", children, 2)
+        AnchorWindowPosHashes(children.head,
+          intLit("anchor_window_pos_hashes", children(1), 2))
       }))
     // Spark's own runtime-filter Bloom expressions, surfaced as session
     // functions (they are internal-only in OSS Spark — InjectRuntimeFilter

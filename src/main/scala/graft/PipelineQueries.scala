@@ -682,6 +682,25 @@ object PipelineQueries {
   private def p44(s: SparkSession, dir: String): DataFrame =
     TF.mixtureSample(docs(s, dir)).select("doc_id", "source").orderBy("doc_id")
 
+  /** p45 — language-ID evaluation ([[TF.langGuess]] vs the labeled
+    * `lang` column): the confusion matrix every classifier in the
+    * pipeline ships with — which labeled languages the n-gram heuristic
+    * mistakes for which. Two-level rollup, cell-sized after the first
+    * partial agg. */
+  private def p45(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("lang_guess", TF.langGuess(TF.words(TF.normText(col("text")))))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_guess")
+
+  /** p46 — duplicated-span scrub ([[Dedup.duplicateSpanScrub]]): the
+    * REWRITE member of the copied-span family — p26 finds which docs
+    * share spans, this one removes every span occurring verbatim in
+    * >= 2 docs and reports the surviving text (as md5 + counts). */
+  private def p46(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanScrub(docs(s, dir), SubWin, 2L).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -727,6 +746,8 @@ object PipelineQueries {
     "p42_line_dedup" -> p42 _,
     "p43_bigram_lm" -> p43 _,
     "p44_mixture_draw" -> p44 _,
+    "p45_langid_eval" -> p45 _,
+    "p46_span_scrub" -> p46 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1430,5 +1451,44 @@ object PipelineQueries {
          |WHERE (${rollHashSql("CAST(doc.doc_id AS VARCHAR)")} * ${TF.SampleMix}
          |        % ${TF.RollHashMod} % ${TF.SampleResidue}) < r.rate
          |ORDER BY doc.doc_id""".stripMargin,
+    "p45_langid_eval" ->
+      s"""WITH $NormCte,
+         |sc AS (SELECT doc_id,
+         |        $langScoreSql
+         |      FROM w),
+         |g AS (SELECT doc_id, $langArgmaxSql AS lang_guess FROM sc)
+         |SELECT d.lang, g.lang_guess, count(*) AS n_docs
+         |FROM documents d JOIN g ON d.doc_id = g.doc_id
+         |GROUP BY d.lang, g.lang_guess
+         |ORDER BY d.lang, g.lang_guess""".stripMargin,
+    // span scrub: anchor windows with POSITIONS (the p26 geometry), the
+    // >= 2-distinct-docs verdict set, per-doc covered-position union,
+    // and the surviving characters rebuilt in order; DuckDB lambdas have
+    // no exists() so the cover test is len(list_filter(...)) = 0
+    "p46_span_scrub" ->
+      s"""WITH $NormCte,
+         |pw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         md5(substr(norm, CAST(i AS INT), $SubWin)) AS wh
+         |       FROM w, unnest(range(1, length(norm) - $SubWin + 2)) AS t(i)
+         |       WHERE length(norm) >= $SubWin
+         |         AND (i = 1 OR substr(norm, CAST(i AS INT) - 1, 1) = ' ')),
+         |bad AS (SELECT wh FROM (
+         |          SELECT wh, count(DISTINCT doc_id) AS nd FROM pw GROUP BY wh)
+         |        WHERE nd >= 2),
+         |cov AS (SELECT doc_id, list(DISTINCT pos) AS starts
+         |        FROM pw JOIN bad USING (wh) GROUP BY doc_id),
+         |r AS (SELECT w.doc_id, w.norm, coalesce(cov.starts, []::BIGINT[]) AS starts
+         |      FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id),
+         |k AS (SELECT doc_id, norm, starts,
+         |        list_filter(range(1, length(norm) + 1),
+         |          i -> len(list_filter(starts,
+         |                 s -> i >= s AND i < s + $SubWin)) = 0) AS kept
+         |      FROM r)
+         |SELECT doc_id,
+         |  CAST(length(norm) - len(kept) AS BIGINT) AS covered_chars,
+         |  CAST(len(kept) AS BIGINT) AS kept_chars,
+         |  md5(coalesce(array_to_string(list_transform(kept,
+         |    i -> substr(norm, CAST(i AS INT), 1)), ''), '')) AS scrubbed_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

@@ -433,6 +433,91 @@ object Dedup {
       .where(col("shared_windows") >= minShared)
   }
 
+  /** Cross-document duplicated-SPAN removal — the REWRITE member of the
+    * copied-span family (Lee et al. 2022 remove the duplicated spans,
+    * not the documents): every anchor window (the [[substringOverlapPairs]]
+    * geometry — `windowLen` chars at word starts of the normalized text)
+    * whose hash occurs in >= `minDocs` DISTINCT docs marks its span, a
+    * doc's covered positions are the union of its marked spans, and the
+    * scrubbed text is the uncovered characters in order (reported as an
+    * md5 so the payload stays narrow — the full rewrite is the same
+    * expression minus the hash). Output:
+    * (idCol, covered_chars, kept_chars, scrubbed_md5).
+    *
+    * Complements [[lineDedup]]: spans need no line structure and catch
+    * partially-overlapping boilerplate a line filter misses.
+    *
+    * Scale shape: window hashing is map-side (one digest per word); the
+    * verdict set is two cell-sized partial-agg passes and broadcasts
+    * back (the [[lineDedup]] geometry); the per-doc coverage rollup is
+    * one id-keyed exchange. Coverage and the rewrite are ONE
+    * interval-merge fold over the sorted marked starts — O(len + k) per
+    * doc, never per-char × per-span (a first cut used a per-char
+    * `exists` scan, which went quadratic exactly on the near-dup-dense
+    * docs the scrub exists for) — and window hashing rides the
+    * `anchor_window_pos_hashes` codegen kernel. Measured at sf0.1:
+    * 9.3 s per-char/interpreted → 6.9 s fold/interpreted → 2.4 s
+    * fold/kernel. */
+  def duplicateSpanScrub(docs: DataFrame, windowLen: Int, minDocs: Long = 2L,
+                         idCol: String = "doc_id", textCol: String = "text")
+  : DataFrame = {
+    require(windowLen >= 1 && minDocs >= 2,
+      s"need windowLen >= 1 and minDocs >= 2, got $windowLen/$minDocs")
+    val normed = docs.withColumn("_norm", TextFunctions.normText(col(textCol)))
+    // positioned window hashes: one-pass codegen kernel when the session
+    // has GraftExtensions; interpreted HOF chain as the parity-pinned
+    // fallback (DedupSpec asserts equality)
+    val pw =
+      if (docs.sparkSession.catalog.functionExists("anchor_window_pos_hashes"))
+        docs.select(col(idCol),
+          explode(call_function("anchor_window_pos_hashes",
+            col(textCol), lit(windowLen))).as("_pw"))
+          .select(col(idCol), col("_pw.pos").as("_pos"), col("_pw.wh").as("_wh"))
+      else spanWindowPosFallback(normed, windowLen, idCol)
+    val bad = pw.select(col(idCol), col("_wh")).distinct()
+      .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") >= minDocs)
+      .select(col("_wh").as("_badwh"))
+    val covered = pw.join(broadcast(bad), col("_wh") === col("_badwh"))
+      .groupBy(col(idCol)).agg(collect_list(col("_pos")).as("_starts"))
+    normed.select(col(idCol), col("_norm"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("_starts",
+        sort_array(coalesce(col("_starts"), array().cast("array<int>"))))
+      // interval-merge fold: e = exclusive end of the covered prefix
+      // (clamped to the text), c = covered chars so far, o = scrubbed
+      // text so far, p = next uncopied position (1-based)
+      .withColumn("_cov", expr(
+        s"aggregate(_starts, named_struct('e', 0, 'c', 0), (acc, s) -> " +
+          s"named_struct(" +
+          s"'e', greatest(acc.e, least(s + $windowLen, length(_norm) + 1)), " +
+          s"'c', acc.c + greatest(0, least(s + $windowLen, length(_norm) + 1) " +
+          s"- greatest(s, acc.e))), acc -> acc.c)"))
+      .withColumn("_scrub", expr(
+        s"aggregate(_starts, named_struct('p', 1, 'o', ''), (acc, s) -> " +
+          s"named_struct('p', greatest(acc.p, s + $windowLen), " +
+          s"'o', concat(acc.o, substring(_norm, acc.p, greatest(0, s - acc.p)))), " +
+          s"acc -> concat(acc.o, " +
+          s"substring(_norm, acc.p, greatest(0, length(_norm) - acc.p + 1))))"))
+      .select(col(idCol),
+        col("_cov").cast("long").as("covered_chars"),
+        (length(col("_norm")) - col("_cov")).cast("long").as("kept_chars"),
+        md5(col("_scrub")).as("scrubbed_md5"))
+  }
+
+  /** Composable twin of the `anchor_window_pos_hashes` kernel
+    * (parity-pinned in DedupSpec; mirrors the DuckDB oracle's positioned
+    * window CTE). Expects `_norm` present. */
+  private[functions] def spanWindowPosFallback(normed: DataFrame, windowLen: Int,
+                                               idCol: String): DataFrame =
+    normed.where(length(col("_norm")) >= windowLen)
+      .select(col(idCol), explode(expr(
+        s"transform(filter(sequence(1, length(_norm) - $windowLen + 1), " +
+          s"i -> i = 1 OR substring(_norm, i - 1, 1) = ' '), " +
+          s"i -> struct(i AS pos, md5(substring(_norm, i, $windowLen)) AS wh))"))
+        .as("_pw"))
+      .select(col(idCol), col("_pw.pos").as("_pos"), col("_pw.wh").as("_wh"))
+
   /** Composable twin of the `anchor_window_hashes` kernel (parity-pinned
     * in DedupSpec; mirrors the DuckDB oracle's formulation). */
   private[functions] def substringWindowHashesFallback(docs: DataFrame,

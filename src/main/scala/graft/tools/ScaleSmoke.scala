@@ -411,6 +411,7 @@ object ScaleSmoke {
       // so the curve measures the operator, not a synthetic reline pass
       time("line_dedup", n)(Dedup.lineDedup(docs, 2L, delim = " ").count())
       time("bigram_lm", n)(TF.bigramLmScore(docs).count())
+      time("span_scrub", n)(Dedup.duplicateSpanScrub(docs, 48, 2L).count())
       // the aggregation ladder: hour cells from raw rows, day from hour
       // cells — growth must track the ONE finest-grain exchange
       time("incr_agg", n) {

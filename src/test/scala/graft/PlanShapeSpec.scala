@@ -310,6 +310,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global stage in the model build:\n$p")
   }
 
+  test("p46 span scrub: verdict set broadcasts back — corpus never sort-merges by window hash") {
+    val p = plan("p46_span_scrub")
+    assert(p.contains("BroadcastHashJoin"), s"verdict join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle by window hash:\n$p")
+  }
+
   test("p44 mixture draw: weight table broadcasts, keep decision map-side") {
     val p = plan("p44_mixture_draw")
     assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")

@@ -187,6 +187,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("anchor_window_pos_hashes codegen kernel is identical to the composable fallback") {
+    assert(spark.catalog.functionExists("anchor_window_pos_hashes"))
+    val edge = Seq(
+      (9201L, "İstanbul ŞEHİR Güzel Bir Yer padding words to pass the window length"),
+      (9202L, "  --?! leading junk then a long enough run of words to anchor on  "),
+      (9203L, "short"),
+      (9204L, ""),
+      (9205L, "repeat me repeat me repeat me repeat me repeat me repeat me repeat me"),
+      (9206L, "点の between 漢字 multibyte separators still leave long ascii word runs here"),
+    ).toDF("doc_id", "text")
+    for (src <- Seq(docs.select("doc_id", "text"), edge); w <- Seq(12, 48)) {
+      val native = src.select(col("doc_id"),
+          explode(call_function("anchor_window_pos_hashes", col("text"), lit(w))).as("_pw"))
+        .select(col("doc_id"), col("_pw.pos"), col("_pw.wh"))
+        .as[(Long, Int, String)].collect().toSet
+      val fallback = Dedup.spanWindowPosFallback(
+          src.withColumn("_norm", TextFunctions.normText(col("text"))), w, "doc_id")
+        .as[(Long, Int, String)].collect().toSet
+      assert(native === fallback, s"window $w diverged")
+    }
+  }
+
   test("keepBest keeps the best-quality doc per cluster, lowest id on ties, singletons pass through") {
     val docsQ = Seq((1L, 1), (2L, 3), (3L, 3), (10L, 2), (11L, 0))
       .toDF("doc_id", "quality")
@@ -332,6 +354,48 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
     // the cross-batch 'rare footer' line (once per batch) must be caught
     assert(got.find(_._1 == 5L).get === ((5L, 1L, 1L, "delta content")))
+  }
+
+  test("duplicateSpanScrub matches a brute-force coverage oracle; planted copy excised") {
+    val L = 10
+    val fixture = Seq(
+      (1L, "alpha beta THE COPIED QUOTE LIVES HERE omega tail words"),
+      (2L, "different opening text THE COPIED QUOTE LIVES HERE closing"),
+      (3L, "entirely unique document content with no shared spans at all"),
+      (4L, "short doc"), // shorter than a window -> untouched
+      (5L, ""))
+    val got = Dedup.duplicateSpanScrub(fixture.toDF("doc_id", "text"), L, 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // brute force: same anchor geometry in plain Scala
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    def anchors(n: String) =
+      (1 to n.length - L + 1).filter(i => i == 1 || n(i - 2) == ' ')
+    val wins = fixture.map { case (id, t) =>
+      val n = norm(t)
+      id -> anchors(n).map(i => i -> n.substring(i - 1, i - 1 + L))
+    }.toMap
+    val badSet = wins.toSeq.flatMap { case (id, ws) => ws.map(_._2).distinct.map(id -> _) }
+      .groupBy(_._2).collect { case (w, owners) if owners.map(_._1).distinct.size >= 2 => w }
+      .toSet
+    assert(badSet.nonEmpty) // the planted quote really produces verdicts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = fixture.map { case (id, t) =>
+      val n = norm(t)
+      val starts = wins(id).collect { case (i, w) if badSet(w) => i }
+      val kept = (1 to n.length).filterNot(i => starts.exists(s => i >= s && i < s + L))
+      val scrubbed = kept.map(i => n(i - 1)).mkString
+      (id, (n.length - kept.size).toLong, kept.size.toLong,
+        md.digest(scrubbed.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    assert(got === want)
+    // the copied span is actually excised from both carriers
+    assert(got.take(2).forall(_._2 >= L))
+    // untouched docs keep everything
+    assert(got.drop(2).forall(_._2 == 0L))
+    // corpus run: one row per doc, planted near-dups produce real coverage
+    val corpus = Dedup.duplicateSpanScrub(docs, 48, 2L)
+    assert(corpus.count() === docs.count())
+    assert(corpus.where(col("covered_chars") > 0).count() > 0)
   }
 
   test("operators leave no CacheManager entries behind (no-leak contract)") {

@@ -634,6 +634,25 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
   }
 
+  test("langid confusion matrix partitions the corpus; guesses come from the marker set") {
+    val m = TextFunctions.langGuess _
+    val matrix = docs
+      .withColumn("lang_guess", m(TextFunctions.words(TextFunctions.normText(col("text")))))
+      .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n_docs"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(matrix.map(_._3).sum === docs.count())
+    val guessable = TextFunctions.LangMarkers.map(_._1).toSet + "und"
+    assert(matrix.map(_._2).toSet.subsetOf(guessable))
+    // no diagonal assertion ON PURPOSE: the synthetic corpus' `lang`
+    // labels are decorative (every label's docs draw the same
+    // English-ish vocabulary — labeled-fr docs contain " the " as often
+    // as labeled-en), and the confusion matrix correctly REVEALS that:
+    // the en column dominates every row. That revelation is exactly what
+    // the evaluation artifact is for.
+    val en = matrix.filter(_._2 == "en").map(_._3).sum
+    assert(en * 2 > docs.count(), s"expected en-dominated matrix, got $matrix")
+  }
+
   test("bigramLmScore: mean transition ppm under the corpus' own bigram model") {
     // model: 'the cat' 2/3, 'cat sat'/'cat ran' 1/2, 'the dog' 1/3,
     // 'dog sat' 1/1 (prefix counts: the=3, cat=2, dog=1)
