@@ -133,11 +133,44 @@ object IngestBench {
       s"recovery captured ${counter.get} of ${1000 + recoveryN}")
     println(f"[ingest] recovery: $recoveryN missed rows drained in $recoverySec%.2f s after restart")
 
+    // ---- maintained-ladder capture rounds (captureIntoLadder): the
+    // bootstrap pays the one full scan + finest-level rollup; each later
+    // round pays its scan + digest-pruned diff + a CELL-sized signed
+    // merge — the aggregation ladder riding the capture loop ----
+    import org.apache.spark.sql.functions._
+    conn.createStatement().execute(
+      "CREATE TABLE LCAP (ID INT, NAME VARCHAR(64), V DOUBLE)")
+    bulkInsert(conn, "LCAP", 1, n)
+    val lstate = java.nio.file.Files.createTempDirectory("ingest_ladder").toString
+    def lcapSrc() = spark.read.format("cdc")
+      .option("mode", "polling").option("url", url)
+      .option("table.name", "LCAP").option("polling.column", "id")
+      .option("statistics.enabled", "false")
+      .option("numpartitions", "4").load()
+      .select(col("id"), pmod(col("id"), lit(50)).as("key"),
+        col("id").cast("long").as("ts"), col("v").as("value"))
+    def ladderRound(expectRows: Long): Double = {
+      val t0 = System.nanoTime()
+      val (_, finest) = graft.streaming.SnapshotCapture.captureIntoLadder(
+        spark, lcapSrc(), Seq("id"), lstate, "key", "ts", "value",
+        Seq("b" -> 1000L))
+      val total = finest.agg(sum(col("cnt"))).head().getLong(0)
+      require(total == expectRows, s"ladder tracks $total of $expectRows rows")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val lBoot = ladderRound(n.toLong)
+    conn.createStatement().execute("UPDATE LCAP SET V = V + 1.0 WHERE ID <= 2000")
+    bulkInsert(conn, "LCAP", n + 1, n + 2000)
+    val lIncr = ladderRound(n.toLong + 2000)
+    val lQuiet = ladderRound(n.toLong + 2000)
+    println(f"[ingest] ladder: bootstrap $lBoot%.2f s, 4000-change round $lIncr%.2f s, quiet round $lQuiet%.2f s")
+
     val snapJson = snapshot.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
     val streamJson = stream.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
     println(s"""[ingestjson] {"rows":$n,"snapshot_rows_per_sec":{$snapJson},""" +
       s""""stream_rows_per_sec":{$streamJson},""" +
-      s""""recovery":{"missed_rows":$recoveryN,"sec":${fmt(recoverySec)}}}""")
+      s""""recovery":{"missed_rows":$recoveryN,"sec":${fmt(recoverySec)}},""" +
+      s""""ladder_capture":{"bootstrap_sec":${fmt(lBoot)},"incr_sec":${fmt(lIncr)},"quiet_sec":${fmt(lQuiet)}}}""")
     spark.stop()
     conn.close()
   }

@@ -282,6 +282,12 @@ object ScaleSmoke {
       time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
+      // the span REWRITE next to the pair detector: per-word replica tags
+      // keep cross-replica verdicts impossible, so coverage density stays
+      // constant per replica and the curve isolates the operator (forced
+      // through values — see the line_dedup note on count() elimination)
+      time("span_scrub", n)(Dedup.duplicateSpanScrub(docs, 48, 2L)
+        .agg(sum(col("covered_chars") + length(col("scrubbed_md5")))).head().getLong(0))
       time("tfidf_topk", n) {
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
@@ -408,10 +414,16 @@ object ScaleSmoke {
       // round-9b ops. line_dedup runs word-as-line (the corpus carries no
       // newlines): identical plan shape — explode, two cell-sized partial
       // aggs for the verdict set, broadcast back, id-keyed reassembly —
-      // so the curve measures the operator, not a synthetic reline pass
-      time("line_dedup", n)(Dedup.lineDedup(docs, 2L, delim = " ").count())
-      time("bigram_lm", n)(TF.bigramLmScore(docs).count())
-      time("span_scrub", n)(Dedup.duplicateSpanScrub(docs, 48, 2L).count())
+      // so the curve measures the operator, not a synthetic reline pass.
+      // These three MUST consume output VALUES, not count(): their final
+      // row count is docs-count via a left join against a unique-keyed
+      // aggregate, which the optimizer rightly eliminates under count()
+      // — a count() "curve" here measured an empty plan (flat 0.2 s at
+      // 100x while the forced form is seconds)
+      time("line_dedup", n)(Dedup.lineDedup(docs, 2L, delim = " ")
+        .agg(sum(col("kept_lines") + length(col("new_text")))).head().getLong(0))
+      time("bigram_lm", n)(TF.bigramLmScore(docs)
+        .agg(sum(col("score_ppm") + col("n_bigrams"))).head().getLong(0))
       // the aggregation ladder: hour cells from raw rows, day from hour
       // cells — growth must track the ONE finest-grain exchange
       time("incr_agg", n) {

@@ -310,6 +310,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global stage in the model build:\n$p")
   }
 
+  test("q35 maintained aggregation: no global stage anywhere in diff + fold + ladder") {
+    val p = plan("q35_agg_maintain")
+    assert(!p.contains("SinglePartition"), s"global stage in the maintained ladder:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("p46 span scrub: verdict set broadcasts back — corpus never sort-merges by window hash") {
     val p = plan("p46_span_scrub")
     assert(p.contains("BroadcastHashJoin"), s"verdict join must broadcast:\n$p")
