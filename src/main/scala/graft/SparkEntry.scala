@@ -469,6 +469,18 @@ object CoreQueries {
       .orderBy("user_id", "bucket_start_us")
   }
 
+  /** Q36 — behavioral-cohort similarity
+    * ([[graft.functions.Similarity.activityCosineTopK]]): the 3 users
+    * whose hour-of-day activity profile most resembles each query
+    * user's (ids < 20) — the change stream feeding per-entity feature
+    * vectors, cosine via the sparse hour-bin inverted index (no dense
+    * vector, cells-only shuffles). Exhaustive baseline like p9; the
+    * LSH route is the scale path. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.activityCosineTopK(
+      eventsUs(s, dir), "user_id", "ts_us", HourUs, col("user_id") < 20, 3)
+      .orderBy("q_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -505,6 +517,7 @@ object CoreQueries {
     "q33_lossy_frequent" -> q33 _,
     "q34_incremental_agg" -> q34 _,
     "q35_agg_maintain" -> q35 _,
+    "q36_user_similarity" -> q36 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -859,5 +872,25 @@ object CoreQueries {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM a GROUP BY 1, 2
          |ORDER BY user_id, bucket_start_us""".stripMargin,
+    // identical IEEE recipe both sides: integer dot, sqrt(double) norms,
+    // floor(1e6 * dot / (na * nb))
+    "q36_user_similarity" ->
+      s"""WITH c AS (SELECT user_id, (epoch_us(ts) // $HourUs) % 24 AS h,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |n AS (SELECT user_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY 1),
+         |d AS (SELECT a.user_id AS q_id, b.user_id AS n_id,
+         |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+         |  FROM c a JOIN c b ON a.h = b.h AND b.user_id != a.user_id
+         |  WHERE a.user_id < 20 GROUP BY 1, 2),
+         |s AS (SELECT q_id, n_id,
+         |    CAST(floor(1000000.0 * dot / (na.nrm * nb.nrm)) AS BIGINT) AS sim_micro
+         |  FROM d JOIN n na ON d.q_id = na.user_id JOIN n nb ON d.n_id = nb.user_id),
+         |r AS (SELECT q_id, n_id, sim_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY sim_micro DESC, n_id) AS rk FROM s)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, sim_micro
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
   )
 }

@@ -198,6 +198,48 @@ object Similarity {
     * true top-k row is top-k in its bucket, so phase 2 is exact).
     * Output: (label, vec_id, dist2, rk), rk 1-based by (dist2 desc,
     * vec_id). */
+  /** Behavioral-cohort similarity over a keyed EVENT stream (the
+    * CDC-analytics composition: the change stream that feeds the CEP
+    * family also yields per-entity feature vectors): each key's 24-bin
+    * hour-of-day activity histogram, cosine-compared via the SPARSE
+    * inverted-index formulation — cells (key, hour, cnt) self-joined on
+    * the hour bin, so no dense vector ever materializes and the shuffle
+    * carries cells, not histories. Query keys restricted by `queryPred`
+    * (the [[bruteKnn]] convention); top-`k` by (sim desc, id). Output:
+    * (q_id, rk, n_id, sim_micro).
+    *
+    * Like [[bruteKnn]] this is the exhaustive baseline — O(query keys ×
+    * keys sharing a bin); the scale route buckets signatures first
+    * ([[lshKnn]] over the histogram as a vector). Sim is the repo-wide
+    * float recipe: integer dot, `sqrt(double)` norms, one multiply, one
+    * divide, floor — identical IEEE op order in the DuckDB oracle. */
+  def activityCosineTopK(events: DataFrame, keyCol: String, tsCol: String,
+                         hourUs: Long, queryPred: Column, k: Int): DataFrame = {
+    require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
+    val cells = events.groupBy(col(keyCol),
+        pmod(expr(s"$tsCol div $hourUs"), lit(24)).as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    val norms = cells.groupBy(col(keyCol))
+      .agg(sqrt(sum(col("_c") * col("_c")).cast("double")).as("_nrm"))
+    val a = cells.where(queryPred)
+      .select(col(keyCol).as("q_id"), col("_h"), col("_c").as("_ca"))
+    val b = cells.select(col(keyCol).as("n_id"), col("_h"), col("_c").as("_cb"))
+    val dots = a.join(b, Seq("_h")).where(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("_ca") * col("_cb")).as("_dot"))
+    val na = norms.select(col(keyCol).as("q_id"), col("_nrm").as("_na"))
+    val nb = norms.select(col(keyCol).as("n_id"), col("_nrm").as("_nb"))
+    val sims = dots.join(na, "q_id").join(nb, "n_id")
+      .select(col("q_id"), col("n_id"),
+        floor(lit(1e6) * col("_dot") / (col("_na") * col("_nb")))
+          .cast("long").as("sim_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("sim_micro").desc, col("n_id"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim_micro"))
+  }
+
   def labelCentroidOutliers(emb: DataFrame, k: Int, salts: Int = 16,
                             idCol: String = "vec_id", labelCol: String = "label",
                             vecCol: String = "embedding"): DataFrame = {

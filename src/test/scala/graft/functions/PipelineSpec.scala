@@ -634,6 +634,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
   }
 
+  test("activityCosineTopK matches a brute-force histogram-cosine oracle") {
+    // (key, tsUs): deterministic activity with distinct hour profiles
+    val rnd = new scala.util.Random(23)
+    val hourUs = 3_600_000_000L
+    val evs = (1 to 500).map { i =>
+      val k = 1L + rnd.nextInt(12)
+      // each key favors hours near (k * 2) so profiles genuinely differ
+      val h = (k * 2 + rnd.nextInt(4)) % 24
+      (k, h * hourUs + rnd.nextInt(3_600_000) * 1000L + i * 24L * hourUs)
+    }
+    val df = evs.toDF("k", "ts")
+    val got = Similarity.activityCosineTopK(df, "k", "ts", hourUs,
+        col("k") <= 4, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    // brute force in Scala with the identical float recipe
+    val hist = evs.groupBy(_._1).map { case (k, es) =>
+      k -> es.groupBy(e => (e._2 / hourUs) % 24).map { case (h, xs) => h -> xs.size.toLong }
+    }
+    def nrm(k: Long) = math.sqrt(hist(k).values.map(c => c * c).sum.toDouble)
+    val want = hist.keys.filter(_ <= 4).toSeq.sorted.flatMap { q =>
+      val sims = hist.keys.filter(_ != q).toSeq.flatMap { n =>
+        val dot = hist(q).map { case (h, c) => c * hist(n).getOrElse(h, 0L) }.sum
+        if (dot == 0) None // no shared hour bin -> no pair row at all
+        else Some(n -> math.floor(1e6 * dot / (nrm(q) * nrm(n))).toLong)
+      }
+      sims.sortBy { case (n, s) => (-s, n) }.take(3).zipWithIndex
+        .map { case ((n, s), i) => (q, i + 1L, n, s) }
+    }
+    assert(got === want && got.nonEmpty)
+  }
+
   test("langid confusion matrix partitions the corpus; guesses come from the marker set") {
     val m = TextFunctions.langGuess _
     val matrix = docs
