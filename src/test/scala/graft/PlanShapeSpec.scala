@@ -316,6 +316,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q36 cohort similarity: histogram cells partial-agg before any join, keyed top-k window") {
+    val p = plan("q36_user_similarity")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("SinglePartition"), s"global stage in cohort similarity:\n$p")
+  }
+
   test("p46 span scrub: verdict set broadcasts back — corpus never sort-merges by window hash") {
     val p = plan("p46_span_scrub")
     assert(p.contains("BroadcastHashJoin"), s"verdict join must broadcast:\n$p")
