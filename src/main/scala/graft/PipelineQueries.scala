@@ -765,6 +765,19 @@ object PipelineQueries {
   private def orChain(v: String, set: Seq[String]): String =
     set.map(m => s"$v = '$m'").mkString(" OR ")
 
+  /** Shared CTE chain: per-source token totals → sqrt-damped µ-units →
+    * normalizing denominator (the p39 weight recipe; the p44 draw
+    * samples at exactly these rates, so they must share one source of
+    * truth). */
+  private val WeightCtes =
+    """g AS (SELECT source,
+      |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT source, tokens,
+      |    CAST(floor(1e6 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_micro FROM g),
+      |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM s)""".stripMargin
+
   /** Shared CTE: distinct word-trigram shingles per doc (+ set sizes). */
   private val ShingleCte =
     s"""$NormCte,
@@ -1347,16 +1360,10 @@ object PipelineQueries {
          |  CAST(length(substr(text, CAST(start AS INT) + 1, $ChunkLen)) AS BIGINT) AS chunk_chars
          |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
     "p39_mixture_weights" ->
-      """WITH g AS (SELECT source,
-        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY source),
-        |s AS (SELECT source, tokens,
-        |    CAST(floor(1e6 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_micro FROM g),
-        |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM s)
-        |SELECT source, tokens, sqrt_micro,
-        |  CAST((sqrt_micro * 1000000) // denom AS BIGINT) AS weight_ppm
-        |FROM s, d ORDER BY source""".stripMargin,
+      s"""WITH $WeightCtes
+         |SELECT source, tokens, sqrt_micro,
+         |  CAST((sqrt_micro * 1000000) // denom AS BIGINT) AS weight_ppm
+         |FROM s, d ORDER BY source""".stripMargin,
     // float->double widening is exact in both engines; x*127.0/amax + 0.5
     // is evaluated in the identical operation order, and floor(x+0.5)
     // replaces round() (the engines disagree on round-half semantics)
@@ -1437,13 +1444,7 @@ object PipelineQueries {
          |FROM w LEFT JOIN p ON w.doc_id = p.doc_id
          |ORDER BY w.doc_id""".stripMargin,
     "p44_mixture_draw" ->
-      s"""WITH g AS (SELECT source,
-         |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens
-         |  FROM documents GROUP BY source),
-         |s AS (SELECT source,
-         |    CAST(floor(1e6 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sqrt_micro FROM g),
-         |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM s),
+      s"""WITH $WeightCtes,
          |r AS (SELECT source, CAST((sqrt_micro * 1000000) // denom AS BIGINT) AS rate
          |  FROM s, d)
          |SELECT doc.doc_id, doc.source

@@ -416,7 +416,7 @@ object CoreQueries {
       .orderBy("user_id", "event_type")
 
   private val HourUs = 3600L * 1000000L
-  private val DayUs = 24L * HourUs
+  private val DayUs = Hours24Us // one name per constant; q34/q35 buckets = the q15/q19 horizon
   // q34 on-demand range: [2024-01-05, 2024-01-21) UTC — inside the test
   // data's 30-day span, day-aligned like Siddhi's `within` clause
   private val AggFromUs = 1704412800000000L
@@ -873,9 +873,12 @@ object CoreQueries {
          |FROM a GROUP BY 1, 2
          |ORDER BY user_id, bucket_start_us""".stripMargin,
     // identical IEEE recipe both sides: integer dot, sqrt(double) norms,
-    // floor(1e6 * dot / (na * nb))
+    // floor(1e6 * dot / (na * nb)); the hour bin is floor-div + a
+    // NON-NEGATIVE mod on both sides (DuckDB % is dividend-signed, so a
+    // pre-epoch timestamp would otherwise bin at -1 vs Spark's pmod 23)
     "q36_user_similarity" ->
-      s"""WITH c AS (SELECT user_id, (epoch_us(ts) // $HourUs) % 24 AS h,
+      s"""WITH c AS (SELECT user_id,
+         |    (((epoch_us(ts) // $HourUs) % 24) + 24) % 24 AS h,
          |    CAST(count(*) AS BIGINT) AS cnt
          |  FROM events GROUP BY 1, 2),
          |n AS (SELECT user_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm

@@ -216,8 +216,12 @@ object Similarity {
   def activityCosineTopK(events: DataFrame, keyCol: String, tsCol: String,
                          hourUs: Long, queryPred: Column, k: Int): DataFrame = {
     require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
+    // FLOOR-division hour index (`div` truncates toward zero, which
+    // would mis-bin pre-epoch timestamps and diverge from the oracle's
+    // floor `//`) — the bucketStart idiom, then a non-negative mod
     val cells = events.groupBy(col(keyCol),
-        pmod(expr(s"$tsCol div $hourUs"), lit(24)).as("_h"))
+        pmod(expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(24))
+          .as("_h"))
       .agg(count(lit(1)).as("_c"))
     val norms = cells.groupBy(col(keyCol))
       .agg(sqrt(sum(col("_c") * col("_c")).cast("double")).as("_nrm"))

@@ -58,14 +58,45 @@ case class AnchorWindowHashes(child: Expression, windowLen: Int)
 object AnchorWindowHashes {
 
   private val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
-  private val HexChars = "0123456789abcdef".getBytes
-  private val Digest = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(text: UTF8String, w: Int): ArrayData = {
+    val (norm, n) = AnchorKernel.normalize(text)
+    if (n < w) return Empty
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val md = AnchorKernel.digest()
+    var p = 0
+    val last = n - w
+    while (p <= last) {
+      if (p == 0 || norm(p - 1) == ' ')
+        seen.add(AnchorKernel.md5Hex(md, norm, p, w))
+      p += 1
+    }
+    if (seen.isEmpty) return Empty
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** The byte-pass machinery the anchor-window kernels share (ONE source
+  * of truth: a drift between the pair/scrub kernels would silently break
+  * the duplicateSpanScrub fallback parity DedupSpec pins). */
+private[expr] object AnchorKernel {
+
+  private val HexChars = "0123456789abcdef".getBytes
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def digest(): java.security.MessageDigest = Md5.get()
+
+  /** normText in one byte pass: lower (UTF8_BINARY branch of the
+    * built-in), collapse non-[a-z0-9] runs to ONE space, trim. Returns
+    * the buffer and its filled length. */
+  def normalize(text: UTF8String): (Array[Byte], Int) = {
     val lowered = CollationSupport.Lower.execBinary(text).getBytes
-    // normText in one pass: collapse non-[a-z0-9] runs to ONE space, trim
     val norm = new Array[Byte](lowered.length)
     var n = 0
     var pendingSpace = false
@@ -80,32 +111,22 @@ object AnchorWindowHashes {
       } else pendingSpace = true
       i += 1
     }
-    if (n < w) return Empty
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    val md = Digest.get()
-    var p = 0
-    val last = n - w
-    while (p <= last) {
-      if (p == 0 || norm(p - 1) == ' ') {
-        md.reset()
-        md.update(norm, p, w)
-        val d = md.digest()
-        val hex = new Array[Byte](32)
-        var k = 0
-        while (k < 16) {
-          hex(2 * k) = HexChars((d(k) >> 4) & 0xf)
-          hex(2 * k + 1) = HexChars(d(k) & 0xf)
-          k += 1
-        }
-        seen.add(UTF8String.fromBytes(hex))
-      }
-      p += 1
-    }
-    if (seen.isEmpty) return Empty
-    val arr = new Array[Any](seen.size)
-    val it = seen.iterator()
+    (norm, n)
+  }
+
+  /** Lowercase-hex md5 of `bytes[off, off+len)` as UTF8String. */
+  def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte],
+             off: Int, len: Int): UTF8String = {
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    val hex = new Array[Byte](32)
     var k = 0
-    while (it.hasNext) { arr(k) = it.next(); k += 1 }
-    new GenericArrayData(arr)
+    while (k < 16) {
+      hex(2 * k) = HexChars((d(k) >> 4) & 0xf)
+      hex(2 * k + 1) = HexChars(d(k) & 0xf)
+      k += 1
+    }
+    UTF8String.fromBytes(hex)
   }
 }

@@ -54,47 +54,21 @@ case class AnchorWindowPosHashes(child: Expression, windowLen: Int)
 object AnchorWindowPosHashes {
 
   private val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
-  private val HexChars = "0123456789abcdef".getBytes
-  private val Digest = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code
+    * (byte-pass machinery shared with [[AnchorWindowHashes]] via
+    * [[AnchorKernel]]). */
   def compute(text: UTF8String, w: Int): ArrayData = {
-    val lowered = CollationSupport.Lower.execBinary(text).getBytes
-    val norm = new Array[Byte](lowered.length)
-    var n = 0
-    var pendingSpace = false
-    var i = 0
-    while (i < lowered.length) {
-      val b = lowered(i)
-      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
-        if (pendingSpace && n > 0) { norm(n) = ' '; n += 1 }
-        pendingSpace = false
-        norm(n) = b
-        n += 1
-      } else pendingSpace = true
-      i += 1
-    }
+    val (norm, n) = AnchorKernel.normalize(text)
     if (n < w) return Empty
     val out = new java.util.ArrayList[Any]()
-    val md = Digest.get()
+    val md = AnchorKernel.digest()
     var p = 0
     val last = n - w
     while (p <= last) {
-      if (p == 0 || norm(p - 1) == ' ') {
-        md.reset()
-        md.update(norm, p, w)
-        val d = md.digest()
-        val hex = new Array[Byte](32)
-        var k = 0
-        while (k < 16) {
-          hex(2 * k) = HexChars((d(k) >> 4) & 0xf)
-          hex(2 * k + 1) = HexChars(d(k) & 0xf)
-          k += 1
-        }
+      if (p == 0 || norm(p - 1) == ' ')
         out.add(new GenericInternalRow(
-          Array[Any](p + 1, UTF8String.fromBytes(hex))))
-      }
+          Array[Any](p + 1, AnchorKernel.md5Hex(md, norm, p, w))))
       p += 1
     }
     if (out.isEmpty) Empty

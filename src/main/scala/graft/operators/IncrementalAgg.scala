@@ -43,6 +43,16 @@ object IncrementalAgg {
     * level: (key, bucket_start, cnt, sum_dec). */
   def rollup(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
              granularities: Seq[(String, Long)]): Seq[(String, DataFrame)] = {
+    validate(granularities)
+    val (finestName, finest) = granularities.head
+    val base = events
+      .groupBy(col(keyCol), bucketStart(col(tsCol), finest).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
+    ladderFrom(keyCol, finestName, base, granularities)
+  }
+
+  private def validate(granularities: Seq[(String, Long)]): Unit = {
     require(granularities.nonEmpty, "need at least one granularity")
     granularities.foreach { case (n, g) =>
       require(g > 0, s"granularity $n must be positive, got $g") }
@@ -52,12 +62,16 @@ object IncrementalAgg {
           s"granularities must ascend and nest: $nc ($c) is not a multiple of $nf ($f)")
       case _ => ()
     }
-    val (finestName, finest) = granularities.head
-    val base = events
-      .groupBy(col(keyCol), bucketStart(col(tsCol), finest).as("bucket_start"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("sum_dec"))
-    ladderFrom(keyCol, finestName, base, granularities)
+  }
+
+  /** Rebuild the full ladder from a STORED finest-level cell table (the
+    * read-side companion of [[rollup]]/[[advance]]: a deployment
+    * persists only the finest level, and every coarser level re-derives
+    * cell-sized). Validates the nesting like [[rollup]]. */
+  def ladder(finest: DataFrame, keyCol: String,
+             granularities: Seq[(String, Long)]): Seq[(String, DataFrame)] = {
+    validate(granularities)
+    ladderFrom(keyCol, granularities.head._1, finest, granularities)
   }
 
   /** Coarser levels from a finest-level cell table (shared by [[rollup]]

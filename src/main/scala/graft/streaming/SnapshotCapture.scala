@@ -101,11 +101,11 @@ object SnapshotCapture {
     * `round_<n>/ladder/` BEFORE the commit marker, so the
     * crash-replay contract is unchanged: an uncommitted round is swept
     * and recomputed identically, and the committed ladder always equals
-    * `rollup(snapshot_n)` (pinned in CdcSpec round by round, plus a
-    * replay case). Returns the round number and the committed finest
-    * level; coarser levels re-derive cell-sized via
-    * `IncrementalAgg.ladder` semantics (`rollup` on the stored cells is
-    * NOT needed — pass the finest level to `advanceChanges`/`query`).
+    * `rollup(snapshot_n)` (pinned in IncrementalAggSpec round by round,
+    * plus a replay case). Returns the round number and the FULL ladder
+    * — only the finest level persists (the coarser levels re-derive
+    * cell-sized from the stored cells via `IncrementalAgg.ladder`, the
+    * same read-side shape a deployment loading the parquet would use).
     *
     * 100 TB shape: round 0 pays the one full scan every capture mode
     * pays; every later round pays its change set plus a cell-sized
@@ -113,7 +113,7 @@ object SnapshotCapture {
   def captureIntoLadder(spark: SparkSession, source: DataFrame, pk: Seq[String],
                         stateDir: String, keyCol: String, tsCol: String,
                         valueCol: String, granularities: Seq[(String, Long)],
-                        buckets: Int = 4096): (Long, DataFrame) = {
+                        buckets: Int = 4096): (Long, Seq[(String, DataFrame)]) = {
     import graft.operators.IncrementalAgg
     val r = capture(spark, source, pk, stateDir, buckets)
     val dir = new Path(stateDir)
@@ -130,7 +130,9 @@ object SnapshotCapture {
           r.changes, keyCol, tsCol, valueCol, granularities.take(1)).head._2
     finest.write.mode("overwrite").parquet(new Path(roundDir, "ladder").toString)
     r.commit()
-    (r.round, spark.read.parquet(new Path(roundDir, "ladder").toString))
+    (r.round, IncrementalAgg.ladder(
+      spark.read.parquet(new Path(roundDir, "ladder").toString),
+      keyCol, granularities))
   }
 
   private def listRounds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =

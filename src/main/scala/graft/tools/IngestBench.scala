@@ -151,10 +151,10 @@ object IngestBench {
         col("id").cast("long").as("ts"), col("v").as("value"))
     def ladderRound(expectRows: Long): Double = {
       val t0 = System.nanoTime()
-      val (_, finest) = graft.streaming.SnapshotCapture.captureIntoLadder(
+      val (_, ladder) = graft.streaming.SnapshotCapture.captureIntoLadder(
         spark, lcapSrc(), Seq("id"), lstate, "key", "ts", "value",
         Seq("b" -> 1000L))
-      val total = finest.agg(sum(col("cnt"))).head().getLong(0)
+      val total = ladder.head._2.agg(sum(col("cnt"))).head().getLong(0)
       require(total == expectRows, s"ladder tracks $total of $expectRows rows")
       (System.nanoTime() - t0) / 1e9
     }

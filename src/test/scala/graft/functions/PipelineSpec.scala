@@ -640,17 +640,21 @@ class PipelineSpec extends SparkSpec {
     val hourUs = 3_600_000_000L
     val evs = (1 to 500).map { i =>
       val k = 1L + rnd.nextInt(12)
-      // each key favors hours near (k * 2) so profiles genuinely differ
+      // each key favors hours near (k * 2) so profiles genuinely differ;
+      // half the days sit BEFORE the epoch — hour binning must be
+      // floor-div + non-negative mod, not truncation (the div/% trap)
       val h = (k * 2 + rnd.nextInt(4)) % 24
-      (k, h * hourUs + rnd.nextInt(3_600_000) * 1000L + i * 24L * hourUs)
+      val day = i - 250L
+      (k, h * hourUs + rnd.nextInt(3_600_000) * 1000L + day * 24L * hourUs)
     }
     val df = evs.toDF("k", "ts")
     val got = Similarity.activityCosineTopK(df, "k", "ts", hourUs,
         col("k") <= 4, 3)
       .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
-    // brute force in Scala with the identical float recipe
+    // brute force in Scala with the identical float recipe and FLOOR bins
     val hist = evs.groupBy(_._1).map { case (k, es) =>
-      k -> es.groupBy(e => (e._2 / hourUs) % 24).map { case (h, xs) => h -> xs.size.toLong }
+      k -> es.groupBy(e => Math.floorMod(Math.floorDiv(e._2, hourUs), 24L))
+        .map { case (h, xs) => h -> xs.size.toLong }
     }
     def nrm(k: Long) = math.sqrt(hist(k).values.map(c => c * c).sum.toDouble)
     val want = hist.keys.filter(_ <= 4).toSeq.sorted.flatMap { q =>

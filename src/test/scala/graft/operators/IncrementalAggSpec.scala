@@ -126,20 +126,20 @@ class IncrementalAggSpec extends SparkSpec {
 
   test("captureIntoLadder: the ladder rides the capture loop; crash before commit replays identically") {
     import graft.streaming.SnapshotCapture
-    val grans = Seq("b" -> 100L)
+    val grans = Seq("b" -> 100L, "b4" -> 400L)
     val state = java.nio.file.Files.createTempDirectory("graft_lcap").toString
-    def ladderOf(rows: Seq[(Long, Long, Long, Double)]) = IncrementalAgg
-      .rollup(rows.toDF("event_id", "key", "ts", "value"), "key", "ts", "value", grans)
-      .head._2.select(col("key"), col("bucket_start"), col("cnt"),
-        col("sum_dec").cast("string")).collect().map(_.toSeq).toSet
-    def committed(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("key"), col("bucket_start"), col("cnt"),
-        col("sum_dec").cast("string")).collect().map(_.toSeq).toSet
+    def levels(ls: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      ls.map { case (n, df) => n -> df
+        .select(col("key"), col("bucket_start"), col("cnt"),
+          col("sum_dec").cast("string")).collect().map(_.toSeq).toSet }
+    def ladderOf(rows: Seq[(Long, Long, Long, Double)]) = levels(IncrementalAgg
+      .rollup(rows.toDF("event_id", "key", "ts", "value"), "key", "ts", "value", grans))
     val s0 = (1 to 60).map(i => (i.toLong, (i % 3).toLong, i.toLong * 7 - 200, i / 4.0))
     val (r0, l0) = SnapshotCapture.captureIntoLadder(spark,
       s0.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
       "key", "ts", "value", grans)
-    assert(r0 === 0L && committed(l0) === ladderOf(s0))
+    // BOTH levels come back (only the finest persists; b4 re-derives)
+    assert(r0 === 0L && levels(l0) === ladderOf(s0))
     // mutate: delete, update (value + bucket move), insert
     val s1 = s0.filterNot(_._1 % 10 == 0).map {
       case (id, k, ts, v) if id % 7 == 0 => (id, k, ts + 150, v + 2.25)
@@ -148,7 +148,7 @@ class IncrementalAggSpec extends SparkSpec {
     val (r1, l1) = SnapshotCapture.captureIntoLadder(spark,
       s1.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
       "key", "ts", "value", grans)
-    assert(r1 === 1L && committed(l1) === ladderOf(s1))
+    assert(r1 === 1L && levels(l1) === ladderOf(s1))
     // crash: a round that derives its state but never commits...
     val s2 = s1.map { case (id, k, ts, v) => (id, k, ts, v + 1.0) }
     SnapshotCapture.capture(spark, s2.toDF("event_id", "key", "ts", "value"),
@@ -157,7 +157,7 @@ class IncrementalAggSpec extends SparkSpec {
     val (r2, l2) = SnapshotCapture.captureIntoLadder(spark,
       s2.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
       "key", "ts", "value", grans)
-    assert(r2 === 2L && committed(l2) === ladderOf(s2))
+    assert(r2 === 2L && levels(l2) === ladderOf(s2))
   }
 
   test("streaming finest level: emitted cells equal the batch ladder's (built-in window agg)") {
