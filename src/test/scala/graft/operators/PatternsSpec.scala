@@ -508,6 +508,24 @@ class PatternsSpec extends SparkSpec {
       ("u1", "a", 3L, 6L), ("u1", "b", 2L, 6L), ("u2", "x", 1L, 1L)))
   }
 
+  test("round-9 operators refuse nonsense arguments loudly (never a silent wrong answer)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L, 1.0)).toDF("key", "ts", "id", "value")
+    intercept[IllegalArgumentException](
+      Patterns.delayWindow(df, "key", "ts", "id", "value", 0L))
+    intercept[IllegalArgumentException](
+      Patterns.lossyFrequent(df, "key", "key", 0L))
+    intercept[IllegalArgumentException](
+      Patterns.lossyFrequent(df, "key", "key", 1001L))
+    intercept[IllegalArgumentException](
+      graft.functions.Similarity.activityCosineTopK(df, "key", "ts", 0L, col("key") < 2, 3))
+    val docs = Seq((1L, "text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      graft.functions.Dedup.lineDedup(docs, minDocs = 1))
+    intercept[IllegalArgumentException](
+      graft.functions.Dedup.duplicateSpanScrub(docs, 0, 2L))
+  }
+
   test("frequentTypes is the exact top-k by count with (cnt desc, value asc) ties") {
     import spark.implicits._
     val df = Seq(
