@@ -191,10 +191,18 @@ object Bench {
     (results, contaminated.toSeq)
   }
 
+  /** The committed artifact is the driver wrapper's stdout TAIL, with a
+    * byte cap that truncated the single emitted line mid-JSON nine rounds
+    * running (BENCH_r09: `parsed: null`, 25 of 82 timings lost). Defenses:
+    * 2-decimal per-query precision (halves the line), diagnostics
+    * (sentinel array, deviant map) on their OWN earlier line so the final
+    * line is only total+queries, and the final line printed twice (before
+    * and after the diagnostics) so a cap landing anywhere keeps at least
+    * one parseable copy of the query map as the last complete line. */
   private def emit(sfDir: String, samples: Map[String, List[(Double, Double)]],
                    sentinels: Seq[Double]): Unit = {
     val (results, contaminated) = summarize(samples, sentinels)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // failures carry a -1 sentinel per query; keep them OUT of the total
     // (a failing run must never report a better aggregate than a clean one)
@@ -214,13 +222,14 @@ object Bench {
           "\"" + n + "\":" + f"${v / pq(n)}%.2f"
       }
     }
-    val sentJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val sentJson = sentinels.map(s => f"$s%.2f").mkString("[", ",", "]")
     val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val flags =
-      s""""sentinel":$sentJson,"contended_segments":${contended.mkString("[", ",", "]")},""" +
+    val diag =
+      s"""{"metric":"bench_diag","sentinel":$sentJson,""" +
+        s""""contended_segments":${contended.mkString("[", ",", "]")},""" +
         s""""contaminated_queries":$contamJson,""" +
         s""""prior":${prior.map(p => "\"" + p._1 + "\"").getOrElse("null")},""" +
-        s""""deviant_vs_prior":${deviant.mkString("{", ",", "}")}"""
+        s""""deviant_vs_prior":${deviant.mkString("{", ",", "}")}}"""
     if (contended.nonEmpty)
       System.err.println(s"[bench] CONTENDED segments ${contended.mkString(",")}: " +
         s"sentinels ${sentJson}" +
@@ -230,7 +239,11 @@ object Bench {
     if (deviant.nonEmpty)
       System.err.println(s"[bench] DEVIANT >3x vs prior round: ${deviant.mkString(",")}" +
         " — on unchanged code, re-run before committing")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$flags}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir","contaminated_queries":$contamJson}"""
+    println(line)
+    println(diag)
+    println(line)
   }
 
   /** The latest committed BENCH_r*.json (or SPARK_GRAFT_BENCH_PRIOR): the
