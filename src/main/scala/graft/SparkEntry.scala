@@ -481,6 +481,19 @@ object CoreQueries {
       eventsUs(s, dir), "user_id", "ts_us", HourUs, col("user_id") < 20, 3)
       .orderBy("q_id", "rk")
 
+  /** Q37 — q36's SCALE route
+    * ([[graft.functions.Similarity.activityCosineTopKLsh]]): sign-LSH
+    * over the mean-centered 24-bin activity histogram, exact cosine on
+    * bucket-collision candidates only — the (table, bucket) candidate
+    * join carries 16x64 distinct keys where q36's hour-bin join carries
+    * 24, and per-query work is the collision set, not the key
+    * population. Deterministic planes -> fully oracle-checkable; recall
+    * vs the exact q36 answer pinned in SimilaritySpec. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Similarity.activityCosineTopKLsh(
+      eventsUs(s, dir), "user_id", "ts_us", HourUs, col("user_id") < 20, 3)
+      .orderBy("q_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_op_filter" -> q1 _,
     "q2_before_after" -> q2 _,
@@ -518,6 +531,7 @@ object CoreQueries {
     "q34_incremental_agg" -> q34 _,
     "q35_agg_maintain" -> q35 _,
     "q36_user_similarity" -> q36 _,
+    "q37_user_similarity_lsh" -> q37 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -887,6 +901,46 @@ object CoreQueries {
          |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
          |  FROM c a JOIN c b ON a.h = b.h AND b.user_id != a.user_id
          |  WHERE a.user_id < 20 GROUP BY 1, 2),
+         |s AS (SELECT q_id, n_id,
+         |    CAST(floor(1000000.0 * dot / (na.nrm * nb.nrm)) AS BIGINT) AS sim_micro
+         |  FROM d JOIN n na ON d.q_id = na.user_id JOIN n nb ON d.n_id = nb.user_id),
+         |r AS (SELECT q_id, n_id, sim_micro,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY sim_micro DESC, n_id) AS rk FROM s)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, sim_micro
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    // q37 = q36's LSH route: 16 tables x 6 sign bits over the MEAN-CENTERED
+    // dense 24-bin histogram (bit j of table t reads bin (t*5+j)%24;
+    // 24*cnt - total >= 0), exact integer-dot cosine on bucket-collision
+    // candidates only — same sim recipe as q36, candidates instead of the
+    // full hour-bin join
+    "q37_user_similarity_lsh" ->
+      s"""WITH c AS (SELECT user_id,
+         |    (((epoch_us(ts) // $HourUs) % 24) + 24) % 24 AS h,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT user_id, sum(cnt) AS total FROM c GROUP BY 1),
+         |hours AS (SELECT unnest(range(0, 24)) AS h),
+         |filled AS (SELECT t.user_id, hs.h, coalesce(c.cnt, 0) AS cnt
+         |  FROM tot t CROSS JOIN hours hs
+         |  LEFT JOIN c ON c.user_id = t.user_id AND c.h = hs.h),
+         |tj AS (SELECT tt.t, jj.j, (tt.t * 5 + jj.j) % 24 AS h
+         |  FROM (SELECT unnest(range(0, 16)) AS t) tt
+         |  CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jj),
+         |sigs AS (SELECT f.user_id, tj.t,
+         |    sum(CASE WHEN 24 * f.cnt - t.total >= 0 THEN 1 << tj.j ELSE 0 END) AS bucket
+         |  FROM filled f JOIN tj ON f.h = tj.h JOIN tot t ON t.user_id = f.user_id
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT sq.user_id AS q_id, sc.user_id AS n_id
+         |  FROM sigs sq JOIN sigs sc ON sq.t = sc.t AND sq.bucket = sc.bucket
+         |       AND sc.user_id != sq.user_id
+         |  WHERE sq.user_id < 20),
+         |n AS (SELECT user_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+         |  FROM c GROUP BY 1),
+         |d AS (SELECT cand.q_id, cand.n_id, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+         |  FROM cand JOIN filled a ON a.user_id = cand.q_id
+         |       JOIN filled b ON b.user_id = cand.n_id AND a.h = b.h
+         |  GROUP BY 1, 2),
          |s AS (SELECT q_id, n_id,
          |    CAST(floor(1000000.0 * dot / (na.nrm * nb.nrm)) AS BIGINT) AS sim_micro
          |  FROM d JOIN n na ON d.q_id = na.user_id JOIN n nb ON d.n_id = nb.user_id),

@@ -123,22 +123,26 @@ object Similarity {
       .where(col("sim_micro") >= thresholdMicro)
   }
 
-  /** The dims (1-indexed) table `t` reads. */
-  def tableDims(t: Int, bits: Int, dim: Int): Seq[Int] =
-    (0 until bits).map(j => (t * Stride + j) % dim + 1)
+  /** The dims (1-indexed) table `t` reads. `stride` must be coprime to
+    * `dim` for the table dim-sets to stay distinct across all tables (the
+    * default 4 is fine for 64-dim embeddings; the 24-bin activity
+    * histograms use 5). */
+  def tableDims(t: Int, bits: Int, dim: Int, stride: Int = Stride): Seq[Int] =
+    (0 until bits).map(j => (t * stride + j) % dim + 1)
 
   /** Sign-bucket id of table `t`: sum of 2^j over its dims with value >= 0. */
-  def signBucket(vd: Column, t: Int, bits: Int, dim: Int): Column =
-    tableDims(t, bits, dim).zipWithIndex.map { case (d, j) =>
+  def signBucket(vd: Column, t: Int, bits: Int, dim: Int,
+                 stride: Int = Stride): Column =
+    tableDims(t, bits, dim, stride).zipWithIndex.map { case (d, j) =>
       when(element_at(vd, d) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")
 
   /** (id, t, bucket) signature rows for all tables — one posexplode, no
     * per-table passes over the corpus. */
   def signatures(p: DataFrame, tables: Int, bits: Int, dim: Int,
-                 idCol: String): DataFrame = {
+                 idCol: String, stride: Int = Stride): DataFrame = {
     val sigArray = array((0 until tables).map(t =>
-      struct(lit(t).as("t"), signBucket(col("vd"), t, bits, dim).as("bucket"))): _*)
+      struct(lit(t).as("t"), signBucket(col("vd"), t, bits, dim, stride).as("bucket"))): _*)
     p.select(col(idCol), explode(sigArray).as("s"))
       .select(col(idCol), col("s.t").as("t"), col("s.bucket").as("bucket"))
   }
@@ -216,13 +220,7 @@ object Similarity {
   def activityCosineTopK(events: DataFrame, keyCol: String, tsCol: String,
                          hourUs: Long, queryPred: Column, k: Int): DataFrame = {
     require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
-    // FLOOR-division hour index (`div` truncates toward zero, which
-    // would mis-bin pre-epoch timestamps and diverge from the oracle's
-    // floor `//`) — the bucketStart idiom, then a non-negative mod
-    val cells = events.groupBy(col(keyCol),
-        pmod(expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(24))
-          .as("_h"))
-      .agg(count(lit(1)).as("_c"))
+    val cells = activityCells(events, keyCol, tsCol, hourUs)
     val norms = cells.groupBy(col(keyCol))
       .agg(sqrt(sum(col("_c") * col("_c")).cast("double")).as("_nrm"))
     val a = cells.where(queryPred)
@@ -236,6 +234,96 @@ object Similarity {
     val sims = dots.join(na, "q_id").join(nb, "n_id")
       .select(col("q_id"), col("n_id"),
         floor(lit(1e6) * col("_dot") / (col("_na") * col("_nb")))
+          .cast("long").as("sim_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("sim_micro").desc, col("n_id"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim_micro"))
+  }
+
+  /** (key, _h, _c) activity cells: per-key hour-of-day event counts.
+    * FLOOR-division hour index (`div` truncates toward zero, which would
+    * mis-bin pre-epoch timestamps and diverge from the oracle's floor
+    * `//`) — the bucketStart idiom, then a non-negative mod. */
+  def activityCells(events: DataFrame, keyCol: String, tsCol: String,
+                    hourUs: Long): DataFrame =
+    events.groupBy(col(keyCol),
+        pmod(expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(24))
+          .as("_h"))
+      .agg(count(lit(1)).as("_c"))
+
+  /** Dense per-key activity histograms from [[activityCells]]:
+    * (key, hist array<long>[24]) — 24 longs per key, cell-sized. Built
+    * as 24 conditional sums, NOT `map_from_entries(collect_list(...))`:
+    * the map route plans an ObjectHashAggregate (no codegen, per-row
+    * object churn) while conditional sums stay a plain codegen'd
+    * HashAggregate with map-side partials — measured 2x on the corpus
+    * pass at the 100x smoke point. */
+  def activityHistograms(cells: DataFrame, keyCol: String): DataFrame =
+    cells.groupBy(col(keyCol))
+      .agg(array((0 until 24).map(h =>
+        coalesce(sum(when(col("_h") === h, col("_c"))), lit(0L))): _*).as("hist"))
+
+  /** LSH stride for the 24-bin histograms: coprime to 24 so all table
+    * dim-sets stay distinct (the embedding default 4 divides 24 — tables
+    * 6.. would repeat tables 0..5's dims exactly). */
+  val ActivityStride = 5
+
+  /** The SCALE path for [[activityCosineTopK]]: sign-LSH over the 24-bin
+    * activity histogram, then the EXACT cosine on candidates only.
+    *
+    * Raw histograms are non-negative, so raw sign bits would all read 1;
+    * each histogram is mean-CENTERED first (`24*c[h] - total`, integer —
+    * bit h reads "hour h is above this key's average activity"), which is
+    * hyperplane LSH with planes `e_h - mean` and splits keys by activity
+    * SHAPE. Candidates collide in >= 1 of `tables` tables; the verify
+    * step recomputes the exact integer-dot cosine of the RAW histograms,
+    * so every emitted (pair, sim) is exact ([[lshKnn]]'s contract) and
+    * only ranking members can differ from [[activityCosineTopK]] — recall
+    * measured in the spec, both routes oracle-checked end-to-end (q36 /
+    * q37).
+    *
+    * Why this scales where the exact route cannot: the exhaustive form's
+    * inverted-index join keys on the hour bin — 24 distinct values, so
+    * at ANY corpus size the dot-product work hash-partitions into <= 24
+    * tasks and output is the dense |Q|x|K| matrix. Here the candidate
+    * join keys on (table, bucket) — `tables * 2^bits` distinct values
+    * (1024 at the defaults, vs 24) — and downstream joins key on the key
+    * id itself (full parallelism); candidate volume per query is the
+    * bucket-collision set, not the key population. */
+  def activityCosineTopKLsh(events: DataFrame, keyCol: String, tsCol: String,
+                            hourUs: Long, queryPred: Column, k: Int,
+                            tables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
+    require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
+    require(tables >= 1 && tables <= 24 && bits >= 1 && bits <= 24,
+      s"need 1..24 tables and 1..24 bits, got $tables/$bits")
+    val hists = activityHistograms(
+      activityCells(events, keyCol, tsCol, hourUs), keyCol)
+    val p = hists
+      .withColumn("_tot", aggregate(col("hist"), lit(0L), (a, x) => a + x))
+      .withColumn("vd", transform(col("hist"),
+        x => (x * lit(24L) - col("_tot")).cast("double")))
+      .withColumn("nrm",
+        sqrt(aggregate(col("hist"), lit(0L), (a, x) => a + x * x).cast("double")))
+    val corpusSig = signatures(p, tables, bits, 24, keyCol, ActivityStride)
+      .toDF("n_id", "t", "bucket")
+    val querySig = signatures(p.where(queryPred), tables, bits, 24, keyCol,
+        ActivityStride)
+      .toDF("q_id", "t", "bucket")
+    val cands = corpusSig.join(broadcast(querySig), Seq("t", "bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val qh = p.where(queryPred)
+      .select(col(keyCol).as("q_id"), col("hist").as("_qh"), col("nrm").as("_qn"))
+    val nh = p.select(col(keyCol).as("n_id"), col("hist").as("_nh"), col("nrm").as("_nn"))
+    // exact verify on candidates: integer dot of the RAW histograms, then
+    // the repo-wide float recipe in the exhaustive route's IEEE op order
+    val sims = cands.join(broadcast(qh), "q_id").join(nh, "n_id")
+      .select(col("q_id"), col("n_id"),
+        floor(lit(1e6) *
+            aggregate(zip_with(col("_qh"), col("_nh"), _ * _), lit(0L), _ + _)
+              .cast("bigint") / (col("_qn") * col("_nn")))
           .cast("long").as("sim_micro"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("sim_micro").desc, col("n_id"))

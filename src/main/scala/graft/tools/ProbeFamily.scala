@@ -15,7 +15,7 @@ object ProbeFamily {
     val family = args(1)
     val n = args(2).toInt
     val reps = if (args.length > 3) args(3).toInt else 3
-    val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
+    lazy val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
     def run(): Long = family match {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
@@ -29,6 +29,18 @@ object ProbeFamily {
         val test = sh.where(pmod(col("sid"), lit(20)) === 0)
           .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
         Dedup.contaminationPairs(train, test, 3L).count()
+      case "activity_exact" =>
+        val ev = ScaleSmoke.replicateEvents(
+          graft.Tables.events(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")), n)
+        graft.functions.Similarity.activityCosineTopK(
+          ev, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count()
+      case "activity_lsh" =>
+        val ev = ScaleSmoke.replicateEvents(
+          graft.Tables.events(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")), n)
+        graft.functions.Similarity.activityCosineTopKLsh(
+          ev, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count()
       case other => sys.error(s"unknown family $other")
     }
     (1 to reps).foreach { i =>

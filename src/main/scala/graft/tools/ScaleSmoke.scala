@@ -279,6 +279,19 @@ object ScaleSmoke {
       * [[replicateDocsDistinct]]). */
     def deepSuite(n: Int): Unit = {
       val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
+      // q36/q37 cohort-similarity pair, run at EVERY factor incl. deep:
+      // the exact route's inverted index joins on the 24-value hour bin
+      // (a parallelism ceiling AND a dense |Q|x|K| compare), the LSH
+      // route on (table, bucket) — 1024 values — with the exact cosine
+      // on bucket collisions only. The query population stays fixed
+      // (base-replica ids < 20) while the key population scales with the
+      // factor, so the LSH curve must grow with collision volume, not
+      // the key count
+      val eventsN = replicateEvents(Tables.events(spark, dir), n)
+      time("activity_exact", n)(Similarity.activityCosineTopK(
+        eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
+      time("activity_lsh", n)(Similarity.activityCosineTopKLsh(
+        eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
       time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())

@@ -322,6 +322,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global stage in cohort similarity:\n$p")
   }
 
+  test("q37 cohort similarity LSH: query signatures broadcast, no global stage") {
+    val p = plan("q37_user_similarity_lsh")
+    assert(p.contains("BroadcastHashJoin"), s"query sigs/hists must broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("SinglePartition"), s"global stage in the LSH route:\n$p")
+  }
+
   test("p46 span scrub: verdict set broadcasts back — corpus never sort-merges by window hash") {
     val p = plan("p46_span_scrub")
     assert(p.contains("BroadcastHashJoin"), s"verdict join must broadcast:\n$p")

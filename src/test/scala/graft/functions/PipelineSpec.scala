@@ -669,6 +669,61 @@ class PipelineSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("activityCosineTopKLsh: emitted sims are exact, archetype recall high") {
+    // 48 keys in 4 diurnal archetypes (night/morning/afternoon/evening):
+    // the population structure real user activity has, and the case the
+    // scale path must get right — same-archetype keys collide in the
+    // sign-LSH buckets, so the true top-3 (always same-archetype here)
+    // survives candidate pruning
+    val rnd = new scala.util.Random(7)
+    val hourUs = 3_600_000_000L
+    val evs = for {
+      k <- 0 until 48
+      i <- 0 until 40
+    } yield {
+      val h = ((k % 4) * 6 + rnd.nextInt(6)) % 24
+      val day = rnd.nextInt(20).toLong
+      (k.toLong, day * 24L * hourUs + h * hourUs + rnd.nextInt(3600) * 1000000L)
+    }
+    val df = evs.toDF("k", "ts")
+    val pred = col("k") < 8
+    val exact = Similarity.activityCosineTopK(df, "k", "ts", hourUs, pred, 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.activityCosineTopKLsh(df, "k", "ts", hourUs, pred, 3)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect().toSeq
+    // verify-on-candidates contract: every emitted sim equals the
+    // exhaustive route's sim for that pair (k large => all shared-bin pairs)
+    val allSims = Similarity.activityCosineTopK(df, "k", "ts", hourUs, pred, 1000000)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    lsh.foreach { case (q, n, s) =>
+      assert(allSims.get((q, n)).forall(_ == s), s"sim mismatch for ($q,$n)") }
+    val recall = (exact intersect lsh.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    info(f"activity lsh archetype recall=$recall%.2f")
+    assert(recall >= 0.8)
+  }
+
+  test("activityCosineTopKLsh: real candidate pruning on unstructured activity") {
+    // near-uniform random activity — every pair shares bins, so the
+    // exhaustive route compares every (query, key) pair; the LSH route
+    // must still compare strictly fewer (bucket collisions only)
+    val rnd = new scala.util.Random(11)
+    val hourUs = 3_600_000_000L
+    val evs = for { k <- 0 until 60; i <- 0 until 48 } yield
+      (k.toLong, rnd.nextInt(24).toLong * hourUs +
+        rnd.nextInt(20).toLong * 24L * hourUs + rnd.nextInt(3600) * 1000000L)
+    val df = evs.toDF("k", "ts")
+    val pred = col("k") < 10
+    // k huge => the full candidate/compare sets, not the top-3
+    val exhaustivePairs = Similarity.activityCosineTopK(
+      df, "k", "ts", hourUs, pred, 1000000).count()
+    val lshPairs = Similarity.activityCosineTopKLsh(
+      df, "k", "ts", hourUs, pred, 1000000).count()
+    info(s"exhaustive compares=$exhaustivePairs lsh compares=$lshPairs")
+    assert(exhaustivePairs === 10L * 59) // uniform: every pair shares bins
+    assert(lshPairs < exhaustivePairs)
+  }
+
   test("langid confusion matrix partitions the corpus; guesses come from the marker set") {
     val m = TextFunctions.langGuess _
     val matrix = docs
