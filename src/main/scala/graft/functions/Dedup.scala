@@ -277,13 +277,14 @@ object Dedup {
     * stream — the corpus itself is never shuffled by line text. The
     * reassembly groupBy is the one row-sized exchange (keyed on the doc
     * id, the same key the corpus is usually already partitioned by). If
-    * a corpus' boilerplate set ever outgrows broadcast, drop the hint
-    * and the same plan degrades to a shuffle join — semantics
-    * unchanged. */
+    * a corpus' boilerplate set ever outgrows broadcast, pass
+    * `broadcastVerdicts = false` and the same plan degrades to a shuffle
+    * join — semantics unchanged. */
   def lineDedup(docs: DataFrame, minDocs: Long = 2L, idCol: String = "doc_id",
-                textCol: String = "text", delim: String = "\n"): DataFrame =
+                textCol: String = "text", delim: String = "\n",
+                broadcastVerdicts: Boolean = true): DataFrame =
     lineDedupAgainst(docs, lineStats(docs, idCol, textCol, delim), minDocs,
-      idCol, textCol, delim)
+      idCol, textCol, delim, broadcastVerdicts)
 
   /** Persistable line-statistics artifact: (line, n_docs) for every
     * non-blank line, n_docs = DISTINCT documents carrying it. Built in
@@ -313,16 +314,27 @@ object Dedup {
     * against the statistics of everything seen so far without ever
     * re-reading the indexed corpus' text. [[lineDedup]] is the
     * whole-corpus special case. */
+  /** `broadcastVerdicts` (default true): the verdict join HINTS broadcast
+    * on the boilerplate-line set — it is a small fraction of the corpus
+    * by this operator's contract, and a sort-merge here would sort the
+    * whole exploded line stream by line TEXT (the exact shuffle the plan
+    * exists to avoid; the [[contaminationPairs]] `broadcastTest`
+    * rationale). Pass false when the verdict set outgrows executor
+    * memory — the same plan degrades to a shuffle join on the line text
+    * instead of OOMing the driver, semantics unchanged (parity pinned in
+    * DedupSpec). */
   def lineDedupAgainst(docs: DataFrame, stats: DataFrame, minDocs: Long = 2L,
                        idCol: String = "doc_id", textCol: String = "text",
-                       delim: String = "\n"): DataFrame = {
+                       delim: String = "\n",
+                       broadcastVerdicts: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
           .as(Seq("_ix", "_line")))
-    val bad = stats.where(col("n_docs") >= minDocs)
+    val bad0 = stats.where(col("n_docs") >= minDocs)
       .select(col("line").as("_badline"))
-    lines.join(broadcast(bad), col("_line") === col("_badline"), "left")
+    val bad = if (broadcastVerdicts) broadcast(bad0) else bad0
+    lines.join(bad, col("_line") === col("_badline"), "left")
       .groupBy(col(idCol))
       .agg(
         count(when(col("_badline").isNull, 1)).as("kept_lines"),
@@ -458,8 +470,13 @@ object Dedup {
     * `anchor_window_pos_hashes` codegen kernel. Measured at sf0.1:
     * 9.3 s per-char/interpreted → 6.9 s fold/interpreted → 2.4 s
     * fold/kernel. */
+  /** `broadcastVerdicts`: same contract as [[lineDedupAgainst]]'s flag —
+    * default hints broadcast on the duplicated-window verdict set; false
+    * degrades to a shuffle join on the window hash for an oversized
+    * verdict set, identical output (parity pinned in DedupSpec). */
   def duplicateSpanScrub(docs: DataFrame, windowLen: Int, minDocs: Long = 2L,
-                         idCol: String = "doc_id", textCol: String = "text")
+                         idCol: String = "doc_id", textCol: String = "text",
+                         broadcastVerdicts: Boolean = true)
   : DataFrame = {
     require(windowLen >= 1 && minDocs >= 2,
       s"need windowLen >= 1 and minDocs >= 2, got $windowLen/$minDocs")
@@ -474,11 +491,12 @@ object Dedup {
             col(textCol), lit(windowLen))).as("_pw"))
           .select(col(idCol), col("_pw.pos").as("_pos"), col("_pw.wh").as("_wh"))
       else spanWindowPosFallback(normed, windowLen, idCol)
-    val bad = pw.select(col(idCol), col("_wh")).distinct()
+    val bad0 = pw.select(col(idCol), col("_wh")).distinct()
       .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
       .where(col("_docs") >= minDocs)
       .select(col("_wh").as("_badwh"))
-    val covered = pw.join(broadcast(bad), col("_wh") === col("_badwh"))
+    val bad = if (broadcastVerdicts) broadcast(bad0) else bad0
+    val covered = pw.join(bad, col("_wh") === col("_badwh"))
       .groupBy(col(idCol)).agg(collect_list(col("_pos")).as("_starts"))
     normed.select(col(idCol), col("_norm"))
       .join(covered, Seq(idCol), "left")

@@ -119,9 +119,20 @@ object SnapshotCapture {
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val roundDir = new Path(dir, s"round_${r.round}")
-    val prevLadder = new Path(new Path(dir, s"round_${r.round - 1}"), "ladder")
+    val prevRound = new Path(dir, s"round_${r.round - 1}")
+    val prevLadder = new Path(prevRound, "ladder")
+    // the stored finest level is only foldable if THIS round's finest
+    // grain (and column mapping) matches the one it was built under —
+    // advanceChanges on a ladder of a different grain would silently
+    // merge mixed-grain cells into aggregates equal to nothing. The
+    // grain is persisted next to the ladder and validated every round;
+    // a mismatch (or a pre-metadata ladder) re-bootstraps from the
+    // snapshot instead.
+    val meta = s"grain=${granularities.head._1}:${granularities.head._2};" +
+      s"key=$keyCol;ts=$tsCol;value=$valueCol"
+    val prevMeta = readSmallFile(fs, new Path(prevRound, "ladder_meta"))
     val finest =
-      if (r.round == 0L || !fs.exists(prevLadder))
+      if (r.round == 0L || !fs.exists(prevLadder) || !prevMeta.contains(meta))
         IncrementalAgg.rollup(
           spark.read.parquet(new Path(roundDir, "snapshot").toString),
           keyCol, tsCol, valueCol, granularities.take(1)).head._2
@@ -129,11 +140,23 @@ object SnapshotCapture {
         IncrementalAgg.advanceChanges(spark.read.parquet(prevLadder.toString),
           r.changes, keyCol, tsCol, valueCol, granularities.take(1)).head._2
     finest.write.mode("overwrite").parquet(new Path(roundDir, "ladder").toString)
+    val out = fs.create(new Path(roundDir, "ladder_meta"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     r.commit()
     (r.round, IncrementalAgg.ladder(
       spark.read.parquet(new Path(roundDir, "ladder").toString),
       keyCol, granularities))
   }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
 
   private def listRounds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =
     if (!fs.exists(dir)) Seq.empty

@@ -733,6 +733,15 @@ object StreamPatterns {
   private val DelayCnt = "#dc"
   private val DelaySum = "#ds"
 
+  /** [[frequentTypes]] / [[lossyFrequent]] route USER attribute values
+    * through the state rows' `typ` namespace, where the `#`-prefixed
+    * sentinel tags live — unlike the typed operators, whose `typ` values
+    * are filtered to a requested type before state. Every live attribute
+    * is therefore escaped with this prefix at ingestion (stripped on
+    * emit), so a user value of "#c" or "#f:x" can never be absorbed as a
+    * sentinel/counter row and corrupt counts. */
+  private val AttrEsc = "="
+
   /** Exact cents of a value under the repo-wide decimal(18,2) contract —
     * the integer the batch operators' `cast("decimal(18,2)")` sums. */
   private def cents(v: Double): Long =
@@ -799,7 +808,8 @@ object StreamPatterns {
   def frequentTypes(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
                     attrCol: String, k: Int, delay: String): Dataset[FreqSnap] = {
     require(k >= 1, s"frequent window size must be >= 1, got $k")
-    runPattern[FreqSnap](events, keyCol, tsCol, idCol, attrCol,
+    val esc = events.withColumn("_pattr", concat(lit(AttrEsc), col(attrCol)))
+    runPattern[FreqSnap](esc, keyCol, tsCol, idCol, "_pattr",
         delay = delay) { (evs, _, wmUs) =>
       if (evs.isEmpty) (Nil, Vector.empty, None)
       else {
@@ -815,7 +825,8 @@ object StreamPatterns {
         val out =
           if (ready.isEmpty) Nil
           else counts.toSeq.sortBy { case (a, c) => (-c, a) }.take(k)
-            .zipWithIndex.map { case ((a, c), i) => FreqSnap(key, consumed, i + 1L, a, c) }
+            .zipWithIndex.map { case ((a, c), i) =>
+              FreqSnap(key, consumed, i + 1L, a.drop(AttrEsc.length), c) }
         val retained =
           if (consumed == 0 && pending.isEmpty) Vector.empty
           else PatEvent(key, Long.MinValue, consumed, CntSentinel,
@@ -894,8 +905,13 @@ object StreamPatterns {
     * `cnt * 1000 >= support_milli * total`. Same snapshot contract as
     * [[frequentTypes]]: each batch of finalized events re-emits the full
     * passing set tagged `rev` = events consumed, and the max-rev
-    * snapshot equals the batch answer. Output:
-    * (key, rev, attr, cnt, total).
+    * snapshot equals the batch answer. Unlike the top-k twins (whose
+    * snapshot of non-empty counts is never empty), a threshold filter
+    * CAN pass nothing; a flush whose passing set is empty emits one
+    * TOMBSTONE row (attr null, cnt 0) at that rev, so snapshot readers
+    * see the emptiness instead of holding the previous non-empty
+    * snapshot as current. Reading convention: the snapshot at a rev is
+    * its non-null-attr rows. Output: (key, rev, attr, cnt, total).
     *
     * State per key: one counter row per distinct attribute + the
     * consumed sentinel + pending — the exact counters the lossy-counting
@@ -906,7 +922,8 @@ object StreamPatterns {
                     delay: String): Dataset[LossyFreqSnap] = {
     require(supportMilli > 0 && supportMilli <= 1000,
       s"support must be in (0, 1000] milli-units, got $supportMilli")
-    runPattern[LossyFreqSnap](events, keyCol, tsCol, idCol, attrCol,
+    val esc = events.withColumn("_pattr", concat(lit(AttrEsc), col(attrCol)))
+    runPattern[LossyFreqSnap](esc, keyCol, tsCol, idCol, "_pattr",
         delay = delay) { (evs, _, wmUs) =>
       if (evs.isEmpty) (Nil, Vector.empty, None)
       else {
@@ -921,10 +938,18 @@ object StreamPatterns {
         val consumed = consumed0 + ready.size
         val out =
           if (ready.isEmpty) Nil
-          else counts.toSeq
-            .filter { case (_, c) => c * 1000 >= supportMilli * consumed }
-            .sortBy { case (a, c) => (-c, a) }
-            .map { case (a, c) => LossyFreqSnap(key, consumed, a, c, consumed) }
+          else {
+            val passing = counts.toSeq
+              .filter { case (_, c) => c * 1000 >= supportMilli * consumed }
+              .sortBy { case (a, c) => (-c, a) }
+              .map { case (a, c) =>
+                LossyFreqSnap(key, consumed, a.drop(AttrEsc.length), c, consumed) }
+            if (passing.nonEmpty) passing
+            // tombstone: an empty passing set is a real snapshot —
+            // without a row at this rev, readers would hold the previous
+            // non-empty snapshot as current
+            else Seq(LossyFreqSnap(key, consumed, null, 0L, consumed))
+          }
         val retained =
           if (consumed == 0 && pending.isEmpty) Vector.empty
           else PatEvent(key, Long.MinValue, consumed, CntSentinel,

@@ -356,6 +356,25 @@ class DedupSpec extends SparkSpec {
     assert(got.find(_._1 == 5L).get === ((5L, 1L, 1L, "delta content")))
   }
 
+  test("verdict broadcast flag: shuffle-join path returns identical output (line + span)") {
+    // the p19==p33 parity pattern: both join strategies, same rows — an
+    // oversized verdict set can degrade to a shuffle join instead of
+    // OOMing the driver, with semantics pinned equal here
+    val d = Tables.documents(spark, sf()).limit(200)
+      .withColumn("text", regexp_replace(col("text"), " ", "\n"))
+    val hinted = Dedup.lineDedup(d).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val shuffled = Dedup.lineDedup(d, broadcastVerdicts = false).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hinted === shuffled && hinted.nonEmpty)
+    val docs = Tables.documents(spark, sf()).limit(200)
+    val spanH = Dedup.duplicateSpanScrub(docs, 48, 2L).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val spanS = Dedup.duplicateSpanScrub(docs, 48, 2L, broadcastVerdicts = false)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(spanH === spanS && spanH.nonEmpty)
+  }
+
   test("duplicateSpanScrub matches a brute-force coverage oracle; planted copy excised") {
     val L = 10
     val fixture = Seq(

@@ -160,6 +160,41 @@ class IncrementalAggSpec extends SparkSpec {
     assert(r2 === 2L && levels(l2) === ladderOf(s2))
   }
 
+  test("captureIntoLadder: changing the finest grain between rounds re-bootstraps, not mixed-grain-merges") {
+    import graft.streaming.SnapshotCapture
+    val state = java.nio.file.Files.createTempDirectory("graft_lgrain").toString
+    def levels(ls: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      ls.map { case (n, df) => n -> df
+        .select(col("key"), col("bucket_start"), col("cnt"),
+          col("sum_dec").cast("string")).collect().map(_.toSeq).toSet }
+    val s0 = (1 to 40).map(i => (i.toLong, (i % 3).toLong, i.toLong * 7 - 120, i / 4.0))
+    SnapshotCapture.captureIntoLadder(spark,
+      s0.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", Seq("b" -> 100L))
+    // round 1 switches the finest grain 100 -> 250 AND mutates rows: a
+    // silent advanceChanges would fold 250-grain deltas into 100-grain
+    // cells (wrong aggregates, no error); the metadata guard must
+    // re-bootstrap so the ladder still equals rollup(snapshot) at the
+    // NEW grain
+    val s1 = s0.filterNot(_._1 % 9 == 0) ++ Seq((201L, 1L, 333L, 4.25))
+    val (r1, l1) = SnapshotCapture.captureIntoLadder(spark,
+      s1.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", Seq("b" -> 250L))
+    val want = levels(IncrementalAgg.rollup(
+      s1.toDF("event_id", "key", "ts", "value"), "key", "ts", "value",
+      Seq("b" -> 250L)))
+    assert(r1 === 1L && levels(l1) === want)
+    // round 2 keeps the new grain: the stored metadata now matches and
+    // the incremental fold resumes, still equal to a direct rollup
+    val s2 = s1.map { case (id, k, ts, v) => (id, k, ts, v + 0.5) }
+    val (r2, l2) = SnapshotCapture.captureIntoLadder(spark,
+      s2.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", Seq("b" -> 250L))
+    assert(r2 === 2L && levels(l2) === levels(IncrementalAgg.rollup(
+      s2.toDF("event_id", "key", "ts", "value"), "key", "ts", "value",
+      Seq("b" -> 250L))))
+  }
+
   test("streaming finest level: emitted cells equal the batch ladder's (built-in window agg)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]

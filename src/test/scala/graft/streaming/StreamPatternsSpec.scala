@@ -505,7 +505,46 @@ class StreamPatternsSpec extends SparkSpec {
           src, "k", "ts", "id", "typ", 250L, "0 seconds").toDF,
           s"sp_lossy_${engine.getOrElse("fmgws")}")
         finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
-      assert(want.nonEmpty && lastSnapshots(rows) === want)
+      // snapshot-reading convention: a rev's snapshot is its
+      // non-null-attr rows (a lone null-attr row is the empty tombstone)
+      assert(want.nonEmpty && lastSnapshots(rows).filter(_(1) != null) === want)
     }
+  }
+
+  test("lossyFrequent: empty passing set at final rev emits a tombstone snapshot") {
+    // support 500‰: after (a, a) the snapshot is {a}; once b, c, d
+    // arrive, a holds 2/5 < 50% — the passing set is EMPTY and the
+    // max-rev snapshot must SAY so (a tombstone row at rev 5), not let
+    // readers hold {a}@rev2 as current. Attr values starting with the
+    // reserved '#' prefix must count as ordinary data, not state rows.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamPatterns.lossyFrequent(src, "k", "ts", "id", "typ", 500L,
+        "0 seconds").toDF
+      .writeStream.format("memory").queryName("sp_lossy_tomb")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, 1_000_000L, 1L, "a"), (1L, 2_000_000L, 2L, "a"))
+      q.processAllAvailable()
+      in.addData((SentinelKey, 100_000_000L, 90L, "x"))
+      q.processAllAvailable()
+      in.addData((1L, 110_000_000L, 3L, "#c"), (1L, 111_000_000L, 4L, "#f:a"),
+        (1L, 112_000_000L, 5L, "b"))
+      q.processAllAvailable()
+      in.addData((SentinelKey, 300_000_000L, 91L, "x"))
+      q.processAllAvailable()
+      in.addData((SentinelKey, 400_000_000L, 92L, "x"))
+      q.processAllAvailable()
+      val rows = spark.table("sp_lossy_tomb").where(col("key") === 1L)
+        .collect().map(_.toSeq).toSeq
+      // rev 2 snapshot: {a: 2 of 2}
+      assert(rows.filter(_(1) == 2L) === Seq(Seq(1L, 2L, "a", 2L, 2L)))
+      // rev 5: nothing clears 50% — exactly one tombstone row, and the
+      // '#'-named attrs were counted as data (total 5), not state rows
+      assert(rows.filter(_(1) == 5L) === Seq(Seq(1L, 5L, null, 0L, 5L)))
+      assert(lastSnapshots(rows).filter(_(1) != null).isEmpty)
+    } finally q.stop()
   }
 }
