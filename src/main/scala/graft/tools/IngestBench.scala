@@ -165,12 +165,63 @@ object IngestBench {
     val lQuiet = ladderRound(n.toLong + 2000)
     println(f"[ingest] ladder: bootstrap $lBoot%.2f s, 4000-change round $lIncr%.2f s, quiet round $lQuiet%.2f s")
 
+    // ---- ladder maintenance at SCALE (the q28-crossover pattern): at a
+    // fixed ~0.1% churn, fold-the-change-set (advanceChanges: reads the
+    // cell-sized stored ladder + the change set) must beat re-aggregation
+    // (rollup of the full new table) by a margin that WIDENS as the table
+    // grows, because the ladder's cell count is bounded by key x bucket
+    // cardinality while the table is row-count-sized. At 1x the ladder
+    // (500k cells) can exceed the table (200k rows) and re-agg may win —
+    // expected, and exactly the crossover this section records. ----
+    import graft.operators.IncrementalAgg
+    val lgrans = Seq("b" -> 1000000L)
+    val ladderScale = Seq(1, 40, 100).map { f =>
+      val rows = n.toLong * f
+      val tmp = java.nio.file.Files.createTempDirectory(s"ingest_lscale_$f").toString
+      val before = spark.range(rows).select(
+        col("id"), pmod(col("id"), lit(5000L)).as("key"),
+        (col("id") * 37 % 100000000L).as("ts"),
+        (pmod(col("id") * 13, lit(1000L)) / lit(100.0)).as("value"))
+      before.write.mode("overwrite").parquet(s"$tmp/before")
+      val beforeP = spark.read.parquet(s"$tmp/before")
+      IncrementalAgg.rollup(beforeP, "key", "ts", "value", lgrans).head._2
+        .write.mode("overwrite").parquet(s"$tmp/ladder")
+      val prevP = spark.read.parquet(s"$tmp/ladder")
+      val churn = pmod(col("id"), lit(1000L)) === 0 // 0.1% of rows updated
+      beforeP.where(churn)
+        .select(lit("update").as("_op"), col("key"), col("ts"),
+          (col("value") + 1.0).as("value"), col("key").as("before_key"),
+          col("ts").as("before_ts"), col("value").as("before_value"))
+        .write.mode("overwrite").parquet(s"$tmp/changes")
+      val changesP = spark.read.parquet(s"$tmp/changes")
+      beforeP.withColumn("value",
+          when(churn, col("value") + 1.0).otherwise(col("value")))
+        .write.mode("overwrite").parquet(s"$tmp/after")
+      val afterP = spark.read.parquet(s"$tmp/after")
+      def med(body: => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        ts.sorted.apply(1)
+      }
+      val tFold = med(IncrementalAgg.advanceChanges(
+          prevP, changesP, "key", "ts", "value", lgrans).head._2
+        .write.format("noop").mode("overwrite").save())
+      val tReagg = med(IncrementalAgg.rollup(
+          afterP, "key", "ts", "value", lgrans).head._2
+        .write.format("noop").mode("overwrite").save())
+      println(f"[ingest] ladder_scale x$f%-3d fold $tFold%.2f s vs re-agg $tReagg%.2f s (${rows} rows, 0.1%% churn)")
+      (f, tFold, tReagg)
+    }
+
     val snapJson = snapshot.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
     val streamJson = stream.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
     println(s"""[ingestjson] {"rows":$n,"snapshot_rows_per_sec":{$snapJson},""" +
       s""""stream_rows_per_sec":{$streamJson},""" +
       s""""recovery":{"missed_rows":$recoveryN,"sec":${fmt(recoverySec)}},""" +
-      s""""ladder_capture":{"bootstrap_sec":${fmt(lBoot)},"incr_sec":${fmt(lIncr)},"quiet_sec":${fmt(lQuiet)}}}""")
+      s""""ladder_capture":{"bootstrap_sec":${fmt(lBoot)},"incr_sec":${fmt(lIncr)},"quiet_sec":${fmt(lQuiet)}},""" +
+      s""""ladder_scale":[""" + ladderScale.map { case (f, tf, tr) =>
+        s"""{"factor":$f,"fold_sec":${fmt(tf)},"reagg_sec":${fmt(tr)}}""" }
+        .mkString(",") + "]}")
     spark.stop()
     conn.close()
   }

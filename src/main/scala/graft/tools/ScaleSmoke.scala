@@ -301,6 +301,31 @@ object ScaleSmoke {
       // through values — see the line_dedup note on count() elimination)
       time("span_scrub", n)(Dedup.duplicateSpanScrub(docs, 48, 2L)
         .agg(sum(col("covered_chars") + length(col("scrubbed_md5")))).head().getLong(0))
+      // stage attribution for the two steepest 100x curves (round-9 ask):
+      // cumulative-prefix timings at the deep factors only — the hash
+      // explode alone, then + the verdict build — so each full-operator
+      // point decomposes into explode vs verdict vs join+rollup (the
+      // remainder), and round 11 can see WHICH stage steepens before the
+      // next doubling. Same decomposition for tfidf: the (doc, word)
+      // tf exchange alone, then + the vocabulary df pass; the remainder
+      // is the join-back + per-doc top-k window.
+      if (n >= 40) {
+        val pw = docs.select(col("doc_id"),
+            explode(call_function("anchor_window_pos_hashes", col("text"), lit(48)))
+              .as("_pw"))
+          .select(col("doc_id"), col("_pw.pos").as("_pos"), col("_pw.wh").as("_wh"))
+        time("span_scrub_hash", n)(pw.count())
+        time("span_scrub_verdict", n)(pw.select(col("doc_id"), col("_wh")).distinct()
+          .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
+          .where(col("_docs") >= 2).count())
+        val tfStage = docs
+          .select(col("doc_id"),
+            explode(TF.words(TF.normText(col("text")))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        time("tfidf_tf", n)(tfStage.count())
+        time("tfidf_df", n)(
+          tfStage.groupBy("word").agg(count(lit(1)).as("df")).count())
+      }
       time("tfidf_topk", n) {
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
