@@ -167,16 +167,26 @@ object Bench {
   }
 
   /** Clean-segment median: samples from segments whose sentinel ran
-    * >2.5x the run's best are discarded before the median, so a
-    * contention window — even one spanning whole passes, the r07/r08
+    * >2.5x the run's MEDIAN sentinel are discarded before the median, so
+    * a contention window — even one spanning whole passes, the r07/r08
     * failure mode — only costs samples, not the reported number. A query
     * with NO clean sample keeps the all-sample median but is listed in
-    * `"contaminated_queries"`: re-run before trusting it. */
+    * `"contaminated_queries"`: re-run before trusting it.
+    *
+    * Median, not min (round 10): the probe's fresh-JVM runtime varies
+    * ~4x with JIT luck across forked children (0.11-0.43 s observed on
+    * an IDLE box), so a floor keyed to the single luckiest segment
+    * flagged 15 of 33 clean segments. The median is robust to a lucky
+    * outlier AND to a minority of genuinely-contended segments; a
+    * majority-contended run shifts the median and escapes this gate,
+    * but that failure mode is exactly what `deviant_vs_prior` exists
+    * to catch. */
   private[graft] def summarize(samples: Map[String, List[(Double, Double)]],
                                sentinels: Seq[Double])
       : (Seq[(String, Double)], Seq[String]) = {
-    val floor = if (sentinels.isEmpty) Double.MaxValue else sentinels.min * 2.5
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val floor =
+      if (sentinels.isEmpty) Double.MaxValue else median(sentinels) * 2.5
     val names = SparkEntry.queries.keys.toSeq.sorted
     val contaminated = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { n =>
@@ -211,8 +221,9 @@ object Bench {
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED: ${failed.mkString(",")}")
     val contended =
       if (sentinels.isEmpty) Seq.empty
-      else sentinels.zipWithIndex.collect {
-        case (s, i) if s > 2.5 * sentinels.min => i
+      else {
+        val m = sentinels.sorted.apply(sentinels.size / 2)
+        sentinels.zipWithIndex.collect { case (s, i) if s > 2.5 * m => i }
       }
     val prior = priorRound()
     val deviant = prior.toSeq.flatMap { case (_, pq) =>

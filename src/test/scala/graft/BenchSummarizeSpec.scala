@@ -21,12 +21,26 @@ class BenchSummarizeSpec extends AnyFunSuite {
   }
 
   test("a query with zero clean samples keeps the all-sample median but is flagged") {
+    // the floor keys off the MEDIAN sentinel (round 10), so the clean
+    // majority of segments sets the baseline and the contended minority
+    // that happened to cover every one of aName's samples is discarded
     val samples = Map(
       aName -> List((8.0, 1.5), (9.0, 1.6), (7.0, 1.7)), // every sample contended
       bName -> List((0.2, 0.3)))
-    val (results, contaminated) = Bench.summarize(samples, Seq(0.3, 1.5, 1.6, 1.7))
+    val (results, contaminated) = Bench.summarize(samples,
+      Seq(0.3, 0.28, 0.31, 0.3, 1.5, 1.6, 1.7))
     assert(results.toMap.apply(aName) === 8.0) // median of {7,8,9}
     assert(contaminated === Seq(aName))
+  }
+
+  test("one lucky-JIT fast sentinel does not flag ordinary segments (median floor)") {
+    // observed on an idle box: fresh-JVM probes vary ~4x with JIT luck
+    // (0.11 vs 0.3-0.43); a min-keyed floor flagged 15/33 clean segments
+    val samples = Map(aName -> List((0.5, 0.4), (0.45, 0.11), (0.48, 0.43)))
+    val (results, contaminated) = Bench.summarize(samples,
+      Seq(0.4, 0.11, 0.43, 0.3, 0.35, 0.28))
+    assert(results.toMap.apply(aName) === 0.48) // all three samples clean
+    assert(contaminated.isEmpty)
   }
 
   test("a failed sample (-1) poisons the query regardless of segments") {
