@@ -217,16 +217,43 @@ object Similarity {
     * ([[lshKnn]] over the histogram as a vector). Sim is the repo-wide
     * float recipe: integer dot, `sqrt(double)` norms, one multiply, one
     * divide, floor — identical IEEE op order in the DuckDB oracle. */
+  /** `salts` — parallelism knob for the inverted-index join: the hour
+    * bin alone has 24 distinct values, so on a large cluster the entire
+    * dot-product work would hash-partition into <= 24 tasks. With
+    * `salts > 1` the corpus side salts by a hash of its key (map-side,
+    * no extra shuffle volume) and the tiny query side replicates across
+    * all salts, so each (q, n) pair still meets exactly once while the
+    * join key carries 24 x salts values — set it to ~cores/12 on a real
+    * cluster. Results are IDENTICAL for any value (parity-pinned in
+    * PipelineSpec, the labelCentroidOutliers convention); the default 1
+    * skips the fan-out because on local[32] the replication costs ~25%
+    * for no parallelism gain. q37 ([[activityCosineTopKLsh]]) is the
+    * candidate-pruned scale route; this knob keeps the exact anchor
+    * itself cluster-parallelizable. */
   def activityCosineTopK(events: DataFrame, keyCol: String, tsCol: String,
-                         hourUs: Long, queryPred: Column, k: Int): DataFrame = {
+                         hourUs: Long, queryPred: Column, k: Int,
+                         salts: Int = 1): DataFrame = {
     require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val cells = activityCells(events, keyCol, tsCol, hourUs)
     val norms = cells.groupBy(col(keyCol))
       .agg(sqrt(sum(col("_c") * col("_c")).cast("double")).as("_nrm"))
-    val a = cells.where(queryPred)
+    val a0 = cells.where(queryPred)
       .select(col(keyCol).as("q_id"), col("_h"), col("_c").as("_ca"))
-    val b = cells.select(col(keyCol).as("n_id"), col("_h"), col("_c").as("_cb"))
-    val dots = a.join(b, Seq("_h")).where(col("n_id") =!= col("q_id"))
+    val joined =
+      if (salts == 1)
+        cells.select(col(keyCol).as("n_id"), col("_h"), col("_c").as("_cb"))
+          .join(broadcast(a0), Seq("_h"))
+      else {
+        val a = a0.withColumn("_slt",
+          explode(array((0 until salts).map(lit): _*)))
+        val b = cells.select(col(keyCol).as("n_id"), col("_h"),
+          col("_c").as("_cb"), pmod(hash(col(keyCol)), lit(salts)).as("_slt"))
+        // broadcast hint: the salt explode inflates the query side's size
+        // estimate and the planner may otherwise shuffle the CORPUS cells
+        b.join(broadcast(a), Seq("_h", "_slt"))
+      }
+    val dots = joined.where(col("n_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("_ca") * col("_cb")).as("_dot"))
     val na = norms.select(col(keyCol).as("q_id"), col("_nrm").as("_na"))

@@ -669,6 +669,22 @@ class PipelineSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("activityCosineTopK: salted join equals the unsalted (parallelism knob, not semantics)") {
+    val rnd = new scala.util.Random(31)
+    val hourUs = 3_600_000_000L
+    val evs = (1 to 600).map { i =>
+      (1L + rnd.nextInt(15), rnd.nextInt(24).toLong * hourUs +
+        rnd.nextInt(10).toLong * 24L * hourUs + rnd.nextInt(3600) * 1000000L)
+    }
+    val df = evs.toDF("k", "ts")
+    val plain = Similarity.activityCosineTopK(df, "k", "ts", hourUs, col("k") <= 5, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    val salted = Similarity.activityCosineTopK(df, "k", "ts", hourUs, col("k") <= 5, 3,
+        salts = 16)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(plain === salted && plain.nonEmpty)
+  }
+
   test("activityCosineTopKLsh: emitted sims are exact, archetype recall high") {
     // 48 keys in 4 diurnal archetypes (night/morning/afternoon/evening):
     // the population structure real user activity has, and the case the
