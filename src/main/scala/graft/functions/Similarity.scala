@@ -322,28 +322,57 @@ object Similarity {
   def activityCosineTopKLsh(events: DataFrame, keyCol: String, tsCol: String,
                             hourUs: Long, queryPred: Column, k: Int,
                             tables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
-    require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
+    require(hourUs > 0, s"need positive hour width, got $hourUs")
+    activityCosineTopKLshProbe(
+      activityLshIndex(events, keyCol, tsCol, hourUs, tables, bits),
+      keyCol, queryPred, k)
+  }
+
+  /** Persistable signature INDEX of a keyed event corpus' activity
+    * profiles — the [[lshIndex]] convention applied to the q37 route:
+    * one row per key carrying the raw histogram, its norm, and the full
+    * bucket-signature array (bucket `t` at array position `t`). Building
+    * it costs one corpus scan; write it next to the events table and
+    * [[activityCosineTopKLshProbe]] answers queries without re-scanning
+    * or re-histogramming the corpus. Incremental ingest: indexes of
+    * key-disjoint event sets union trivially (one row per key), so each
+    * increment pays only its own size. */
+  def activityLshIndex(events: DataFrame, keyCol: String, tsCol: String,
+                       hourUs: Long, tables: Int = DefaultTables,
+                       bits: Int = DefaultBits): DataFrame = {
+    require(hourUs > 0, s"need positive hour width, got $hourUs")
     require(tables >= 1 && tables <= 24 && bits >= 1 && bits <= 24,
       s"need 1..24 tables and 1..24 bits, got $tables/$bits")
-    val hists = activityHistograms(
-      activityCells(events, keyCol, tsCol, hourUs), keyCol)
-    val p = hists
+    activityHistograms(activityCells(events, keyCol, tsCol, hourUs), keyCol)
       .withColumn("_tot", aggregate(col("hist"), lit(0L), (a, x) => a + x))
       .withColumn("vd", transform(col("hist"),
         x => (x * lit(24L) - col("_tot")).cast("double")))
-      .withColumn("nrm",
-        sqrt(aggregate(col("hist"), lit(0L), (a, x) => a + x * x).cast("double")))
-    val corpusSig = signatures(p, tables, bits, 24, keyCol, ActivityStride)
-      .toDF("n_id", "t", "bucket")
-    val querySig = signatures(p.where(queryPred), tables, bits, 24, keyCol,
-        ActivityStride)
-      .toDF("q_id", "t", "bucket")
+      .select(col(keyCol), col("hist"),
+        sqrt(aggregate(col("hist"), lit(0L), (a, x) => a + x * x).cast("double"))
+          .as("nrm"),
+        array((0 until tables).map(t =>
+          signBucket(col("vd"), t, bits, 24, ActivityStride)): _*).as("bucketsigs"))
+  }
+
+  /** Probe a (typically persisted) [[activityLshIndex]]: identical
+    * output to [[activityCosineTopKLsh]] with the index's parameters
+    * (parity-pinned in PipelineSpec). Candidates collide in >= 1 table;
+    * the exact integer-dot cosine of the RAW histograms re-verifies
+    * every candidate in the exhaustive route's IEEE op order. */
+  def activityCosineTopKLshProbe(index: DataFrame, keyCol: String,
+                                 queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val corpusSig = index.select(col(keyCol).as("n_id"),
+      posexplode(col("bucketsigs")).as(Seq("t", "bucket")))
+    val querySig = index.where(queryPred).select(col(keyCol).as("q_id"),
+      posexplode(col("bucketsigs")).as(Seq("t", "bucket")))
     val cands = corpusSig.join(broadcast(querySig), Seq("t", "bucket"))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()
-    val qh = p.where(queryPred)
+    val qh = index.where(queryPred)
       .select(col(keyCol).as("q_id"), col("hist").as("_qh"), col("nrm").as("_qn"))
-    val nh = p.select(col(keyCol).as("n_id"), col("hist").as("_nh"), col("nrm").as("_nn"))
+    val nh = index
+      .select(col(keyCol).as("n_id"), col("hist").as("_nh"), col("nrm").as("_nn"))
     // exact verify on candidates: integer dot of the RAW histograms, then
     // the repo-wide float recipe in the exhaustive route's IEEE op order
     val sims = cands.join(broadcast(qh), "q_id").join(nh, "n_id")

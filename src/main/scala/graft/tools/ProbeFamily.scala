@@ -29,6 +29,9 @@ object ProbeFamily {
         val test = sh.where(pmod(col("sid"), lit(20)) === 0)
           .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
         Dedup.contaminationPairs(train, test, 3L).count()
+      case "line_dedup" =>
+        Dedup.lineDedup(docs, 2L, delim = " ")
+          .agg(sum(col("kept_lines") + length(col("new_text")))).head().getLong(0)
       case "activity_exact" =>
         val ev = ScaleSmoke.replicateEvents(
           graft.Tables.events(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -719,6 +719,32 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("activityLshIndex: probing the persisted index equals the direct route; disjoint indexes union") {
+    val rnd = new scala.util.Random(13)
+    val hourUs = 3_600_000_000L
+    val evs = (1 to 800).map { i =>
+      (1L + rnd.nextInt(30), rnd.nextInt(24).toLong * hourUs +
+        rnd.nextInt(12).toLong * 24L * hourUs + rnd.nextInt(3600) * 1000000L)
+    }
+    val df = evs.toDF("k", "ts")
+    val direct = Similarity.activityCosineTopKLsh(df, "k", "ts", hourUs, col("k") <= 6, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_actidx").toString
+    Similarity.activityLshIndex(df, "k", "ts", hourUs).write.mode("overwrite").parquet(dir)
+    val probed = Similarity.activityCosineTopKLshProbe(
+        spark.read.parquet(dir), "k", col("k") <= 6, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(direct === probed && direct.nonEmpty)
+    // incremental-ingest shape: key-disjoint halves index independently,
+    // union of the halves == the whole-corpus index
+    val lo = Similarity.activityLshIndex(df.where(col("k") <= 15), "k", "ts", hourUs)
+    val hi = Similarity.activityLshIndex(df.where(col("k") > 15), "k", "ts", hourUs)
+    val merged = Similarity.activityCosineTopKLshProbe(
+        lo.unionByName(hi), "k", col("k") <= 6, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(merged === direct)
+  }
+
   test("activityCosineTopKLsh: real candidate pruning on unstructured activity") {
     // near-uniform random activity — every pair shares bins, so the
     // exhaustive route compares every (query, key) pair; the LSH route
