@@ -292,6 +292,16 @@ object ScaleSmoke {
         eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
       time("activity_lsh", n)(Similarity.activityCosineTopKLsh(
         eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
+      // the deployment shape: index built ONCE (untimed — it is a stored
+      // artifact; forked passes share the materialization), every query
+      // pays only the probe. The probe curve growing far below the full
+      // route's is the "corpus scanned once" claim, measured.
+      val idxPath = s"$smokeDir/activity_idx_x$n"
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists())
+        Similarity.activityLshIndex(eventsN, "user_id", "ts_us", 3600000000L)
+          .write.mode("overwrite").parquet(idxPath)
+      time("activity_probe", n)(Similarity.activityCosineTopKLshProbe(
+        spark.read.parquet(idxPath), "user_id", col("user_id") < 20, 3).count())
       time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
