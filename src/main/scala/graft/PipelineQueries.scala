@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, IvfIndex, Multimodal, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, IvfIndex, Multimodal, Similarity, Sketches, TextFunctions => TF}
 
 /** Driver-mandated training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over `documents` / `embeddings`.
@@ -736,6 +736,40 @@ object PipelineQueries {
   private def p46(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpanScrub(docs(s, dir), SubWin, 2L).orderBy("doc_id")
 
+  /** p47 — DSIR importance scoring ([[TF.dsirScores]]): selection
+    * weights for the raw corpus against a target-domain unigram model —
+    * here the English slice plays the target domain (the p45 langid
+    * ground-truth column, so the fixture exercises both signs). */
+  private def p47(s: SparkSession, dir: String): DataFrame =
+    TF.dsirScores(docs(s, dir), col("lang") === "en").orderBy("doc_id")
+
+  /** p48 — KMV bottom-k distinct sketch ([[graft.functions.Sketches]]):
+    * per-source distinct-token cardinality estimated from 64 retained
+    * hash minima per source — the mergeable-cardinality posture for
+    * vocabulary monitoring (vs p18/p31's exact vocab passes). */
+  private def p48(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), explode(TF.words(TF.normText(col("text")))).as("_w"))
+    graft.functions.Sketches.kmvDistinct(tok, "source", col("_w")).orderBy("source")
+  }
+
+  /** Codebook trained by the last [[p49]] run — the [[lastIvfModel]]
+    * device: SemDeDup's cluster step is k-means (not SQL-expressible),
+    * but the trained centroids are k×dim literals the oracle embeds to
+    * re-derive cell assignment and the within-cell pair verdicts. */
+  @volatile private var lastSemModel: Option[IvfIndex.Model] = None
+
+  /** p49 — SemDeDup ([[Similarity.semDedup]]): cluster-bounded semantic
+    * dedup, the scale path for p13's exact pair scan (recall pinned in
+    * SketchesSpec). Same codebook shape as p12 and the p13 threshold,
+    * so the three embedding-dedup routes stay directly comparable. */
+  private def p49(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val model = IvfIndex.train(e, k = IvfK, iters = IvfIters)
+    lastSemModel = Some(model)
+    Similarity.semDedup(e, model, CosDupThresholdMicro).orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -783,6 +817,9 @@ object PipelineQueries {
     "p44_mixture_draw" -> p44 _,
     "p45_langid_eval" -> p45 _,
     "p46_span_scrub" -> p46 _,
+    "p47_dsir_select" -> p47 _,
+    "p48_distinct_sketch" -> p48 _,
+    "p49_semdedup" -> p49 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -911,7 +948,12 @@ object PipelineQueries {
     * c² (computed driver-side with the same left-fold order as
     * [[graft.functions.IvfIndex]]) and the strict left-fold dot, so every
     * double matches Spark bit-for-bit. */
-  private def ivfOracleSql(m: IvfIndex.Model): String = {
+  /** Shared CTE chain for codebook-dependent oracles: embedded centroid
+    * literals → per-vector distance ranking → nearest-cell index. The
+    * literal c² is computed driver-side with the same left-fold order as
+    * [[graft.functions.IvfIndex]], so every double matches Spark
+    * bit-for-bit. */
+  private def ivfAssignCtes(m: IvfIndex.Model): String = {
     val rows = m.centroids.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(x => x * x).sum
       s"($j, [${c.mkString(", ")}]::DOUBLE[], ${c2})"
@@ -920,7 +962,7 @@ object PipelineQueries {
       """list_reduce(list_prepend(0.0,
         |            list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * c.cvd[i])),
         |            (a, b) -> a + b)""".stripMargin
-    s"""WITH $VecCte,
+    s"""$VecCte,
        |cents AS (SELECT * FROM (VALUES
        |    $rows
        |  ) AS c(cell, cvd, c2)),
@@ -928,13 +970,39 @@ object PipelineQueries {
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |           c.c2 - 2 * $dotEC, c.cell) AS rn
        |       FROM n e CROSS JOIN cents c),
-       |idx AS (SELECT vec_id, vd, nrm, cell FROM ad WHERE rn = 1),
+       |idx AS (SELECT vec_id, vd, nrm, cell FROM ad WHERE rn = 1)""".stripMargin
+  }
+
+  /** p12 oracle from the trained codebook: DuckDB re-derives cell
+    * assignment (argmin ||x−c||² = argmin c² − 2x·c, ties → lowest cell),
+    * probe cells (the same distance ranking, first `nprobe`), and the
+    * exact cosine top-k within probed cells. */
+  private def ivfOracleSql(m: IvfIndex.Model): String =
+    s"""WITH ${ivfAssignCtes(m)},
        |probes AS (SELECT vec_id, vd, nrm, cell FROM ad
        |           WHERE rn <= $IvfNprobe AND $QueryPredSql),
        |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
        |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
        |      FROM probes q JOIN idx e ON e.cell = q.cell AND e.vec_id != q.vec_id)
        |${knnSql("p")}""".stripMargin
+
+  /** p49 oracle: same embedded codebook, then the within-cell pair scan
+    * with the lowest-id keeper rule (`dup_of` = min lower-id neighbor at
+    * cosine ≥ threshold, null for keepers). */
+  private def semOracleSql(m: IvfIndex.Model): String = {
+    val dotAB =
+      """list_reduce(list_prepend(0.0,
+        |          list_transform(range(1, len(a.vd) + 1), i -> a.vd[i] * b.vd[i])),
+        |          (x, y) -> x + y)""".stripMargin
+    s"""WITH ${ivfAssignCtes(m)},
+       |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(floor(1000000.0 * $dotAB / (a.nrm * b.nrm)) AS BIGINT) AS sim
+       |       FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dp AS (SELECT vb AS vec_id, min(va) AS dup_of FROM pr
+       |       WHERE sim >= $CosDupThresholdMicro GROUP BY vb)
+       |SELECT i.vec_id, CAST(i.cell AS INTEGER) AS cell, dp.dup_of
+       |FROM idx i LEFT JOIN dp ON i.vec_id = dp.vec_id
+       |ORDER BY i.vec_id""".stripMargin
   }
 
   /** Rabin–Karp fold over the characters of `v` — the SQL twin of
@@ -945,7 +1013,8 @@ object PipelineQueries {
        |    (a, b) -> (a * 31 + b) % ${TF.RollHashMod})""".stripMargin
 
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m))
+    staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m)) ++
+      lastSemModel.map(m => "p49_semdedup" -> semOracleSql(m))
 
   private val staticOracleSql: Map[String, String] = Map(
     "p1_text_stats" ->
@@ -1526,5 +1595,54 @@ object PipelineQueries {
          |  md5(coalesce(array_to_string(list_transform(kept,
          |    i -> substr(norm, CAST(i AS INT), 1)), ''), '')) AS scrubbed_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+    // DSIR: token stream tagged with target membership, joint-vocab
+    // counts, add-one-smoothed ppm difference model, per-doc fold. All
+    // divisions are positive-operand integral (`//` here, `div` in
+    // Spark), the signed delta only ever SUMS.
+    "p47_dsir_select" ->
+      s"""WITH $NormCte,
+         |tk AS (SELECT w.doc_id,
+         |         (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS tgt,
+         |         unnest(ws) AS wd
+         |       FROM w JOIN documents d ON w.doc_id = d.doc_id),
+         |vb AS (SELECT wd, CAST(count(*) AS BIGINT) AS cr,
+         |         CAST(sum(tgt) AS BIGINT) AS ct
+         |       FROM tk GROUP BY wd),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |          CAST(sum(ct) AS BIGINT) AS nt,
+         |          CAST(count(*) AS BIGINT) AS v FROM vb),
+         |m AS (SELECT wd,
+         |        CAST(((ct + 1) * 1000000) // (nt + v)
+         |           - ((cr + 1) * 1000000) // (nr + v) AS BIGINT) AS delta
+         |      FROM vb, tot),
+         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(delta) AS BIGINT) AS s
+         |      FROM tk JOIN m USING (wd) GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+         |       coalesce(p.s, 0) AS score_ppm,
+         |       CAST(CASE WHEN coalesce(p.s, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM w LEFT JOIN p ON w.doc_id = p.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
+    // KMV sketch: distinct spread hashes per source, bottom-k by window
+    // rank, the (k-1)*M // h_k estimator. Same rolling hash + SampleMix
+    // spread as the sampling ops, so minima match Spark exactly.
+    "p48_distinct_sketch" ->
+      s"""WITH $NormCte,
+         |tk AS (SELECT d.source, unnest(ws) AS wd
+         |       FROM w JOIN documents d ON w.doc_id = d.doc_id),
+         |hs AS (SELECT DISTINCT source,
+         |         (${rollHashSql("wd")} * ${TF.SampleMix}) % ${TF.RollHashMod} AS h
+         |       FROM tk),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM hs),
+         |bk AS (SELECT source, CAST(max(rn) AS BIGINT) AS n_min_hashes,
+         |         max(h) AS kth_hash
+         |       FROM rk WHERE rn <= ${Sketches.DefaultK} GROUP BY source)
+         |SELECT source, n_min_hashes, kth_hash,
+         |  CAST(CASE WHEN n_min_hashes < ${Sketches.DefaultK} THEN n_min_hashes
+         |       ELSE (${Sketches.DefaultK - 1} * ${TF.RollHashMod})
+         |              // greatest(kth_hash, 1) END AS BIGINT) AS est_distinct
+         |FROM bk ORDER BY source""".stripMargin,
   )
 }

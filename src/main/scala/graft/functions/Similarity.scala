@@ -123,6 +123,57 @@ object Similarity {
       .where(col("sim_micro") >= thresholdMicro)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space dedup that never compares across the whole corpus —
+    * k-means-cluster the embeddings (the [[IvfIndex]] coarse quantizer,
+    * whose training is sample-capped and so independent of corpus
+    * size), then compare pairs ONLY within a cell. This is the scale
+    * path for [[cosineNearDupPairs]] the way [[lshKnn]]/[[IvfIndex.knn]]
+    * are for [[bruteKnn]]: pair work drops from O(n²) to Σ|cell|², and
+    * with the paper's k ∝ √n cell count the expected cell stays O(√n).
+    *
+    * Keeper rule: a vector is a duplicate iff some LOWER-id vector in
+    * its cell has cosine ≥ `thresholdMicro`; `dup_of` records the
+    * smallest such neighbor. (The paper keeps one arbitrary
+    * representative per intra-cluster near-dup group; lowest-id is this
+    * repo's deterministic convention, cf. [[Dedup]] keeper selection —
+    * and makes the answer oracle-checkable.) Recall vs the exact global
+    * pair set is bounded by cluster assignment — near-dups split across
+    * a cell boundary are missed; SketchesSpec pins the measured recall
+    * on the test corpus.
+    *
+    * `salts` fans each cell out `salts` ways (lower-id side replicated,
+    * higher-id side hash-routed — the q36/q37 knob) for when the
+    * codebook is small relative to the cluster or a cell is skew-heavy;
+    * the default 1 keeps the join a plain equi-join on `cell` whose
+    * parallelism is the codebook size.
+    *
+    * Output: (vec_id, cell, dup_of nullable) — every vector appears. */
+  def semDedup(emb: DataFrame, model: IvfIndex.Model, thresholdMicro: Long,
+               salts: Int = 1, idCol: String = "vec_id"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    val idx = IvfIndex.index(emb, model, idCol)
+    val a0 = idx.select(col(idCol).as("_aid"), col("vd").as("avd"),
+      col("nrm").as("anrm"), col("cell"))
+    val b0 = idx.select(col(idCol).as("_bid"), col("vd").as("bvd"),
+      col("nrm").as("bnrm"), col("cell"))
+    val pairs =
+      if (salts == 1) a0.join(b0, Seq("cell"))
+      else {
+        val a = a0.withColumn("_slt", explode(array((0 until salts).map(lit): _*)))
+        val b = b0.withColumn("_slt", pmod(hash(col("_bid")), lit(salts)))
+        a.join(b, Seq("cell", "_slt"))
+      }
+    val dups = pairs.where(col("_aid") < col("_bid"))
+      .where(simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm"),
+        emb.sparkSession) >= thresholdMicro)
+      .groupBy(col("_bid"))
+      .agg(min(col("_aid")).as("dup_of"))
+    idx.select(col(idCol), col("cell"))
+      .join(dups.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+  }
+
   /** The dims (1-indexed) table `t` reads. `stride` must be coprime to
     * `dim` for the table dim-sets to stay distinct across all tables (the
     * default 4 is fine for 64-dim embeddings; the 24-bin activity

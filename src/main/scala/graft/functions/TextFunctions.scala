@@ -512,4 +512,52 @@ object TextFunctions {
     ranked.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** DSIR-style importance score for target-domain data selection (Xie
+    * et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): build a unigram distribution over a
+    * TARGET slice of the corpus (`targetPred`, e.g. the high-quality or
+    * in-domain subset) and over the RAW corpus, then score every
+    * document by how much more target-like than raw-like its tokens
+    * are. The paper scores with the log-likelihood ratio of hashed
+    * n-gram features; this integer-exact variant scores with the summed
+    * PROBABILITY difference — Σ_tokens (ppm_target − ppm_raw), add-one
+    * smoothed over the joint vocabulary — which keeps every number a
+    * BIGINT (no `ln` to drift between engines) and preserves the sign
+    * convention (positive ⇔ more likely under the target model).
+    * `kept` is the deterministic selection bit (score > 0).
+    *
+    * Scale shape: one token explode feeding two vocabulary-sized
+    * aggregations (the model is vocab-sized, never corpus-sized), the
+    * 1-row totals broadcast-joined onto the model, the model joined
+    * back onto the token stream on the token key (hot stopword keys are
+    * the p43 bigram-LM situation — left to AQE skew splitting, as
+    * justified there), and one per-doc aggregate.
+    * Output: (doc_id, n_tokens, score_ppm, kept) — every document
+    * appears; empty docs score 0 and are dropped. */
+  def dsirScores(docs: org.apache.spark.sql.DataFrame, targetPred: Column,
+                 idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col(idCol), targetPred.cast("long").as("_tgt"),
+        explode(words(normText(col(textCol)))).as("_w"))
+    val vocab = tok.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_cr"), sum(col("_tgt")).as("_ct"))
+    val totals = vocab
+      .agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"),
+        count(lit(1)).as("_v"))
+    val model = vocab.crossJoin(broadcast(totals))
+      .select(col("_w"),
+        (expr("((_ct + 1) * 1000000) div (_nt + _v)") -
+          expr("((_cr + 1) * 1000000) div (_nr + _v)")).as("_delta"))
+    val perDoc = tok.join(model, "_w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_delta")).as("_s"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("_s"), lit(0L)).as("score_ppm"),
+        when(coalesce(col("_s"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
+          .cast("int").as("kept"))
+  }
 }

@@ -1,0 +1,162 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: KMV distinct sketch (accuracy + mergeability),
+  * DSIR importance scoring (sign/empty-doc semantics), SemDeDup
+  * (soundness + recall vs the exact global pair scan). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  private def tok = docs
+    .select(col("source"), explode(TextFunctions.words(
+      TextFunctions.normText(col("text")))).as("_w"))
+
+  test("KMV: groups under k hashes report the exact distinct-hash count") {
+    val r = Sketches.kmvDistinct(tok, "source", col("_w"), k = 1 << 16)
+      .select("source", "n_min_hashes", "est_distinct")
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    // k is far above any per-source vocabulary at sf0.001: every group
+    // takes the exact branch, and the count matches a direct distinct
+    val exact = tok.distinct().groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    r.foreach { case (s, n, est) =>
+      assert(est === n)
+      // spread-hash collisions over the 1e9 domain are ~0 at this size
+      assert(n === exact(s))
+    }
+  }
+
+  test("KMV: estimator lands within expected error at small k") {
+    // one group, all words: known distinct count, k=64 => stderr ~13%
+    val one = tok.withColumn("source", lit("all"))
+    val exact = one.select("_w").distinct().count()
+    val est = Sketches.kmvDistinct(one, "source", col("_w"))
+      .select("est_distinct").as[Long].head()
+    assert(math.abs(est - exact).toDouble / exact < 0.5,
+      s"est $est vs exact $exact")
+  }
+
+  test("KMV: merging per-part partial sketches equals the whole-corpus sketch") {
+    val whole = Sketches.kmvDistinct(tok, "source", col("_w"))
+      .orderBy("source").collect()
+    val partA = Sketches.kmvPartial(
+      tok.where(col("_w") < "m"), "source", col("_w"))
+    val partB = Sketches.kmvPartial(
+      tok.where(col("_w") >= "m"), "source", col("_w"))
+    val merged = Sketches.kmvMerge(partA.unionAll(partB), "source")
+      .orderBy("source").collect()
+    assert(merged.toSeq === whole.toSeq)
+  }
+
+  test("KMV: salt fan-out does not change the sketch") {
+    val s1 = Sketches.kmvDistinct(tok, "source", col("_w"), salts = 1)
+      .orderBy("source").collect()
+    val s32 = Sketches.kmvDistinct(tok, "source", col("_w"), salts = 32)
+      .orderBy("source").collect()
+    assert(s1.toSeq === s32.toSeq)
+  }
+
+  test("KMV: k < 2 rejected") {
+    intercept[IllegalArgumentException] {
+      Sketches.kmvDistinct(tok, "source", col("_w"), k = 1)
+    }
+  }
+
+  test("DSIR: every doc appears once; empty/zero-score docs are not kept") {
+    val r = TextFunctions.dsirScores(docs, col("lang") === "en")
+    assert(r.count() === docs.count())
+    assert(r.select("doc_id").distinct().count() === docs.count())
+    val kept = r.where(col("kept") === 1)
+    assert(kept.where(col("score_ppm") <= 0).count() === 0)
+  }
+
+  test("DSIR: target-slice docs score higher than off-target on average") {
+    val r = TextFunctions.dsirScores(docs, col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val Seq(enAvg) = r.where(col("lang") === "en")
+      .agg(avg("score_ppm")).as[Double].collect().toSeq
+    val Seq(offAvg) = r.where(col("lang") =!= "en")
+      .agg(avg("score_ppm")).as[Double].collect().toSeq
+    assert(enAvg > offAvg,
+      s"target-slice mean $enAvg should exceed off-target mean $offAvg")
+    // and the selection bit separates: the en slice is mostly kept
+    val enKeptFrac = r.where(col("lang") === "en")
+      .agg(avg(col("kept").cast("double"))).as[Double].head()
+    assert(enKeptFrac > 0.5)
+  }
+
+  test("DSIR: degenerate all-target predicate scores ~0 everywhere") {
+    // target == raw => ppm difference is the smoothing residue only
+    val r = TextFunctions.dsirScores(docs, lit(true))
+    val worst = r.agg(max(abs(col("score_ppm")))).as[Long].head()
+    // per-token delta is 0; sums stay 0 exactly
+    assert(worst === 0L)
+  }
+
+  test("SemDeDup: every reported pair is a true near-dup (soundness)") {
+    val model = IvfIndex.train(embs, k = 8, iters = 3)
+    val exact = Similarity.cosineNearDupPairs(embs, 450000L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val dups = Similarity.semDedup(embs, model, 450000L)
+      .where(col("dup_of").isNotNull)
+      .select(col("dup_of"), col("vec_id")).as[(Long, Long)].collect()
+    dups.foreach { case (a, b) =>
+      assert(a < b)
+      assert(exact.contains((a, b)),
+        s"semDedup flagged ($a,$b) which the exact scan does not contain")
+    }
+  }
+
+  test("SemDeDup: planted near-identicals are recalled through the cluster bound") {
+    // the test corpus has no true semantic dups (max pairwise cosine
+    // 0.48 at sf0.001) — the regime SemDeDup targets is high-τ
+    // near-identicals, so plant them: a slightly perturbed copy of
+    // every 3rd vector (cos ≈ 0.999 with its source). A perturbation
+    // that small lands in the source's cell except on a knife-edge
+    // centroid boundary, so cluster-bounded recall must stay high.
+    val planted = embs.where(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * lit(1.0f) + when(i === 0, lit(0.01f)).otherwise(lit(0.0f)))
+          .as("embedding"),
+        col("label"))
+    val aug = embs.select("vec_id", "embedding", "label").unionAll(planted)
+    val model = IvfIndex.train(aug, k = 8, iters = 3)
+    val tau = 990000L
+    val exactDupVecs = Similarity.cosineNearDupPairs(aug, tau)
+      .select(col("vec_b")).distinct().as[Long].collect().toSet
+    val semDupVecs = Similarity.semDedup(aug, model, tau)
+      .where(col("dup_of").isNotNull)
+      .select("vec_id").as[Long].collect().toSet
+    assert(semDupVecs.subsetOf(exactDupVecs))
+    assert(exactDupVecs.nonEmpty) // the plants are there
+    val recall = semDupVecs.size.toDouble / exactDupVecs.size
+    assert(recall >= 0.9,
+      s"cluster-bounded recall $recall (${semDupVecs.size}/${exactDupVecs.size})")
+  }
+
+  test("SemDeDup: salted fan-out matches the plain within-cell join") {
+    val model = IvfIndex.train(embs, k = 8, iters = 3)
+    val plain = Similarity.semDedup(embs, model, 450000L, salts = 1)
+      .orderBy("vec_id").collect()
+    val salted = Similarity.semDedup(embs, model, 450000L, salts = 4)
+      .orderBy("vec_id").collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("SemDeDup: every vector appears exactly once, keepers are null") {
+    val model = IvfIndex.train(embs, k = 8, iters = 3)
+    val r = Similarity.semDedup(embs, model, 450000L)
+    assert(r.count() === embs.count())
+    // the lowest id of any cell can never be a duplicate
+    val minIds = r.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(r.join(minIds, Seq("cell", "vec_id"))
+      .where(col("dup_of").isNotNull).count() === 0)
+  }
+}
