@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, NearestCell, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("vec_dot", children, 2)
         VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (children: Seq[Expression]) => {
+        arity("nearest_cell", children, 3)
+        NearestCell(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),

@@ -90,7 +90,10 @@ object IvfIndex {
       val native = emb.sparkSession.catalog.functionExists("vec_sum_fixed")
       (1 to iters).foreach { _ =>
         val model = Model(centroids)
-        val assigned = p.withColumn("cell", cellOf(col("vd"), model))
+        val assigned =
+          if (model.k <= InlineAssignMaxK)
+            p.withColumn("cell", cellOf(col("vd"), model))
+          else p.withColumn("cell", cellOfFolded(col("vd"), model))
         // per-cell per-dimension sums WITHOUT exploding the corpus by dim:
         // the one-buffer [[expr.VecSumFixed]] aggregate sums whole vectors
         // per update call (k·(dim+1) longs across the exchange); the
@@ -146,12 +149,69 @@ object IvfIndex {
     } finally full.unpersist()
   }
 
-  /** Corpus with cell assignment (the "inverted file"). */
+  /** Codebook size above which [[index]] switches from the inlined
+    * projection to the broadcast-join assignment: [[cellOf]] expands to
+    * k (c², centroid-literal, vec_dot) triples inside ONE projection,
+    * which overflows the JVM's 64 KB method limit near k≈100 and drops
+    * the whole stage to interpreted mode (measured: k=160 spews
+    * `Code grows beyond 64 KB` and falls back). */
+  val InlineAssignMaxK = 64
+
+  /** Corpus with cell assignment (the "inverted file"). Small codebooks
+    * assign with the unrolled [[cellOf]] projection; large ones with the
+    * [[cellOfFolded]] runtime loop — identical output (parity-pinned in
+    * SketchesSpec). */
   def index(emb: DataFrame, model: Model,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.prep(emb, vecCol)
-      .withColumn("cell", cellOf(col("vd"), model))
+      .withColumn("cell",
+        if (model.k <= InlineAssignMaxK) cellOf(col("vd"), model)
+        else cellOfFolded(col("vd"), model))
       .select(col(idCol), col("vd"), col("nrm"), col("cell"))
+
+  /** [[index]] forced down the large-codebook path (spec hook). */
+  def indexViaFoldedAssign(emb: DataFrame, model: Model,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.prep(emb, vecCol)
+      .withColumn("cell", cellOfFolded(col("vd"), model))
+      .select(col(idCol), col("vd"), col("nrm"), col("cell"))
+
+  /** Large-codebook assignment: the same argmin as ONE constant-size
+    * expression — the [[graft.functions.expr.NearestCell]] kernel, a
+    * tight k×dim primitive loop over the codebook passed as foldable
+    * literal arrays. The routes that look simpler were measured and
+    * rejected at the 40× smoke point (80k vectors, k=512): the unrolled
+    * [[cellOf]] overflows the JVM's 64 KB generated-method limit near
+    * k≈100 and drops the stage to interpreted; a broadcast-join +
+    * min-agg form materializes n·k pair rows each dragging two
+    * 64-double arrays (48 s); an `array_min(transform(...))` loop keeps
+    * the plan narrow but higher-order functions evaluate INTERPRETED
+    * inside a codegen'd stage (99 s). The kernel runs the identical
+    * arithmetic (driver-side left-fold c², strict left-to-right dot,
+    * lowest-cell ties) in 3.5 s at the same point. The HOF form remains
+    * below as the composable twin (parity-pinned in SketchesSpec) for
+    * sessions without the extension. */
+  private def cellOfFolded(vd: Column, model: Model): Column = {
+    // typedlit, NOT array(lit...): CreateArray of k×dim lit nodes is a
+    // ~32k-node expression tree PER occurrence (one per union branch /
+    // join side), and the analyzer walks every node of every copy on
+    // every action before constant folding collapses them — measured
+    // ~30 s of pure driver time per self-join at k=512 over a 40-branch
+    // union. typedlit is born as ONE Literal node.
+    val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
+    val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
+    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell"))
+      call_function("nearest_cell", vd, centsLit, c2sLit)
+    else {
+      val cents = array(model.centroids.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct(lit(c2).as("c2"), centroidCol(c).as("cvd"), lit(j).as("j"))
+      }.toSeq: _*)
+      array_min(transform(cents, ct =>
+        struct((ct.getField("c2") - lit(2.0) * Similarity.dot(vd, ct.getField("cvd")))
+          .as("d"), ct.getField("j").as("j")))).getField("j")
+    }
+  }
 
   /** The `nprobe` nearest cells of a query vector, as an array column. */
   private def probeCells(vd: Column, model: Model, nprobe: Int): Column = {

@@ -151,9 +151,20 @@ object Similarity {
     *
     * Output: (vec_id, cell, dup_of nullable) — every vector appears. */
   def semDedup(emb: DataFrame, model: IvfIndex.Model, thresholdMicro: Long,
-               salts: Int = 1, idCol: String = "vec_id"): DataFrame = {
+               salts: Int = 1, idCol: String = "vec_id"): DataFrame =
+    semDedupOnIndex(IvfIndex.index(emb, model, idCol), thresholdMicro, salts, idCol)
+
+  /** [[semDedup]] over a PRE-BUILT inverted file — the deployment shape
+    * (the activity-index/probe split): the index
+    * ([[IvfIndex.index]] output: idCol, vd, nrm, cell) is a stored
+    * artifact built once per corpus version, and each dedup round pays
+    * only the within-cell pair scan. Also the fast shape inline: the
+    * index subplan feeds three consumers (both pair sides + the final
+    * keeper join), and handing the SAME DataFrame in lets Spark reuse
+    * one exchange instead of re-deriving the assignment thrice. */
+  def semDedupOnIndex(idx: DataFrame, thresholdMicro: Long,
+                      salts: Int = 1, idCol: String = "vec_id"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1 (got $salts)")
-    val idx = IvfIndex.index(emb, model, idCol)
     val a0 = idx.select(col(idCol).as("_aid"), col("vd").as("avd"),
       col("nrm").as("anrm"), col("cell"))
     val b0 = idx.select(col(idCol).as("_bid"), col("vd").as("bvd"),
@@ -167,7 +178,7 @@ object Similarity {
       }
     val dups = pairs.where(col("_aid") < col("_bid"))
       .where(simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm"),
-        emb.sparkSession) >= thresholdMicro)
+        idx.sparkSession) >= thresholdMicro)
       .groupBy(col("_bid"))
       .agg(min(col("_aid")).as("dup_of"))
     idx.select(col(idCol), col("cell"))

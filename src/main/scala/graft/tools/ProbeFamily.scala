@@ -44,6 +44,38 @@ object ProbeFamily {
             "/root/testdata/sf0.1")), n)
         graft.functions.Similarity.activityCosineTopKLsh(
           ev, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count()
+      case "semdedup" =>
+        val semIdxPath = s"/tmp/graft_sem_idx_x$n"
+        if (!new java.io.File(s"$semIdxPath/_SUCCESS").exists()) {
+          val embsN = ScaleSmoke.replicateEmbsRotated(
+            graft.Tables.embeddings(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+              "/root/testdata/sf0.1")), n)
+          val model = graft.functions.IvfIndex.train(embsN,
+            k = math.min(16 * n, 512), iters = 3)
+          println(s"[probe] semdedup model trained k=${model.k}")
+          graft.functions.IvfIndex.index(embsN, model)
+            .write.mode("overwrite").parquet(semIdxPath)
+        }
+        graft.functions.Similarity.semDedupOnIndex(
+            spark.read.parquet(semIdxPath), 450000L)
+          .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0)
+      case "semdedup_cells" =>
+        // cell-population diagnostic for the semdedup family: train the
+        // factor's codebook, report the cell-size distribution and the
+        // within-cell pair volume the pair scan will pay
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")), n)
+        val model = graft.functions.IvfIndex.train(embsN,
+          k = math.min(16 * n, 512), iters = 3)
+        val sizes = graft.functions.IvfIndex.index(embsN, model)
+          .groupBy("cell").count()
+        val top = sizes.orderBy(col("count").desc).limit(10).collect()
+          .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+        val pairs = sizes.agg(sum(col("count") * col("count"))).head().getLong(0)
+        println(s"[probe] semdedup_cells x$n k=${model.k} " +
+          s"cells=${sizes.count()} pairSum=$pairs top=$top")
+        pairs
       case other => sys.error(s"unknown family $other")
     }
     (1 to reps).foreach { i =>

@@ -104,6 +104,28 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
+  /** Replicas with the embedding ROTATED k positions: a rotation keeps
+    * norms but decorrelates the copy from its source, so the corpus
+    * grows with genuinely new directions instead of exact duplicates.
+    * Needed by the semdedup family: identical replicas all land in ONE
+    * k-means cell by definition (k-means cannot split coincident
+    * points), which would make any cluster-bounded pair scan
+    * quadratic-by-fixture — a 99%-copies corpus measures the fixture,
+    * not the operator. */
+  def replicateEmbsRotated(embs: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"replication factor must be positive, got $n")
+    val step = 100000000L
+    (0 until n).map { k =>
+      val rot = k % 64
+      val e =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      embs.select((col("vec_id") + lit(k * step)).as("vec_id"),
+        e.as("embedding"), col("label"))
+    }.reduce(_ union _)
+  }
+
   /** N copies of orders with disjoint key ranges — the snapshot-diff
     * growth axis (table size grows, the change set stays FIXED, which is
     * what a real capture round looks like). */
@@ -381,6 +403,26 @@ object ScaleSmoke {
         graft.operators.SnapshotDiff.diffPrunedIncremental(
           beforeSnap, prevDigests, afterSnap, Seq("o_orderkey")).count()
       }
+      // SemDeDup at depth: rotated replicas (decorrelated — see
+      // replicateEmbsRotated) and a codebook that grows with the corpus
+      // (the paper's k ∝ n regime), so per-cell population stays ~flat
+      // and the within-cell pair scan must track corpus size, not its
+      // square. Codebook AND inverted file are the stored artifacts
+      // (trained/assigned untimed — the activity_probe posture; forked
+      // passes share the materialization); the timed region is what a
+      // dedup round actually pays: the within-cell pair scan + keeper
+      // fold over the stored index.
+      val semIdxPath = s"$smokeDir/sem_idx_x$n"
+      if (!new java.io.File(s"$semIdxPath/_SUCCESS").exists()) {
+        val embsN = replicateEmbsRotated(Tables.embeddings(spark, dir), n)
+        val semModel = graft.functions.IvfIndex.train(embsN,
+          k = math.min(16 * n, 512), iters = 3)
+        graft.functions.IvfIndex.index(embsN, semModel)
+          .write.mode("overwrite").parquet(semIdxPath)
+      }
+      time("semdedup", n)(
+        Similarity.semDedupOnIndex(spark.read.parquet(semIdxPath), 450000L)
+          .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0))
     }
 
     def fullSuite(n: Int): Unit = {
@@ -481,6 +523,20 @@ object ScaleSmoke {
         graft.operators.IncrementalAgg.query(ladder, "day",
           Long.MinValue, Long.MaxValue).count()
       }
+      // round-10 ops. KMV: the only corpus-sized exchange is the
+      // (source, hash) distinct; the bottom-k runs on distinct hashes.
+      // DSIR: token explode + vocab-sized model + join-back — the p43
+      // plan shape, so the curve should track bigram_lm's. Both consume
+      // values (the left-join/row_number tails would not survive a bare
+      // count()).
+      time("kmv_sketch", n) {
+        val tok = docs.select(pmod(col("doc_id"), lit(20)).as("src"),
+          explode(TF.words(TF.normText(col("text")))).as("_w"))
+        graft.functions.Sketches.kmvDistinct(tok, "src", col("_w"))
+          .agg(sum(col("est_distinct") + col("kth_hash"))).head().getLong(0)
+      }
+      time("dsir", n)(TF.dsirScores(docs, pmod(col("doc_id"), lit(5)) === 0)
+        .agg(sum(col("score_ppm") + col("n_tokens"))).head().getLong(0))
     }
 
     // warm-up

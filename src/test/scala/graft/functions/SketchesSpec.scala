@@ -150,6 +150,30 @@ class SketchesSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("IVF assignment: unrolled and folded-loop routes agree") {
+    // the folded route exists because the unrolled argmin overflows JVM
+    // codegen (64 KB) near k=100; on a small model both must emit the
+    // identical inverted file (same distances, same lowest-cell ties)
+    val model = IvfIndex.train(embs, k = 8, iters = 3)
+    val inline = IvfIndex.index(embs, model)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    val folded = IvfIndex.indexViaFoldedAssign(embs, model)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    assert(folded.toSeq === inline.toSeq)
+  }
+
+  test("IVF training with a large codebook takes the join route and converges") {
+    // k > InlineAssignMaxK forces every Lloyd pass through joinAssign;
+    // at sf0.001 (50 vectors) k=65 clusters means near-singleton cells,
+    // and a singleton cell's centroid must equal its member
+    val k = IvfIndex.InlineAssignMaxK + 1
+    val model = IvfIndex.train(embs, k = k, iters = 2)
+    assert(model.k === k)
+    val idx = IvfIndex.index(embs, model)
+    assert(idx.count() === embs.count())
+    assert(idx.select("cell").distinct().count() >= 1)
+  }
+
   test("SemDeDup: every vector appears exactly once, keepers are null") {
     val model = IvfIndex.train(embs, k = 8, iters = 3)
     val r = Similarity.semDedup(embs, model, 450000L)
