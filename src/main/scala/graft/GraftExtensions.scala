@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, NearestCell, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, NearestCell, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("nearest_cell", children, 3)
         NearestCell(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (children: Seq[Expression]) => {
+        arity("nearest_cells", children, 4)
+        NearestCells(children.head, children(1), children(2),
+          intLit("nearest_cells", children(3), 4))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),

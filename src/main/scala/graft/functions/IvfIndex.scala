@@ -213,14 +213,39 @@ object IvfIndex {
     }
   }
 
-  /** The `nprobe` nearest cells of a query vector, as an array column. */
-  private def probeCells(vd: Column, model: Model, nprobe: Int): Column = {
+  /** The `nprobe` nearest cells of a query vector, as an array column.
+    * Same size dispatch as [[index]]: the unrolled
+    * `array_sort(array(<k score structs>))` hits the 64 KB codegen
+    * ceiling at the same k≈100 as the assignment projection, so large
+    * codebooks go through the [[graft.functions.expr.NearestCells]]
+    * kernel (parity-pinned in SketchesSpec). */
+  private def probeCells(vd: Column, model: Model, nprobe: Int): Column =
+    if (model.k <= InlineAssignMaxK) probeCellsInline(vd, model, nprobe)
+    else probeCellsFolded(vd, model, nprobe)
+
+  private[functions] def probeCellsInline(vd: Column, model: Model, nprobe: Int): Column = {
     val scored = model.centroids.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c))).as("d"),
         lit(j).as("j"))
     }
     slice(transform(array_sort(array(scored.toSeq: _*)), _.getField("j")), 1, nprobe)
+  }
+
+  private[functions] def probeCellsFolded(vd: Column, model: Model, nprobe: Int): Column = {
+    val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
+    val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
+    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cells"))
+      call_function("nearest_cells", vd, centsLit, c2sLit, lit(nprobe))
+    else {
+      // composable twin (HOFs evaluate interpreted — parity anchor, not
+      // the hot path): score every centroid by position, full sort,
+      // prefix — the inline route's shape over the folded literal
+      val scored = transform(centsLit, (c, i) =>
+        struct((element_at(c2sLit, i + 1) - lit(2.0) * Similarity.dot(vd, c)).as("d"),
+          i.cast("int").as("j")))
+      slice(transform(array_sort(scored), _.getField("j")), 1, nprobe)
+    }
   }
 
   /** Approximate top-k: probe `nprobe` cells per query, exact cosine

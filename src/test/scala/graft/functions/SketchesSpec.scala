@@ -162,8 +162,45 @@ class SketchesSpec extends SparkSpec {
     assert(folded.toSeq === inline.toSeq)
   }
 
-  test("IVF training with a large codebook takes the join route and converges") {
-    // k > InlineAssignMaxK forces every Lloyd pass through joinAssign;
+  test("IVF probe selection: unrolled, kernel, and composable routes agree") {
+    val model = IvfIndex.train(embs, k = 8, iters = 3)
+    val p = Similarity.prep(embs)
+    def cellsOf(c: org.apache.spark.sql.Column) =
+      p.select(col("vec_id"), c.as("pc")).orderBy("vec_id")
+        .as[(Long, Seq[Int])].collect().toSeq
+    val inline = cellsOf(IvfIndex.probeCellsInline(col("vd"), model, 4))
+    val kernel = cellsOf(IvfIndex.probeCellsFolded(col("vd"), model, 4))
+    assert(kernel === inline)
+    // the composable HOF twin (sessions without the extension)
+    val hof = cellsOf {
+      val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
+      val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
+      val scored = transform(centsLit, (c, i) =>
+        struct((element_at(c2sLit, i + 1) - lit(2.0) * Similarity.dot(col("vd"), c)).as("d"),
+          i.cast("int").as("j")))
+      slice(transform(array_sort(scored), _.getField("j")), 1, 4)
+    }
+    assert(hof === inline)
+    // nprobe above k degrades to the full ranking, not an error
+    val all = cellsOf(IvfIndex.probeCellsFolded(col("vd"), model, 99))
+    assert(all.forall(_._2.sorted == (0 until 8)))
+  }
+
+  test("IVF knn through a large codebook matches brute force on its probed cells") {
+    val k = IvfIndex.InlineAssignMaxK + 1
+    val model = IvfIndex.train(embs, k = k, iters = 2)
+    val r = IvfIndex.knn(embs, model, col("vec_id") < 10, 3, nprobe = 8)
+    assert(r.count() > 0)
+    // every reported neighbor must carry the true exact cosine
+    val brute = Similarity.bruteKnn(embs, col("vec_id") < 10, 500)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .map { case (q, nb, s) => (q, nb) -> s }.toMap
+    r.select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .foreach { case (q, nb, s) => assert(brute((q, nb)) === s) }
+  }
+
+  test("IVF training with a large codebook takes the kernel route and converges") {
+    // k > InlineAssignMaxK forces every Lloyd pass through the kernel;
     // at sf0.001 (50 vectors) k=65 clusters means near-singleton cells,
     // and a singleton cell's centroid must equal its member
     val k = IvfIndex.InlineAssignMaxK + 1
