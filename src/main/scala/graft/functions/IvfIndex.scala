@@ -29,6 +29,32 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
+  /** Persist the codebook next to its inverted file: the model is the
+    * other half of the stored-index artifact — an increment
+    * ([[Similarity.semDedupIncrement]], probe-side [[knn]]) must assign
+    * with the SAME centroids the index was built under, or the cell
+    * spaces silently diverge (the ladder-grain-metadata lesson). */
+  def saveModel(model: Model, path: String)
+               (implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(path: String)
+               (implicit spark: org.apache.spark.sql.SparkSession): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cell"), col("centroid")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no codebook rows at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"codebook cells at $path are not contiguous 0..${rows.length - 1}")
+    Model(rows.map(_._2.toArray))
+  }
+
   private def centroidCol(c: Array[Double]): Column =
     array(c.map(lit(_)).toSeq: _*)
 

@@ -185,6 +185,38 @@ object Similarity {
       .join(dups.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
   }
 
+  /** Dedup-on-ingest for the semantic route (the [[semDedupOnIndex]]
+    * increment, mirroring the cross-corpus LSH probe convention): given
+    * the STORED inverted file and a batch of new embeddings, verdict
+    * only the new vectors — each increment pays its own size, the
+    * stored corpus is scanned once and NEVER shuffled (the new side,
+    * assigned and small, broadcasts into the per-cell compare).
+    *
+    * Keeper equivalence with a full [[semDedup]] over the union holds
+    * under the append-only ingest contract: new ids exceed every stored
+    * id (so a stored vector can never become the duplicate of a new
+    * one — the same admission rule as the cross-corpus text probe).
+    * Output: (idCol, cell, dup_of) for the NEW vectors — append these
+    * rows (minus dup_of) to the stored index to advance the artifact. */
+  def semDedupIncrement(idx: DataFrame, newEmb: DataFrame, model: IvfIndex.Model,
+                        thresholdMicro: Long, idCol: String = "vec_id"): DataFrame = {
+    val newIdx = IvfIndex.index(newEmb, model, idCol)
+    val keepersSide = idx.select(col(idCol), col("vd"), col("nrm"), col("cell"))
+      .unionAll(newIdx)
+      .select(col(idCol).as("_aid"), col("vd").as("avd"),
+        col("nrm").as("anrm"), col("cell"))
+    val probeSide = newIdx.select(col(idCol).as("_bid"), col("vd").as("bvd"),
+      col("nrm").as("bnrm"), col("cell"))
+    val dups = keepersSide.join(broadcast(probeSide), Seq("cell"))
+      .where(col("_aid") < col("_bid"))
+      .where(simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm"),
+        idx.sparkSession) >= thresholdMicro)
+      .groupBy(col("_bid"))
+      .agg(min(col("_aid")).as("dup_of"))
+    newIdx.select(col(idCol), col("cell"))
+      .join(dups.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+  }
+
   /** The dims (1-indexed) table `t` reads. `stride` must be coprime to
     * `dim` for the table dim-sets to stay distinct across all tables (the
     * default 4 is fine for 64-dim embeddings; the 24-bin activity

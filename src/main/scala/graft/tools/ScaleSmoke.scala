@@ -207,7 +207,12 @@ object ScaleSmoke {
     }
   }
 
-  private val SampleRe = """\[scalesample\] (\S+) (\d+) ([0-9.]+) (\d+)""".r
+  // rows may be negative: families force output consumption by summing
+  // result VALUES (signed metrics like score_ppm included) — a
+  // non-negative-only pattern silently drops those samples from the
+  // artifact (caught: dsir's x1/x4 points vanished while its x10,
+  // positive by luck, survived)
+  private val SampleRe = """\[scalesample\] (\S+) (\d+) ([0-9.]+) (-?\d+)""".r
   private val SentinelRe = """\[scalesentinel\] ([0-9.]+)""".r
 
   /** Parent mode: materialize once, then run each pass as a CHILD JVM
@@ -413,16 +418,33 @@ object ScaleSmoke {
       // dedup round actually pays: the within-cell pair scan + keeper
       // fold over the stored index.
       val semIdxPath = s"$smokeDir/sem_idx_x$n"
+      val semModelPath = s"$smokeDir/sem_model_x$n"
       if (!new java.io.File(s"$semIdxPath/_SUCCESS").exists()) {
         val embsN = replicateEmbsRotated(Tables.embeddings(spark, dir), n)
         val semModel = graft.functions.IvfIndex.train(embsN,
           k = math.min(16 * n, 512), iters = 3)
+        graft.functions.IvfIndex.saveModel(semModel, semModelPath)(spark)
         graft.functions.IvfIndex.index(embsN, semModel)
           .write.mode("overwrite").parquet(semIdxPath)
       }
       time("semdedup", n)(
         Similarity.semDedupOnIndex(spark.read.parquet(semIdxPath), 450000L)
           .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0))
+      // the ingest increment: a FIXED batch (the 2000-vector base corpus,
+      // re-id'd above every stored id) probed against the x-n stored
+      // index — "each increment pays its own size" means this curve must
+      // stay near-flat while the stored corpus grows 100x (the stored
+      // side is scanned once and never shuffled; the assigned batch
+      // broadcasts)
+      time("semdedup_probe", n) {
+        val semModel = graft.functions.IvfIndex.loadModel(semModelPath)(spark)
+        val batch = Tables.embeddings(spark, dir)
+          .select((col("vec_id") + lit(990000000L)).as("vec_id"),
+            col("embedding"), col("label"))
+        Similarity.semDedupIncrement(spark.read.parquet(semIdxPath),
+            batch, semModel, 450000L)
+          .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0)
+      }
     }
 
     def fullSuite(n: Int): Unit = {
@@ -536,7 +558,7 @@ object ScaleSmoke {
           .agg(sum(col("est_distinct") + col("kth_hash"))).head().getLong(0)
       }
       time("dsir", n)(TF.dsirScores(docs, pmod(col("doc_id"), lit(5)) === 0)
-        .agg(sum(col("score_ppm") + col("n_tokens"))).head().getLong(0))
+        .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0))
     }
 
     // warm-up

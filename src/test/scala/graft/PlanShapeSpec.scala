@@ -340,4 +340,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the rate join:\n$p")
   }
+
+  test("p47 DSIR: vocab model is two-phase, 1-row totals broadcast, no global stage") {
+    val p = plan("p47_dsir_select")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals must reach the model as a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"totals join must not cartesian:\n$p")
+  }
+
+  test("p48 KMV sketch: distinct is two-phase partial; no global sort") {
+    val p = plan("p48_distinct_sketch")
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      s"distinct must partial-aggregate map-side:\n$p")
+    // both top-k passes are per-group windows — a global Sort would mean
+    // the salt-lane pruning collapsed to one partition
+    assert(!p.contains("SinglePartition"), s"global stage in the sketch:\n$p")
+  }
+
+  test("p49 SemDeDup: pair scan is an equi-join on cell — never a cartesian product") {
+    val p = plan("p49_semdedup")
+    assert(!p.contains("CartesianProduct"), s"pair scan must stay within cells:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair scan must be an equi-join on cell:\n$p")
+  }
 }

@@ -211,6 +211,26 @@ class SketchesSpec extends SparkSpec {
     assert(idx.select("cell").distinct().count() >= 1)
   }
 
+  test("SemDeDup increment: probing new vectors against the stored index equals a full recompute") {
+    // append-only ingest contract: new ids exceed stored ids. The model
+    // round-trips through its parquet artifact to prove the stored pair
+    // (codebook + inverted file) is self-sufficient for increments.
+    val model = IvfIndex.train(embs, k = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("sem_model").toString
+    IvfIndex.saveModel(model, s"$dir/model")(spark)
+    val loaded = IvfIndex.loadModel(s"$dir/model")(spark)
+    assert(loaded.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    val old = embs.where(col("vec_id") < 250)
+    val fresh = embs.where(col("vec_id") >= 250)
+    val storedIdx = IvfIndex.index(old, model)
+    val incr = Similarity.semDedupIncrement(storedIdx, fresh, loaded, 450000L)
+      .orderBy("vec_id").collect()
+    val full = Similarity.semDedup(embs, model, 450000L)
+      .where(col("vec_id") >= 250).orderBy("vec_id").collect()
+    assert(incr.toSeq === full.toSeq)
+    assert(incr.nonEmpty)
+  }
+
   test("SemDeDup: every vector appears exactly once, keepers are null") {
     val model = IvfIndex.train(embs, k = 8, iters = 3)
     val r = Similarity.semDedup(embs, model, 450000L)
