@@ -770,6 +770,40 @@ object PipelineQueries {
     Similarity.semDedup(e, model, CosDupThresholdMicro).orderBy("vec_id")
   }
 
+  private val HhSupportPermille = 5
+
+  /** p50 — count-min heavy hitters ([[Sketches.heavyHitters]]): every
+    * token whose CM-estimated count reaches `HhSupportPermille`‰ of the
+    * corpus token stream — the cells-bounded alternative to p18's exact
+    * vocab top-k when the vocabulary itself is too large to keep (the
+    * sketch is depth×width cells regardless of corpus size, and partial
+    * sketches merge by addition across crawls). Recall 1.0 by the CM
+    * never-under-count property; the oracle replays the identical
+    * BIGINT bucket arithmetic. */
+  private def p50(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(explode(TF.words(TF.normText(col("text")))).as("_w"))
+    Sketches.heavyHitters(tok, col("_w"), HhSupportPermille)
+      .orderBy(col("est_cnt").desc, col("token"))
+  }
+
+  /** p51 — cross-document n-gram novelty ([[TF.ngramNovelty]]): the
+    * share of each document's distinct bigrams the corpus sees first
+    * in that document — crawl-triage freshness, the provenance-side
+    * complement of p36's within-doc dup-ngram fraction. */
+  private def p51(s: SparkSession, dir: String): DataFrame =
+    TF.ngramNovelty(docs(s, dir)).orderBy("doc_id")
+
+  private val ContainThresholdMilli = 200
+
+  /** p52 — asymmetric containment decontamination
+    * ([[Dedup.containmentScan]]): best train-split match per test-split
+    * document by |test∩train|/|test| over trigram shingles — the
+    * size-normalized direction p19's absolute shared-count scan cannot
+    * express (a short eval item swallowed whole by a long train doc). */
+  private def p52(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentScan(docs(s, dir), ContainThresholdMilli).orderBy("test_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -820,6 +854,9 @@ object PipelineQueries {
     "p47_dsir_select" -> p47 _,
     "p48_distinct_sketch" -> p48 _,
     "p49_semdedup" -> p49 _,
+    "p50_cms_heavy_hitters" -> p50 _,
+    "p51_ngram_novelty" -> p51 _,
+    "p52_containment" -> p52 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1644,5 +1681,72 @@ object PipelineQueries {
          |       ELSE (${Sketches.DefaultK - 1} * ${TF.RollHashMod})
          |              // greatest(kth_hash, 1) END AS BIGINT) AS est_distinct
          |FROM bk ORDER BY source""".stripMargin,
+    "p50_cms_heavy_hitters" -> {
+      val mixers = Sketches.CmsMixers.take(Sketches.CmsDepth)
+      def bucket(j: Int) = {
+        val (a, b) = mixers(j)
+        s"((h * $a + $b) % ${TF.RollHashMod}) % ${Sketches.CmsWidth}"
+      }
+      val cellRows = mixers.indices.map(j =>
+        s"SELECT $j AS j, ${bucket(j)} AS b, CAST(count(*) AS BIGINT) AS c FROM hh GROUP BY 2")
+        .mkString("\n       UNION ALL ")
+      val probeRows = mixers.indices.map(j =>
+        s"SELECT wd, $j AS j, ${bucket(j)} AS b FROM cand")
+        .mkString("\n       UNION ALL ")
+      s"""WITH $NormCte,
+         |tk AS (SELECT unnest(ws) AS wd FROM w),
+         |hh AS (SELECT wd,
+         |         (${rollHashSql("wd")} * ${TF.SampleMix}) % ${TF.RollHashMod} AS h
+         |       FROM tk),
+         |cells AS ($cellRows),
+         |cand AS (SELECT wd, min(h) AS h FROM hh GROUP BY wd),
+         |probes AS ($probeRows),
+         |est AS (SELECT p.wd, min(coalesce(ce.c, 0)) AS est_cnt
+         |        FROM probes p LEFT JOIN cells ce ON p.j = ce.j AND p.b = ce.b
+         |        GROUP BY p.wd),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk)
+         |SELECT wd AS token, CAST(est_cnt AS BIGINT) AS est_cnt
+         |FROM est, tot WHERE est_cnt * 1000 >= n * $HhSupportPermille
+         |ORDER BY est_cnt DESC, token""".stripMargin
+    },
+    "p51_ngram_novelty" ->
+      s"""WITH $NormCte,
+         |bgs AS (SELECT DISTINCT doc_id, bg FROM (
+         |          SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+         |            ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |            END) AS bg FROM w)),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams
+         |           FROM bgs GROUP BY doc_id),
+         |nov AS (SELECT fid, CAST(count(*) AS BIGINT) AS novel_cnt FROM
+         |          (SELECT bg, min(doc_id) AS fid FROM bgs GROUP BY bg)
+         |        GROUP BY fid)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(v.novel_cnt, 0) AS BIGINT) AS novel_cnt,
+         |  CAST(CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0
+         |       ELSE (coalesce(v.novel_cnt, 0) * 1000) // p.n_bigrams
+         |       END AS BIGINT) AS novelty_pm
+         |FROM documents d
+         |LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |LEFT JOIN nov v ON d.doc_id = v.fid
+         |ORDER BY d.doc_id""".stripMargin,
+    "p52_containment" ->
+      s"""WITH $ShingleCte,
+         |sb AS (SELECT sid, ${rollHashSql("CAST(sid AS VARCHAR)")} % 100 AS bucket
+         |       FROM sizes),
+         |tr AS (SELECT s.sid AS train_id, s.sh FROM sh s
+         |       JOIN sb ON s.sid = sb.sid WHERE sb.bucket < 90),
+         |te AS (SELECT s.sid AS test_id, s.sh FROM sh s
+         |       JOIN sb ON s.sid = sb.sid WHERE sb.bucket >= 95),
+         |inter AS (SELECT te.test_id, tr.train_id, CAST(count(*) AS BIGINT) AS i
+         |          FROM te JOIN tr ON te.sh = tr.sh GROUP BY 1, 2),
+         |sc AS (SELECT i.test_id, i.train_id,
+         |         CAST((i.i * 1000) // z.n AS BIGINT) AS containment_pm
+         |       FROM inter i JOIN sizes z ON z.sid = i.test_id WHERE z.n > 0)
+         |SELECT test_id, train_id, containment_pm
+         |FROM sc WHERE containment_pm >= $ContainThresholdMilli
+         |QUALIFY row_number() OVER (PARTITION BY test_id
+         |                           ORDER BY containment_pm DESC, train_id) = 1
+         |ORDER BY test_id""".stripMargin,
   )
 }

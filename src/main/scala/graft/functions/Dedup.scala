@@ -803,6 +803,52 @@ object Dedup {
     keepers.unionByName(singles)
   }
 
+  /** Asymmetric containment decontamination (Broder's containment
+    * measure, "On the resemblance and containment of documents",
+    * SEQUENCES 1997): for every TEST-split document, the best-matching
+    * TRAIN-split document by `C(test, train) = |test∩train| / |test|`
+    * over distinct word-trigram shingles. Containment — not Jaccard —
+    * is the right direction for benchmark decontamination: a short
+    * eval item fully embedded in a long train document scores C ≈ 1
+    * while Jaccard ≈ |test|/|train| ≈ 0, so symmetric measures miss
+    * exactly the leaks that matter (the reason p19's absolute
+    * shared-count scan has a fixed-count threshold; this op gives the
+    * size-normalized per-test-doc view).
+    *
+    * Splits are the deterministic 90/5/5 hash split
+    * ([[TextFunctions.splitBucket]]), so both engines carve identical
+    * sides. Scale shape: the shingle-keyed equi-join is the p19
+    * inverted-index form (merge-hinted for the same Generate-estimate
+    * reason as [[ngramJaccardPairs]]); the per-(test,train) counts and
+    * the test-side set sizes are partial-agg'd; the best-match pick is
+    * a per-test-doc window over only the thresholded candidates, never
+    * the corpus. Output: (test_id, train_id, containment_pm), one row
+    * per test doc with a match ≥ `thresholdMilli`‰. */
+  def containmentScan(docs: DataFrame, thresholdMilli: Int,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [0, 1000] (got $thresholdMilli)")
+    val sh = shingleArrays(docs, idCol, textCol)
+      .withColumn("_bucket", TextFunctions.splitBucket(col("sid")))
+    val testArr = sh.where(col("_bucket") >= 95)
+    val train = sh.where(col("_bucket") < 90)
+      .select(col("sid").as("train_id"), explode(col("shs")).as("sh")).hint("merge")
+    val test = testArr.select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+    val inter = train.join(test, Seq("sh"))
+      .groupBy(col("test_id"), col("train_id")).agg(count(lit(1)).as("_inter"))
+    val sizes = testArr
+      .select(col("sid").as("test_id"), size(col("shs")).cast("long").as("_n"))
+      .where(col("_n") > 0)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id"))
+      .orderBy(col("containment_pm").desc, col("train_id"))
+    inter.join(sizes, "test_id")
+      .withColumn("containment_pm", expr("(_inter * 1000) div _n"))
+      .where(col("containment_pm") >= thresholdMilli)
+      .withColumn("_rk", row_number().over(best)).where(col("_rk") === 1)
+      .select(col("test_id"), col("train_id"), col("containment_pm"))
+  }
+
   /** SimHash bucket dedup: 16-bit simhash per doc, report buckets holding
     * >1 doc. Output: (simhash, dup_cnt, min_doc, max_doc). */
   def simhashBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -111,4 +111,94 @@ object Sketches {
     pruned.withColumn("_rn", row_number().over(glob)).where(col("_rn") <= k)
       .select(col("_g"), col("_h"))
   }
+
+  // ---- Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ----
+
+  /** Default depth/width: 4 × 1024 cells. Error bound: with probability
+    * 1 − (1/2)^depth the over-count of any estimate is ≤ 2·N/width
+    * (N = stream length) — the point-query guarantee of the CM sketch.
+    * Raising `width` tightens the bound linearly; the cell table stays a
+    * broadcastable constant (depth·width rows) either way. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Per-row bucket mixers (multiplier, offset): the xxHash32 public
+    * prime constants and Knuth's LCG increment. Each row's bucket is
+    * `((h·a + b) mod M) mod width`; `h < M ≈ 1e9` and `a ≤ 3.27e9` keep
+    * the product within Long, and the whole chain is plain BIGINT
+    * arithmetic the DuckDB oracle reproduces bit-identically. */
+  val CmsMixers: Vector[(Long, Long)] = Vector(
+    (2246822519L, 0L), (3266489917L, 1013904223L),
+    (668265263L, 2027808446L), (374761393L, 3041712669L))
+
+  /** Bucket of spread hash `h` in sketch row `j`. */
+  def cmsBucket(h: Column, j: Int, width: Int = CmsWidth): Column = {
+    val (a, b) = CmsMixers(j)
+    (h * a + b) % M % width
+  }
+
+  /** Build the cell table (_j, _b, _cnt) for one part of a value stream.
+    * The explode is map-side and feeds a partial aggregation in the same
+    * stage, so the only exchange is the depth·width cell grid — the
+    * sketch costs O(cells) network no matter how large the part is.
+    * Cells MERGE by addition ([[cmsMerge]]), so per-file/per-day partial
+    * sketches roll up without revisiting the data — the same maintained-
+    * artifact posture as [[kmvPartial]]. */
+  def cmsPartial(df: DataFrame, value: Column, depth: Int = CmsDepth,
+                 width: Int = CmsWidth): DataFrame = {
+    require(depth >= 1 && depth <= CmsMixers.size,
+      s"depth must be in [1, ${CmsMixers.size}] (got $depth)")
+    require(width >= 2, s"width must be >= 2 (got $width)")
+    df.select(sketchHash(value).as("_h"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("_j"), cmsBucket(col("_h"), j, width).as("_b"))): _*))
+        .as("_jb"))
+      .groupBy(col("_jb._j").as("_j"), col("_jb._b").as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+  }
+
+  /** Merge partial cell tables: cell-wise sum. */
+  def cmsMerge(parts: DataFrame): DataFrame =
+    parts.groupBy(col("_j"), col("_b")).agg(sum(col("_cnt")).as("_cnt"))
+
+  /** Point-query the sketch: for each distinct item in `items`, the
+    * CM estimate `min_j cells[j][bucket_j(item)]` (≥ the true count,
+    * never under). The cell table is depth·width rows — a constant — so
+    * the join is a hard broadcast by construction, and the probe side
+    * aggregates map-side on the item. Items absent from the sketch's
+    * stream estimate as ≥ 0 via the coalesce (a foreign probe can hit
+    * empty cells). */
+  def cmsEstimate(items: DataFrame, itemCol: String, cells: DataFrame,
+                  depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    require(depth >= 1 && depth <= CmsMixers.size,
+      s"depth must be in [1, ${CmsMixers.size}] (got $depth)")
+    items.select(col(itemCol), sketchHash(col(itemCol)).as("_h"))
+      .select(col(itemCol), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("_j"), cmsBucket(col("_h"), j, width).as("_b"))): _*))
+        .as("_jb"))
+      .select(col(itemCol), col("_jb._j").as("_j"), col("_jb._b").as("_b"))
+      .join(broadcast(cells), Seq("_j", "_b"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("_cnt"), lit(0L))).cast("long").as("est_cnt"))
+  }
+
+  /** Heavy hitters over a value stream: every distinct value whose CM
+    * estimate reaches `supportPermille`‰ of the stream length. Because
+    * the estimate never under-counts, recall is 1.0 by construction
+    * (every true heavy hitter survives); precision is bounded by the CM
+    * over-count. The stream is read twice (cells + candidates), both
+    * passes map-side-combined; at maintenance scale the cell table is
+    * the persisted artifact and only [[cmsEstimate]] probes re-run. */
+  def heavyHitters(df: DataFrame, value: Column, supportPermille: Int,
+                   depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    require(supportPermille >= 1 && supportPermille <= 1000,
+      s"supportPermille must be in [1, 1000] (got $supportPermille)")
+    val vals = df.select(value.as("_v"))
+    val cells = cmsPartial(vals, col("_v"), depth, width)
+    val total = vals.groupBy().agg(count(lit(1)).as("_n"))
+    cmsEstimate(vals.distinct(), "_v", cells, depth, width)
+      .crossJoin(broadcast(total))
+      .where(col("est_cnt") * 1000 >= col("_n") * supportPermille)
+      .select(col("_v").as("token"), col("est_cnt"))
+  }
 }

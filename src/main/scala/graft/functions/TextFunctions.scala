@@ -560,4 +560,45 @@ object TextFunctions {
         when(coalesce(col("_s"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
           .cast("int").as("kept"))
   }
+
+  /** Cross-document n-gram novelty: for each document, how much of its
+    * distinct word-bigram set does the corpus see here FIRST (first
+    * occurrence = minimum doc_id over the whole corpus)? The standard
+    * freshness signal for crawl triage — a document whose bigrams all
+    * appeared in earlier documents is boilerplate/recombination; a high
+    * novelty share marks genuinely new text worth keeping (the
+    * doc-level complement of the p42 line-dedup and p36 dup-ngram
+    * views, which score repetition rather than provenance).
+    *
+    * Scale shape: one bigram explode feeding a per-doc distinct (the
+    * map-side partial distinct on (doc, bigram)), then TWO cell-bounded
+    * aggregations off that set — distinct-bigram count per doc, and
+    * first-doc per bigram collapsed to introductions per doc — joined
+    * doc-keyed. No corpus-sized join-back: the min(doc_id) aggregation
+    * already names the introducing document, so novelty counts fall out
+    * of the model side alone. Hot bigrams cost one partial-agg cell
+    * each, not a shuffle of their occurrence list.
+    * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
+    * appears; docs with < 2 words carry zeros. */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("_id"),
+        explode(bigrams(words(normText(col(textCol))))).as("_bg"))
+      .distinct()
+    val perDoc = bg.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"))
+    val novel = bg.groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+      .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("_id"), "left")
+      .join(novel, col(idCol) === col("_first"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+          .cast("long").as("novelty_pm"))
+  }
 }

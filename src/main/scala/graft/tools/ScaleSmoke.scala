@@ -559,6 +559,19 @@ object ScaleSmoke {
       }
       time("dsir", n)(TF.dsirScores(docs, pmod(col("doc_id"), lit(5)) === 0)
         .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0))
+      // round-10b ops. CMS: cells are a depth×width constant, so growth
+      // must track the token explode alone. Novelty: one bigram explode
+      // + two cell aggregations, no corpus join-back. Containment: the
+      // p19 inverted-index join normalized per test doc. Novelty consumes
+      // values (doc-keyed left-join tail); the other two end in filters
+      // count() cannot eliminate.
+      time("cms_heavy_hitters", n) {
+        val tok = docs.select(explode(TF.words(TF.normText(col("text")))).as("_w"))
+        graft.functions.Sketches.heavyHitters(tok, col("_w"), 5).count()
+      }
+      time("ngram_novelty", n)(TF.ngramNovelty(docs)
+        .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0))
+      time("containment_scan", n)(Dedup.containmentScan(docs, 200).count())
     }
 
     // warm-up

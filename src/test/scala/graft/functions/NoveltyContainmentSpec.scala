@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the p51 n-gram novelty score and the p52 containment
+  * decontamination scan: handcrafted fixtures pin the definitions, the
+  * real corpus pins the invariants both DuckDB oracles rest on. */
+class NoveltyContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("novelty: first introduction counts, later repeats do not") {
+    val fx = Seq(
+      (0L, "a b c"),   // bigrams {a b, b c}: both introduced here
+      (1L, "a b x"),   // {a b (seen), b x (new)}: half novel
+      (2L, "a b c"),   // {a b, b c}: nothing new
+      (3L, "solo")     // < 2 words: zeros
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.ngramNovelty(fx).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      (0L, 2L, 2L, 1000L),
+      (1L, 2L, 1L, 500L),
+      (2L, 2L, 0L, 0L),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("novelty: corpus invariants — one row per doc, introductions sum to the corpus bigram vocabulary") {
+    val r = TextFunctions.ngramNovelty(docs)
+    assert(r.count() === docs.count())
+    assert(r.select("doc_id").distinct().count() === docs.count())
+    val vocab = docs
+      .select(explode(TextFunctions.bigrams(TextFunctions.words(
+        TextFunctions.normText(col("text"))))).as("bg"))
+      .distinct().count()
+    val introduced = r.agg(sum("novel_cnt")).as[Long].head()
+    assert(introduced === vocab,
+      s"every distinct corpus bigram is introduced exactly once: $introduced vs $vocab")
+    // permille stays in range and is exact integer arithmetic
+    assert(r.where(col("novelty_pm") < 0 || col("novelty_pm") > 1000).count() === 0)
+    assert(r.where(col("novel_cnt") > col("n_bigrams")).count() === 0)
+  }
+
+  test("containment: reported best matches agree with a brute-force containment matrix") {
+    val thr = 200
+    val got = Dedup.containmentScan(docs, thr)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // brute force: collect shingle sets + split buckets, compute C(A,B)
+    val sets = Dedup.shingleArrays(docs)
+      .withColumn("bucket", TextFunctions.splitBucket(col("sid")))
+      .select(col("sid"), col("bucket"), col("shs"))
+      .as[(Long, Long, Seq[String])].collect()
+    val train = sets.filter(_._2 < 90)
+    val test = sets.filter(_._2 >= 95)
+    assert(test.nonEmpty && train.nonEmpty, "fixture must populate both splits")
+    val want = test.flatMap { case (tid, _, tsh) =>
+      val ts = tsh.toSet
+      if (ts.isEmpty) None
+      else {
+        val scored = train.map { case (rid, _, rsh) =>
+          (rid, (ts.intersect(rsh.toSet).size.toLong * 1000L) / ts.size)
+        }.filter(_._2 >= thr)
+        if (scored.isEmpty) None
+        else {
+          val best = scored.minBy { case (rid, pm) => (-pm, rid) }
+          Some((tid, best._1, best._2))
+        }
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should produce at least one containment hit")
+  }
+
+  test("containment: threshold bounds validated; one row per test doc") {
+    intercept[IllegalArgumentException] { Dedup.containmentScan(docs, -1) }
+    intercept[IllegalArgumentException] { Dedup.containmentScan(docs, 1001) }
+    val r = Dedup.containmentScan(docs, 0)
+    assert(r.groupBy("test_id").count().where(col("count") > 1).count() === 0)
+  }
+}

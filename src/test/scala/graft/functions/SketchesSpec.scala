@@ -240,4 +240,59 @@ class SketchesSpec extends SparkSpec {
     assert(r.join(minIds, Seq("cell", "vec_id"))
       .where(col("dup_of").isNotNull).count() === 0)
   }
+
+  private def wordStream = tok.select(col("_w").as("_v"))
+
+  test("CMS: estimates never under-count, and a wide sketch is exact") {
+    val exact = wordStream.groupBy("_v").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val cells = Sketches.cmsPartial(wordStream, col("_v"))
+    val est = Sketches.cmsEstimate(wordStream.distinct(), "_v", cells)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (w, e) =>
+      assert(e >= exact(w), s"CMS under-counted '$w': $e < ${exact(w)}")
+    }
+    // width >> vocabulary: no bucket collisions survive the min over rows
+    val wide = Sketches.cmsPartial(wordStream, col("_v"), width = 1 << 16)
+    val exactEst = Sketches.cmsEstimate(
+      wordStream.distinct(), "_v", wide, width = 1 << 16)
+      .as[(String, Long)].collect().toMap
+    assert(exactEst === exact)
+  }
+
+  test("CMS: merging per-part cell tables equals the whole-stream sketch") {
+    val whole = Sketches.cmsPartial(wordStream, col("_v"))
+      .orderBy("_j", "_b").collect()
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsPartial(wordStream.where(col("_v") < "m"), col("_v")).unionAll(
+        Sketches.cmsPartial(wordStream.where(col("_v") >= "m"), col("_v"))))
+      .orderBy("_j", "_b").collect()
+    assert(merged.toSeq === whole.toSeq)
+  }
+
+  test("CMS: heavy hitters has perfect recall of true heavy hitters") {
+    val support = 5 // permille
+    val n = wordStream.count()
+    val trueHh = wordStream.groupBy("_v").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 1000 >= lit(n) * support)
+      .select("_v").as[String].collect().toSet
+    assert(trueHh.nonEmpty, "fixture should contain at least one heavy hitter")
+    val got = Sketches.heavyHitters(wordStream, col("_v"), support)
+      .select("token").as[String].collect().toSet
+    assert(trueHh.subsetOf(got),
+      s"missed true heavy hitters: ${trueHh.diff(got)}")
+  }
+
+  test("CMS: depth/width/support bounds are validated") {
+    intercept[IllegalArgumentException] {
+      Sketches.cmsPartial(wordStream, col("_v"), depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsPartial(wordStream, col("_v"), width = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(wordStream, col("_v"), supportPermille = 0)
+    }
+  }
 }
