@@ -16,6 +16,21 @@ object ProbeFamily {
     val n = args(2).toInt
     val reps = if (args.length > 3) args(3).toInt else 3
     lazy val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
+    // docs_x$n replicas: reuse a prior ScaleSmoke materialization if the
+    // caller pointed smokeDir at one, else materialize once under /tmp
+    def probeDocs() = {
+      val path = s"$smokeDir/docs_x$n"
+      if (new java.io.File(s"$path/_SUCCESS").exists()) spark.read.parquet(path)
+      else {
+        val cached = s"/tmp/graft_probe_docs_x$n"
+        if (!new java.io.File(s"$cached/_SUCCESS").exists())
+          ScaleSmoke.replicateDocsDistinct(
+            graft.Tables.documents(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+              "/root/testdata/sf0.1")).select("doc_id", "text"), n)
+            .write.mode("overwrite").parquet(cached)
+        spark.read.parquet(cached)
+      }
+    }
     def run(): Long = family match {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
@@ -76,6 +91,17 @@ object ProbeFamily {
         println(s"[probe] semdedup_cells x$n k=${model.k} " +
           s"cells=${sizes.count()} pairSum=$pairs top=$top")
         pairs
+      case "cms_heavy_hitters" =>
+        val tok = probeDocs().select(
+          explode(TF.words(TF.normText(col("text")))).as("_w"))
+        val cells = graft.functions.Sketches.cmsPartial(tok, col("_w"))
+        graft.functions.Sketches.cmsEstimate(tok.distinct(), "_w", cells)
+          .agg(sum(col("est_cnt"))).head().getLong(0)
+      case "ngram_novelty" =>
+        TF.ngramNovelty(probeDocs())
+          .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
+      case "containment_scan" =>
+        Dedup.containmentScan(probeDocs(), 200).count()
       case other => sys.error(s"unknown family $other")
     }
     (1 to reps).foreach { i =>

@@ -565,9 +565,15 @@ object ScaleSmoke {
       // p19 inverted-index join normalized per test doc. Novelty consumes
       // values (doc-keyed left-join tail); the other two end in filters
       // count() cannot eliminate.
+      // (estimate-sum form, not the thresholded HH list: replica word
+      // salting dilutes every token below any fixed support at depth, so
+      // the HH filter would empty the tail — the estimate pass IS the
+      // work and its sum forces every cell + probe)
       time("cms_heavy_hitters", n) {
         val tok = docs.select(explode(TF.words(TF.normText(col("text")))).as("_w"))
-        graft.functions.Sketches.heavyHitters(tok, col("_w"), 5).count()
+        val cells = graft.functions.Sketches.cmsPartial(tok, col("_w"))
+        graft.functions.Sketches.cmsEstimate(tok.distinct(), "_w", cells)
+          .agg(sum(col("est_cnt"))).head().getLong(0)
       }
       time("ngram_novelty", n)(TF.ngramNovelty(docs)
         .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0))
