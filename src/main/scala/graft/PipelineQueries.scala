@@ -804,6 +804,16 @@ object PipelineQueries {
   private def p52(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentScan(docs(s, dir), ContainThresholdMilli).orderBy("test_id")
 
+  private val CollocMinCount = 5L
+  private val CollocK = 50
+
+  /** p53 — PMI collocation mining ([[TF.collocations]]): the word2phrase
+    * phrase-induction ranking — bigrams co-occurring far above their
+    * unigram expectation, the pre-tokenizer phrase-vocabulary pass
+    * (vs p43's transition-probability LM and p18's raw frequency). */
+  private def p53(s: SparkSession, dir: String): DataFrame =
+    TF.collocations(docs(s, dir), CollocMinCount, CollocK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -857,6 +867,7 @@ object PipelineQueries {
     "p50_cms_heavy_hitters" -> p50 _,
     "p51_ngram_novelty" -> p51 _,
     "p52_containment" -> p52 _,
+    "p53_collocations" -> p53 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1748,5 +1759,23 @@ object PipelineQueries {
          |QUALIFY row_number() OVER (PARTITION BY test_id
          |                           ORDER BY containment_pm DESC, train_id) = 1
          |ORDER BY test_id""".stripMargin,
+    "p53_collocations" ->
+      s"""WITH $NormCte,
+         |uni AS (SELECT unnest(ws) AS w FROM w),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY w),
+         |bg AS (SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |         END) AS bigram FROM w),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM bg
+         |       GROUP BY bigram HAVING count(*) >= $CollocMinCount),
+         |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uc)
+         |SELECT b.bigram, b.n_ab,
+         |  CAST(floor(1000000.0 * b.n_ab * t.n_total /
+         |       CAST(a.n_w * c.n_w AS DOUBLE)) AS BIGINT) AS pmi_ppm
+         |FROM bc b
+         |JOIN uc a ON a.w = split_part(b.bigram, ' ', 1)
+         |JOIN uc c ON c.w = split_part(b.bigram, ' ', 2)
+         |CROSS JOIN tot t
+         |ORDER BY pmi_ppm DESC, b.bigram LIMIT $CollocK""".stripMargin,
   )
 }

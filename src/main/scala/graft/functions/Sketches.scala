@@ -112,6 +112,19 @@ object Sketches {
       .select(col("_g"), col("_h"))
   }
 
+  /** Minima-ROW-preserving merge of [[kmvPartial]] parts: the bottom-k
+    * of the concatenated parts, still in the (_g, _h) partial shape —
+    * closed under itself, so a STORED partial sketch folds with each
+    * increment's without unbounded growth (bottom-k of a union is the
+    * bottom-k of the union of bottom-ks). [[kmvMerge]] is the
+    * report-producing terminal form of the same computation. */
+  def kmvCompact(parts: DataFrame, k: Int = DefaultK): DataFrame = {
+    val glob = Window.partitionBy(col("_g")).orderBy(col("_h"))
+    parts.select(col("_g"), col("_h")).distinct()
+      .withColumn("_rn", row_number().over(glob)).where(col("_rn") <= k)
+      .select(col("_g"), col("_h"))
+  }
+
   // ---- Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ----
 
   /** Default depth/width: 4 × 1024 cells. Error bound: with probability

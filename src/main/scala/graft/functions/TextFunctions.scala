@@ -580,6 +580,50 @@ object TextFunctions {
     * each, not a shuffle of their occurrence list.
     * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
     * appears; docs with < 2 words carry zeros. */
+  /** PMI collocation mining (the word2vec/word2phrase phrase-induction
+    * score, Mikolov et al. 2013): top-k word bigrams by
+    * `PMI ∝ N · n_ab / (n_a · n_b)` — pairs that co-occur far more than
+    * their unigram frequencies predict, the standard first pass for
+    * phrase vocabulary induction before tokenizer training. Score is
+    * `floor(1e6 · n_ab · N / (n_a · n_b))` in the repo float recipe
+    * (one double multiply-chain in pinned order, floor to ppm — the
+    * jaccard/cosine convention, identical IEEE ops both engines);
+    * `n_a · n_b` rides BIGINT (overflow-safe while both counts are
+    * < ~3e9, i.e. far past any real vocabulary's hot words at trillion-
+    * token scale — the totals N is the only corpus-sized number and it
+    * multiplies as a double).
+    *
+    * Scale shape: two token-keyed partial-agg passes (unigram + bigram
+    * counts, both vocab-sized after the map-side combine), the bigram
+    * table joined to unigram counts on each component word (hot
+    * stopword keys are the p43/p24 class left to AQE skew splitting),
+    * a 1-row total broadcast, and a top-k TakeOrdered — never a global
+    * sort of the collocation table. Output: (bigram, n_ab, pmi_ppm),
+    * `n_ab >= minCount`, ranked (pmi_ppm desc, bigram). */
+  def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long,
+                   k: Int, textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val ws = docs.withColumn("_ws", words(normText(col(textCol))))
+    val uni = ws.select(explode(col("_ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bg = ws.select(explode(bigrams(col("_ws"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("_w2", substring_index(col("bigram"), " ", -1))
+    val tot = uni.agg(sum(col("n_w")).as("n_total"))
+    bg
+      .join(uni.select(col("w").as("_w1"), col("n_w").as("n_a")), "_w1")
+      .join(uni.select(col("w").as("_w2"), col("n_w").as("n_b")), "_w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("n_ab"),
+        floor(lit(1000000.0) * col("n_ab") * col("n_total") /
+          (col("n_a") * col("n_b")).cast("double")).cast("long").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("bigram")).limit(k)
+  }
+
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Maintained corpus sketches — the ingest-loop form of
+  * [[graft.functions.Sketches]], entry-point parity with the capture
+  * loops ([[SnapshotCapture]], [[CorpusIngest]]): each round folds ONE
+  * increment's partial sketches into a stored artifact, so corpus-wide
+  * token statistics — heavy-hitter estimates (CMS) and per-group
+  * distinct cardinalities (KMV) — stay queryable over the WHOLE ingest
+  * history while no round ever re-reads earlier data and the state
+  * stays sketch-sized (cells + minima + the surviving candidate set),
+  * never corpus-sized.
+  *
+  * State layout (any Hadoop filesystem), one dir per committed round:
+  * {{{
+  * stateDir/round_<n>/cms/         merged CMS cell table (depth·width rows)
+  * stateDir/round_<n>/kmv/         merged per-group bottom-k minima rows
+  * stateDir/round_<n>/cand/        heavy-hitter candidates ≥ floor (token, est_cnt)
+  * stateDir/round_<n>/sketch_meta  config + running total, written BEFORE _COMMIT
+  * stateDir/round_<n>/_COMMIT     marker, written LAST by commit()
+  * }}}
+  *
+  * Candidate maintenance (CMS cannot enumerate, only estimate): each
+  * round the candidate set is (previous candidates ∪ the increment's
+  * distinct values), estimated against the MERGED cells, pruned at
+  * `floorPermille`. This keeps heavy-hitter recall perfect for any
+  * query support ≥ the floor: an item's true share of the running
+  * total can only rise in a round where the item appears — and in that
+  * round it is in the candidate input with an estimate covering its
+  * ENTIRE history (cells merge) — so an item pruned in some round had
+  * share < floor then and, absent from later increments, its share
+  * only falls as the total grows. (Precision stays the CMS over-count
+  * bound; a collision-inflated false positive CAN drop out between
+  * rounds — only true counts are monotone — which is the correct
+  * direction to lose.)
+  *
+  * Crash contract = the capture-loop geometry: artifacts write before
+  * `_COMMIT`; an uncommitted round is swept on the next [[advance]] and
+  * the round replays to an identical result (same increment, same
+  * deterministic hashes). Config (group/value columns, depth, width, k,
+  * floor) is persisted in `sketch_meta` and VALIDATED each round — a
+  * changed geometry cannot silently merge incompatible cells (the
+  * ladder-grain guard pattern); it refuses instead of re-bootstrapping
+  * because earlier increments are gone by design.
+  */
+object SketchMaintain {
+
+  /** One maintenance round over the stored artifact (all three frames
+    * read back from this round's parquet). Call `commit()` after any
+    * downstream use of the round is durable. */
+  final case class SketchRound(round: Long, cms: DataFrame, kmv: DataFrame,
+                               candidates: DataFrame, totalValues: Long,
+                               commit: () => Unit)
+
+  /** Fold `increment` (columns `groupCol`, `valueCol`) into the stored
+    * sketches. The increment is materialized to parquet once and every
+    * pass reads the image (three passes: cells, minima, distinct
+    * candidates — the upstream plan is never re-evaluated); the image
+    * is deleted again before commit, so committed state stays
+    * sketch-sized. */
+  def advance(spark: SparkSession, increment: DataFrame, groupCol: String,
+              valueCol: String, stateDir: String, floorPermille: Int = 1,
+              depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
+              k: Int = Sketches.DefaultK): SketchRound = {
+    require(floorPermille >= 1 && floorPermille <= 1000,
+      s"floorPermille must be in [1, 1000] (got $floorPermille)")
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = listRounds(fs, dir)
+    sweepUncommitted(fs, dir, committed)
+    val round = committed.lastOption.map(_ + 1L).getOrElse(0L)
+    val roundDir = new Path(dir, s"round_$round")
+    val config = s"group=$groupCol;value=$valueCol;depth=$depth;" +
+      s"width=$width;k=$k;floor=$floorPermille"
+    val prev = committed.lastOption.map { p =>
+      val prevDir = new Path(dir, s"round_$p")
+      val meta = readSmallFile(fs, new Path(prevDir, "sketch_meta"))
+        .getOrElse(sys.error(s"round_$p committed without sketch_meta"))
+      val Array(prevConfig, totalPart) = meta.split("\\|", 2)
+      require(prevConfig == config,
+        s"sketch config changed across rounds ($prevConfig -> $config): " +
+          "merged cells/minima would be meaningless and earlier increments " +
+          "are gone — start a fresh stateDir instead")
+      (prevDir, totalPart.stripPrefix("total=").toLong)
+    }
+    val incPath = new Path(roundDir, "_inc")
+    increment.select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("string").as("_v"))
+      .write.mode("overwrite").parquet(incPath.toString)
+    val inc = spark.read.parquet(incPath.toString)
+    val cellsInc = Sketches.cmsPartial(inc, col("_v"), depth, width)
+    val kmvInc = Sketches.kmvPartial(inc, "_g", col("_v"), k)
+    val nInc = inc.count()
+    val (cells, kmv, candIn, total) = prev match {
+      case Some((prevDir, prevTotal)) =>
+        (Sketches.cmsMerge(spark.read.parquet(new Path(prevDir, "cms").toString)
+           .unionByName(cellsInc)),
+         Sketches.kmvCompact(spark.read.parquet(new Path(prevDir, "kmv").toString)
+           .unionByName(kmvInc), k),
+         inc.select(col("_v")).distinct()
+           .unionByName(spark.read.parquet(new Path(prevDir, "cand").toString)
+             .select(col("_v"))).distinct(),
+         prevTotal + nInc)
+      case None =>
+        (cellsInc, kmvInc, inc.select(col("_v")).distinct(), nInc)
+    }
+    cells.write.mode("overwrite").parquet(new Path(roundDir, "cms").toString)
+    kmv.write.mode("overwrite").parquet(new Path(roundDir, "kmv").toString)
+    val stored = spark.read.parquet(new Path(roundDir, "cms").toString)
+    Sketches.cmsEstimate(candIn, "_v", stored, depth, width)
+      .where(col("est_cnt") * 1000 >= lit(total) * floorPermille)
+      .write.mode("overwrite").parquet(new Path(roundDir, "cand").toString)
+    fs.delete(incPath, true)
+    val out = fs.create(new Path(roundDir, "sketch_meta"), true)
+    try out.write(s"$config|total=$total"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    SketchRound(round,
+      spark.read.parquet(new Path(roundDir, "cms").toString),
+      spark.read.parquet(new Path(roundDir, "kmv").toString),
+      spark.read.parquet(new Path(roundDir, "cand").toString),
+      total,
+      () => { fs.create(new Path(roundDir, "_COMMIT"), true).close(); () })
+  }
+
+  /** Heavy hitters over the ENTIRE ingest history from the last
+    * committed round's artifact: every candidate whose CM estimate
+    * reaches `supportPermille`‰ of the running total. Must be ≥ the
+    * maintenance floor (below it the candidate set makes no recall
+    * promise). Output: (token, est_cnt) — the [[Sketches.heavyHitters]]
+    * shape, without re-reading a single ingested row. */
+  def heavyHitters(spark: SparkSession, stateDir: String,
+                   supportPermille: Int): DataFrame = {
+    val (roundDir, config, total) = lastCommitted(spark, stateDir)
+    val floor = config.split(";").find(_.startsWith("floor="))
+      .map(_.stripPrefix("floor=").toInt)
+      .getOrElse(sys.error(s"malformed sketch_meta config: $config"))
+    require(supportPermille >= floor,
+      s"query support ${supportPermille}‰ is below the maintenance floor " +
+        s"${floor}‰ — candidates under the floor were pruned")
+    spark.read.parquet(new Path(roundDir, "cand").toString)
+      .where(col("est_cnt") * 1000 >= lit(total) * supportPermille)
+      .select(col("_v").as("token"), col("est_cnt"))
+  }
+
+  /** Per-group distinct-cardinality report over the entire ingest
+    * history ([[Sketches.kmvMerge]] over the stored minima). */
+  def distinctReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val (roundDir, config, _) = lastCommitted(spark, stateDir)
+    val parts = config.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    Sketches.kmvMerge(spark.read.parquet(new Path(roundDir, "kmv").toString),
+      parts("group"), parts("k").toInt)
+  }
+
+  private def lastCommitted(spark: SparkSession,
+                            stateDir: String): (Path, String, Long) = {
+    val dir = new Path(stateDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val last = listRounds(fs, dir).lastOption
+      .getOrElse(sys.error(s"no committed sketch round under $stateDir"))
+    val roundDir = new Path(dir, s"round_$last")
+    val meta = readSmallFile(fs, new Path(roundDir, "sketch_meta"))
+      .getOrElse(sys.error(s"round_$last committed without sketch_meta"))
+    val Array(config, totalPart) = meta.split("\\|", 2)
+    (roundDir, config, totalPart.stripPrefix("total=").toLong)
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  private def listRounds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("round_\\d+"))
+      .filter(p => fs.exists(new Path(p, "_COMMIT")))
+      .map(_.getName.stripPrefix("round_").toLong).sorted
+
+  private def sweepUncommitted(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                               committed: Seq[Long]): Unit =
+    if (fs.exists(dir)) {
+      val keep = committed.toSet
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.matches("round_\\d+"))
+        .filterNot(p => keep.contains(p.getName.stripPrefix("round_").toLong))
+        .foreach(p => fs.delete(p, true))
+    }
+}

@@ -3,9 +3,10 @@ package graft.functions
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** Semantics of the p51 n-gram novelty score and the p52 containment
-  * decontamination scan: handcrafted fixtures pin the definitions, the
-  * real corpus pins the invariants both DuckDB oracles rest on. */
+/** Semantics of the p51 n-gram novelty score, the p52 containment
+  * decontamination scan, and the p53 PMI collocations: handcrafted
+  * fixtures pin the definitions, the real corpus pins the invariants
+  * the DuckDB oracles rest on. */
 class NoveltyContainmentSpec extends SparkSpec {
   import spark.implicits._
 
@@ -78,5 +79,28 @@ class NoveltyContainmentSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.containmentScan(docs, 1001) }
     val r = Dedup.containmentScan(docs, 0)
     assert(r.groupBy("test_id").count().where(col("count") > 1).count() === 0)
+  }
+
+  test("collocations: a bound pair outranks frequent independent words, ppm exact") {
+    // "alpha beta" always adjacent; x/y frequent but co-occurring only by
+    // chance. N=120 tokens, n_alpha=n_beta=10, n_ab=10:
+    // pmi_ppm = 1e6·10·120/(10·10) = 12_000_000
+    val fx = Seq.tabulate(10)(i =>
+      (i.toLong, "alpha beta x x x x x y y y y y")).toDF("doc_id", "text")
+    val r = TextFunctions.collocations(fx, 5L, 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r.head === ("alpha beta", 10L, 12000000L))
+    // ranking is strictly by (pmi desc, bigram asc)
+    assert(r === r.sortBy { case (bg, _, pmi) => (-pmi, bg) })
+  }
+
+  test("collocations: corpus run respects minCount/k and determinism") {
+    val r1 = TextFunctions.collocations(docs, 5L, 50).collect().toSeq
+    val r2 = TextFunctions.collocations(docs.repartition(7), 5L, 50).collect().toSeq
+    assert(r1 === r2, "ranking must not depend on partitioning")
+    assert(r1.size <= 50 && r1.nonEmpty)
+    assert(r1.forall(_.getLong(1) >= 5L))
+    intercept[IllegalArgumentException] { TextFunctions.collocations(docs, 0L, 5) }
+    intercept[IllegalArgumentException] { TextFunctions.collocations(docs, 5L, 0) }
   }
 }
