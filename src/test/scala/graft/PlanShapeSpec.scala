@@ -364,4 +364,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pair scan must be an equi-join on cell:\n$p")
   }
+
+  test("p50 CMS heavy hitters: cell table broadcasts, stream partial-aggregates") {
+    val p = plan("p50_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth×width cell table must broadcast onto the probes:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the probe stream must never shuffle for the cell join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"totals must broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("p51 novelty: partial aggs everywhere, no corpus-sized join product") {
+    val p = plan("p51_ngram_novelty")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the novelty plan:\n$p")
+  }
+
+  test("p52 containment: the shingle join is the merge-hinted inverted index") {
+    val p = plan("p52_containment")
+    assert(p.contains("SortMergeJoin"),
+      s"shingle equi-join must sort-merge (Generate estimate trap):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay an equi-join on the shingle key:\n$p")
+  }
+
+  test("p53 collocations: top-k is a heap take, totals broadcast") {
+    val p = plan("p53_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"totals must broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
 }
