@@ -814,6 +814,17 @@ object PipelineQueries {
   private def p53(s: SparkSession, dir: String): DataFrame =
     TF.collocations(docs(s, dir), CollocMinCount, CollocK)
 
+  private val EstThresholdMilli = 500
+
+  /** p54 — signature-only Jaccard estimation
+    * ([[Dedup.minhashJaccardEstimate]]): rank LSH candidate pairs from
+    * min-hash components alone (the cold-text route — the stored index
+    * suffices) with the exact trigram Jaccard alongside as the measured
+    * estimator error. */
+  private def p54(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashJaccardEstimate(docs(s, dir), Bands, EstThresholdMilli)
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -868,6 +879,7 @@ object PipelineQueries {
     "p51_ngram_novelty" -> p51 _,
     "p52_containment" -> p52 _,
     "p53_collocations" -> p53 _,
+    "p54_minhash_estimate" -> p54 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1777,5 +1789,30 @@ object PipelineQueries {
          |JOIN uc c ON c.w = split_part(b.bigram, ' ', 2)
          |CROSS JOIN tot t
          |ORDER BY pmi_ppm DESC, b.bigram LIMIT $CollocK""".stripMargin,
+    "p54_minhash_estimate" -> {
+      val prefixes = (0 until Bands).flatMap(b =>
+        (0 until Dedup.RowsPerBand).map(r => s"'$b.$r|'")).mkString("[", ", ", "]")
+      val totalComps = Bands * Dedup.RowsPerBand
+      s"""WITH $ShingleCte,
+         |$LshInterCtes,
+         |comp AS (SELECT sid, bw.k AS k, min(md5(bw.p || sh)) AS mh
+         |         FROM sh CROSS JOIN (SELECT unnest(range($totalComps)) AS k,
+         |                unnest($prefixes) AS p) bw
+         |         GROUP BY sid, bw.k),
+         |mm AS (SELECT c.da, c.db,
+         |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |       FROM cand c JOIN comp a ON a.sid = c.da
+         |       JOIN comp b ON b.sid = c.db AND b.k = a.k
+         |       GROUP BY 1, 2)
+         |SELECT e.da AS doc_a, e.db AS doc_b,
+         |  (e.m * 1000) // $totalComps AS est_milli,
+         |  CAST(floor(1000.0 * coalesce(i.inter, 0) /
+         |       (sa.n + sb.n - coalesce(i.inter, 0))) AS BIGINT) AS jacc_milli
+         |FROM mm e
+         |LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+         |JOIN sizes sa ON sa.sid = e.da JOIN sizes sb ON sb.sid = e.db
+         |WHERE (e.m * 1000) // $totalComps >= $EstThresholdMilli
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
   )
 }

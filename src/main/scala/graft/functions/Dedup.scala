@@ -803,6 +803,61 @@ object Dedup {
     keepers.unionByName(singles)
   }
 
+  /** Per-doc COMPONENT min-hash array (bands·RowsPerBand entries, one
+    * per (band, row) hash function) — the un-concatenated form of
+    * [[minhashBandsCol]]'s band signatures, same md5 recipe and bytes
+    * per component. Bands answer "did ANY band collide" (candidate
+    * generation); components answer "how MANY hash functions agree"
+    * (the MinHash Jaccard estimator: E[matching/total] = J). */
+  def mhComponentsCol(shs: Column, bands: Int): Column = {
+    val comps = for (b <- 0 until bands; r <- 0 until RowsPerBand)
+      yield array_min(transform(shs, s => md5(concat(lit(s"$b.$r|"), s))))
+    when(size(shs) > 0, array(comps: _*)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Signature-only Jaccard estimation on LSH candidate pairs, with the
+    * exact verify alongside: est = matching min-hash components / total
+    * (the classic MinHash estimator), exact = trigram Jaccard off the
+    * shingle arrays. At 100 TB the [[lshIndex]] artifact holds
+    * signatures but the text may be cold storage — this is the route
+    * that RANKS candidate pairs without re-reading any document, and
+    * the paired exact column is the measured estimator error. Output:
+    * (doc_a, doc_b, est_milli, jacc_milli), est ≥ `estThresholdMilli`.
+    *
+    * Scale shape: candidates from the one-shuffle inverted index
+    * ([[lshCandidatePairs]]); component arrays are map-side per doc;
+    * the candidate set joins the per-doc arrays twice (AQE broadcasts
+    * the small cand side — the [[minhashLsh]] verify geometry) and both
+    * the match count and the intersection are per-row array expressions,
+    * never an explode. */
+  def minhashJaccardEstimate(docs: DataFrame, bands: Int,
+                             estThresholdMilli: Int): DataFrame = {
+    require(estThresholdMilli >= 0 && estThresholdMilli <= 1000,
+      s"estThresholdMilli must be in [0, 1000] (got $estThresholdMilli)")
+    val total = bands * RowsPerBand
+    val shArr = shingleArrays(docs)
+    val cands = lshCandidatePairs(minhashSignatureRows(shArr, bands))
+    val comp = shArr.select(col("sid"),
+      mhComponentsCol(col("shs"), bands).as("mhs"), col("shs"))
+    val a = comp.select(col("sid").as("doc_a"), col("mhs").as("mhs_a"),
+      col("shs").as("shs_a"))
+    val b = comp.select(col("sid").as("doc_b"), col("mhs").as("mhs_b"),
+      col("shs").as("shs_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("_m", aggregate(
+        zip_with(col("mhs_a"), col("mhs_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("est_milli", expr(s"(_m * 1000) div $total"))
+      .where(col("est_milli") >= estThresholdMilli)
+      .withColumn("_i",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jacc_milli",
+        floor(lit(1000.0) * col("_i") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("est_milli"), col("jacc_milli"))
+  }
+
   /** Asymmetric containment decontamination (Broder's containment
     * measure, "On the resemblance and containment of documents",
     * SEQUENCES 1997): for every TEST-split document, the best-matching

@@ -389,6 +389,18 @@ class PlanShapeSpec extends SparkSpec {
       s"containment must stay an equi-join on the shingle key:\n$p")
   }
 
+  test("p54 signature estimate: array-expression verify — no explode after the candidate set") {
+    val p = plan("p54_minhash_estimate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"estimation must stay equi-joined on the candidate ids:\n$p")
+    // the match count and the intersection ride per-row array expressions;
+    // the only Generates allowed are the signature/pair explodes BEFORE
+    // the candidate set (lshCandidatePairs), i.e. none over mhs_/shs_ columns
+    val badGen = p.linesIterator.filter(_.contains("Generate "))
+      .filter(l => l.contains("mhs_") || l.contains("shs_")).toSeq
+    assert(badGen.isEmpty, s"verify stage explodes arrays:\n${badGen.mkString("\n")}")
+  }
+
   test("p53 collocations: top-k is a heap take, totals broadcast") {
     val p = plan("p53_collocations")
     assert(p.contains("TakeOrderedAndProject"),

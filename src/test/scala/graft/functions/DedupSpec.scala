@@ -417,6 +417,33 @@ class DedupSpec extends SparkSpec {
     assert(corpus.where(col("covered_chars") > 0).count() > 0)
   }
 
+  test("minhash components concat back into the band signatures (estimator/candidate parity)") {
+    val shArr = Dedup.shingleArrays(docs.limit(40))
+    val both = shArr.select(col("sid"),
+      Dedup.minhashBandsCol(col("shs"), Bands, spark).as("bands"),
+      Dedup.mhComponentsCol(col("shs"), Bands).as("comps"))
+    val bad = both.where(size(col("bands")) > 0).withColumn("glued",
+      transform(col("bands"), (_, i) =>
+        concat(element_at(col("comps"), i * 2 + 1), element_at(col("comps"), i * 2 + 2))))
+      .where(not(col("glued") === col("bands")))
+    assert(bad.count() === 0, "band sigs must be the pairwise concat of components")
+  }
+
+  test("signature-only Jaccard estimate: identical docs score 1000, output is candidate-bounded") {
+    val planted = docs.limit(30).unionByName(
+      docs.limit(1).select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+    val est = Dedup.minhashJaccardEstimate(planted, Bands, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dup = est.filter(p => p._2 == docs.limit(1).select("doc_id").as[Long].head() + 1000000L)
+    assert(dup.exists(p => p._3 === 1000L && p._4 === 1000L),
+      s"planted identical pair must estimate and verify at 1000: ${dup.toSeq}")
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(
+      Dedup.shingleArrays(planted), Bands)).as[(Long, Long)].collect().toSet
+    est.foreach(p => assert(cands.contains((p._1, p._2)),
+      s"estimated pair (${p._1},${p._2}) is not an LSH candidate"))
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()
