@@ -173,9 +173,13 @@ object IngestBench {
     // cardinality while the table is row-count-sized. At 1x the ladder
     // (500k cells) can exceed the table (200k rows) and re-agg may win —
     // expected, and exactly the crossover this section records. ----
+    // factor 400 added in round 10: the x100 re-agg point proved
+    // cache-state-sensitive (7.8 s cold in one run, 1.0 s warm in
+    // another) — at x400 (80M rows) the row-count-sized re-agg clears
+    // the cell-sized fold regardless of page-cache luck.
     import graft.operators.IncrementalAgg
     val lgrans = Seq("b" -> 1000000L)
-    val ladderScale = Seq(1, 40, 100).map { f =>
+    val ladderScale = Seq(1, 40, 100, 400).map { f =>
       val rows = n.toLong * f
       val tmp = java.nio.file.Files.createTempDirectory(s"ingest_lscale_$f").toString
       val before = spark.range(rows).select(
@@ -213,6 +217,44 @@ object IngestBench {
       (f, tFold, tReagg)
     }
 
+    // ---- maintained sketches at scale: folding a FIXED-size increment
+    // into the stored artifact (SketchMaintain.advance: reads the
+    // sketch-sized state + the increment) must stay FLAT as the ingest
+    // history grows, while the one-shot sketch recompute pays the whole
+    // corpus every time. Recompute is timed WITHOUT the candidate pass
+    // advance also does, biasing the comparison against advance — the
+    // flat-vs-growing signal has to survive the handicap. ----
+    val sketchScale = Seq(1, 40, 100, 400).map { f =>
+      val histRows = 100000L * f
+      val hist = spark.range(histRows).select(
+        pmod(col("id"), lit(20)).cast("string").as("src"),
+        concat(lit("w"), pmod(col("id") * 7919L, lit(50000L))).as("w"))
+      val inc = spark.range(20000L).select(
+        pmod(col("id"), lit(20)).cast("string").as("src"),
+        concat(lit("x"), pmod(col("id") * 104729L, lit(20000L))).as("w"))
+      val state = java.nio.file.Files
+        .createTempDirectory(s"ingest_sketch_$f").toString
+      graft.streaming.SketchMaintain.advance(spark, hist, "src", "w", state)
+        .commit() // bootstrap: the stored artifact (untimed)
+      def med(body: => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        ts.sorted.apply(1)
+      }
+      val tAdv = med(
+        graft.streaming.SketchMaintain.advance(spark, inc, "src", "w", state)
+          .commit())
+      val whole = hist.unionByName(inc)
+      val tRecomp = med {
+        graft.functions.Sketches.cmsPartial(whole, col("w"))
+          .write.format("noop").mode("overwrite").save()
+        graft.functions.Sketches.kmvPartial(whole, "src", col("w"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[ingest] sketch_maintain x$f%-3d advance $tAdv%.2f s vs recompute $tRecomp%.2f s ($histRows hist rows)")
+      (f, tAdv, tRecomp)
+    }
+
     val snapJson = snapshot.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
     val streamJson = stream.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
     println(s"""[ingestjson] {"rows":$n,"snapshot_rows_per_sec":{$snapJson},""" +
@@ -221,6 +263,9 @@ object IngestBench {
       s""""ladder_capture":{"bootstrap_sec":${fmt(lBoot)},"incr_sec":${fmt(lIncr)},"quiet_sec":${fmt(lQuiet)}},""" +
       s""""ladder_scale":[""" + ladderScale.map { case (f, tf, tr) =>
         s"""{"factor":$f,"fold_sec":${fmt(tf)},"reagg_sec":${fmt(tr)}}""" }
+        .mkString(",") + "]," +
+      s""""sketch_maintain":[""" + sketchScale.map { case (f, ta, tr) =>
+        s"""{"factor":$f,"advance_sec":${fmt(ta)},"recompute_sec":${fmt(tr)}}""" }
         .mkString(",") + "]}")
     spark.stop()
     conn.close()
