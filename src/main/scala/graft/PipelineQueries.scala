@@ -825,6 +825,15 @@ object PipelineQueries {
     Dedup.minhashJaccardEstimate(docs(s, dir), Bands, EstThresholdMilli)
       .orderBy("doc_a", "doc_b")
 
+  private val BpeK = 40
+
+  /** p55 — BPE first-merge pair statistics ([[TF.bpePairStats]]): the
+    * adjacent-character-pair counts the first BPE merge maximizes —
+    * the tokenizer-induction probe next to p53's word-level
+    * collocations and p1's BPE-ish token counting. */
+  private def p55(s: SparkSession, dir: String): DataFrame =
+    TF.bpePairStats(docs(s, dir), BpeK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -880,6 +889,7 @@ object PipelineQueries {
     "p52_containment" -> p52 _,
     "p53_collocations" -> p53 _,
     "p54_minhash_estimate" -> p54 _,
+    "p55_bpe_pairs" -> p55 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1814,5 +1824,14 @@ object PipelineQueries {
          |WHERE (e.m * 1000) // $totalComps >= $EstThresholdMilli
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "p55_bpe_pairs" ->
+      s"""WITH $NormCte,
+         |tk AS (SELECT unnest(ws) AS wd FROM w),
+         |pr AS (SELECT unnest(list_transform(range(1, length(wd)),
+         |         i -> substr(wd, CAST(i AS INT), 2))) AS pair
+         |       FROM tk WHERE length(wd) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pr GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT $BpeK""".stripMargin,
   )
 }

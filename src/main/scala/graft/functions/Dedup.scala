@@ -805,15 +805,22 @@ object Dedup {
 
   /** Per-doc COMPONENT min-hash array (bands·RowsPerBand entries, one
     * per (band, row) hash function) — the un-concatenated form of
-    * [[minhashBandsCol]]'s band signatures, same md5 recipe and bytes
-    * per component. Bands answer "did ANY band collide" (candidate
-    * generation); components answer "how MANY hash functions agree"
-    * (the MinHash Jaccard estimator: E[matching/total] = J). */
-  def mhComponentsCol(shs: Column, bands: Int): Column = {
-    val comps = for (b <- 0 until bands; r <- 0 until RowsPerBand)
-      yield array_min(transform(shs, s => md5(concat(lit(s"$b.$r|"), s))))
-    when(size(shs) > 0, array(comps: _*)).otherwise(array().cast("array<string>"))
-  }
+    * [[minhashBandsCol]]'s band signatures. Bands answer "did ANY band
+    * collide" (candidate generation); components answer "how MANY hash
+    * functions agree" (the MinHash Jaccard estimator:
+    * E[matching/total] = J).
+    *
+    * Derived by SLICING the band signatures (md5 hex is fixed 32 chars,
+    * so band b's signature is exactly its RowsPerBand component minima
+    * concatenated) rather than re-running the per-function min-md5
+    * transforms: the hashing work — the dominant cost — is paid once,
+    * in the one-pass [[expr.MinhashBands]] kernel when registered. The
+    * independent md5 formulation is pinned byte-identical in DedupSpec. */
+  def mhComponentsCol(shs: Column, bands: Int,
+                      session: SparkSession = SparkSession.active): Column =
+    flatten(transform(minhashBandsCol(shs, bands, session), sig =>
+      array((0 until RowsPerBand).map(r =>
+        substring(sig, r * 32 + 1, 32)): _*)))
 
   /** Signature-only Jaccard estimation on LSH candidate pairs, with the
     * exact verify alongside: est = matching min-hash components / total
@@ -838,7 +845,7 @@ object Dedup {
     val shArr = shingleArrays(docs)
     val cands = lshCandidatePairs(minhashSignatureRows(shArr, bands))
     val comp = shArr.select(col("sid"),
-      mhComponentsCol(col("shs"), bands).as("mhs"), col("shs"))
+      mhComponentsCol(col("shs"), bands, shArr.sparkSession).as("mhs"), col("shs"))
     val a = comp.select(col("sid").as("doc_a"), col("mhs").as("mhs_a"),
       col("shs").as("shs_a"))
     val b = comp.select(col("sid").as("doc_b"), col("mhs").as("mhs_b"),

@@ -561,6 +561,32 @@ object TextFunctions {
           .cast("int").as("kept"))
   }
 
+  /** BPE first-merge pair statistics (Sennrich et al. 2016): corpus-wide
+    * counts of adjacent CHARACTER pairs within words — the quantity the
+    * first byte-pair-encoding merge iteration maximizes, and the
+    * standard probe for "what would this tokenizer learn first" before
+    * committing to a vocabulary (the character-level sibling of p53's
+    * word-pair collocations). Top-k pairs by (count desc, pair asc).
+    *
+    * Scale shape: token explode then an in-word pair explode (both
+    * map-side, feeding one partial aggregation whose key space is the
+    * character-pair alphabet — a few thousand cells no matter the
+    * corpus), one cell-sized exchange, top-k TakeOrdered. The full BPE
+    * loop would iterate merge → re-segment; the per-iteration shuffle
+    * cost is exactly this query's. */
+  def bpePairStats(docs: org.apache.spark.sql.DataFrame, k: Int,
+                   textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    docs.select(explode(words(normText(col(textCol)))).as("_w"))
+      .where(length(col("_w")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(explode(expr(
+        "transform(sequence(1, length(_w) - 1), i -> substring(_w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+  }
+
   /** Cross-document n-gram novelty: for each document, how much of its
     * distinct word-bigram set does the corpus see here FIRST (first
     * occurrence = minimum doc_id over the whole corpus)? The standard

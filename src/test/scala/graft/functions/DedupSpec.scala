@@ -417,16 +417,22 @@ class DedupSpec extends SparkSpec {
     assert(corpus.where(col("covered_chars") > 0).count() > 0)
   }
 
-  test("minhash components concat back into the band signatures (estimator/candidate parity)") {
-    val shArr = Dedup.shingleArrays(docs.limit(40))
-    val both = shArr.select(col("sid"),
-      Dedup.minhashBandsCol(col("shs"), Bands, spark).as("bands"),
-      Dedup.mhComponentsCol(col("shs"), Bands).as("comps"))
-    val bad = both.where(size(col("bands")) > 0).withColumn("glued",
-      transform(col("bands"), (_, i) =>
-        concat(element_at(col("comps"), i * 2 + 1), element_at(col("comps"), i * 2 + 2))))
-      .where(not(col("glued") === col("bands")))
-    assert(bad.count() === 0, "band sigs must be the pairwise concat of components")
+  test("minhash components are byte-identical to the independent per-function min-md5s") {
+    // the production column SLICES the band signatures; this pins it
+    // against the explicit formulation (one min(md5("b.r|"||sh)) per
+    // hash function — what the p54 DuckDB oracle computes)
+    val independent = {
+      val comps = for (b <- 0 until Bands; r <- 0 until Dedup.RowsPerBand)
+        yield array_min(transform(col("shs"), s => md5(concat(lit(s"$b.$r|"), s))))
+      when(size(col("shs")) > 0, array(comps: _*))
+        .otherwise(array().cast("array<string>"))
+    }
+    val bad = Dedup.shingleArrays(docs.limit(40))
+      .select(col("sid"),
+        Dedup.mhComponentsCol(col("shs"), Bands, spark).as("sliced"),
+        independent.as("explicit"))
+      .where(not(col("sliced") === col("explicit")))
+    assert(bad.count() === 0, "sliced components must equal the explicit min-md5s")
   }
 
   test("signature-only Jaccard estimate: identical docs score 1000, output is candidate-bounded") {

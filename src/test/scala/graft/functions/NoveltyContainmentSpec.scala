@@ -94,6 +94,13 @@ class NoveltyContainmentSpec extends SparkSpec {
     assert(r === r.sortBy { case (bg, _, pmi) => (-pmi, bg) })
   }
 
+  test("bpe pairs: hand-counted overlapping pairs, single-char words excluded") {
+    val fx = Seq((0L, "abab x cd")).toDF("doc_id", "text")
+    val r = TextFunctions.bpePairStats(fx, 10).as[(String, Long)].collect().toSeq
+    assert(r === Seq(("ab", 2L), ("ba", 1L), ("cd", 1L)))
+    intercept[IllegalArgumentException] { TextFunctions.bpePairStats(fx, 0) }
+  }
+
   test("collocations: corpus run respects minCount/k and determinism") {
     val r1 = TextFunctions.collocations(docs, 5L, 50).collect().toSeq
     val r2 = TextFunctions.collocations(docs.repartition(7), 5L, 50).collect().toSeq
