@@ -102,6 +102,15 @@ object ProbeFamily {
           .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
       case "containment_scan" =>
         Dedup.containmentScan(probeDocs(), 200).count()
+      case "collocations" =>
+        TF.collocations(probeDocs(), 5L, 50)
+          .agg(sum(col("pmi_ppm"))).head().getLong(0)
+      case "bpe_pairs" =>
+        TF.bpePairStats(probeDocs(), 40)
+          .agg(sum(col("cnt"))).head().getLong(0)
+      case "minhash_estimate" =>
+        Dedup.minhashJaccardEstimate(probeDocs(), 8, 500)
+          .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0)
       case other => sys.error(s"unknown family $other")
     }
     (1 to reps).foreach { i =>

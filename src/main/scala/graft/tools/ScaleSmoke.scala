@@ -578,6 +578,16 @@ object ScaleSmoke {
       time("ngram_novelty", n)(TF.ngramNovelty(docs)
         .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0))
       time("containment_scan", n)(Dedup.containmentScan(docs, 200).count())
+      // token-pair statistics: both collapse to alphabet/vocab-sized
+      // cells after one partial agg — growth must track the explodes
+      time("collocations", n)(
+        TF.collocations(docs, 5L, 50).agg(sum(col("pmi_ppm"))).head().getLong(0))
+      time("bpe_pairs", n)(
+        TF.bpePairStats(docs, 40).agg(sum(col("cnt"))).head().getLong(0))
+      // signature-only estimation: candidates + per-row array math, no
+      // explode after the candidate set
+      time("minhash_estimate", n)(Dedup.minhashJaccardEstimate(docs, 8, 500)
+        .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0))
     }
 
     // warm-up
