@@ -42,7 +42,11 @@ import graft.functions.Sketches
   * Crash contract = the capture-loop geometry: artifacts write before
   * `_COMMIT`; an uncommitted round is swept on the next [[advance]] and
   * the round replays to an identical result (same increment, same
-  * deterministic hashes). Config (group/value columns, depth, width, k,
+  * deterministic hashes). Under foreachBatch ([[start]]) rounds carry
+  * the batch id as a tag, upgrading the loop to EXACTLY-ONCE: a crash
+  * between our commit and the checkpoint's replays the batch, which
+  * finds its own round committed and no-ops instead of double-counting.
+  * Config (group/value columns, depth, width, k,
   * floor) is persisted in `sketch_meta` and VALIDATED each round — a
   * changed geometry cannot silently merge incompatible cells (the
   * ladder-grain guard pattern); it refuses instead of re-bootstrapping
@@ -66,9 +70,10 @@ object SketchMaintain {
   def advance(spark: SparkSession, increment: DataFrame, groupCol: String,
               valueCol: String, stateDir: String, floorPermille: Int = 1,
               depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
-              k: Int = Sketches.DefaultK): SketchRound = {
+              k: Int = Sketches.DefaultK, tag: String = ""): SketchRound = {
     require(floorPermille >= 1 && floorPermille <= 1000,
       s"floorPermille must be in [1, 1000] (got $floorPermille)")
+    require(!tag.contains("|"), s"tag must not contain '|' (got $tag)")
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val committed = listRounds(fs, dir)
@@ -81,12 +86,28 @@ object SketchMaintain {
       val prevDir = new Path(dir, s"round_$p")
       val meta = readSmallFile(fs, new Path(prevDir, "sketch_meta"))
         .getOrElse(sys.error(s"round_$p committed without sketch_meta"))
-      val Array(prevConfig, totalPart) = meta.split("\\|", 2)
-      require(prevConfig == config,
-        s"sketch config changed across rounds ($prevConfig -> $config): " +
+      val parts = meta.split("\\|")
+      require(parts(0) == config,
+        s"sketch config changed across rounds (${parts(0)} -> $config): " +
           "merged cells/minima would be meaningless and earlier increments " +
           "are gone — start a fresh stateDir instead")
-      (prevDir, totalPart.stripPrefix("total=").toLong)
+      (prevDir, parts(1).stripPrefix("total=").toLong,
+        parts.lift(2).map(_.stripPrefix("tag=")).getOrElse(""))
+    }
+    // exactly-once under the foreachBatch replay contract: a round
+    // already committed for this batch tag means the crash happened
+    // BETWEEN our commit and the checkpoint's — the replayed batch is
+    // already folded in, so return the committed round (commit = no-op)
+    // instead of double-counting it.
+    prev match {
+      case Some((prevDir, prevTotal, prevTag))
+          if tag.nonEmpty && prevTag == tag =>
+        return SketchRound(round - 1L,
+          spark.read.parquet(new Path(prevDir, "cms").toString),
+          spark.read.parquet(new Path(prevDir, "kmv").toString),
+          spark.read.parquet(new Path(prevDir, "cand").toString),
+          prevTotal, () => ())
+      case _ => ()
     }
     val incPath = new Path(roundDir, "_inc")
     increment.select(col(groupCol).cast("string").as("_g"),
@@ -97,7 +118,7 @@ object SketchMaintain {
     val kmvInc = Sketches.kmvPartial(inc, "_g", col("_v"), k)
     val nInc = inc.count()
     val (cells, kmv, candIn, total) = prev match {
-      case Some((prevDir, prevTotal)) =>
+      case Some((prevDir, prevTotal, _)) =>
         (Sketches.cmsMerge(spark.read.parquet(new Path(prevDir, "cms").toString)
            .unionByName(cellsInc)),
          Sketches.kmvCompact(spark.read.parquet(new Path(prevDir, "kmv").toString)
@@ -117,7 +138,7 @@ object SketchMaintain {
       .write.mode("overwrite").parquet(new Path(roundDir, "cand").toString)
     fs.delete(incPath, true)
     val out = fs.create(new Path(roundDir, "sketch_meta"), true)
-    try out.write(s"$config|total=$total"
+    try out.write(s"$config|total=$total|tag=$tag"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     SketchRound(round,
@@ -127,6 +148,27 @@ object SketchMaintain {
       total,
       () => { fs.create(new Path(roundDir, "_COMMIT"), true).close(); () })
   }
+
+  /** The foreachBatch handler: fold the batch tagged by its batch id —
+    * with the tag, a batch replayed after a crash between our commit
+    * and the checkpoint's finds its own round already committed and
+    * no-ops, making the maintained sketch EXACTLY-ONCE under the
+    * streaming engine's at-least-once foreachBatch contract. */
+  def handler(groupCol: String, valueCol: String, stateDir: String,
+              floorPermille: Int = 1, depth: Int = Sketches.CmsDepth,
+              width: Int = Sketches.CmsWidth, k: Int = Sketches.DefaultK)
+  : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    advance(batch.sparkSession, batch, groupCol, valueCol, stateDir,
+      floorPermille, depth, width, k, tag = s"b$batchId").commit()
+  }
+
+  /** Wire a streaming frame (columns `groupCol`, `valueCol`) into the
+    * loop: `SketchMaintain.start(df, "src", "w", state, ckpt).start()`. */
+  def start(increment: DataFrame, groupCol: String, valueCol: String,
+            stateDir: String, checkpointDir: String, floorPermille: Int = 1)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    increment.writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch(handler(groupCol, valueCol, stateDir, floorPermille))
 
   /** Heavy hitters over the ENTIRE ingest history from the last
     * committed round's artifact: every candidate whose CM estimate
@@ -166,8 +208,8 @@ object SketchMaintain {
     val roundDir = new Path(dir, s"round_$last")
     val meta = readSmallFile(fs, new Path(roundDir, "sketch_meta"))
       .getOrElse(sys.error(s"round_$last committed without sketch_meta"))
-    val Array(config, totalPart) = meta.split("\\|", 2)
-    (roundDir, config, totalPart.stripPrefix("total=").toLong)
+    val parts = meta.split("\\|")
+    (roundDir, parts(0), parts(1).stripPrefix("total=").toLong)
   }
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,

@@ -79,6 +79,41 @@ class SketchMaintainSpec extends SparkSpec {
     }
   }
 
+  test("a replayed batch tag no-ops instead of double-counting") {
+    val dirS = tmp()
+    val inc = tok.limit(500)
+    SketchMaintain.advance(spark, inc, "source", "w", dirS, tag = "b0").commit()
+    val total0 = SketchMaintain.advance(spark, inc, "source", "w", dirS, tag = "b0")
+    total0.commit() // must also be safe to call
+    assert(total0.round === 0L && total0.totalValues === 500L,
+      s"replay of b0 must return the committed round unchanged: $total0")
+    val next = SketchMaintain.advance(spark, inc, "source", "w", dirS, tag = "b1")
+    next.commit()
+    assert(next.round === 1L && next.totalValues === 1000L)
+  }
+
+  test("streaming wiring: MemoryStream micro-batches maintain the same sketches") {
+    val dirS = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("sketch_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = SketchMaintain.start(
+      in.toDF().toDF("src", "w"), "src", "w", dirS, ckpt).start()
+    val b0 = Seq("a" -> "x1", "a" -> "x2", "b" -> "x1")
+    val b1 = Seq("a" -> "x1", "b" -> "x3", "b" -> "x3")
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val report = SketchMaintain.distinctReport(spark, dirS)
+      .select("src", "est_distinct").as[(String, Long)].collect().toMap
+    assert(report === Map("a" -> 2L, "b" -> 2L))
+    val hh = SketchMaintain.heavyHitters(spark, dirS, 300)
+      .as[(String, Long)].collect().toMap
+    // x1: 3 of 6 values (500 permille), x3: 2 of 6 (333), x2: 1 of 6 (166)
+    assert(hh === Map("x1" -> 3L, "x3" -> 2L))
+  }
+
   test("an item crossing the threshold in a later round is recalled; query below floor refused") {
     val dirS = tmp()
     // round 0: "late" is 1 of 2001 values (0.5 permille) -> pruned at floor 1
