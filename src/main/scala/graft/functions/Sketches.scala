@@ -88,8 +88,8 @@ object Sketches {
     * dedup across parts happens here. */
   def kmvMerge(parts: DataFrame, groupCol: String, k: Int = DefaultK): DataFrame = {
     val glob = Window.partitionBy(col("_g")).orderBy(col("_h"))
-    parts.select(col("_g"), col("_h")).distinct()
-      .withColumn("_rn", row_number().over(glob)).where(col("_rn") <= k)
+    kmvCompact(parts, k)
+      .withColumn("_rn", row_number().over(glob))
       .groupBy(col("_g"))
       .agg(max(col("_rn")).cast("long").as("n_min_hashes"),
         max(col("_h")).as("kth_hash"))

@@ -587,25 +587,6 @@ object TextFunctions {
       .orderBy(col("cnt").desc, col("pair")).limit(k)
   }
 
-  /** Cross-document n-gram novelty: for each document, how much of its
-    * distinct word-bigram set does the corpus see here FIRST (first
-    * occurrence = minimum doc_id over the whole corpus)? The standard
-    * freshness signal for crawl triage — a document whose bigrams all
-    * appeared in earlier documents is boilerplate/recombination; a high
-    * novelty share marks genuinely new text worth keeping (the
-    * doc-level complement of the p42 line-dedup and p36 dup-ngram
-    * views, which score repetition rather than provenance).
-    *
-    * Scale shape: one bigram explode feeding a per-doc distinct (the
-    * map-side partial distinct on (doc, bigram)), then TWO cell-bounded
-    * aggregations off that set — distinct-bigram count per doc, and
-    * first-doc per bigram collapsed to introductions per doc — joined
-    * doc-keyed. No corpus-sized join-back: the min(doc_id) aggregation
-    * already names the introducing document, so novelty counts fall out
-    * of the model side alone. Hot bigrams cost one partial-agg cell
-    * each, not a shuffle of their occurrence list.
-    * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
-    * appears; docs with < 2 words carry zeros. */
   /** PMI collocation mining (the word2vec/word2phrase phrase-induction
     * score, Mikolov et al. 2013): top-k word bigrams by
     * `PMI ∝ N · n_ab / (n_a · n_b)` — pairs that co-occur far more than
@@ -650,6 +631,25 @@ object TextFunctions {
       .orderBy(col("pmi_ppm").desc, col("bigram")).limit(k)
   }
 
+  /** Cross-document n-gram novelty: for each document, how much of its
+    * distinct word-bigram set does the corpus see here FIRST (first
+    * occurrence = minimum doc_id over the whole corpus)? The standard
+    * freshness signal for crawl triage — a document whose bigrams all
+    * appeared in earlier documents is boilerplate/recombination; a high
+    * novelty share marks genuinely new text worth keeping (the
+    * doc-level complement of the p42 line-dedup and p36 dup-ngram
+    * views, which score repetition rather than provenance).
+    *
+    * Scale shape: one bigram explode feeding a per-doc distinct (the
+    * map-side partial distinct on (doc, bigram)), then TWO cell-bounded
+    * aggregations off that set — distinct-bigram count per doc, and
+    * first-doc per bigram collapsed to introductions per doc — joined
+    * doc-keyed. No corpus-sized join-back: the min(doc_id) aggregation
+    * already names the introducing document, so novelty counts fall out
+    * of the model side alone. Hot bigrams cost one partial-agg cell
+    * each, not a shuffle of their occurrence list.
+    * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
+    * appears; docs with < 2 words carry zeros. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {

@@ -16,7 +16,9 @@ import graft.functions.Sketches
   * stays sketch-sized (cells + minima + the surviving candidate set),
   * never corpus-sized.
   *
-  * State layout (any Hadoop filesystem), one dir per committed round:
+  * State layout (any Hadoop filesystem) — only the LAST committed round
+  * is live (each [[advance]] retires earlier committed rounds, so state
+  * and round-listing cost stay bounded across any ingest history):
   * {{{
   * stateDir/round_<n>/cms/         merged CMS cell table (depth·width rows)
   * stateDir/round_<n>/kmv/         merged per-group bottom-k minima rows
@@ -74,10 +76,22 @@ object SketchMaintain {
     require(floorPermille >= 1 && floorPermille <= 1000,
       s"floorPermille must be in [1, 1000] (got $floorPermille)")
     require(!tag.contains("|"), s"tag must not contain '|' (got $tag)")
+    Seq("group" -> groupCol, "value" -> valueCol).foreach { case (what, c) =>
+      require(!c.exists("|;=".contains(_)),
+        s"$what column name must not contain '|', ';' or '=' " +
+          s"(got $c): sketch_meta uses them as delimiters")
+    }
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val committed = listRounds(fs, dir)
     sweepUncommitted(fs, dir, committed)
+    // committed rounds BEFORE the last are dead by construction (every
+    // reader — advance, heavyHitters, distinctReport — uses only the
+    // last committed round), so retire them here: without this, a
+    // streaming query commits one round per micro-batch and both the
+    // stored state and listRounds' per-advance metadata RPCs grow
+    // linearly with history, violating the sketch-sized-state contract.
+    committed.dropRight(1).foreach(p => fs.delete(new Path(dir, s"round_$p"), true))
     val round = committed.lastOption.map(_ + 1L).getOrElse(0L)
     val roundDir = new Path(dir, s"round_$round")
     val config = s"group=$groupCol;value=$valueCol;depth=$depth;" +

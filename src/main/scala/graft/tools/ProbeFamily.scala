@@ -15,9 +15,10 @@ object ProbeFamily {
     val family = args(1)
     val n = args(2).toInt
     val reps = if (args.length > 3) args(3).toInt else 3
-    lazy val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
     // docs_x$n replicas: reuse a prior ScaleSmoke materialization if the
-    // caller pointed smokeDir at one, else materialize once under /tmp
+    // caller pointed smokeDir at one, else materialize once under /tmp —
+    // ONE loading path for every family (the pre-existing families used
+    // to hard-require a prior materialization)
     def probeDocs() = {
       val path = s"$smokeDir/docs_x$n"
       if (new java.io.File(s"$path/_SUCCESS").exists()) spark.read.parquet(path)
@@ -31,6 +32,7 @@ object ProbeFamily {
         spark.read.parquet(cached)
       }
     }
+    lazy val docs = probeDocs()
     def run(): Long = family match {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),

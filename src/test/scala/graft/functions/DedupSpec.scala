@@ -436,12 +436,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("signature-only Jaccard estimate: identical docs score 1000, output is candidate-bounded") {
-    val planted = docs.limit(30).unionByName(
-      docs.limit(1).select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+    // pin the copied row by id: limit(1) without an order is not
+    // guaranteed stable across two separate plans
+    val src = docs.orderBy("doc_id").limit(1)
+    val srcId = src.select("doc_id").as[Long].head()
+    val planted = docs.orderBy("doc_id").limit(30).unionByName(
+      src.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")))
     val est = Dedup.minhashJaccardEstimate(planted, Bands, 500)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val dup = est.filter(p => p._2 == docs.limit(1).select("doc_id").as[Long].head() + 1000000L)
+    val dup = est.filter(_._2 == srcId + 1000000L)
     assert(dup.exists(p => p._3 === 1000L && p._4 === 1000L),
       s"planted identical pair must estimate and verify at 1000: ${dup.toSeq}")
     val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(

@@ -28,8 +28,13 @@ class SketchMaintainSpec extends SparkSpec {
     // CMS cells: cell-wise identical to the whole-stream sketch
     val whole = Sketches.cmsPartial(tok.select(col("w").as("_v")), col("_v"))
       .orderBy("_j", "_b").as[(Int, Long, Long)].collect().toSeq
-    val lastDir = new java.io.File(dirS).listFiles().map(_.getName)
-      .filter(_.startsWith("round_")).sorted.last
+    val roundDirs = new java.io.File(dirS).listFiles().map(_.getName)
+      .filter(_.startsWith("round_")).sorted
+    // dead committed rounds retire on the next advance: at most the
+    // last-committed plus the round committed after it remain
+    assert(roundDirs.length <= 2,
+      s"earlier committed rounds must be retired: ${roundDirs.toSeq}")
+    val lastDir = roundDirs.last
     val stored = spark.read.parquet(s"$dirS/$lastDir/cms")
       .orderBy("_j", "_b").as[(Int, Long, Long)].collect().toSeq
     assert(stored === whole)
