@@ -330,6 +330,13 @@ object ScaleSmoke {
       time("activity_probe", n)(Similarity.activityCosineTopKLshProbe(
         spark.read.parquet(idxPath), "user_id", col("user_id") < 20, 3).count())
       time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
+      // the two round-10b shuffle-heavy additions ride the deep factors
+      // too: containment is the p19 inverted-index shape, estimation is
+      // the minhash_lsh core + per-row array verify (probed sub-linear
+      // to 100x: 6.2 s / 14.0 s warm)
+      time("containment_scan_deep", n)(Dedup.containmentScan(docs, 200).count())
+      time("minhash_estimate_deep", n)(Dedup.minhashJaccardEstimate(docs, 8, 500)
+        .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0))
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
       // the span REWRITE next to the pair detector: per-word replica tags
