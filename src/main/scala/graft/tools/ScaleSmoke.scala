@@ -330,12 +330,12 @@ object ScaleSmoke {
       time("activity_probe", n)(Similarity.activityCosineTopKLshProbe(
         spark.read.parquet(idxPath), "user_id", col("user_id") < 20, 3).count())
       time("minhash_lsh", n)(Dedup.minhashLsh(docs, 8, 800).count())
-      // the two round-10b shuffle-heavy additions ride the deep factors
-      // too: containment is the p19 inverted-index shape, estimation is
-      // the minhash_lsh core + per-row array verify (probed sub-linear
-      // to 100x: 6.2 s / 14.0 s warm)
-      time("containment_scan_deep", n)(Dedup.containmentScan(docs, 200).count())
-      time("minhash_estimate_deep", n)(Dedup.minhashJaccardEstimate(docs, 8, 500)
+      // the two round-10b shuffle-heavy additions ride the deep factors:
+      // containment is the p19 inverted-index shape, estimation is the
+      // minhash_lsh core + per-row array verify (probed sub-linear to
+      // 100x: 6.2 s / 14.0 s warm)
+      time("containment_scan", n)(Dedup.containmentScan(docs, 200).count())
+      time("minhash_estimate", n)(Dedup.minhashJaccardEstimate(docs, 8, 500)
         .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0))
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
@@ -584,17 +584,15 @@ object ScaleSmoke {
       }
       time("ngram_novelty", n)(TF.ngramNovelty(docs)
         .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0))
-      time("containment_scan", n)(Dedup.containmentScan(docs, 200).count())
       // token-pair statistics: both collapse to alphabet/vocab-sized
       // cells after one partial agg — growth must track the explodes
       time("collocations", n)(
         TF.collocations(docs, 5L, 50).agg(sum(col("pmi_ppm"))).head().getLong(0))
       time("bpe_pairs", n)(
         TF.bpePairStats(docs, 40).agg(sum(col("cnt"))).head().getLong(0))
-      // signature-only estimation: candidates + per-row array math, no
-      // explode after the candidate set
-      time("minhash_estimate", n)(Dedup.minhashJaccardEstimate(docs, 8, 500)
-        .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0))
+      // containment_scan and minhash_estimate live in deepSuite (which
+      // also covers the shallow factors) — their shuffle-heavy joins
+      // are the ones the deep factors must pressure
     }
 
     // warm-up
