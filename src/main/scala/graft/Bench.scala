@@ -201,45 +201,71 @@ object Bench {
     (results, contaminated.toSeq)
   }
 
+  /** The registry's short query keys for the committed artifact:
+    * `q1_op_filter` -> `q1`, `p54_minhash_estimate` -> `p54` — the
+    * numeric prefix is unique across the registry (asserted; a colliding
+    * name keeps its long form) and the long name is reconstructible from
+    * the registry, so the final line carries no redundant bytes. */
+  private[graft] def shortKey(name: String): String =
+    name.takeWhile(_ != '_')
+
   /** The committed artifact is the driver wrapper's stdout TAIL, with a
-    * byte cap that truncated the single emitted line mid-JSON nine rounds
-    * running (BENCH_r09: `parsed: null`, 25 of 82 timings lost). Defenses:
-    * 2-decimal per-query precision (halves the line), diagnostics
-    * (sentinel array, deviant map) on their OWN earlier line so the final
-    * line is only total+queries, and the final line printed twice (before
-    * and after the diagnostics) so a cap landing anywhere keeps at least
-    * one parseable copy of the query map as the last complete line. */
+    * ~2,000-byte cap that truncated the single emitted line mid-JSON ten
+    * rounds running (one full long-name 92-query line is ~2.8 KB — no
+    * print order can fit it). Round-11 fix: the FINAL line uses SHORT
+    * query keys (`"q1":0.21` — ~1.2 KB for 92 queries, comfortably under
+    * the cap) and carries the run's median sentinel (`"sent"`) so the
+    * next round can separate machine drift from code drift; the
+    * long-name line (metric `bench_named`) and the diagnostics line
+    * (metric `bench_diag`) print EARLIER so a cap landing anywhere keeps
+    * the short line as the last complete line. [[parsePriorQueries]]
+    * expands short keys back through the registry. */
   private def emit(sfDir: String, samples: Map[String, List[(Double, Double)]],
                    sentinels: Seq[Double]): Unit = {
     val (results, contaminated) = summarize(samples, sentinels)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    // short-key map, falling back to the long name on (unexpected) collision
+    val shorts = {
+      val m = results.map { case (k, _) => k -> shortKey(k) }.toMap
+      val dup = m.values.groupBy(identity).collect { case (s, vs) if vs.size > 1 => s }.toSet
+      m.map { case (k, s) => k -> (if (dup(s)) k else s) }
+    }
+    def qJson(keyOf: String => String): String =
+      results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
     // failures carry a -1 sentinel per query; keep them OUT of the total
     // (a failing run must never report a better aggregate than a clean one)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => k }
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED: ${failed.mkString(",")}")
-    val contended =
-      if (sentinels.isEmpty) Seq.empty
-      else {
-        val m = sentinels.sorted.apply(sentinels.size / 2)
-        sentinels.zipWithIndex.collect { case (s, i) if s > 2.5 * m => i }
-      }
+    val sentMedian =
+      if (sentinels.isEmpty) -1.0 else sentinels.sorted.apply(sentinels.size / 2)
+    val contended = sentinels.zipWithIndex.collect {
+      case (s, i) if s > 2.5 * sentMedian => i
+    }
     val prior = priorRound()
-    val deviant = prior.toSeq.flatMap { case (_, pq) =>
+    // sentinel-normalized drift: scale the prior's per-query seconds by
+    // (this run's median sentinel / the prior's) when both carry one, so
+    // a constant-factor machine slowdown is attributed to the MACHINE and
+    // only genuine per-query movement trips the >3x flag
+    val sentRatio = prior.flatMap(_._3)
+      .filter(ps => ps > 0 && sentMedian > 0).map(sentMedian / _)
+    val scale = sentRatio.getOrElse(1.0)
+    val deviant = prior.toSeq.flatMap { case (_, pq, _) =>
       results.collect {
         case (n, v) if v > 0 && pq.getOrElse(n, -1.0) > 0.05 &&
-          (v / pq(n) > 3.0 || pq(n) / v > 3.0) =>
-          "\"" + n + "\":" + f"${v / pq(n)}%.2f"
+          (v / (pq(n) * scale) > 3.0 || (pq(n) * scale) / v > 3.0) =>
+          "\"" + n + "\":" + f"${v / (pq(n) * scale)}%.2f"
       }
     }
     val sentJson = sentinels.map(s => f"$s%.2f").mkString("[", ",", "]")
-    val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contamJson = contaminated.map(n => "\"" + shorts(n) + "\"")
+      .mkString("[", ",", "]")
     val diag =
       s"""{"metric":"bench_diag","sentinel":$sentJson,""" +
         s""""contended_segments":${contended.mkString("[", ",", "]")},""" +
-        s""""contaminated_queries":$contamJson,""" +
+        s""""contaminated_queries":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""prior":${prior.map(p => "\"" + p._1 + "\"").getOrElse("null")},""" +
+        s""""sent_ratio_vs_prior":${sentRatio.map(r => f"$r%.3f").getOrElse("null")},""" +
         s""""deviant_vs_prior":${deviant.mkString("{", ",", "}")}}"""
     if (contended.nonEmpty)
       System.err.println(s"[bench] CONTENDED segments ${contended.mkString(",")}: " +
@@ -248,18 +274,22 @@ object Bench {
            s"; queries with NO clean sample (all-sample median kept): ${contaminated.mkString(",")}"
          else "; every query retained at least one clean sample"))
     if (deviant.nonEmpty)
-      System.err.println(s"[bench] DEVIANT >3x vs prior round: ${deviant.mkString(",")}" +
-        " — on unchanged code, re-run before committing")
-    val line =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"sf":"$sfDir","contaminated_queries":$contamJson}"""
-    println(line)
+      System.err.println(s"[bench] DEVIANT >3x vs prior round" +
+        sentRatio.map(r => f" (sentinel-normalized, ratio $r%.3f)").getOrElse("") +
+        s": ${deviant.mkString(",")} — on unchanged code, re-run before committing")
+    println(s"""{"metric":"bench_named","queries":${qJson(identity)}}""")
     println(diag)
-    println(line)
+    // the short final line — the one the tail cap must preserve whole
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""sf":"$sfDir","sent":${f"$sentMedian%.3f"},""" +
+      s""""queries":${qJson(shorts)},"contaminated_queries":$contamJson}""")
   }
 
   /** The latest committed BENCH_r*.json (or SPARK_GRAFT_BENCH_PRIOR): the
-    * per-query baseline for the >3x deviation flag. */
-  private def priorRound(): Option[(String, Map[String, Double])] = {
+    * per-query baseline for the >3x deviation flag, plus the prior run's
+    * median sentinel when its artifact carries one (`"sent"` — emitted
+    * from round 11 on) for sentinel-normalized comparison. */
+  private def priorRound(): Option[(String, Map[String, Double], Option[Double])] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
     val candidate = explicit.orElse {
       val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
@@ -272,7 +302,7 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val txt = try src.mkString finally src.close()
-        parsePriorQueries(txt).map(f.getName -> _)
+        parsePriorQueries(txt).map(q => (f.getName, q, parsePriorSentinel(txt)))
       } catch { case _: Exception => None }
     }
   }
@@ -293,22 +323,50 @@ object Bench {
     * masquerade as a query. */
   private[graft] def parsePriorQueries(txt: String): Option[Map[String, Double]] = {
     import scala.jdk.CollectionConverters._
-    val QueryName = "[pq]\\d+_\\w+"
+    // long registry names AND (round 11+) the short keys the final line
+    // emits; a short key expands back through the registry, and one that
+    // no longer resolves (a removed query) is dropped rather than guessed
+    val QueryName = "[pq]\\d+(?:_\\w+)?"
+    val expand: Map[String, String] =
+      SparkEntry.queries.keys.map(n => shortKey(n) -> n).toMap
+    def resolve(k: String): Option[String] =
+      if (k.contains('_')) Some(k) else expand.get(k)
     def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] = {
       val q = n.path("queries")
       if (!q.isObject) None
       else Some(q.fields().asScala
         .filter(e => e.getKey.matches(QueryName) && e.getValue.isNumber)
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap).filter(_.nonEmpty)
+        .flatMap(e => resolve(e.getKey).map(_ -> e.getValue.asDouble())).toMap)
+        .filter(_.nonEmpty)
     }
     def fromText(s: String): Option[Map[String, Double]] =
       Some(("\"(" + QueryName + ")\":(-?[0-9][0-9.eE+-]*)").r.findAllMatchIn(s)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap).filter(_.nonEmpty)
+        .flatMap(m => resolve(m.group(1)).map(_ -> m.group(2).toDouble)).toMap)
+        .filter(_.nonEmpty)
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
       fromNode(root) // shape 1
         .orElse(fromNode(root.path("parsed"))) // shape 2
         .orElse(fromText(root.path("tail").asText(""))) // shape 3
     } catch { case _: Exception => fromText(txt) } // not JSON at all
+  }
+
+  /** The prior run's median sentinel — `"sent":<secs>` on the final line
+    * (emitted from round 11 on), searched in the same three shapes as
+    * [[parsePriorQueries]]: raw line, re-parsed `parsed`, unescaped
+    * `tail` text. Absent or non-positive -> None (normalization off). */
+  private[graft] def parsePriorSentinel(txt: String): Option[Double] = {
+    val SentRe = """"sent":(-?[0-9][0-9.eE+-]*)""".r
+    def fromText(s: String): Option[Double] =
+      SentRe.findAllMatchIn(s).toSeq.lastOption.map(_.group(1).toDouble)
+    val viaJson =
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        val parsed = root.path("parsed").path("sent")
+        if (parsed.isNumber) Some(parsed.asDouble())
+        else if (root.path("sent").isNumber) Some(root.path("sent").asDouble())
+        else fromText(root.path("tail").asText(""))
+      } catch { case _: Exception => fromText(txt) }
+    viaJson.filter(_ > 0)
   }
 }

@@ -270,8 +270,8 @@ object Dedup {
     * This is the between-doc sibling of [[dupNgramFraction]]: that one
     * SCORES a doc's boilerplate load, this one REWRITES the corpus.
     *
-    * Scale shape: lines explode map-side; the distinct-doc count per
-    * line is two partial-agg passes over (line, doc) cells; the
+    * Scale shape: lines dedup map-side within each doc's split array and
+    * the distinct-doc count per line is one partial-agg'd exchange; the
     * boilerplate verdict set (only lines clearing `minDocs`) is a small
     * fraction of the corpus and rides a broadcast back onto the line
     * stream — the corpus itself is never shuffled by line text. The
@@ -288,17 +288,20 @@ object Dedup {
 
   /** Persistable line-statistics artifact: (line, n_docs) for every
     * non-blank line, n_docs = DISTINCT documents carrying it. Built in
-    * one corpus scan (two cell-sized partial-agg passes); write it next
+    * one corpus scan (one partial-agg'd exchange on the line); write it next
     * to the corpus and each ingest increment pays only its own size —
     * the same incremental-artifact shape as [[lshIndex]] and the
     * snapshot-diff digests. */
   def lineStats(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", delim: String = "\n"): DataFrame =
-    docs.select(col(idCol),
-        explode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
-          .as("line"))
-      .where(trim(col("line")) =!= "")
-      .select(col(idCol), col("line")).distinct()
+    // per-doc distinct non-blank lines dedup MAP-SIDE inside the split
+    // array, so the distinct-doc count is ONE shuffle (on the line, with
+    // map-side partial counts) instead of distinct-(doc,line) + groupBy —
+    // the span-scrub verdict lesson applied to the line artifact
+    docs.select(
+        explode(array_distinct(filter(
+          split(col(textCol), java.util.regex.Pattern.quote(delim), -1),
+          l => trim(l) =!= ""))).as("line"))
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
 
   /** Fold an increment's [[lineStats]] into the stored artifact —
@@ -460,9 +463,9 @@ object Dedup {
     * partially-overlapping boilerplate a line filter misses.
     *
     * Scale shape: window hashing is map-side (one digest per word); the
-    * verdict set is two cell-sized partial-agg passes and broadcasts
-    * back (the [[lineDedup]] geometry); the per-doc coverage rollup is
-    * one id-keyed exchange. Coverage and the rewrite are ONE
+    * verdict set is ONE partial-agg'd shuffle of per-doc-distinct hashes
+    * and broadcasts back (the [[lineDedup]] geometry); the per-doc
+    * coverage rollup is one id-keyed exchange. Coverage and the rewrite are ONE
     * interval-merge fold over the sorted marked starts — O(len + k) per
     * doc, never per-char × per-span (a first cut used a per-char
     * `exists` scan, which went quadratic exactly on the near-dup-dense
@@ -491,8 +494,26 @@ object Dedup {
             col(textCol), lit(windowLen))).as("_pw"))
           .select(col(idCol), col("_pw.pos").as("_pos"), col("_pw.wh").as("_wh"))
       else spanWindowPosFallback(normed, windowLen, idCol)
-    val bad0 = pw.select(col(idCol), col("_wh")).distinct()
-      .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
+    // verdict build: per-doc DISTINCT window hashes dedup MAP-SIDE inside
+    // the per-doc array (the non-positioned kernel already emits each
+    // doc's hashes distinct; the fallback array_distincts), so the
+    // distinct-doc count per hash is ONE shuffle with map-side partial
+    // counts — the previous distinct-(doc,wh)-then-groupBy(wh) pair
+    // shuffled the full positioned window stream twice and was ~50% of
+    // the operator at the 100x smoke point (span_scrub_verdict family);
+    // re-hashing the text (one digest per word) is ~5% of it
+    val docWh =
+      if (docs.sparkSession.catalog.functionExists("anchor_window_hashes"))
+        docs.select(col(idCol),
+          explode(call_function("anchor_window_hashes",
+            col(textCol), lit(windowLen))).as("_wh"))
+      else
+        normed.where(length(col("_norm")) >= windowLen)
+          .select(col(idCol), explode(array_distinct(expr(
+            s"transform(filter(sequence(1, length(_norm) - $windowLen + 1), " +
+              s"i -> i = 1 OR substring(_norm, i - 1, 1) = ' '), " +
+              s"i -> md5(substring(_norm, i, $windowLen)))"))).as("_wh"))
+    val bad0 = docWh.groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
       .where(col("_docs") >= minDocs)
       .select(col("_wh").as("_badwh"))
     val bad = if (broadcastVerdicts) broadcast(bad0) else bad0

@@ -326,10 +326,10 @@ object Similarity {
     * itself cluster-parallelizable. */
   def activityCosineTopK(events: DataFrame, keyCol: String, tsCol: String,
                          hourUs: Long, queryPred: Column, k: Int,
-                         salts: Int = 1): DataFrame = {
+                         salts: Int = 1, bins: Int = 24): DataFrame = {
     require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val cells = activityCells(events, keyCol, tsCol, hourUs)
+    val cells = activityCells(events, keyCol, tsCol, hourUs, bins)
     val norms = cells.groupBy(col(keyCol))
       .agg(sqrt(sum(col("_c") * col("_c")).cast("double")).as("_nrm"))
     val a0 = cells.where(queryPred)
@@ -363,27 +363,32 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("n_id"), col("sim_micro"))
   }
 
-  /** (key, _h, _c) activity cells: per-key hour-of-day event counts.
-    * FLOOR-division hour index (`div` truncates toward zero, which would
-    * mis-bin pre-epoch timestamps and diverge from the oracle's floor
-    * `//`) — the bucketStart idiom, then a non-negative mod. */
+  /** (key, _h, _c) activity cells: per-key hour-of-bin event counts
+    * (`bins = 24` is hour-of-day; 168 is hour-of-week; 7 with
+    * `hourUs = 24h` is day-of-week). FLOOR-division hour index (`div`
+    * truncates toward zero, which would mis-bin pre-epoch timestamps and
+    * diverge from the oracle's floor `//`) — the bucketStart idiom, then
+    * a non-negative mod. */
   def activityCells(events: DataFrame, keyCol: String, tsCol: String,
-                    hourUs: Long): DataFrame =
+                    hourUs: Long, bins: Int = 24): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
     events.groupBy(col(keyCol),
-        pmod(expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(24))
+        pmod(expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
           .as("_h"))
       .agg(count(lit(1)).as("_c"))
+  }
 
   /** Dense per-key activity histograms from [[activityCells]]:
-    * (key, hist array<long>[24]) — 24 longs per key, cell-sized. Built
-    * as 24 conditional sums, NOT `map_from_entries(collect_list(...))`:
-    * the map route plans an ObjectHashAggregate (no codegen, per-row
-    * object churn) while conditional sums stay a plain codegen'd
-    * HashAggregate with map-side partials — measured 2x on the corpus
-    * pass at the 100x smoke point. */
-  def activityHistograms(cells: DataFrame, keyCol: String): DataFrame =
+    * (key, hist array<long>[bins]) — `bins` longs per key, cell-sized.
+    * Built as `bins` conditional sums, NOT
+    * `map_from_entries(collect_list(...))`: the map route plans an
+    * ObjectHashAggregate (no codegen, per-row object churn) while
+    * conditional sums stay a plain codegen'd HashAggregate with map-side
+    * partials — measured 2x on the corpus pass at the 100x smoke point. */
+  def activityHistograms(cells: DataFrame, keyCol: String,
+                         bins: Int = 24): DataFrame =
     cells.groupBy(col(keyCol))
-      .agg(array((0 until 24).map(h =>
+      .agg(array((0 until bins).map(h =>
         coalesce(sum(when(col("_h") === h, col("_c"))), lit(0L))): _*).as("hist"))
 
   /** LSH stride for the 24-bin histograms: coprime to 24 so all table
@@ -415,11 +420,13 @@ object Similarity {
     * bucket-collision set, not the key population. */
   def activityCosineTopKLsh(events: DataFrame, keyCol: String, tsCol: String,
                             hourUs: Long, queryPred: Column, k: Int,
-                            tables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
+                            tables: Int = DefaultTables, bits: Int = DefaultBits,
+                            bins: Int = 24,
+                            broadcastQueries: Boolean = true): DataFrame = {
     require(hourUs > 0, s"need positive hour width, got $hourUs")
     activityCosineTopKLshProbe(
-      activityLshIndex(events, keyCol, tsCol, hourUs, tables, bits),
-      keyCol, queryPred, k)
+      activityLshIndex(events, keyCol, tsCol, hourUs, tables, bits, bins),
+      keyCol, queryPred, k, broadcastQueries)
   }
 
   /** Persistable signature INDEX of a keyed event corpus' activity
@@ -429,38 +436,100 @@ object Similarity {
     * it costs one corpus scan; write it next to the events table and
     * [[activityCosineTopKLshProbe]] answers queries without re-scanning
     * or re-histogramming the corpus. Incremental ingest: indexes of
-    * key-disjoint event sets union trivially (one row per key), so each
-    * increment pays only its own size. */
+    * KEY-DISJOINT event sets union trivially (one row per key); when a
+    * key can recur across increments — the common case for an activity
+    * profile — fold the parts through [[activityLshIndexMerge]] instead,
+    * which sums histograms per key and recomputes norms/signatures
+    * (cell-sized); a plain union of overlapping parts would carry two
+    * divergent rows for the returning key and silently split its
+    * profile. */
   def activityLshIndex(events: DataFrame, keyCol: String, tsCol: String,
                        hourUs: Long, tables: Int = DefaultTables,
-                       bits: Int = DefaultBits): DataFrame = {
+                       bits: Int = DefaultBits, bins: Int = 24): DataFrame = {
     require(hourUs > 0, s"need positive hour width, got $hourUs")
-    require(tables >= 1 && tables <= 24 && bits >= 1 && bits <= 24,
-      s"need 1..24 tables and 1..24 bits, got $tables/$bits")
-    activityHistograms(activityCells(events, keyCol, tsCol, hourUs), keyCol)
+    indexOfHistograms(
+      activityHistograms(activityCells(events, keyCol, tsCol, hourUs, bins),
+        keyCol, bins),
+      keyCol, tables, bits, bins)
+  }
+
+  /** Fold [[activityLshIndex]] parts whose KEY SETS MAY OVERLAP into the
+    * single index an end-to-end build over the concatenated events would
+    * produce (parity-pinned in PipelineSpec): histograms sum per key —
+    * event counts are additive — and norm + signatures are recomputed
+    * from the merged histogram (they are nonlinear in the counts, so the
+    * parts' own values cannot be combined). Cell-sized work: one
+    * key-keyed exchange of histogram rows, `bins` conditional sums each.
+    * `tables`/`bits`/`bins` must match the values the parts were built
+    * with — like every index artifact here, geometry is the caller's
+    * contract (bins is validated against the rows' own histogram width,
+    * the one mismatch that would silently corrupt). */
+  def activityLshIndexMerge(parts: DataFrame, keyCol: String,
+                            tables: Int = DefaultTables, bits: Int = DefaultBits,
+                            bins: Int = 24): DataFrame = {
+    val summed = parts
+      // assert_true returns null when the predicate holds, so the `when`
+      // passes hist through unchanged and a width-mismatched part row
+      // fails the job loudly instead of silently truncating/null-padding
+      .select(col(keyCol),
+        when(assert_true(size(col("hist")) === bins,
+          lit(s"activityLshIndexMerge: part histogram width != bins=$bins"))
+          .isNull, col("hist")).as("hist"))
+      .groupBy(col(keyCol))
+      .agg(array((0 until bins).map(h =>
+        sum(element_at(col("hist"), h + 1))): _*).as("hist"))
+    indexOfHistograms(summed, keyCol, tables, bits, bins)
+  }
+
+  /** The histogram → (hist, nrm, bucketsigs) index projection shared by
+    * [[activityLshIndex]] and [[activityLshIndexMerge]] — one definition,
+    * or a drift would silently break merge/build parity. Mean-centering:
+    * `bins*c[h] - total` (integer), bit h = "bin h is above this key's
+    * average activity". */
+  private def indexOfHistograms(hists: DataFrame, keyCol: String,
+                                tables: Int, bits: Int, bins: Int): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    require(tables >= 1 && tables <= bins && bits >= 1 && bits <= bins,
+      s"need 1..$bins tables and 1..$bins bits for bins=$bins, got $tables/$bits")
+    require(BigInt(ActivityStride).gcd(BigInt(bins)) == 1,
+      s"LSH stride $ActivityStride must be coprime to bins=$bins " +
+        "or table dim-sets repeat")
+    hists
       .withColumn("_tot", aggregate(col("hist"), lit(0L), (a, x) => a + x))
       .withColumn("vd", transform(col("hist"),
-        x => (x * lit(24L) - col("_tot")).cast("double")))
+        x => (x * lit(bins.toLong) - col("_tot")).cast("double")))
       .select(col(keyCol), col("hist"),
         sqrt(aggregate(col("hist"), lit(0L), (a, x) => a + x * x).cast("double"))
           .as("nrm"),
         array((0 until tables).map(t =>
-          signBucket(col("vd"), t, bits, 24, ActivityStride)): _*).as("bucketsigs"))
+          signBucket(col("vd"), t, bits, bins, ActivityStride)): _*).as("bucketsigs"))
   }
 
   /** Probe a (typically persisted) [[activityLshIndex]]: identical
     * output to [[activityCosineTopKLsh]] with the index's parameters
     * (parity-pinned in PipelineSpec). Candidates collide in >= 1 table;
     * the exact integer-dot cosine of the RAW histograms re-verifies
-    * every candidate in the exhaustive route's IEEE op order. */
+    * every candidate in the exhaustive route's IEEE op order.
+    *
+    * `broadcastQueries` (default true): the candidate and verify joins
+    * HINT broadcast on the query side — contractually small under
+    * `queryPred`, and a sort-merge would shuffle the corpus signature
+    * stream (the exact shuffle the probe exists to avoid). Pass false
+    * when the query set outgrows executor memory: the same plan degrades
+    * to shuffle joins keyed on (t, bucket) / q_id instead of OOMing the
+    * driver, output identical (parity pinned in PipelineSpec — the
+    * lineDedup/span-scrub `broadcastVerdicts` contract). */
   def activityCosineTopKLshProbe(index: DataFrame, keyCol: String,
-                                 queryPred: Column, k: Int): DataFrame = {
+                                 queryPred: Column, k: Int,
+                                 broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     val corpusSig = index.select(col(keyCol).as("n_id"),
       posexplode(col("bucketsigs")).as(Seq("t", "bucket")))
     val querySig = index.where(queryPred).select(col(keyCol).as("q_id"),
       posexplode(col("bucketsigs")).as(Seq("t", "bucket")))
-    val cands = corpusSig.join(broadcast(querySig), Seq("t", "bucket"))
+    val cands = corpusSig.join(hinted(querySig), Seq("t", "bucket"))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()
     val qh = index.where(queryPred)
@@ -469,7 +538,7 @@ object Similarity {
       .select(col(keyCol).as("n_id"), col("hist").as("_nh"), col("nrm").as("_nn"))
     // exact verify on candidates: integer dot of the RAW histograms, then
     // the repo-wide float recipe in the exhaustive route's IEEE op order
-    val sims = cands.join(broadcast(qh), "q_id").join(nh, "n_id")
+    val sims = cands.join(hinted(qh), "q_id").join(nh, "n_id")
       .select(col("q_id"), col("n_id"),
         floor(lit(1e6) *
             aggregate(zip_with(col("_qh"), col("_nh"), _ * _), lit(0L), _ + _)

@@ -58,17 +58,30 @@ object SketchMaintain {
 
   /** One maintenance round over the stored artifact (all three frames
     * read back from this round's parquet). Call `commit()` after any
-    * downstream use of the round is durable. */
+    * downstream use of the round is durable.
+    *
+    * LIFETIME: the frames read this round's parquet LAZILY, and a LATER
+    * [[advance]] deletes that parquet (an uncommitted round is swept; a
+    * committed round is retired once a newer round commits after it) —
+    * a caller holding a SketchRound across subsequent advances must
+    * collect or `.cache()` + materialize the (sketch-sized) frames
+    * first, or later accesses throw FileNotFoundException. */
   final case class SketchRound(round: Long, cms: DataFrame, kmv: DataFrame,
                                candidates: DataFrame, totalValues: Long,
                                commit: () => Unit)
 
   /** Fold `increment` (columns `groupCol`, `valueCol`) into the stored
-    * sketches. The increment is materialized to parquet once and every
-    * pass reads the image (three passes: cells, minima, distinct
-    * candidates — the upstream plan is never re-evaluated); the image
-    * is deleted again before commit, so committed state stays
-    * sketch-sized. */
+    * sketches. The increment is normalized, null values dropped (a null
+    * value hashes to null buckets — it could never be estimated or
+    * recalled, and counting it into the running total would silently
+    * deflate every candidate's support share), then cached ONCE
+    * (persist + the count that is needed anyway materializes it); the
+    * three sketch passes — cells, minima, distinct candidates — read
+    * the cached blocks and the cache is dropped before returning, so no
+    * increment image ever reaches the filesystem and committed state
+    * stays sketch-sized. (An executor-loss recompute re-evaluates the
+    * increment plan — deterministic by the ingest contract, and a
+    * failed advance is swept and replayed anyway.) */
   def advance(spark: SparkSession, increment: DataFrame, groupCol: String,
               valueCol: String, stateDir: String, floorPermille: Int = 1,
               depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
@@ -123,14 +136,13 @@ object SketchMaintain {
           prevTotal, () => ())
       case _ => ()
     }
-    val incPath = new Path(roundDir, "_inc")
-    increment.select(col(groupCol).cast("string").as("_g"),
+    val inc = increment.select(col(groupCol).cast("string").as("_g"),
         col(valueCol).cast("string").as("_v"))
-      .write.mode("overwrite").parquet(incPath.toString)
-    val inc = spark.read.parquet(incPath.toString)
+      .where(col("_v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nInc = inc.count() // materializes the cache; also the round's total
     val cellsInc = Sketches.cmsPartial(inc, col("_v"), depth, width)
     val kmvInc = Sketches.kmvPartial(inc, "_g", col("_v"), k)
-    val nInc = inc.count()
     val (cells, kmv, candIn, total) = prev match {
       case Some((prevDir, prevTotal, _)) =>
         (Sketches.cmsMerge(spark.read.parquet(new Path(prevDir, "cms").toString)
@@ -150,7 +162,7 @@ object SketchMaintain {
     Sketches.cmsEstimate(candIn, "_v", stored, depth, width)
       .where(col("est_cnt") * 1000 >= lit(total) * floorPermille)
       .write.mode("overwrite").parquet(new Path(roundDir, "cand").toString)
-    fs.delete(incPath, true)
+    inc.unpersist(false) // all three passes are written; release the blocks
     val out = fs.create(new Path(roundDir, "sketch_meta"), true)
     try out.write(s"$config|total=$total|tag=$tag"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -177,12 +189,18 @@ object SketchMaintain {
   }
 
   /** Wire a streaming frame (columns `groupCol`, `valueCol`) into the
-    * loop: `SketchMaintain.start(df, "src", "w", state, ckpt).start()`. */
+    * loop: `SketchMaintain.start(df, "src", "w", state, ckpt).start()`.
+    * `depth`/`width`/`k` mirror [[handler]]'s geometry so a stream can
+    * use — or resume a stateDir bootstrapped with — a non-default
+    * sketch geometry (the config guard refuses a mismatch either way). */
   def start(increment: DataFrame, groupCol: String, valueCol: String,
-            stateDir: String, checkpointDir: String, floorPermille: Int = 1)
+            stateDir: String, checkpointDir: String, floorPermille: Int = 1,
+            depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
+            k: Int = Sketches.DefaultK)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     increment.writeStream.option("checkpointLocation", checkpointDir)
-      .foreachBatch(handler(groupCol, valueCol, stateDir, floorPermille))
+      .foreachBatch(handler(groupCol, valueCol, stateDir, floorPermille,
+        depth, width, k))
 
   /** Heavy hitters over the ENTIRE ingest history from the last
     * committed round's artifact: every candidate whose CM estimate

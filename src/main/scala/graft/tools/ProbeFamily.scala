@@ -15,19 +15,29 @@ object ProbeFamily {
     val family = args(1)
     val n = args(2).toInt
     val reps = if (args.length > 3) args(3).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // source-dataset key for /tmp caches: replicas of DIFFERENT SF dirs
+    // must never collide (a factor-keyed-only cache silently reused stale
+    // replicas after an SF_DIR switch)
+    val sfKey = Integer.toHexString(sfDir.hashCode)
+    // Hadoop FS existence check: smokeDir/caches may be any Hadoop path,
+    // not just local files
+    def success(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+      path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+    }
     // docs_x$n replicas: reuse a prior ScaleSmoke materialization if the
     // caller pointed smokeDir at one, else materialize once under /tmp —
     // ONE loading path for every family (the pre-existing families used
     // to hard-require a prior materialization)
     def probeDocs() = {
       val path = s"$smokeDir/docs_x$n"
-      if (new java.io.File(s"$path/_SUCCESS").exists()) spark.read.parquet(path)
+      if (success(path)) spark.read.parquet(path)
       else {
-        val cached = s"/tmp/graft_probe_docs_x$n"
-        if (!new java.io.File(s"$cached/_SUCCESS").exists())
+        val cached = s"/tmp/graft_probe_docs_${sfKey}_x$n"
+        if (!success(cached))
           ScaleSmoke.replicateDocsDistinct(
-            graft.Tables.documents(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-              "/root/testdata/sf0.1")).select("doc_id", "text"), n)
+            graft.Tables.documents(spark, sfDir).select("doc_id", "text"), n)
             .write.mode("overwrite").parquet(cached)
         spark.read.parquet(cached)
       }
@@ -49,24 +59,22 @@ object ProbeFamily {
       case "line_dedup" =>
         Dedup.lineDedup(docs, 2L, delim = " ")
           .agg(sum(col("kept_lines") + length(col("new_text")))).head().getLong(0)
+      case "span_scrub" =>
+        Dedup.duplicateSpanScrub(docs, 48, 2L)
+          .agg(sum(col("covered_chars") + length(col("scrubbed_md5")))).head().getLong(0)
       case "activity_exact" =>
-        val ev = ScaleSmoke.replicateEvents(
-          graft.Tables.events(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-            "/root/testdata/sf0.1")), n)
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
         graft.functions.Similarity.activityCosineTopK(
           ev, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count()
       case "activity_lsh" =>
-        val ev = ScaleSmoke.replicateEvents(
-          graft.Tables.events(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-            "/root/testdata/sf0.1")), n)
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
         graft.functions.Similarity.activityCosineTopKLsh(
           ev, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count()
       case "semdedup" =>
-        val semIdxPath = s"/tmp/graft_sem_idx_x$n"
-        if (!new java.io.File(s"$semIdxPath/_SUCCESS").exists()) {
+        val semIdxPath = s"/tmp/graft_sem_idx_${sfKey}_x$n"
+        if (!success(semIdxPath)) {
           val embsN = ScaleSmoke.replicateEmbsRotated(
-            graft.Tables.embeddings(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-              "/root/testdata/sf0.1")), n)
+            graft.Tables.embeddings(spark, sfDir), n)
           val model = graft.functions.IvfIndex.train(embsN,
             k = math.min(16 * n, 512), iters = 3)
           println(s"[probe] semdedup model trained k=${model.k}")
@@ -81,8 +89,7 @@ object ProbeFamily {
         // factor's codebook, report the cell-size distribution and the
         // within-cell pair volume the pair scan will pay
         val embsN = ScaleSmoke.replicateEmbsRotated(
-          graft.Tables.embeddings(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-            "/root/testdata/sf0.1")), n)
+          graft.Tables.embeddings(spark, sfDir), n)
         val model = graft.functions.IvfIndex.train(embsN,
           k = math.min(16 * n, 512), iters = 3)
         val sizes = graft.functions.IvfIndex.index(embsN, model)

@@ -61,6 +61,47 @@ class BenchPriorSpec extends AnyFunSuite {
       "q12_dedup" -> 0.3859)))
   }
 
+  test("shape 4 (round 11+): short-keyed final line expands through the registry; sent is read") {
+    // the committed-artifact fix: the final line carries SHORT keys
+    // ("q1", "p54") so 92 queries fit the wrapper's 2,000-byte tail cap,
+    // plus the run's median sentinel for cross-round normalization
+    val raw =
+      """{"metric":"total","value":12.5,"unit":"sec","sf":"/root/testdata/sf0.1","sent":0.210,"queries":{"q1":0.46,"q12":4.80,"p4":1.00},"contaminated_queries":[]}"""
+    val got = Bench.parsePriorQueries(raw)
+    assert(got === Some(Map(
+      "q1_op_filter" -> 0.46, "q12_dedup" -> 4.80, "p4_fingerprint" -> 1.00)))
+    assert(Bench.parsePriorSentinel(raw) === Some(0.210))
+    // wrapper shape with the short line escaped in the tail
+    val wrapper =
+      """{"n": 11, "parsed": null, "tail": "noise\n{\"metric\":\"total\",\"value\":12.5,\"unit\":\"sec\",\"sf\":\"x\",\"sent\":0.19,\"queries\":{\"q1\":0.46,\"p4\":1.0}}\n"}"""
+    assert(Bench.parsePriorQueries(wrapper) ===
+      Some(Map("q1_op_filter" -> 0.46, "p4_fingerprint" -> 1.0)))
+    assert(Bench.parsePriorSentinel(wrapper) === Some(0.19))
+    // a short key that resolves to no registered query is dropped, never guessed
+    assert(Bench.parsePriorQueries("""{"queries":{"q999":1.0,"q1":0.5}}""") ===
+      Some(Map("q1_op_filter" -> 0.5)))
+  }
+
+  test("the final short line for the full registry fits the 2,000-byte committed tail cap") {
+    // every registry entry at a worst-plausible width (3-digit seconds,
+    // 2 decimals) plus the fixed fields — the exact string emit() builds
+    val qs = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => "\"" + Bench.shortKey(n) + "\":999.99").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.99,"unit":"sec","sf":"/root/testdata/sf0.1","sent":0.210,"queries":$qs,"contaminated_queries":[]}"""
+    assert(line.getBytes("UTF-8").length <= 1700,
+      s"short final line must stay comfortably under the 2,000-byte tail cap, got ${line.length}")
+    // short keys are unique across the registry (expansion is injective)
+    val shorts = qs; val keys = SparkEntry.queries.keys.map(Bench.shortKey).toSeq
+    assert(keys.distinct.size === keys.size, s"short-key collision in $shorts")
+  }
+
+  test("sentinel normalization math: prior sentinel absent -> raw ratios (None)") {
+    assert(Bench.parsePriorSentinel("""{"metric":"total","queries":{"q1":0.5}}""").isEmpty)
+    assert(Bench.parsePriorSentinel("not json").isEmpty)
+    assert(Bench.parsePriorSentinel("""{"sent":-1.0}""").isEmpty) // failed-run marker
+  }
+
   test("garbage and query-free inputs yield None, not a bogus baseline") {
     assert(Bench.parsePriorQueries("not json at all").isEmpty)
     assert(Bench.parsePriorQueries("""{"n": 9, "parsed": null, "tail": "no queries here"}""").isEmpty)

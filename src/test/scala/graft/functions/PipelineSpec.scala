@@ -745,6 +745,104 @@ class PipelineSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("activityLshIndexMerge: a key active in BOTH increments probes identically to a single build") {
+    // the returning-key case a plain union gets WRONG (two divergent
+    // index rows per returning key, no merge path): split by TIME, so
+    // most keys appear in both halves — the SketchMaintain increments ==
+    // one-shot pattern applied to the activity index
+    val rnd = new scala.util.Random(29)
+    val hourUs = 3_600_000_000L
+    val evs = (1 to 900).map { _ =>
+      (1L + rnd.nextInt(25), rnd.nextInt(24).toLong * hourUs +
+        rnd.nextInt(14).toLong * 24L * hourUs + rnd.nextInt(3600) * 1000000L)
+    }
+    val df = evs.toDF("k", "ts")
+    val cut = 7L * 24L * hourUs
+    val early = Similarity.activityLshIndex(df.where(col("ts") < cut), "k", "ts", hourUs)
+    val late = Similarity.activityLshIndex(df.where(col("ts") >= cut), "k", "ts", hourUs)
+    // both halves non-trivial and overlapping in keys, or the test is vacuous
+    val overlap = early.select("k").intersect(late.select("k")).count()
+    assert(overlap >= 20, s"fixture must have returning keys, got $overlap")
+    val merged = Similarity.activityLshIndexMerge(early.unionByName(late), "k")
+    val whole = Similarity.activityLshIndex(df, "k", "ts", hourUs)
+    // index-row parity: histogram, norm, and every bucket signature
+    val asMap = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("k"), col("hist"), col("nrm"), col("bucketsigs"))
+        .as[(Long, Seq[Long], Double, Seq[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(asMap(merged) === asMap(whole))
+    // probe parity end-to-end
+    val pm = Similarity.activityCosineTopKLshProbe(merged, "k", col("k") <= 6, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    val pw = Similarity.activityCosineTopKLshProbe(whole, "k", col("k") <= 6, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pm === pw && pm.nonEmpty)
+    // merge is idempotent over an already-merged index (one part per key)
+    val again = Similarity.activityLshIndexMerge(merged, "k")
+    assert(asMap(again) === asMap(whole))
+  }
+
+  test("activityCosineTopKLshProbe: broadcastQueries=false path is output-identical") {
+    val rnd = new scala.util.Random(31)
+    val hourUs = 3_600_000_000L
+    val evs = (1 to 700).map { _ =>
+      (1L + rnd.nextInt(28), rnd.nextInt(24).toLong * hourUs +
+        rnd.nextInt(10).toLong * 24L * hourUs + rnd.nextInt(3600) * 1000000L)
+    }
+    val df = evs.toDF("k", "ts")
+    val idx = Similarity.activityLshIndex(df, "k", "ts", hourUs)
+    val hinted = Similarity.activityCosineTopKLshProbe(idx, "k", col("k") <= 6, 3)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    val shuffled = Similarity.activityCosineTopKLshProbe(idx, "k", col("k") <= 6, 3,
+        broadcastQueries = false)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hinted === shuffled && hinted.nonEmpty)
+    // and through the end-to-end wrapper
+    val viaLsh = Similarity.activityCosineTopKLsh(df, "k", "ts", hourUs,
+        col("k") <= 6, 3, broadcastQueries = false)
+      .orderBy("q_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaLsh === hinted)
+  }
+
+  test("activity bins generalize: 168-bin hour-of-week routes agree (exact vs LSH verify contract)") {
+    val rnd = new scala.util.Random(37)
+    val hourUs = 3_600_000_000L
+    // weekly structure: each key's activity concentrates on its own
+    // day-of-week, invisible at 24 bins but separable at 168
+    val evs = for { k <- 0 until 20; i <- 0 until 30 } yield {
+      val day = k % 7
+      (k.toLong, (rnd.nextInt(6).toLong * 7L + day) * 24L * hourUs +
+        rnd.nextInt(24).toLong * hourUs + rnd.nextInt(3600) * 1000000L)
+    }
+    val df = evs.toDF("k", "ts")
+    val pred = col("k") < 5
+    val exact = Similarity.activityCosineTopK(df, "k", "ts", hourUs, pred,
+        1000000, bins = 168)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    val lsh = Similarity.activityCosineTopKLsh(df, "k", "ts", hourUs, pred, 3,
+        bins = 168)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect().toSeq
+    assert(lsh.nonEmpty)
+    // verify contract at 168 bins: every emitted sim equals the exhaustive
+    // route's for bin-sharing pairs; a candidate sharing NO bin (possible —
+    // sign-LSH buckets, not bins, gate candidacy) must carry sim 0
+    lsh.foreach { case (q, n, s) =>
+      exact.get((q, n)) match {
+        case Some(e) => assert(e === s, s"sim mismatch for ($q,$n)")
+        case None => assert(s === 0L, s"bin-disjoint pair ($q,$n) must score 0")
+      }
+    }
+    // the weekly structure is VISIBLE at 168 bins (it is invisible at 24,
+    // where day-of-week aliases away): bins are day-disjoint by fixture
+    // construction, so every positive-sim neighbor is same-day, and every
+    // query's top-1 is a positive same-day hit
+    lsh.filter(_._3 > 0).foreach { case (q, n, _) => assert(q % 7 === n % 7) }
+    val top1 = lsh.groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
+    assert(top1.size === 5)
+    top1.foreach { case (q, n, s) => assert(s > 0 && q % 7 === n % 7) }
+  }
+
   test("activityCosineTopKLsh: real candidate pruning on unstructured activity") {
     // near-uniform random activity — every pair shares bins, so the
     // exhaustive route compares every (query, key) pair; the LSH route

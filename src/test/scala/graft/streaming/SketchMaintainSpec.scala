@@ -119,6 +119,47 @@ class SketchMaintainSpec extends SparkSpec {
     assert(hh === Map("x1" -> 3L, "x3" -> 2L))
   }
 
+  test("null values are excluded from the sketches AND the running total") {
+    val dirS = tmp()
+    // 3 real values + 2 nulls: a null can never be estimated or recalled
+    // (it hashes to null buckets), so counting it into the total would
+    // deflate every candidate's support share — totalValues must be 3
+    val inc = Seq(("s", "x"), ("s", "x"), ("s", "y"),
+      ("s", null), ("t", null)).toDF("source", "w")
+    val r = SketchMaintain.advance(spark, inc, "source", "w", dirS)
+    r.commit()
+    assert(r.totalValues === 3L)
+    // x is 2 of 3 values (667 permille): with nulls in the total it would
+    // read 2 of 5 (400) and miss a 600-permille query
+    val hh = SketchMaintain.heavyHitters(spark, dirS, 600)
+      .as[(String, Long)].collect().toMap
+    assert(hh === Map("x" -> 2L))
+    // the all-null group contributes no minima rows
+    val report = SketchMaintain.distinctReport(spark, dirS)
+      .select("source", "est_distinct").as[(String, Long)].collect().toMap
+    assert(report === Map("s" -> 2L))
+  }
+
+  test("streaming wiring threads a custom geometry; resume of a custom-geometry stateDir is accepted") {
+    val dirS = tmp()
+    // bootstrap the stateDir with a NON-default geometry via advance()
+    SketchMaintain.advance(spark, Seq(("a", "x1")).toDF("src", "w"),
+      "src", "w", dirS, depth = 2, width = 64, k = 16).commit()
+    val ckpt = java.nio.file.Files.createTempDirectory("sketch_ckpt_g").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    // pre-fix, start() could only run the default geometry, so resuming
+    // this stateDir was refused by the config guard
+    val q = SketchMaintain.start(in.toDF().toDF("src", "w"), "src", "w",
+      dirS, ckpt, depth = 2, width = 64, k = 16).start()
+    try {
+      in.addData("a" -> "x2", "b" -> "x1"); q.processAllAvailable()
+    } finally q.stop()
+    val report = SketchMaintain.distinctReport(spark, dirS)
+      .select("src", "est_distinct").as[(String, Long)].collect().toMap
+    assert(report === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("an item crossing the threshold in a later round is recalled; query below floor refused") {
     val dirS = tmp()
     // round 0: "late" is 1 of 2001 values (0.5 permille) -> pruned at floor 1
