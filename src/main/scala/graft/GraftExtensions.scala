@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, NearestCell, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, NearestCell, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -101,6 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("word_rep_stats", children, 1)
         WordRepStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_term_counts"),
+      new ExpressionInfo(classOf[WordTermCounts].getName, "word_term_counts"),
+      (children: Seq[Expression]) => {
+        arity("word_term_counts", children, 1)
+        WordTermCounts(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_sum_fixed"),

@@ -281,14 +281,20 @@ object TextFunctions {
     * and a words ARRAY column `wsCol`.
     * Output: (doc_id, word, tf, df, score, rk), rk ∈ [1, k].
     *
-    * Scale shape: explode → (doc, word) counts with map-side partial
-    * aggregation; document frequencies aggregate the (already tiny)
-    * tf table again on word; the df table is vocab-sized, so the score
-    * join is a plain equi-join (AQE broadcasts it when the vocabulary
-    * fits, degrades to sort-merge when it doesn't — no hard hint); the
-    * final top-k is a per-doc window over k-bounded groups with
-    * doc-cardinality parallelism. Three keyed shuffles total, none of
-    * them row-count-sized after the first partial aggregation.
+    * Scale shape (round 11): a document's term frequencies are a
+    * per-ROW fact — its words live in one array — so tf is computed
+    * MAP-SIDE by the `word_term_counts` kernel (one pass, distinct
+    * words + counts per doc) and the (doc, word) exchange the exploded
+    * groupBy paid — the dominant stage of the steepest 100x smoke
+    * curve — disappears; document frequencies aggregate those per-doc-
+    * distinct rows straight to vocab-sized cells; the df table rides a
+    * plain equi-join (AQE broadcasts it when the vocabulary fits,
+    * degrades to sort-merge when it doesn't — no hard hint); the final
+    * top-k is a per-doc window over k-bounded groups with
+    * doc-cardinality parallelism. TWO keyed shuffles total (df cells +
+    * the per-doc window), neither row-count-sized. The composable
+    * explode → groupBy twin remains the parity-pinned fallback for
+    * sessions without [[graft.GraftExtensions]].
     *
     * Two deliberate trades: (a) df is a JOIN, not `count over
     * (partition by word)` — a window would colocate every row of a hot
@@ -306,8 +312,12 @@ object TextFunctions {
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, wsCol: Column, k: Int)
   : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("doc_id"), explode(wsCol).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (docs.sparkSession.catalog.functionExists("word_term_counts"))
+        docs.select(col("doc_id"),
+            explode(call_function("word_term_counts", wsCol)).as("_wt"))
+          .select(col("doc_id"), col("_wt.word").as("word"), col("_wt.tf").as("tf"))
+      else tfidfTermCountsFallback(docs, wsCol)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     tf.join(df, "word")
@@ -316,6 +326,16 @@ object TextFunctions {
       .where(col("rk") <= k)
       .select("doc_id", "word", "tf", "df", "score", "rk")
   }
+
+  /** Composable twin of the `word_term_counts` kernel (parity-pinned in
+    * PipelineSpec; mirrors the DuckDB oracle's unnest + GROUP BY): the
+    * exploded (doc, word) count, paying the corpus-sized exchange the
+    * kernel exists to remove. */
+  private[functions] def tfidfTermCountsFallback(
+      docs: org.apache.spark.sql.DataFrame, wsCol: Column)
+  : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(wsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
 
   /** Vocabulary drift between two corpus snapshots — the crawl-over-crawl
     * monitoring step run before retraining on a refreshed corpus: the

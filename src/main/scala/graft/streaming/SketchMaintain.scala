@@ -74,14 +74,17 @@ object SketchMaintain {
     * sketches. The increment is normalized, null values dropped (a null
     * value hashes to null buckets — it could never be estimated or
     * recalled, and counting it into the running total would silently
-    * deflate every candidate's support share), then cached ONCE
-    * (persist + the count that is needed anyway materializes it); the
+    * deflate every candidate's support share), then cached ONCE; the
     * three sketch passes — cells, minima, distinct candidates — read
     * the cached blocks and the cache is dropped before returning, so no
     * increment image ever reaches the filesystem and committed state
     * stays sketch-sized. (An executor-loss recompute re-evaluates the
     * increment plan — deterministic by the ingest contract, and a
-    * failed advance is swept and replayed anyway.) */
+    * failed advance is swept and replayed anyway.) The running total is
+    * read off the merged row-0 CMS cells rather than counted from the
+    * increment — at factor 1 the round cost is nearly all job-scheduling
+    * floor, so the per-round job budget is exactly: the three coalesced
+    * artifact writes plus one tiny cell-sum. */
   def advance(spark: SparkSession, increment: DataFrame, groupCol: String,
               valueCol: String, stateDir: String, floorPermille: Int = 1,
               depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
@@ -93,6 +96,12 @@ object SketchMaintain {
       require(!c.exists("|;=".contains(_)),
         s"$what column name must not contain '|', ';' or '=' " +
           s"(got $c): sketch_meta uses them as delimiters")
+    }
+    def dbg[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      if (sys.env.contains("SPARK_GRAFT_SKETCH_DEBUG"))
+        println(f"[sketchdbg] $name%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
     }
     val dir = new Path(stateDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -140,28 +149,54 @@ object SketchMaintain {
         col(valueCol).cast("string").as("_v"))
       .where(col("_v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nInc = inc.count() // materializes the cache; also the round's total
+    // the count both yields the round total AND settles the cache, so the
+    // three concurrent writes below never race to materialize it
+    val nInc = dbg("count")(inc.count())
+    val total = prev.map(_._2).getOrElse(0L) + nInc
     val cellsInc = Sketches.cmsPartial(inc, col("_v"), depth, width)
     val kmvInc = Sketches.kmvPartial(inc, "_g", col("_v"), k)
-    val (cells, kmv, candIn, total) = prev match {
-      case Some((prevDir, prevTotal, _)) =>
+    val (cells, kmv, candIn) = prev match {
+      case Some((prevDir, _, _)) =>
         (Sketches.cmsMerge(spark.read.parquet(new Path(prevDir, "cms").toString)
            .unionByName(cellsInc)),
          Sketches.kmvCompact(spark.read.parquet(new Path(prevDir, "kmv").toString)
            .unionByName(kmvInc), k),
-         inc.select(col("_v")).distinct()
+         // ONE distinct over the union (the outer distinct subsumes a
+         // per-side dedup; map-side partials compact the increment) —
+         // one exchange instead of two on the candidate chain
+         inc.select(col("_v"))
            .unionByName(spark.read.parquet(new Path(prevDir, "cand").toString)
-             .select(col("_v"))).distinct(),
-         prevTotal + nInc)
+             .select(col("_v"))).distinct())
       case None =>
-        (cellsInc, kmvInc, inc.select(col("_v")).distinct(), nInc)
+        (cellsInc, kmvInc, inc.select(col("_v")).distinct())
     }
-    cells.write.mode("overwrite").parquet(new Path(roundDir, "cms").toString)
-    kmv.write.mode("overwrite").parquet(new Path(roundDir, "kmv").toString)
-    val stored = spark.read.parquet(new Path(roundDir, "cms").toString)
-    Sketches.cmsEstimate(candIn, "_v", stored, depth, width)
-      .where(col("est_cnt") * 1000 >= lit(total) * floorPermille)
-      .write.mode("overwrite").parquet(new Path(roundDir, "cand").toString)
+    // at factor 1 the round cost is almost entirely job-scheduling floor
+    // (3 tiny writes x ~1 s wall measured), so the three INDEPENDENT
+    // artifact writes run CONCURRENTLY: the candidate estimate probes the
+    // in-plan merged cells (cmsEstimate broadcasts them — identical to
+    // probing the written parquet) instead of chaining on the cms write,
+    // and each cell-sized artifact coalesces to ONE file (fewer write
+    // tasks now, a 1-file scan of the prev round next time)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq(
+        scala.concurrent.Future(dbg("cms_write")(
+          cells.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(roundDir, "cms").toString))),
+        scala.concurrent.Future(dbg("kmv_write")(
+          kmv.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(roundDir, "kmv").toString))),
+        scala.concurrent.Future(dbg("cand_write")(
+          Sketches.cmsEstimate(candIn, "_v", cells, depth, width)
+            .where(col("est_cnt") * 1000 >= lit(total) * floorPermille)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new Path(roundDir, "cand").toString))))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     inc.unpersist(false) // all three passes are written; release the blocks
     val out = fs.create(new Path(roundDir, "sketch_meta"), true)
     try out.write(s"$config|total=$total|tag=$tag"

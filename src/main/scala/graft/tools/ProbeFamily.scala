@@ -47,6 +47,18 @@ object ProbeFamily {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
+      // pre-r11 tf shape (exploded (doc, word) groupBy — the corpus-sized
+      // exchange the word_term_counts kernel removed), for A/B attribution
+      case "tfidf_topk_oldtf" =>
+        val d = docs.withColumn("_ws", TF.words(TF.normText(col("text"))))
+        val tf = d.select(col("doc_id"), explode(col("_ws")).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+        tf.join(dfT, "word").withColumn("score", expr("tf * 1000000L div df"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 3).count()
       case "substring_overlap" => Dedup.substringOverlapPairs(docs, 48, 2L).count()
       case "minhash_lsh" => Dedup.minhashLsh(docs, 8, 800).count()
       case "contam_bloom" =>
@@ -62,6 +74,24 @@ object ProbeFamily {
       case "span_scrub" =>
         Dedup.duplicateSpanScrub(docs, 48, 2L)
           .agg(sum(col("covered_chars") + length(col("scrubbed_md5")))).head().getLong(0)
+      // verdict-stage A/B: the pre-r11 shape (positioned stream,
+      // distinct-(doc,wh) then groupBy(wh) — two corpus-sized shuffles)
+      // vs the r11 shape (per-doc-distinct kernel, one partial-agg'd
+      // shuffle) — for attributing span_scrub smoke movement to the stage
+      case "span_verdict_old" =>
+        docs.select(col("doc_id"),
+            explode(call_function("anchor_window_pos_hashes", col("text"), lit(48)))
+              .as("_pw"))
+          .select(col("doc_id"), col("_pw.wh").as("_wh"))
+          .distinct()
+          .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
+          .where(col("_docs") >= 2).count()
+      case "span_verdict_new" =>
+        docs.select(col("doc_id"),
+            explode(call_function("anchor_window_hashes", col("text"), lit(48)))
+              .as("_wh"))
+          .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
+          .where(col("_docs") >= 2).count()
       case "activity_exact" =>
         val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
         graft.functions.Similarity.activityCosineTopK(

@@ -368,10 +368,15 @@ object ScaleSmoke {
               .as("_wh"))
           .groupBy(col("_wh")).agg(count(lit(1)).as("_docs"))
           .where(col("_docs") >= 2).count())
-        val tfStage = docs
-          .select(col("doc_id"),
-            explode(TF.words(TF.normText(col("text")))).as("word"))
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        // the round-11 tf shape: per-doc term counts are MAP-SIDE (the
+        // word_term_counts kernel) — tfidf_tf now measures the kernel
+        // scan, tfidf_df the one vocabulary-sized exchange; the exploded
+        // (doc, word) groupBy this stage used to time no longer exists
+        // in the operator
+        val tfStage = docs.select(col("doc_id"),
+            explode(call_function("word_term_counts",
+              TF.words(TF.normText(col("text"))))).as("_wt"))
+          .select(col("doc_id"), col("_wt.word").as("word"), col("_wt.tf").as("tf"))
         time("tfidf_tf", n)(tfStage.count())
         time("tfidf_df", n)(
           tfStage.groupBy("word").agg(count(lit(1)).as("df")).count())

@@ -522,6 +522,51 @@ class PipelineSpec extends SparkSpec {
     assert(got.count(_._1 == 5L) === 1)
   }
 
+  test("word_term_counts kernel tf is identical to the exploded groupBy fallback") {
+    // the map-side tf kernel must be VALUE-identical to the composable
+    // twin — incl. repeated words, empty arrays (no rows), null arrays
+    // (no rows), and null elements (grouped under a null word)
+    val d = docs.withColumn("_ws",
+      TextFunctions.words(TextFunctions.normText(col("text"))))
+    val viaKernel = d.select(col("doc_id"),
+        explode(call_function("word_term_counts", col("_ws"))).as("_wt"))
+      .select(col("doc_id"), col("_wt.word").as("word"), col("_wt.tf").as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val viaFallback = TextFunctions.tfidfTermCountsFallback(d, col("_ws"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaKernel === viaFallback && viaKernel.nonEmpty)
+    // hand edge cases through both paths
+    val edge = Seq(
+      (1L, Seq("a", "b", "a", "a")),
+      (2L, Seq.empty[String]),
+      (3L, null),
+      (4L, Seq("x", null, "x", null))).toDF("doc_id", "ws")
+    val ek = edge.select(col("doc_id"),
+        explode(call_function("word_term_counts", col("ws"))).as("_wt"))
+      .select(col("doc_id"), col("_wt.word").as("word"), col("_wt.tf").as("tf"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    val ef = TextFunctions.tfidfTermCountsFallback(
+        edge.withColumnRenamed("ws", "_w2"), col("_w2"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(ek === ef)
+    assert(ek === Set((1L, Some("a"), 3L), (1L, Some("b"), 1L),
+      (4L, Some("x"), 2L), (4L, None, 2L)))
+    // end-to-end: tfidfTopK output equals a fallback-built pipeline
+    val viaOp = TextFunctions.tfidfTopK(d, col("_ws"), 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val tfF = TextFunctions.tfidfTermCountsFallback(d, col("_ws"))
+    val dfF = tfF.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    val expOp = tfF.join(dfF, "word")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("doc_id", "word", "tf", "df", "score", "rk")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(viaOp === expOp)
+  }
+
   test("vocabDrift: ppm normalization, new/vanished words, abs-delta order, top-k") {
     val old = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val nw = Seq((2L, "a b b c")).toDF("doc_id", "text")
