@@ -212,8 +212,19 @@ object ScaleSmoke {
   // non-negative-only pattern silently drops those samples from the
   // artifact (caught: dsir's x1/x4 points vanished while its x10,
   // positive by luck, survived)
-  private val SampleRe = """\[scalesample\] (\S+) (\d+) ([0-9.]+) (-?\d+)""".r
+  // 5th field: the sample's IO-segment sentinel (the latest io probe
+  // before it ran) — the r11 incident was minutes-long shared-disk
+  // windows poisoning whole neighborhoods of unchanged-code deep points
+  // while every CPU sentinel sat still; per-sample io tags let the
+  // artifact median over samples from CLEAN disk segments only (the
+  // Bench round-9 segment-sentinel design, IO edition)
+  private val SampleRe = """\[scalesample\] (\S+) (\d+) ([0-9.]+) (-?\d+) ([0-9.]+)""".r
   private val SentinelRe = """\[scalesentinel\] ([0-9.]+)""".r
+  private val IoSentinelRe = """\[scaleiosentinel\] ([0-9.]+)""".r
+  /** Timed samples between io re-probes: ~6 keeps probe overhead ~2% of
+    * a pass while a multi-minute disk window can poison at most one
+    * segment's worth of samples per pass. */
+  private val IoSegLen = 6
 
   /** Parent mode: materialize once, then run each pass as a CHILD JVM
     * (same JVM flags + classpath, `SPARK_GRAFT_SMOKE_RUNS=1`, shared
@@ -231,8 +242,9 @@ object ScaleSmoke {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Double)]
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to runs).foreach { pass =>
       println(s"[scale] ======== forked pass $pass/$runs ========")
       val cmd = Seq(javaBin) ++ jvmArgs ++
@@ -247,16 +259,17 @@ object ScaleSmoke {
       val out = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
       Iterator.continually(out.readLine()).takeWhile(_ != null).foreach {
-        case SampleRe(tag, n, sec, rows) =>
-          samples += ((tag, n.toInt, sec.toDouble, rows.toLong))
+        case SampleRe(tag, n, sec, rows, ioSeg) =>
+          samples += ((tag, n.toInt, sec.toDouble, rows.toLong, ioSeg.toDouble))
         case SentinelRe(s) => sentinels += s.toDouble
+        case IoSentinelRe(s) => ioSentinels += s.toDouble
         case l if l.startsWith("[scale]") => println(l)
         case _ => ()
       }
       val rc = p.waitFor()
       require(rc == 0, s"forked pass $pass failed with rc=$rc")
     }
-    emitArtifact(dir, runs, samples.toSeq, sentinels.toSeq)
+    emitArtifact(dir, runs, samples.toSeq, sentinels.toSeq, ioSentinels.toSeq)
   }
 
   private def inProcess(dir: String, factors: Seq[Int],
@@ -264,8 +277,8 @@ object ScaleSmoke {
     val spark = DevTool.session()
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     val embs0 = Tables.embeddings(spark, dir)
-    // (family, factor) -> all samples across passes
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long)]
+    // (family, factor, sec, rows, io-segment sentinel) across passes
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Double)]
     // machine-health probe, identical to Bench's: pure codegen arithmetic
     // over an in-memory range — constant work, no I/O, nothing under
     // test. Timed at the start of every pass; a pass whose sentinel blows
@@ -281,14 +294,40 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // IO-health probe (round 11): the CPU sentinel above is blind to DISK
+    // contention, and the heavy deep-factor families are shuffle-bound —
+    // the r11 incident was unchanged-code 100x points swinging 17->59 s
+    // across passes while every CPU sentinel sat at 0.23 s (shared-disk
+    // VM neighbor). This probe shuffles a fixed ~800 MB of incompressible
+    // hashes (constant work, nothing under test): its ratio across passes
+    // attributes exactly that class of swing.
+    def ioSentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .repartition(32, col("h"))
+        .selectExpr("bit_xor(h) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // io segment state: every IoSegLen timed samples, re-probe the disk
+    // and tag subsequent samples with the probe value (see SampleRe doc)
+    var ioSeg = -1.0
+    var sinceIoProbe = Int.MaxValue / 2 // force a probe at the first sample
     def time(tag: String, n: Int)(f: => Long): Unit = {
+      if (sinceIoProbe >= IoSegLen) {
+        ioSeg = ioSentinel(); ioSentinels += ioSeg; sinceIoProbe = 0
+        println(f"[scaleiosentinel] $ioSeg%.4f")
+      }
+      sinceIoProbe += 1
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $tag%-18s x$n%-3d $sec%8.2f s  rows=$rows")
-      println(f"[scalesample] $tag $n $sec%.4f $rows")
-      samples += ((tag, n, sec, rows))
+      println(f"[scalesample] $tag $n $sec%.4f $rows $ioSeg%.4f")
+      samples += ((tag, n, sec, rows, ioSeg))
       spark.catalog.clearCache() // operator caches must not leak across samples
     }
 
@@ -610,11 +649,15 @@ object ScaleSmoke {
     Dedup.minhashLsh(docs0.limit(500), 8, 800).count()
     spark.catalog.clearCache()
     sentinel() // JIT the probe itself before any timed use
+    ioSentinel()
 
     (1 to runs).foreach { pass =>
       val s = sentinel(); sentinels += s
       println(f"[scale] ======== pass $pass/$runs (sentinel $s%.3f s) ========")
       println(f"[scalesentinel] $s%.4f")
+      // io probes run every IoSegLen samples inside time() — per-sample
+      // segment tags, not per-pass snapshots (a mid-pass disk window is
+      // exactly what a pass-start probe cannot see)
       factors.foreach { n => fullSuite(n); deepSuite(n) }
       deepFactors.foreach(deepSuite)
       graft.functions.Dedup.releaseCcLabels()
@@ -625,25 +668,42 @@ object ScaleSmoke {
     // lines; its own one-sample artifact line is parsed by nobody and
     // harmless. Multi-pass in-process runs (SPARK_GRAFT_SMOKE_FORK=0)
     // keep the original single-JVM artifact path.
-    emitArtifact(dir, runs, samples.toSeq, sentinels.toSeq)
+    emitArtifact(dir, runs, samples.toSeq, sentinels.toSeq, ioSentinels.toSeq)
   }
 
   /** One-line JSON artifact: per (family, factor) the MEDIAN seconds
     * across passes + result rows (identical every pass by determinism) —
     * the recorded scale curve behind the 100 TB sub-quadratic claims,
-    * with the per-pass sentinel values and contended-pass flags. */
+    * with the per-pass CPU sentinels, the per-segment IO sentinels, and
+    * contamination flags.
+    *
+    * IO-clean medians (round 11): each sample carries its io-segment
+    * sentinel; the reported median uses samples whose segment ran
+    * <= 2.5x the run's best io probe. A (family, factor) left with ZERO
+    * clean samples keeps the all-sample median and is listed in
+    * `io_contaminated` — re-run before trusting that point. (The r11
+    * incident: unchanged-code minhash_lsh 100x swung 7.2/13.3/21.6 s
+    * across passes on a shared-disk VM while every CPU sentinel sat at
+    * ~0.25 s; the healthy sample matched the prior round exactly.) */
   private def emitArtifact(dir: String, runs: Int,
-                           samples: Seq[(String, Int, Double, Long)],
-                           sentinels: Seq[Double]): Unit = {
+                           samples: Seq[(String, Int, Double, Long, Double)],
+                           sentinels: Seq[Double],
+                           ioSentinels: Seq[Double] = Seq.empty): Unit = {
+    val ioFloor =
+      if (ioSentinels.isEmpty) Double.MaxValue else 2.5 * ioSentinels.min
+    val ioContaminated = scala.collection.mutable.ArrayBuffer.empty[String]
     val families = samples.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, rs) =>
       val ser = rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (n, ss) =>
-        val secs = ss.map(_._3).sorted
-        val med = secs(secs.size / 2)
+        def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+        val clean = ss.collect { case (_, _, t, _, io) if io <= ioFloor => t }
+        val med =
+          if (clean.nonEmpty) median(clean)
+          else { ioContaminated += s"$fam:x$n"; median(ss.map(_._3)) }
         val rows = ss.map(_._4).max
         // Locale.ROOT: the f-interpolator renders decimal COMMAS under
         // de/fr default locales, corrupting the JSON artifact
         val sec = String.format(java.util.Locale.ROOT, "%.2f", Double.box(med))
-        s"""{"factor":$n,"sec":$sec,"rows":$rows,"samples":${ss.size}}"""
+        s"""{"factor":$n,"sec":$sec,"rows":$rows,"samples":${ss.size},"clean":${clean.size}}"""
       }.mkString("[", ",", "]")
       s""""$fam":$ser"""
     }.mkString("{", ",", "}")
@@ -654,10 +714,31 @@ object ScaleSmoke {
       else sentinels.zipWithIndex.collect {
         case (s, i) if s > 2.5 * sentinels.min => i
       }
+    val ioJson = ioSentinels.map(s =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))).mkString("[", ",", "]")
+    // IO windows: flagged against the run's BEST io probe — a shared-disk
+    // neighbor typically doubles-to-quintuples the fixed shuffle, while
+    // the CPU sentinel sits still (the r11 incident signature)
+    val ioContended =
+      if (ioSentinels.isEmpty) Seq.empty
+      else ioSentinels.zipWithIndex.collect {
+        case (s, i) if s > ioFloor => i
+      }
+    val ioContamJson = ioContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (contended.nonEmpty)
       System.err.println(s"[scale] CONTENDED passes ${contended.mkString(",")}: " +
         s"sentinels $sentJson — treat this artifact as suspect and re-run")
+    if (ioContended.nonEmpty)
+      System.err.println(s"[scale] IO-CONTENDED segments ${ioContended.mkString(",")} " +
+        s"(io sentinels $ioJson)" +
+        (if (ioContaminated.nonEmpty)
+           s"; points with NO clean sample (all-sample median kept): ${ioContaminated.mkString(",")}"
+         else "; every point retained at least one clean sample"))
     println(s"""[scalejson] {"sf":"$dir","runs":$runs,"sentinel":$sentJson,""" +
-      s""""contended_passes":${contended.mkString("[", ",", "]")},"families":$families}""")
+      s""""io_sentinel":$ioJson,""" +
+      s""""contended_passes":${contended.mkString("[", ",", "]")},""" +
+      s""""io_contended_segments":${ioContended.mkString("[", ",", "]")},""" +
+      s""""io_contaminated":$ioContamJson,""" +
+      s""""families":$families}""")
   }
 }

@@ -333,6 +333,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("p46_span_scrub")
     assert(p.contains("BroadcastHashJoin"), s"verdict join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle by window hash:\n$p")
+    // round-11 verdict shape: per-doc-distinct hashes come off the
+    // anchor_window_hashes kernel map-side — the verdict build must not
+    // re-grow its (doc, wh) distinct exchange (one hash-keyed exchange,
+    // partial-agg'd, is the contract)
+    assert(p.contains("anchor_window_hashes"), s"verdict must use the kernel:\n$p")
+    assert(!exchanges(p).exists(e => e.contains("_wh") && e.contains(",")
+        && e.contains("doc_id")),
+      s"verdict build must never exchange on (doc, wh):\n${exchanges(p)}")
+  }
+
+  test("p24 keywords: tf is map-side (word_term_counts) — no (doc, word) exchange") {
+    val p = plan("p24_keywords")
+    assert(p.contains("word_term_counts"), s"tf must ride the kernel:\n$p")
+    // the pre-r11 shape exchanged the exploded stream on (doc_id, word);
+    // with the kernel the only hash exchanges key on the word (df) and
+    // the doc id (top-k window)
+    assert(!exchanges(p).exists(e =>
+        e.contains("doc_id") && e.contains("word") && e.contains("hashpartitioning")),
+      s"tf must not exchange on (doc_id, word):\n${exchanges(p)}")
   }
 
   test("p44 mixture draw: weight table broadcasts, keep decision map-side") {
