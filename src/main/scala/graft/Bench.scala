@@ -68,6 +68,7 @@ object Bench {
   private val SegLen = 8
   private val SampleRe = """\[benchsample\] (\S+) (-?[0-9.]+) ([0-9.]+)""".r
   private val SentinelRe = """\[benchsentinel\] ([0-9.]+)""".r
+  private val IoSentinelRe = """\[benchiosentinel\] ([0-9.]+)""".r
 
   /** Parent mode: one child JVM per pass (same flags + classpath,
     * `SPARK_GRAFT_BENCH_RUNS=1`, rotation offset via
@@ -82,6 +83,7 @@ object Bench {
       .getInputArguments.asScala.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     (0 until runs).foreach { pass =>
       System.err.println(s"[bench] ======== forked pass ${pass + 1}/$runs ========")
       val cmd = Seq(javaBin) ++ jvmArgs ++
@@ -99,12 +101,13 @@ object Bench {
         case SampleRe(name, sec, seg) =>
           samples(name) = (sec.toDouble, seg.toDouble) :: samples.getOrElse(name, Nil)
         case SentinelRe(s) => sentinels += s.toDouble
+        case IoSentinelRe(s) => ioSentinels += s.toDouble
         case _ => () // children's own JSON line etc — parent emits the real one
       }
       val rc = p.waitFor()
       require(rc == 0, s"forked bench pass ${pass + 1} failed with rc=$rc")
     }
-    emit(sfDir, samples.toMap, sentinels.toSeq)
+    emit(sfDir, samples.toMap, sentinels.toSeq, ioSentinels.toSeq)
   }
 
   /** One JVM: warm-up then `runs` in-process passes (the forked children
@@ -136,13 +139,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // disk-health probe, one per pass (the ScaleSmoke r11 lesson: the CPU
+    // sentinel is blind to shared-disk contention): a fixed ~800 MB
+    // incompressible shuffle, recorded as `io_sent` in the artifact so a
+    // cross-round drift can be attributed to the disk, not the code. One
+    // per pass (not per segment): sf0.1 bench queries are scheduling/CPU-
+    // bound, so the io probe is attribution, not a median filter.
+    def ioSentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .repartition(32, org.apache.spark.sql.functions.col("h"))
+        .selectExpr("bit_xor(h) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     sentinel() // JIT the probe itself before any timed use
     names.foreach(execOnce(_, "/root/testdata/sf0.001")) // warm-up
     spark.catalog.clearCache() // drop warm-up caches: measure steady state
     graft.functions.Dedup.releaseCcLabels()
     val sentinels = new scala.collection.mutable.ArrayBuffer[Double]
+    val ioSentinels = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
+    locally {
+      val io = ioSentinel(); ioSentinels += io
+      println(f"[benchiosentinel] $io%.4f")
+    }
     (0 until runs).foreach { inPass =>
       // rotate the visit order per pass: a stationary contention window
       // then hits a different neighborhood each sample
@@ -163,7 +186,7 @@ object Bench {
       }
     }
     spark.stop()
-    emit(sfDir, samples.toMap, sentinels.toSeq)
+    emit(sfDir, samples.toMap, sentinels.toSeq, ioSentinels.toSeq)
   }
 
   /** Clean-segment median: samples from segments whose sentinel ran
@@ -221,7 +244,8 @@ object Bench {
     * the short line as the last complete line. [[parsePriorQueries]]
     * expands short keys back through the registry. */
   private def emit(sfDir: String, samples: Map[String, List[(Double, Double)]],
-                   sentinels: Seq[Double]): Unit = {
+                   sentinels: Seq[Double],
+                   ioSentinels: Seq[Double] = Seq.empty): Unit = {
     val (results, contaminated) = summarize(samples, sentinels)
     // short-key map, falling back to the long name on (unexpected) collision
     val shorts = {
@@ -258,10 +282,14 @@ object Bench {
       }
     }
     val sentJson = sentinels.map(s => f"$s%.2f").mkString("[", ",", "]")
+    val ioMedian =
+      if (ioSentinels.isEmpty) -1.0
+      else ioSentinels.sorted.apply(ioSentinels.size / 2)
     val contamJson = contaminated.map(n => "\"" + shorts(n) + "\"")
       .mkString("[", ",", "]")
     val diag =
       s"""{"metric":"bench_diag","sentinel":$sentJson,""" +
+        s""""io_sentinel":${ioSentinels.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
         s""""contended_segments":${contended.mkString("[", ",", "]")},""" +
         s""""contaminated_queries":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""prior":${prior.map(p => "\"" + p._1 + "\"").getOrElse("null")},""" +
@@ -281,7 +309,7 @@ object Bench {
     println(diag)
     // the short final line — the one the tail cap must preserve whole
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
-      s""""sf":"$sfDir","sent":${f"$sentMedian%.3f"},""" +
+      s""""sf":"$sfDir","sent":${f"$sentMedian%.3f"},"io_sent":${f"$ioMedian%.3f"},""" +
       s""""queries":${qJson(shorts)},"contaminated_queries":$contamJson}""")
   }
 
