@@ -237,8 +237,9 @@ object Bench {
     * rounds running (one full long-name 92-query line is ~2.8 KB — no
     * print order can fit it). Round-11 fix: the FINAL line uses SHORT
     * query keys (`"q1":0.21` — ~1.2 KB for 92 queries, comfortably under
-    * the cap) and carries the run's median sentinel (`"sent"`) so the
-    * next round can separate machine drift from code drift; the
+    * the cap) and carries the run's median CPU sentinel (`"sent"`) and
+    * disk probe (`"io_sent"`) so the next round can separate machine
+    * drift — CPU or shared-disk — from code drift; the
     * long-name line (metric `bench_named`) and the diagnostics line
     * (metric `bench_diag`) print EARLIER so a cap landing anywhere keeps
     * the short line as the last complete line. [[parsePriorQueries]]
