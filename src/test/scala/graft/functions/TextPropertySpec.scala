@@ -132,6 +132,32 @@ class TextPropertySpec extends SparkSpec {
     assert(native.length === wsTexts.length && native === composable)
   }
 
+  test("word_term_counts ≡ exploded groupBy for arbitrary word arrays") {
+    // per-doc term counts computed map-side by the kernel must match the
+    // composable explode + groupBy for ANY array: unicode words, repeats,
+    // empty strings as elements, empty arrays
+    val arrays: List[Seq[String]] =
+      texts.map(_.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)) ++
+        List(Seq.empty, Seq("a", "a", "a"), Seq("", "a", ""), Seq("é", "é", "x"))
+    val df = arrays.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }.toDF("doc_id", "ws")
+    val native = df
+      .select(col("doc_id"), explode(call_function("word_term_counts", col("ws"))).as("_wt"))
+      .select(col("doc_id"), col("_wt.word"), col("_wt.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val composable = df
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native === composable)
+    // per-doc invariant: tf sums to the array length, words are distinct
+    val byDoc = native.groupBy(_._1)
+    arrays.zipWithIndex.foreach { case (ws, i) =>
+      val rows = byDoc.getOrElse(i.toLong, Set.empty).toSeq
+      assert(rows.map(_._3).sum === ws.size.toLong, s"doc $i tf sum")
+      assert(rows.map(_._2).distinct.size === rows.size, s"doc $i word distinctness")
+    }
+  }
+
   test("char_hist16 native ≡ composable ascii%16 counts for arbitrary unicode text") {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val native = df
