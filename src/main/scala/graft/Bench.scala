@@ -144,7 +144,10 @@ object Bench {
     // incompressible shuffle, recorded as `io_sent` in the artifact so a
     // cross-round drift can be attributed to the disk, not the code. One
     // per pass (not per segment): sf0.1 bench queries are scheduling/CPU-
-    // bound, so the io probe is attribution, not a median filter.
+    // bound, so the io probe is attribution, not a median filter. In the
+    // default forked mode each pass is its own child JVM running this
+    // with runs=1, so "per pass" holds; an in-process multi-pass run
+    // (SPARK_GRAFT_BENCH_FORK=0) probes at the start of each pass loop.
     def ioSentinel(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 50000000L, 1L, 32)
@@ -162,11 +165,11 @@ object Bench {
     val sentinels = new scala.collection.mutable.ArrayBuffer[Double]
     val ioSentinels = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
-    locally {
-      val io = ioSentinel(); ioSentinels += io
-      println(f"[benchiosentinel] $io%.4f")
-    }
     (0 until runs).foreach { inPass =>
+      locally {
+        val io = ioSentinel(); ioSentinels += io
+        println(f"[benchiosentinel] $io%.4f")
+      }
       // rotate the visit order per pass: a stationary contention window
       // then hits a different neighborhood each sample
       val pass = passOffset + inPass
@@ -224,6 +227,23 @@ object Bench {
     (results, contaminated.toSeq)
   }
 
+  /** Sentinel-normalized drift vs the prior round: the prior's per-query
+    * seconds are scaled by `scale` = (this run's median CPU sentinel /
+    * the prior run's) when both artifacts carry one, so a constant-factor
+    * machine slowdown is attributed to the MACHINE and only per-query
+    * movement beyond it trips the >3x flag (either direction). Queries
+    * the prior timed under 0.05 s are skipped — at that size the flag
+    * would measure scheduling jitter, not the plan. Returns
+    * (query, normalized this/prior ratio). */
+  private[graft] def deviantVsPrior(results: Seq[(String, Double)],
+                                    priorQueries: Map[String, Double],
+                                    scale: Double): Seq[(String, Double)] =
+    results.collect {
+      case (n, v) if v > 0 && priorQueries.getOrElse(n, -1.0) > 0.05 && {
+        val r = v / (priorQueries(n) * scale); r > 3.0 || 1.0 / r > 3.0
+      } => n -> v / (priorQueries(n) * scale)
+    }
+
   /** The registry's short query keys for the committed artifact:
     * `q1_op_filter` -> `q1`, `p54_minhash_estimate` -> `p54` — the
     * numeric prefix is unique across the registry (asserted; a colliding
@@ -268,26 +288,23 @@ object Bench {
       case (s, i) if s > 2.5 * sentMedian => i
     }
     val prior = priorRound()
-    // sentinel-normalized drift: scale the prior's per-query seconds by
-    // (this run's median sentinel / the prior's) when both carry one, so
-    // a constant-factor machine slowdown is attributed to the MACHINE and
-    // only genuine per-query movement trips the >3x flag
     val sentRatio = prior.flatMap(_._3)
       .filter(ps => ps > 0 && sentMedian > 0).map(sentMedian / _)
-    val scale = sentRatio.getOrElse(1.0)
     val deviant = prior.toSeq.flatMap { case (_, pq, _) =>
-      results.collect {
-        case (n, v) if v > 0 && pq.getOrElse(n, -1.0) > 0.05 &&
-          (v / (pq(n) * scale) > 3.0 || (pq(n) * scale) / v > 3.0) =>
-          "\"" + n + "\":" + f"${v / (pq(n) * scale)}%.2f"
-      }
+      deviantVsPrior(results, pq, sentRatio.getOrElse(1.0))
+        .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
     }
     val sentJson = sentinels.map(s => f"$s%.2f").mkString("[", ",", "]")
     val ioMedian =
       if (ioSentinels.isEmpty) -1.0
       else ioSentinels.sorted.apply(ioSentinels.size / 2)
-    val contamJson = contaminated.map(n => "\"" + shorts(n) + "\"")
+    // capped on the FINAL line: a heavily contaminated run (dozens of
+    // entries) would push the single tail-cap-protected line past 2,000
+    // bytes — the full long-name list lives on the diag line; the final
+    // line carries at most ContamCap short keys plus the true count
+    val contamJson = contaminated.take(ContamCap).map(n => "\"" + shorts(n) + "\"")
       .mkString("[", ",", "]")
+    val contamN = contaminated.size
     val diag =
       s"""{"metric":"bench_diag","sentinel":$sentJson,""" +
         s""""io_sentinel":${ioSentinels.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
@@ -311,8 +328,12 @@ object Bench {
     // the short final line — the one the tail cap must preserve whole
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""sf":"$sfDir","sent":${f"$sentMedian%.3f"},"io_sent":${f"$ioMedian%.3f"},""" +
-      s""""queries":${qJson(shorts)},"contaminated_queries":$contamJson}""")
+      s""""queries":${qJson(shorts)},"contaminated_n":$contamN,""" +
+      s""""contaminated_queries":$contamJson}""")
   }
+
+  /** Max contaminated-query short keys on the final line (see `emit`). */
+  private[graft] val ContamCap = 8
 
   /** The latest committed BENCH_r*.json (or SPARK_GRAFT_BENCH_PRIOR): the
     * per-query baseline for the >3x deviation flag, plus the prior run's

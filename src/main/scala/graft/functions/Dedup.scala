@@ -291,7 +291,14 @@ object Dedup {
     * one corpus scan (one partial-agg'd exchange on the line); write it next
     * to the corpus and each ingest increment pays only its own size —
     * the same incremental-artifact shape as [[lshIndex]] and the
-    * snapshot-diff digests. */
+    * snapshot-diff digests.
+    *
+    * Assumes ONE ROW PER DOCUMENT (the corpus contract everywhere in
+    * this module): lines dedup within a row's split array, so a doc_id
+    * spanning multiple rows would be counted once per row it shares a
+    * line with. This is the same id-disjointness contract
+    * [[mergeLineStats]] states explicitly — a multi-row document must be
+    * concatenated before scoring. */
   def lineStats(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", delim: String = "\n"): DataFrame =
     // per-doc distinct non-blank lines dedup MAP-SIDE inside the split

@@ -373,12 +373,15 @@ object TextFunctions {
     * (id, tok_cnt, in_vocab, oov_milli, mean_rank_centi). OOV tokens are
     * the fertility cost driver of tokenizer training and a strong junk
     * signal; mean in-vocab rank (1 = most frequent word) separates
-    * stopword boilerplate from topical text. Scale shape: the vocab is
+    * stopword boilerplate from topical text. Scale shape: per-doc term
+    * frequencies compute map-side (the `word_term_counts` kernel), so
+    * both the vocab build and the coverage probe carry one row per
+    * (doc, distinct word), never per token occurrence; the vocab is
     * k rows by construction, so its rank window is k-bounded and the
-    * token join broadcasts it; the corpus pays one word-keyed and one
+    * word join broadcasts it; the corpus pays one word-keyed and one
     * id-keyed exchange, both behind partial aggregation. Empty docs
-    * survive via explode_outer (tok_cnt 0); the vocab build uses plain
-    * explode so no null word can enter the top-k. */
+    * survive via explode_outer (tok_cnt 0); the vocab build filters
+    * null words so none can enter the top-k. */
   def vocabCoverage(docs: org.apache.spark.sql.DataFrame, k: Int,
                     idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
@@ -386,18 +389,34 @@ object TextFunctions {
     val ws = freshName(docs, "_graft_ws")
     val word = freshName(docs, "_graft_word")
     val rank = freshName(docs, "_graft_rank")
+    val tfc = freshName(docs, "_graft_tf")
     val base = docs.withColumn(ws, words(normText(col(textCol))))
-    val toks = base.select(col(idCol), explode(col(ws)).as(word))
-    val ranked = toks.groupBy(word).agg(count(lit(1)).as("_cnt"))
+    // per-doc term frequencies map-side (word_term_counts kernel): both
+    // the vocab build's hash-agg input and the broadcast-join probe side
+    // shrink from one row per token OCCURRENCE to one per (doc, distinct
+    // word), with every count downstream a tf-weighted sum — integer-
+    // identical, the p24 win class. explode_outer keeps empty docs (an
+    // empty array yields a null struct row -> tf coalesces to 0).
+    val wt =
+      if (docs.sparkSession.catalog.functionExists("word_term_counts"))
+        base.select(col(idCol),
+            explode_outer(call_function("word_term_counts", col(ws))).as("_wt"))
+          .select(col(idCol), col("_wt.word").as(word),
+            coalesce(col("_wt.tf"), lit(0L)).as(tfc))
+      else base.select(col(idCol), explode_outer(col(ws)).as(word))
+        .groupBy(col(idCol), col(word))
+        // count(word) is 0 for the null-word row an empty doc keeps
+        .agg(count(col(word)).as(tfc))
+    val ranked = wt.where(col(word).isNotNull)
+      .groupBy(word).agg(sum(tfc).as("_cnt"))
       .orderBy(col("_cnt").desc, col(word)).limit(k)
       .select(col(word), row_number().over(
         Window.orderBy(col("_cnt").desc, col(word))).cast("long").as(rank))
-    base.select(col(idCol), explode_outer(col(ws)).as(word))
-      .join(broadcast(ranked), Seq(word), "left")
+    wt.join(broadcast(ranked), Seq(word), "left")
       .groupBy(col(idCol))
-      .agg(count(col(word)).as("tok_cnt"),
-        count(col(rank)).as("in_vocab"),
-        coalesce(sum(rank), lit(0L)).as("_rank_sum"))
+      .agg(sum(tfc).as("tok_cnt"),
+        coalesce(sum(when(col(rank).isNotNull, col(tfc))), lit(0L)).as("in_vocab"),
+        coalesce(sum(col(rank) * col(tfc)), lit(0L)).as("_rank_sum"))
       .select(col(idCol), col("tok_cnt"), col("in_vocab"),
         milli(col("tok_cnt") - col("in_vocab"), col("tok_cnt")).as("oov_milli"),
         centi(col("_rank_sum"), col("in_vocab")).as("mean_rank_centi"))
@@ -484,24 +503,40 @@ object TextFunctions {
     * changing any shuffle. Output: (idCol, n_bigrams, score_ppm) — docs
     * with < 2 words score 0 over 0 bigrams.
     *
-    * Scale shape: bigram and prefix counts are two partial-agg passes
-    * over cells (never text); the model join back onto doc bigrams keys
-    * on the bigram string — the hot-bigram skew class AQE handles (same
-    * as tf-idf's df join); the per-doc rollup is one id-keyed exchange.
+    * Scale shape: per-doc bigram term frequencies compute MAP-SIDE
+    * inside the scan (the `word_term_counts` kernel over the bigrams
+    * array), so the model join back carries (doc, distinct-bigram, tf)
+    * rows — never one row per occurrence — keyed on the bigram string,
+    * the hot-bigram skew class AQE handles (same as tf-idf's df join);
+    * bigram and prefix counts are two partial-agg passes over cells
+    * (never text); the per-doc rollup is one id-keyed exchange.
     * Training and scoring share one corpus scan pipeline. */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
                     idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
-    val bg = docs
-      .select(col(idCol), explode(bigrams(words(normText(col(textCol))))).as("_bg"))
-    val c2 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_n2"))
+    // per-doc bigram term frequencies MAP-SIDE via the word_term_counts
+    // kernel (it takes any string array — here the bigrams array): the
+    // model join-back then carries one row per (doc, DISTINCT bigram)
+    // instead of one per occurrence, and every downstream count becomes
+    // a tf-weighted sum — integer-identical (sum over occurrences ==
+    // sum(tf·x) over distinct terms), the p24 win class applied to p43
+    val bgArr = bigrams(words(normText(col(textCol))))
+    val bg =
+      if (docs.sparkSession.catalog.functionExists("word_term_counts"))
+        docs.select(col(idCol),
+            explode(call_function("word_term_counts", bgArr)).as("_wt"))
+          .select(col(idCol), col("_wt.word").as("_bg"), col("_wt.tf").as("_tf"))
+      else docs.select(col(idCol), explode(bgArr).as("_bg"))
+        .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_tf"))
+    val c2 = bg.groupBy(col("_bg")).agg(sum(col("_tf")).as("_n2"))
     val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
       .agg(sum(col("_n2")).as("_n1"))
     val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
       .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
     val perDoc = bg.join(model, "_bg")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
+      .agg(sum(col("_tf")).as("n_bigrams"),
+        sum(col("_tf") * col("_ppm")).as("_s"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

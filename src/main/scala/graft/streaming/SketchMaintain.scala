@@ -56,19 +56,40 @@ import graft.functions.Sketches
   */
 object SketchMaintain {
 
-  /** One maintenance round over the stored artifact (all three frames
-    * read back from this round's parquet). Call `commit()` after any
-    * downstream use of the round is durable.
+  /** One maintenance round over the stored artifact. Call `commit()`
+    * after any downstream use of the round is durable.
     *
-    * LIFETIME: the frames read this round's parquet LAZILY, and a LATER
-    * [[advance]] deletes that parquet (an uncommitted round is swept; a
-    * committed round is retired once a newer round commits after it) —
-    * a caller holding a SketchRound across subsequent advances must
-    * collect or `.cache()` + materialize the (sketch-sized) frames
-    * first, or later accesses throw FileNotFoundException. */
+    * LIFETIME: the three frames are EAGERLY cached and materialized
+    * inside [[advance]] (they are sketch-sized — cells are a
+    * depth·width constant, minima groups·k, candidates floor-bounded —
+    * so the cache cost is ~nothing), because a LATER [[advance]]
+    * deletes this round's parquet (an uncommitted round is swept; a
+    * committed round is retired once a newer round commits after it).
+    * A caller may therefore hold a round across any number of
+    * subsequent advances and still read its frames. Call `release()`
+    * when done with the frames to drop the cached blocks (the
+    * streaming [[handler]] does); after `release()` — or an external
+    * `spark.catalog.clearCache()` — a retired round's frames are gone
+    * for good (recompute would read deleted parquet). */
   final case class SketchRound(round: Long, cms: DataFrame, kmv: DataFrame,
                                candidates: DataFrame, totalValues: Long,
-                               commit: () => Unit)
+                               commit: () => Unit, release: () => Unit)
+
+  /** Cache + materialize NOW: the frame must survive this round's
+    * parquet being retired by a later advance (see [[SketchRound]]). */
+  private def eager(df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  private def eagerRound(round: Long, roundDir: Path, total: Long,
+                         spark: SparkSession, commit: () => Unit): SketchRound = {
+    val frames = Seq("cms", "kmv", "cand").map(a =>
+      eager(spark.read.parquet(new Path(roundDir, a).toString)))
+    SketchRound(round, frames(0), frames(1), frames(2), total, commit,
+      () => frames.foreach(_.unpersist(false)))
+  }
 
   /** Fold `increment` (columns `groupCol`, `valueCol`) into the stored
     * sketches. The increment is normalized, null values dropped (a null
@@ -80,11 +101,13 @@ object SketchMaintain {
     * increment image ever reaches the filesystem and committed state
     * stays sketch-sized. (An executor-loss recompute re-evaluates the
     * increment plan — deterministic by the ingest contract, and a
-    * failed advance is swept and replayed anyway.) The running total is
-    * read off the merged row-0 CMS cells rather than counted from the
-    * increment — at factor 1 the round cost is nearly all job-scheduling
-    * floor, so the per-round job budget is exactly: the three coalesced
-    * artifact writes plus one tiny cell-sum. */
+    * failed advance is swept and replayed anyway.) The running total
+    * comes from the cache-settling `count` of the null-filtered
+    * increment — one job that both yields the round total and
+    * materializes the cache so the three concurrent writes below never
+    * race to compute it; at factor 1 the round cost is nearly all
+    * job-scheduling floor, so the per-round job budget is exactly:
+    * that count plus the three coalesced artifact writes. */
   def advance(spark: SparkSession, increment: DataFrame, groupCol: String,
               valueCol: String, stateDir: String, floorPermille: Int = 1,
               depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
@@ -138,11 +161,7 @@ object SketchMaintain {
     prev match {
       case Some((prevDir, prevTotal, prevTag))
           if tag.nonEmpty && prevTag == tag =>
-        return SketchRound(round - 1L,
-          spark.read.parquet(new Path(prevDir, "cms").toString),
-          spark.read.parquet(new Path(prevDir, "kmv").toString),
-          spark.read.parquet(new Path(prevDir, "cand").toString),
-          prevTotal, () => ())
+        return eagerRound(round - 1L, prevDir, prevTotal, spark, () => ())
       case _ => ()
     }
     val inc = increment.select(col(groupCol).cast("string").as("_g"),
@@ -180,34 +199,51 @@ object SketchMaintain {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val writes = Seq(
-        scala.concurrent.Future(dbg("cms_write")(
-          cells.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(roundDir, "cms").toString))),
-        scala.concurrent.Future(dbg("kmv_write")(
-          kmv.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(roundDir, "kmv").toString))),
-        scala.concurrent.Future(dbg("cand_write")(
-          Sketches.cmsEstimate(candIn, "_v", cells, depth, width)
-            .where(col("est_cnt") * 1000 >= lit(total) * floorPermille)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new Path(roundDir, "cand").toString))))
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(writes),
-        scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdown()
-    inc.unpersist(false) // all three passes are written; release the blocks
+    // each write runs under a NAMED fair-scheduler pool (a thread-local
+    // property, so it must be set on the future's own thread): under the
+    // default FIFO scheduler the property is inert, but on a busy shared
+    // cluster configured FAIR the three cell-sized writes then share a
+    // pool instead of serializing behind whatever large job holds the
+    // FIFO head — the factor-1 concurrency win stays portable. Each
+    // future ALSO eager-loads its written artifact (cache + count, the
+    // SketchRound lifetime contract) so the read-backs ride the same
+    // three concurrent slots instead of adding three sequential
+    // job-scheduling floors after the writes.
+    def pooled(name: String)(write: String => Unit): scala.concurrent.Future[DataFrame] =
+      scala.concurrent.Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_sketch")
+        val path = new Path(roundDir, name).toString
+        dbg(s"${name}_write")(write(path))
+        dbg(s"${name}_load")(eager(spark.read.parquet(path)))
+      }
+    val frames =
+      try {
+        val writes = Seq(
+          pooled("cms")(
+            cells.coalesce(1).write.mode("overwrite").parquet(_)),
+          pooled("kmv")(
+            kmv.coalesce(1).write.mode("overwrite").parquet(_)),
+          pooled("cand")(
+            Sketches.cmsEstimate(candIn, "_v", cells, depth, width)
+              .where(col("est_cnt") * 1000 >= lit(total) * floorPermille)
+              .coalesce(1).write.mode("overwrite").parquet(_)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes),
+          scala.concurrent.duration.Duration.Inf)
+      } finally {
+        pool.shutdown()
+        // in the finally: a failed write must not leak the cached
+        // increment blocks into the session (the advance is swept and
+        // replayed, but the session may be long-lived)
+        inc.unpersist(false)
+      }
     val out = fs.create(new Path(roundDir, "sketch_meta"), true)
     try out.write(s"$config|total=$total|tag=$tag"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    SketchRound(round,
-      spark.read.parquet(new Path(roundDir, "cms").toString),
-      spark.read.parquet(new Path(roundDir, "kmv").toString),
-      spark.read.parquet(new Path(roundDir, "cand").toString),
-      total,
-      () => { fs.create(new Path(roundDir, "_COMMIT"), true).close(); () })
+    SketchRound(round, frames(0), frames(1), frames(2), total,
+      () => { fs.create(new Path(roundDir, "_COMMIT"), true).close(); () },
+      () => frames.foreach(_.unpersist(false)))
   }
 
   /** The foreachBatch handler: fold the batch tagged by its batch id —
@@ -219,8 +255,13 @@ object SketchMaintain {
               floorPermille: Int = 1, depth: Int = Sketches.CmsDepth,
               width: Int = Sketches.CmsWidth, k: Int = Sketches.DefaultK)
   : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    advance(batch.sparkSession, batch, groupCol, valueCol, stateDir,
-      floorPermille, depth, width, k, tag = s"b$batchId").commit()
+    val r = advance(batch.sparkSession, batch, groupCol, valueCol, stateDir,
+      floorPermille, depth, width, k, tag = s"b$batchId")
+    r.commit()
+    // the loop never touches the returned frames (readers go through
+    // heavyHitters/distinctReport) — release the eager cache so a
+    // long-running stream's storage stays one round, not one per batch
+    r.release()
   }
 
   /** Wire a streaming frame (columns `groupCol`, `valueCol`) into the

@@ -136,6 +136,52 @@ object ProbeFamily {
         val cells = graft.functions.Sketches.cmsPartial(tok, col("_w"))
         graft.functions.Sketches.cmsEstimate(tok.distinct(), "_w", cells)
           .agg(sum(col("est_cnt"))).head().getLong(0)
+      case "bigram_lm" =>
+        TF.bigramLmScore(docs)
+          .agg(sum(col("score_ppm") + col("n_bigrams"))).head().getLong(0)
+      // pre-r12 shape (one row per bigram OCCURRENCE through the model
+      // join-back and both count passes), for A/B attribution of the
+      // word_term_counts fast path
+      case "bigram_lm_old" =>
+        val bg = docs.select(col("doc_id"),
+          explode(TF.bigrams(TF.words(TF.normText(col("text"))))).as("_bg"))
+        val c2 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_n2"))
+        val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+          .agg(sum(col("_n2")).as("_n1"))
+        val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
+          .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
+        val perDoc = bg.join(model, "_bg").groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(expr("_s div n_bigrams"), lit(0L)).as("score_ppm"))
+          .agg(sum(col("score_ppm") + col("n_bigrams"))).head().getLong(0)
+      case "vocab_coverage" =>
+        TF.vocabCoverage(docs, 100)
+          .agg(sum(col("oov_milli") + col("mean_rank_centi"))).head().getLong(0)
+      // pre-r12 shape (token-occurrence explode on both the vocab build
+      // and the coverage probe side)
+      case "vocab_coverage_old" =>
+        import org.apache.spark.sql.expressions.Window
+        val base = docs.withColumn("_ws", TF.words(TF.normText(col("text"))))
+        val toks = base.select(col("doc_id"), explode(col("_ws")).as("_word"))
+        val ranked = toks.groupBy("_word").agg(count(lit(1)).as("_cnt"))
+          .orderBy(col("_cnt").desc, col("_word")).limit(100)
+          .select(col("_word"), row_number().over(
+            Window.orderBy(col("_cnt").desc, col("_word"))).cast("long").as("_rank"))
+        base.select(col("doc_id"), explode_outer(col("_ws")).as("_word"))
+          .join(broadcast(ranked), Seq("_word"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(col("_word")).as("tok_cnt"),
+            count(col("_rank")).as("in_vocab"),
+            coalesce(sum("_rank"), lit(0L)).as("_rank_sum"))
+          .select(
+            ((col("tok_cnt") - col("in_vocab")) * 1000 / greatest(col("tok_cnt"), lit(1L)))
+              .cast("long").as("oov_milli"),
+            (col("_rank_sum") * 100 / greatest(col("in_vocab"), lit(1L)))
+              .cast("long").as("mean_rank_centi"))
+          .agg(sum(col("oov_milli") + col("mean_rank_centi"))).head().getLong(0)
       case "ngram_novelty" =>
         TF.ngramNovelty(probeDocs())
           .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)

@@ -313,11 +313,22 @@ object ScaleSmoke {
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ioSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // io segment state: every IoSegLen timed samples, re-probe the disk
-    // and tag subsequent samples with the probe value (see SampleRe doc)
+    // and tag subsequent samples with the probe value (see SampleRe doc).
+    // DEEP-factor samples (40x/100x) are BRACKETED instead: their own
+    // probe immediately before AND after, tag = max of the pair — the
+    // r11 lesson was that this VM's disk windows open and close BETWEEN
+    // the every-6-samples probes, so a "clean" segment could still carry
+    // a 2-4x swing on an unchanged-code 13-s deep point (minhash_lsh
+    // 13.3 s median vs 7.15 s best pass in a zero-flagged run). Deep
+    // samples run 5-30 s each, so the extra ~1.3 s probe is affordable
+    // exactly where the cadence was too coarse; shallow samples keep the
+    // cadence (their families are also ~10x cheaper than the probe
+    // budget would allow).
     var ioSeg = -1.0
     var sinceIoProbe = Int.MaxValue / 2 // force a probe at the first sample
     def time(tag: String, n: Int)(f: => Long): Unit = {
-      if (sinceIoProbe >= IoSegLen) {
+      val bracket = deepFactors.contains(n)
+      if (bracket || sinceIoProbe >= IoSegLen) {
         ioSeg = ioSentinel(); ioSentinels += ioSeg; sinceIoProbe = 0
         println(f"[scaleiosentinel] $ioSeg%.4f")
       }
@@ -325,9 +336,18 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
+      val ioTag = if (bracket) {
+        // the closing probe also opens the next segment: it is the
+        // freshest disk reading anything after this sample can have
+        val after = ioSentinel(); ioSentinels += after; sinceIoProbe = 0
+        println(f"[scaleiosentinel] $after%.4f")
+        val worst = math.max(ioSeg, after)
+        ioSeg = after
+        worst
+      } else ioSeg
       println(f"[scale] $tag%-18s x$n%-3d $sec%8.2f s  rows=$rows")
-      println(f"[scalesample] $tag $n $sec%.4f $rows $ioSeg%.4f")
-      samples += ((tag, n, sec, rows, ioSeg))
+      println(f"[scalesample] $tag $n $sec%.4f $rows $ioTag%.4f")
+      samples += ((tag, n, sec, rows, ioTag))
       spark.catalog.clearCache() // operator caches must not leak across samples
     }
 
@@ -684,7 +704,14 @@ object ScaleSmoke {
     * `io_contaminated` — re-run before trusting that point. (The r11
     * incident: unchanged-code minhash_lsh 100x swung 7.2/13.3/21.6 s
     * across passes on a shared-disk VM while every CPU sentinel sat at
-    * ~0.25 s; the healthy sample matched the prior round exactly.) */
+    * ~0.25 s; the healthy sample matched the prior round exactly.)
+    * Deep-factor samples are additionally probe-BRACKETED (see `time`),
+    * so their clean tag certifies the disk on both sides of the sample.
+    *
+    * `min` (round 12): each point also records its best sample across
+    * all passes — contention only ever slows a deterministic operator,
+    * so on unchanged code min-vs-min is the drift comparison that no
+    * disk window can fake in the slow direction. */
   private def emitArtifact(dir: String, runs: Int,
                            samples: Seq[(String, Int, Double, Long, Double)],
                            sentinels: Seq[Double],
@@ -703,7 +730,9 @@ object ScaleSmoke {
         // Locale.ROOT: the f-interpolator renders decimal COMMAS under
         // de/fr default locales, corrupting the JSON artifact
         val sec = String.format(java.util.Locale.ROOT, "%.2f", Double.box(med))
-        s"""{"factor":$n,"sec":$sec,"rows":$rows,"samples":${ss.size},"clean":${clean.size}}"""
+        val mn = String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(ss.map(_._3).min))
+        s"""{"factor":$n,"sec":$sec,"min":$mn,"rows":$rows,"samples":${ss.size},"clean":${clean.size}}"""
       }.mkString("[", ",", "]")
       s""""$fam":$ser"""
     }.mkString("{", ",", "}")

@@ -84,16 +84,52 @@ class BenchPriorSpec extends AnyFunSuite {
 
   test("the final short line for the full registry fits the 2,000-byte committed tail cap") {
     // every registry entry at a worst-plausible width (3-digit seconds,
-    // 2 decimals) plus the fixed fields — the exact string emit() builds
-    val qs = SparkEntry.queries.keys.toSeq.sorted
-      .map(n => "\"" + Bench.shortKey(n) + "\":999.99").mkString("{", ",", "}")
+    // 2 decimals) plus the fixed fields — the exact string emit() builds,
+    // under the WORST contamination case: every query contaminated, the
+    // final-line list capped at ContamCap entries (the full list lives on
+    // the diag line; pre-cap, 92 entries at ~7 bytes each would have
+    // pushed the one tail-protected line past the cap with no second
+    // printed copy to salvage)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val qs = names.map(n => "\"" + Bench.shortKey(n) + "\":999.99")
+      .mkString("{", ",", "}")
+    val contam = names.take(Bench.ContamCap)
+      .map(n => "\"" + Bench.shortKey(n) + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","sf":"/root/testdata/sf0.1","sent":0.210,"queries":$qs,"contaminated_queries":[]}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","sf":"/root/testdata/sf0.1","sent":0.210,"io_sent":99.999,"queries":$qs,"contaminated_n":${names.size},"contaminated_queries":$contam}"""
     assert(line.getBytes("UTF-8").length <= 1700,
       s"short final line must stay comfortably under the 2,000-byte tail cap, got ${line.length}")
     // short keys are unique across the registry (expansion is injective)
-    val shorts = qs; val keys = SparkEntry.queries.keys.map(Bench.shortKey).toSeq
-    assert(keys.distinct.size === keys.size, s"short-key collision in $shorts")
+    val keys = names.map(Bench.shortKey)
+    assert(keys.distinct.size === keys.size, s"short-key collision in $keys")
+  }
+
+  test("deviance normalization: a uniform machine slowdown is absorbed by the sentinel ratio") {
+    val prior = Map("q1_op_filter" -> 1.0, "q2_before_after" -> 0.5,
+      "q3_initial_offset" -> 0.04) // under the 0.05 s jitter floor
+    // this run: machine 3.5x slower across the board (sentinel ratio
+    // carries the same 3.5) — NOTHING may be flagged, though every raw
+    // ratio exceeds 3x
+    val uniform = Seq("q1_op_filter" -> 3.5, "q2_before_after" -> 1.75)
+    assert(Bench.deviantVsPrior(uniform, prior, 3.5) === Seq.empty)
+    // unnormalized (scale 1.0) the same numbers DO trip the flag, with
+    // the raw ratio reported — the pre-sentinel behavior, pinned so the
+    // normalization is provably doing the work
+    assert(Bench.deviantVsPrior(uniform, prior, 1.0).toMap ===
+      Map("q1_op_filter" -> 3.5, "q2_before_after" -> 3.5))
+    // one query genuinely 4x slower ON TOP of a 2x machine slowdown is
+    // still flagged, at its machine-corrected ratio
+    val mixed = Seq("q1_op_filter" -> 8.0, "q2_before_after" -> 1.0)
+    assert(Bench.deviantVsPrior(mixed, prior, 2.0).toMap === Map("q1_op_filter" -> 4.0))
+    // speed-ups past 3x are flagged too (ratio < 1/3)
+    val fast = Bench.deviantVsPrior(Seq("q1_op_filter" -> 0.2), prior, 1.0)
+    assert(fast.map(_._1) === Seq("q1_op_filter"))
+    assert(math.abs(fast.head._2 - 0.2) < 1e-9)
+    // sub-jitter prior queries and failed runs (v < 0) never flag
+    assert(Bench.deviantVsPrior(
+      Seq("q3_initial_offset" -> 1.0, "q1_op_filter" -> -1.0), prior, 1.0) === Seq.empty)
+    // a query with no prior entry never flags
+    assert(Bench.deviantVsPrior(Seq("q99_new" -> 100.0), prior, 1.0) === Seq.empty)
   }
 
   test("sentinel normalization math: prior sentinel absent -> raw ratios (None)") {

@@ -160,6 +160,33 @@ class SketchMaintainSpec extends SparkSpec {
     assert(report === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("a held round survives later advances retiring its parquet (eager frames + release)") {
+    val dirS = tmp()
+    val r0 = SketchMaintain.advance(spark,
+      Seq(("s", "x"), ("s", "y")).toDF("source", "w"), "source", "w", dirS)
+    r0.commit()
+    // pin the expected frames NOW, then advance TWICE — the second
+    // advance retires round_0's parquet (only the last committed round
+    // is live), which pre-fix made r0's lazy frames throw
+    // FileNotFoundException on next access
+    val cms0 = r0.cms.orderBy("_j", "_b").collect().toSeq
+    val kmv0 = r0.kmv.collect().toSeq
+    val cand0 = r0.candidates.collect().toSeq
+    SketchMaintain.advance(spark,
+      Seq(("s", "z")).toDF("source", "w"), "source", "w", dirS).commit()
+    SketchMaintain.advance(spark,
+      Seq(("t", "w")).toDF("source", "w"), "source", "w", dirS).commit()
+    assert(!new java.io.File(s"$dirS/round_0").exists(),
+      "round_0 parquet must be retired — otherwise this test proves nothing")
+    assert(r0.cms.orderBy("_j", "_b").collect().toSeq === cms0)
+    assert(r0.kmv.collect().toSeq === kmv0)
+    assert(r0.candidates.collect().toSeq === cand0)
+    assert(r0.totalValues === 2L)
+    // release drops the cached blocks without touching the live rounds
+    r0.release()
+    assert(SketchMaintain.distinctReport(spark, dirS).count() === 2L)
+  }
+
   test("an item crossing the threshold in a later round is recalled; query below floor refused") {
     val dirS = tmp()
     // round 0: "late" is 1 of 2001 values (0.5 permille) -> pruned at floor 1
