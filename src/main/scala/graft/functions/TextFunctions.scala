@@ -582,22 +582,36 @@ object TextFunctions {
     * convention (positive ⇔ more likely under the target model).
     * `kept` is the deterministic selection bit (score > 0).
     *
-    * Scale shape: one token explode feeding two vocabulary-sized
-    * aggregations (the model is vocab-sized, never corpus-sized), the
-    * 1-row totals broadcast-joined onto the model, the model joined
-    * back onto the token stream on the token key (hot stopword keys are
-    * the p43 bigram-LM situation — left to AQE skew splitting, as
-    * justified there), and one per-doc aggregate.
+    * Scale shape: per-doc term frequencies compute MAP-SIDE (the
+    * `word_term_counts` kernel), so the model join-back and the vocab
+    * build both carry one row per (doc, DISTINCT word) — never per
+    * token occurrence — with every count downstream a tf-weighted sum
+    * (integer-identical: the target bit is constant within a document).
+    * The model is vocab-sized, never corpus-sized; the 1-row totals
+    * broadcast-join onto the model; the model joins back on the word
+    * key (hot stopword keys are the p43 bigram-LM situation — left to
+    * AQE skew splitting, as justified there); one per-doc aggregate.
     * Output: (doc_id, n_tokens, score_ppm, kept) — every document
     * appears; empty docs score 0 and are dropped. */
   def dsirScores(docs: org.apache.spark.sql.DataFrame, targetPred: Column,
                  idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
-    val tok = docs
-      .select(col(idCol), targetPred.cast("long").as("_tgt"),
-        explode(words(normText(col(textCol)))).as("_w"))
+    // occurrence-exploded fallback carries _tf = 1 so the tf-weighted
+    // sums below degenerate to the plain occurrence counts — one
+    // downstream shape, two parity-pinned input forms (the p24 pattern)
+    val tok =
+      if (docs.sparkSession.catalog.functionExists("word_term_counts"))
+        docs.select(col(idCol), targetPred.cast("long").as("_tgt"),
+            explode(call_function("word_term_counts",
+              words(normText(col(textCol))))).as("_wt"))
+          .select(col(idCol), col("_tgt"),
+            col("_wt.word").as("_w"), col("_wt.tf").as("_tf"))
+      else docs
+        .select(col(idCol), targetPred.cast("long").as("_tgt"),
+          explode(words(normText(col(textCol)))).as("_w"))
+        .withColumn("_tf", lit(1L))
     val vocab = tok.groupBy(col("_w"))
-      .agg(count(lit(1)).as("_cr"), sum(col("_tgt")).as("_ct"))
+      .agg(sum(col("_tf")).as("_cr"), sum(col("_tgt") * col("_tf")).as("_ct"))
     val totals = vocab
       .agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"),
         count(lit(1)).as("_v"))
@@ -607,7 +621,8 @@ object TextFunctions {
           expr("((_cr + 1) * 1000000) div (_nr + _v)")).as("_delta"))
     val perDoc = tok.join(model, "_w")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_delta")).as("_s"))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf") * col("_delta")).as("_s"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -695,35 +710,64 @@ object TextFunctions {
     * doc-level complement of the p42 line-dedup and p36 dup-ngram
     * views, which score repetition rather than provenance).
     *
-    * Scale shape: one bigram explode feeding a per-doc distinct (the
-    * map-side partial distinct on (doc, bigram)), then TWO cell-bounded
-    * aggregations off that set — distinct-bigram count per doc, and
-    * first-doc per bigram collapsed to introductions per doc — joined
-    * doc-keyed. No corpus-sized join-back: the min(doc_id) aggregation
-    * already names the introducing document, so novelty counts fall out
-    * of the model side alone. Hot bigrams cost one partial-agg cell
-    * each, not a shuffle of their occurrence list.
+    * Scale shape: a document's DISTINCT bigram set is a per-ROW fact
+    * (one row per document — the corpus contract this module states on
+    * [[graft.functions.Dedup.lineStats]]; a multi-row document must be
+    * concatenated first), so the `word_term_counts` kernel computes it
+    * MAP-SIDE: `n_bigrams` is the kernel array's size (no exchange at
+    * all) and the global (doc, bigram) distinct exchange the exploded
+    * form paid disappears — the ONLY corpus-sized shuffle left is the
+    * bigram-keyed min(doc_id), behind partial aggregation, collapsing
+    * straight to introductions per doc. No corpus-sized join-back: the
+    * min(doc_id) aggregation already names the introducing document.
+    * Hot bigrams cost one partial-agg cell each, not a shuffle of
+    * their occurrence list. The exploded distinct twin remains the
+    * parity-pinned fallback for sessions without
+    * [[graft.GraftExtensions]].
     * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
     * appears; docs with < 2 words carry zeros. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
-    val bg = docs
-      .select(col(idCol).as("_id"),
-        explode(bigrams(words(normText(col(textCol))))).as("_bg"))
-      .distinct()
-    val perDoc = bg.groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_bigrams"))
-    val novel = bg.groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
-      .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
-    docs.select(col(idCol))
-      .join(perDoc, col(idCol) === col("_id"), "left")
-      .join(novel, col(idCol) === col("_first"), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
-        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
-          .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
-          .cast("long").as("novelty_pm"))
+    val bgArr = bigrams(words(normText(col(textCol))))
+    if (docs.sparkSession.catalog.functionExists("word_term_counts")) {
+      // the kernel's array IS the per-doc distinct set (first-occurrence
+      // order, irrelevant here); its `word` field explodes into the
+      // min(doc_id) pass, its size is n_bigrams (null text -> null array
+      // -> 0 bigrams, matching explode dropping the doc entirely)
+      val novel = docs
+        .select(col(idCol).as("_id"),
+          explode(call_function("word_term_counts", bgArr).getField("word"))
+            .as("_bg"))
+        .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+        .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+      docs
+        .select(col(idCol),
+          coalesce(size(call_function("word_term_counts", bgArr)), lit(0))
+            .cast("long").as("n_bigrams"))
+        .join(novel, col(idCol) === col("_first"), "left")
+        .select(col(idCol), col("n_bigrams"),
+          coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+          when(col("n_bigrams") === 0, lit(0L))
+            .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+            .cast("long").as("novelty_pm"))
+    } else {
+      val bg = docs
+        .select(col(idCol).as("_id"), explode(bgArr).as("_bg"))
+        .distinct()
+      val perDoc = bg.groupBy(col("_id"))
+        .agg(count(lit(1)).as("n_bigrams"))
+      val novel = bg.groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+        .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+      docs.select(col(idCol))
+        .join(perDoc, col(idCol) === col("_id"), "left")
+        .join(novel, col(idCol) === col("_first"), "left")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+            .cast("long").as("novelty_pm"))
+    }
   }
 }

@@ -185,6 +185,48 @@ object ProbeFamily {
       case "ngram_novelty" =>
         TF.ngramNovelty(probeDocs())
           .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
+      // pre-r12 shape (global (doc, bigram) distinct exchange + id-keyed
+      // perDoc count), for A/B attribution of the kernel fast path
+      case "ngram_novelty_old" =>
+        val bg = docs.select(col("doc_id").as("_id"),
+            explode(TF.bigrams(TF.words(TF.normText(col("text"))))).as("_bg"))
+          .distinct()
+        val perDoc = bg.groupBy(col("_id")).agg(count(lit(1)).as("n_bigrams"))
+        val novel = bg.groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+          .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+        docs.select(col("doc_id"))
+          .join(perDoc, col("doc_id") === col("_id"), "left")
+          .join(novel, col("doc_id") === col("_first"), "left")
+          .select(
+            coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+              .cast("long").as("novelty_pm"))
+          .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
+      case "dsir" =>
+        TF.dsirScores(docs, pmod(col("doc_id"), lit(5)) === 0)
+          .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0)
+      // pre-r12 shape (one row per token OCCURRENCE through the vocab
+      // build and the model join-back)
+      case "dsir_old" =>
+        val tok = docs.select(col("doc_id"),
+          (pmod(col("doc_id"), lit(5)) === 0).cast("long").as("_tgt"),
+          explode(TF.words(TF.normText(col("text")))).as("_w"))
+        val vocab = tok.groupBy(col("_w"))
+          .agg(count(lit(1)).as("_cr"), sum(col("_tgt")).as("_ct"))
+        val totals = vocab.agg(sum(col("_cr")).as("_nr"),
+          sum(col("_ct")).as("_nt"), count(lit(1)).as("_v"))
+        val model = vocab.crossJoin(broadcast(totals))
+          .select(col("_w"),
+            (expr("((_ct + 1) * 1000000) div (_nt + _v)") -
+              expr("((_cr + 1) * 1000000) div (_nr + _v)")).as("_delta"))
+        val perDoc = tok.join(model, "_w").groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("_delta")).as("_s"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("_s"), lit(0L)).as("score_ppm"))
+          .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0)
       case "containment_scan" =>
         Dedup.containmentScan(probeDocs(), 200).count()
       case "collocations" =>

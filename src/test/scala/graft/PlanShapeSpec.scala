@@ -354,6 +354,22 @@ class PlanShapeSpec extends SparkSpec {
       s"tf must not exchange on (doc_id, word):\n${exchanges(p)}")
   }
 
+  test("p47 dsir / p51 novelty: per-doc terms are map-side (word_term_counts)") {
+    // p47: the vocab build and model join-back carry (doc, distinct word)
+    // kernel rows, never the occurrence stream
+    val p47 = plan("p47_dsir_select")
+    assert(p47.contains("word_term_counts"), s"dsir must ride the kernel:\n$p47")
+    // p51: the kernel array is the per-doc distinct set — the exploded
+    // form's global (doc, bigram) distinct exchange must not exist
+    val p51 = plan("p51_ngram_novelty")
+    assert(p51.contains("word_term_counts"), s"novelty must ride the kernel:\n$p51")
+    // column refs print as `_id#N` / `_bg#N`; a bare "_id" would also
+    // match every node's `plan_id=` annotation
+    assert(!exchanges(p51).exists(e => e.contains("_id#") && e.contains("_bg#")
+        && e.contains("hashpartitioning")),
+      s"novelty must never exchange on (doc, bigram):\n${exchanges(p51)}")
+  }
+
   test("p44 mixture draw: weight table broadcasts, keep decision map-side") {
     val p = plan("p44_mixture_draw")
     assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")

@@ -44,6 +44,32 @@ class NoveltyContainmentSpec extends SparkSpec {
     assert(r.where(col("novel_cnt") > col("n_bigrams")).count() === 0)
   }
 
+  test("novelty: kernel fast path is identical to the exploded-distinct twin on the corpus") {
+    // the implementation picks the word_term_counts path (extensions are
+    // registered in tests); recompute through the pre-r12 exploded global
+    // distinct inline and compare row-for-row
+    val got = TextFunctions.ngramNovelty(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val bg = docs.select(col("doc_id").as("_id"),
+        explode(TextFunctions.bigrams(TextFunctions.words(
+          TextFunctions.normText(col("text"))))).as("_bg"))
+      .distinct()
+    val perDoc = bg.groupBy(col("_id")).agg(count(lit(1)).as("n_bigrams"))
+    val novel = bg.groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+      .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+    val want = docs.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("_id"), "left")
+      .join(novel, col("doc_id") === col("_first"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+          .cast("long").as("novelty_pm"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("containment: reported best matches agree with a brute-force containment matrix") {
     val thr = 200
     val got = Dedup.containmentScan(docs, thr)

@@ -91,6 +91,35 @@ class SketchesSpec extends SparkSpec {
     assert(enKeptFrac > 0.5)
   }
 
+  test("DSIR: kernel fast path is identical to the occurrence-exploded twin on the corpus") {
+    // the implementation picks the word_term_counts path (extensions are
+    // registered in tests); recompute through the pre-r12 exploded
+    // occurrence stream inline and compare row-for-row
+    val got = TextFunctions.dsirScores(docs, col("lang") === "en")
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
+    val tokO = docs.select(col("doc_id"),
+      (col("lang") === "en").cast("long").as("_tgt"),
+      explode(TextFunctions.words(TextFunctions.normText(col("text")))).as("_w"))
+    val vocab = tokO.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_cr"), sum(col("_tgt")).as("_ct"))
+    val totals = vocab.agg(sum(col("_cr")).as("_nr"),
+      sum(col("_ct")).as("_nt"), count(lit(1)).as("_v"))
+    val model = vocab.crossJoin(broadcast(totals))
+      .select(col("_w"),
+        (expr("((_ct + 1) * 1000000) div (_nt + _v)") -
+          expr("((_cr + 1) * 1000000) div (_nr + _v)")).as("_delta"))
+    val perDoc = tokO.join(model, "_w").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_delta")).as("_s"))
+    val want = docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("_s"), lit(0L)).as("score_ppm"),
+        when(coalesce(col("_s"), lit(0L)) > 0, lit(1)).otherwise(lit(0))
+          .cast("int").as("kept"))
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got === want)
+  }
+
   test("DSIR: degenerate all-target predicate scores ~0 everywhere") {
     // target == raw => ppm difference is the smoothing residue only
     val r = TextFunctions.dsirScores(docs, lit(true))
