@@ -503,40 +503,34 @@ object TextFunctions {
     * changing any shuffle. Output: (idCol, n_bigrams, score_ppm) — docs
     * with < 2 words score 0 over 0 bigrams.
     *
-    * Scale shape: per-doc bigram term frequencies compute MAP-SIDE
-    * inside the scan (the `word_term_counts` kernel over the bigrams
-    * array), so the model join back carries (doc, distinct-bigram, tf)
-    * rows — never one row per occurrence — keyed on the bigram string,
-    * the hot-bigram skew class AQE handles (same as tf-idf's df join);
-    * bigram and prefix counts are two partial-agg passes over cells
-    * (never text); the per-doc rollup is one id-keyed exchange.
-    * Training and scoring share one corpus scan pipeline. */
+    * Scale shape: bigram and prefix counts are two partial-agg passes
+    * over cells (never text); the model join back onto doc bigrams keys
+    * on the bigram string — the hot-bigram skew class AQE handles (same
+    * as tf-idf's df join); the per-doc rollup is one id-keyed exchange.
+    * Training and scoring share one corpus scan pipeline.
+    *
+    * Deliberately NOT the `word_term_counts` kernel (the p24/p47 win
+    * class): a bigram stream's within-doc term frequency is ~1 (phrase
+    * repeats inside one document are rare, unlike word repeats at
+    * tf≈2–3), so the kernel's per-row hash map bought ~10% fewer
+    * join-back rows while roughly doubling the ×1 scan cost — measured
+    * via ProbeFamily `bigram_lm_wtc` vs `bigram_lm`: 2.1–3.2 s
+    * exploded vs 3.9–8.9 s kernel at ×1 warm, 5.0 vs 4.3 s at ×10 —
+    * a trade that only breaks even where the smoke already shows the
+    * family sub-linear. The exploded occurrence stream stays. */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
                     idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
-    // per-doc bigram term frequencies MAP-SIDE via the word_term_counts
-    // kernel (it takes any string array — here the bigrams array): the
-    // model join-back then carries one row per (doc, DISTINCT bigram)
-    // instead of one per occurrence, and every downstream count becomes
-    // a tf-weighted sum — integer-identical (sum over occurrences ==
-    // sum(tf·x) over distinct terms), the p24 win class applied to p43
-    val bgArr = bigrams(words(normText(col(textCol))))
-    val bg =
-      if (docs.sparkSession.catalog.functionExists("word_term_counts"))
-        docs.select(col(idCol),
-            explode(call_function("word_term_counts", bgArr)).as("_wt"))
-          .select(col(idCol), col("_wt.word").as("_bg"), col("_wt.tf").as("_tf"))
-      else docs.select(col(idCol), explode(bgArr).as("_bg"))
-        .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_tf"))
-    val c2 = bg.groupBy(col("_bg")).agg(sum(col("_tf")).as("_n2"))
+    val bg = docs
+      .select(col(idCol), explode(bigrams(words(normText(col(textCol))))).as("_bg"))
+    val c2 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_n2"))
     val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
       .agg(sum(col("_n2")).as("_n1"))
     val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
       .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
     val perDoc = bg.join(model, "_bg")
       .groupBy(col(idCol))
-      .agg(sum(col("_tf")).as("n_bigrams"),
-        sum(col("_tf") * col("_ppm")).as("_s"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -713,61 +707,39 @@ object TextFunctions {
     * Scale shape: a document's DISTINCT bigram set is a per-ROW fact
     * (one row per document — the corpus contract this module states on
     * [[graft.functions.Dedup.lineStats]]; a multi-row document must be
-    * concatenated first), so the `word_term_counts` kernel computes it
-    * MAP-SIDE: `n_bigrams` is the kernel array's size (no exchange at
-    * all) and the global (doc, bigram) distinct exchange the exploded
-    * form paid disappears — the ONLY corpus-sized shuffle left is the
-    * bigram-keyed min(doc_id), behind partial aggregation, collapsing
-    * straight to introductions per doc. No corpus-sized join-back: the
-    * min(doc_id) aggregation already names the introducing document.
-    * Hot bigrams cost one partial-agg cell each, not a shuffle of
-    * their occurrence list. The exploded distinct twin remains the
-    * parity-pinned fallback for sessions without
-    * [[graft.GraftExtensions]].
+    * concatenated first), so the built-in codegen'd `array_distinct`
+    * computes it MAP-SIDE: `n_bigrams` is that array's size (no
+    * exchange at all) and the global (doc, bigram) distinct exchange
+    * the exploded form paid disappears — the ONLY corpus-sized shuffle
+    * left is the bigram-keyed min(doc_id), behind partial aggregation,
+    * collapsing straight to introductions per doc. No corpus-sized
+    * join-back: the min(doc_id) aggregation already names the
+    * introducing document. Hot bigrams cost one partial-agg cell each,
+    * not a shuffle of their occurrence list. (`array_distinct`, not the
+    * `word_term_counts` kernel: novelty needs the distinct SET, not
+    * term frequencies — the built-in skips the count map and the
+    * struct-array explode, measured ~25% cheaper at ×1 for the same
+    * deep-factor shuffle saving.)
     * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
     * appears; docs with < 2 words carry zeros. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
-    val bgArr = bigrams(words(normText(col(textCol))))
-    if (docs.sparkSession.catalog.functionExists("word_term_counts")) {
-      // the kernel's array IS the per-doc distinct set (first-occurrence
-      // order, irrelevant here); its `word` field explodes into the
-      // min(doc_id) pass, its size is n_bigrams (null text -> null array
-      // -> 0 bigrams, matching explode dropping the doc entirely)
-      val novel = docs
-        .select(col(idCol).as("_id"),
-          explode(call_function("word_term_counts", bgArr).getField("word"))
-            .as("_bg"))
-        .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
-        .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
-      docs
-        .select(col(idCol),
-          coalesce(size(call_function("word_term_counts", bgArr)), lit(0))
-            .cast("long").as("n_bigrams"))
-        .join(novel, col(idCol) === col("_first"), "left")
-        .select(col(idCol), col("n_bigrams"),
-          coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
-          when(col("n_bigrams") === 0, lit(0L))
-            .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
-            .cast("long").as("novelty_pm"))
-    } else {
-      val bg = docs
-        .select(col(idCol).as("_id"), explode(bgArr).as("_bg"))
-        .distinct()
-      val perDoc = bg.groupBy(col("_id"))
-        .agg(count(lit(1)).as("n_bigrams"))
-      val novel = bg.groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
-        .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
-      docs.select(col(idCol))
-        .join(perDoc, col(idCol) === col("_id"), "left")
-        .join(novel, col(idCol) === col("_first"), "left")
-        .select(col(idCol),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
-          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
-            .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
-            .cast("long").as("novelty_pm"))
-    }
+    // per-doc distinct set map-side (null text -> null array -> size
+    // coalesces to 0 bigrams, matching explode dropping the doc)
+    val bgSet = array_distinct(bigrams(words(normText(col(textCol)))))
+    val novel = docs
+      .select(col(idCol).as("_id"), explode(bgSet).as("_bg"))
+      .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+      .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+    docs
+      .select(col(idCol),
+        coalesce(size(bgSet), lit(0)).cast("long").as("n_bigrams"))
+      .join(novel, col(idCol) === col("_first"), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+          .cast("long").as("novelty_pm"))
   }
 }

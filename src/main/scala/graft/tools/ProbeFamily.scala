@@ -139,19 +139,24 @@ object ProbeFamily {
       case "bigram_lm" =>
         TF.bigramLmScore(docs)
           .agg(sum(col("score_ppm") + col("n_bigrams"))).head().getLong(0)
-      // pre-r12 shape (one row per bigram OCCURRENCE through the model
-      // join-back and both count passes), for A/B attribution of the
-      // word_term_counts fast path
-      case "bigram_lm_old" =>
+      // the REJECTED word_term_counts variant (kept for the A/B record
+      // the bigramLmScore scaladoc cites): bigram within-doc tf is ~1,
+      // so the kernel's per-row map roughly doubled the x1 scan cost
+      // for ~10% fewer join-back rows — measured 3.9-8.9 s here vs
+      // 2.1-3.2 s exploded at x1 warm, 4.3 vs 5.0 s at x10
+      case "bigram_lm_wtc" =>
         val bg = docs.select(col("doc_id"),
-          explode(TF.bigrams(TF.words(TF.normText(col("text"))))).as("_bg"))
-        val c2 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_n2"))
+            explode(call_function("word_term_counts",
+              TF.bigrams(TF.words(TF.normText(col("text")))))).as("_wt"))
+          .select(col("doc_id"), col("_wt.word").as("_bg"), col("_wt.tf").as("_tf"))
+        val c2 = bg.groupBy(col("_bg")).agg(sum(col("_tf")).as("_n2"))
         val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
           .agg(sum(col("_n2")).as("_n1"))
         val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
           .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
         val perDoc = bg.join(model, "_bg").groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
+          .agg(sum(col("_tf")).as("n_bigrams"),
+            sum(col("_tf") * col("_ppm")).as("_s"))
         docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -354,15 +354,16 @@ class PlanShapeSpec extends SparkSpec {
       s"tf must not exchange on (doc_id, word):\n${exchanges(p)}")
   }
 
-  test("p47 dsir / p51 novelty: per-doc terms are map-side (word_term_counts)") {
+  test("p47 dsir / p51 novelty: per-doc terms are map-side (word_term_counts / array_distinct)") {
     // p47: the vocab build and model join-back carry (doc, distinct word)
     // kernel rows, never the occurrence stream
     val p47 = plan("p47_dsir_select")
     assert(p47.contains("word_term_counts"), s"dsir must ride the kernel:\n$p47")
-    // p51: the kernel array is the per-doc distinct set — the exploded
+    // p51: array_distinct is the per-doc distinct set (the set, not term
+    // frequencies — the built-in beats the kernel there) — the exploded
     // form's global (doc, bigram) distinct exchange must not exist
     val p51 = plan("p51_ngram_novelty")
-    assert(p51.contains("word_term_counts"), s"novelty must ride the kernel:\n$p51")
+    assert(p51.contains("array_distinct"), s"novelty must dedup map-side:\n$p51")
     // column refs print as `_id#N` / `_bg#N`; a bare "_id" would also
     // match every node's `plan_id=` annotation
     assert(!exchanges(p51).exists(e => e.contains("_id#") && e.contains("_bg#")
