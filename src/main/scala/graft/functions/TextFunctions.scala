@@ -719,7 +719,13 @@ object TextFunctions {
     * `word_term_counts` kernel: novelty needs the distinct SET, not
     * term frequencies — the built-in skips the count map and the
     * struct-array explode, measured ~25% cheaper at ×1 for the same
-    * deep-factor shuffle saving.)
+    * deep-factor shuffle saving.) The explicit trade: the text column
+    * is SCANNED TWICE (once per branch — Spark shares no projection
+    * across join inputs) to delete the (doc, bigram) exchange, and
+    * bigram pairs roughly double the text bytes, so the removed shuffle
+    * writes+reads MORE than the added pruned column scan — the probe
+    * crossover is ≤10× corpus on this box (~+0.3 s at ×1, −15% at ×10,
+    * −18% at ×40 vs the exploded twin, checksum-identical).
     * Output: (doc_id, n_bigrams, novel_cnt, novelty_pm) — every doc
     * appears; docs with < 2 words carry zeros. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
