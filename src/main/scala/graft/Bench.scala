@@ -323,7 +323,22 @@ object Bench {
       System.err.println(s"[bench] DEVIANT >3x vs prior round" +
         sentRatio.map(r => f" (sentinel-normalized, ratio $r%.3f)").getOrElse("") +
         s": ${deviant.mkString(",")} — on unchanged code, re-run before committing")
-    println(s"""{"metric":"bench_named","queries":${qJson(identity)}}""")
+    // min-of-samples beside the clean-segment median (the ScaleSmoke
+    // round-12 device, query edition): contention only ever slows a
+    // deterministic query, so on unchanged code min-vs-min is the drift
+    // comparison no disk window can fake in the slow direction. On the
+    // UNCAPPED long-name line only — the tail-capped final line stays
+    // within its byte budget.
+    val minJson = results.map { case (n, _) =>
+      val ts = samples.getOrElse(n, Nil).map(_._1).filter(_ >= 0)
+      "\"" + n + "\":" + f"${if (ts.isEmpty) -1.0 else ts.min}%.2f"
+    }.mkString("{", ",", "}")
+    // queries_min BEFORE queries: the shape-3 salvage parser regex-scans
+    // every "name":secs pair and keeps the LAST occurrence per name, so
+    // the median map must print second to win over the min map if a
+    // truncated committed tail ever carries this line
+    println(s"""{"metric":"bench_named","queries_min":$minJson,""" +
+      s""""queries":${qJson(identity)}}""")
     println(diag)
     // the short final line — the one the tail cap must preserve whole
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +

@@ -61,6 +61,18 @@ class BenchPriorSpec extends AnyFunSuite {
       "q12_dedup" -> 0.3859)))
   }
 
+  test("shape 3 with queries_min (round 12+): salvage resolves each query to its MEDIAN") {
+    // bench_named now carries min-of-samples BEFORE the median map; the
+    // text salvage keeps the LAST occurrence per name, which must be the
+    // median — a prior baseline built from minima would make every
+    // contention-slowed current run look deviant
+    val tail = """{"metric":"bench_named","queries_min":{"q12_dedup":0.21,""" +
+      """"p11_media_meta":0.18},"queries":{"q12_dedup":0.39,"p11_media_meta":0.29}}"""
+    val wrapper = s"""{"n":12,"rc":0,"tail":${"\"" + tail.replace("\"", "\\\"") + "\""},"parsed":null}"""
+    val got = Bench.parsePriorQueries(wrapper)
+    assert(got === Some(Map("q12_dedup" -> 0.39, "p11_media_meta" -> 0.29)))
+  }
+
   test("shape 4 (round 11+): short-keyed final line expands through the registry; sent is read") {
     // the committed-artifact fix: the final line carries SHORT keys
     // ("q1", "p54") so 92 queries fit the wrapper's 2,000-byte tail cap,
