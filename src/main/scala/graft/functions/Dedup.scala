@@ -864,7 +864,30 @@ object Dedup {
     * the candidate set joins the per-doc arrays twice (AQE broadcasts
     * the small cand side — the [[minhashLsh]] verify geometry) and both
     * the match count and the intersection are per-row array expressions,
-    * never an explode. */
+    * never an explode.
+    *
+    * The verify sides are CANDIDATE-PRUNED before any kernel runs: each
+    * side semi-joins the raw docs to its candidate id set first, so the
+    * min-hash component kernel (16 md5 per shingle — the costliest
+    * per-row map in the family) runs corpus-wide exactly ONCE, in the
+    * signature pass, and candidate-sized twice, instead of corpus-wide
+    * three times. The candidate subtree is referenced three times but
+    * its corpus-sized (band, sig) exchange executes once — AQE
+    * stage-reuse dedups identical shuffle stages at runtime, verified by
+    * listener accounting in the ProbeFamily A/B (shuffle bytes 26.6 vs
+    * 26.3 MB unpruned at the x10 smoke point; a re-execution would read
+    * ~3x) — and the post-exchange prune work is candidate-sized. Probed
+    * at the 100x smoke point against the unpruned twin
+    * (`minhash_estimate_unpruned`), 14 interleaved fresh-JVM samples in
+    * a noisy disk window: min-of-samples ties (11.5 vs 11.4 s), medians
+    * 16.0 vs 20.7 s, and the structural metrics are one-sided — total
+    * shuffle 513 vs 1064 MB (the unpruned verify sides sort-merge the
+    * corpus-wide component+shingle arrays) and the 16-md5 kernel runs
+    * corpus-wide once vs three times. The same pruning was PROBED AND
+    * REJECTED for [[minhashLsh]] (`minhash_lsh_pruned`): its verify
+    * sides re-pay only the trigram kernel, so the saving is a wash at
+    * 100x and a measured ~0.7 s LOSS at 10x (the two extra
+    * broadcast-prune stages cost more than the skipped shingling). */
   def minhashJaccardEstimate(docs: DataFrame, bands: Int,
                              estThresholdMilli: Int): DataFrame = {
     require(estThresholdMilli >= 0 && estThresholdMilli <= 1000,
@@ -872,13 +895,16 @@ object Dedup {
     val total = bands * RowsPerBand
     val shArr = shingleArrays(docs)
     val cands = lshCandidatePairs(minhashSignatureRows(shArr, bands))
-    val comp = shArr.select(col("sid"),
-      mhComponentsCol(col("shs"), bands, shArr.sparkSession).as("mhs"), col("shs"))
-    val a = comp.select(col("sid").as("doc_a"), col("mhs").as("mhs_a"),
-      col("shs").as("shs_a"))
-    val b = comp.select(col("sid").as("doc_b"), col("mhs").as("mhs_b"),
-      col("shs").as("shs_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    def side(pairCol: String): DataFrame = {
+      val pruned = shingleArrays(docs.join(
+        cands.select(col(pairCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+      pruned.select(col("sid").as(pairCol),
+        mhComponentsCol(col("shs"), bands, pruned.sparkSession)
+          .as(s"mhs_${pairCol.stripPrefix("doc_")}"),
+        col("shs").as(s"shs_${pairCol.stripPrefix("doc_")}"))
+    }
+    cands.join(side("doc_a"), "doc_a").join(side("doc_b"), "doc_b")
       .withColumn("_m", aggregate(
         zip_with(col("mhs_a"), col("mhs_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)),

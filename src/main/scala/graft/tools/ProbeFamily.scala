@@ -243,12 +243,106 @@ object ProbeFamily {
       case "minhash_estimate" =>
         Dedup.minhashJaccardEstimate(probeDocs(), 8, 500)
           .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0)
+      // attribution: ONE corpus-wide shingle pass (norm+split+trigram
+      // kernel, no minhash) — the unit the verify sides of minhash_lsh /
+      // minhash_estimate each re-pay when they re-derive shingle arrays
+      // from the raw docs instead of pruning to candidates first
+      case "shingle_pass" =>
+        Dedup.shingleArrays(docs)
+          .agg(sum(size(col("shs")))).head().getLong(0)
+      // attribution: shingles + the minhash_bands kernel (the signature
+      // pass minus the bucket shuffle)
+      case "minhash_sig_pass" =>
+        Dedup.minhashSignatureRows(Dedup.shingleArrays(docs), 8).count()
+      // candidate-pruned verify A/B for minhash_lsh: semi-join the raw
+      // docs to the candidate id set BEFORE computing verify-side shingle
+      // arrays, so the trigram kernel runs corpus-wide ONCE (signature
+      // pass) and candidate-sized twice, instead of corpus-wide three
+      // times. Output identical (inner joins on cands either way); the
+      // question is whether the 3x-referenced cands subtree reuses its
+      // exchanges or recomputes the signature pass per reference.
+      case "minhash_lsh_pruned" =>
+        val shArr = Dedup.shingleArrays(docs)
+        val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(shArr, 8))
+        def side(idCol: String) = Dedup.shingleArrays(
+          docs.join(cands.select(col(idCol).as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi"))
+        val a = side("doc_a").select(col("sid").as("doc_a"), col("shs").as("shs_a"))
+        val b = side("doc_b").select(col("sid").as("doc_b"), col("shs").as("shs_b"))
+        val out = cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+            size(col("shs_a")).cast("long").as("na"),
+            size(col("shs_b")).cast("long").as("nb"))
+          .withColumn("jacc_milli",
+            floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter"))).cast("long"))
+          .where(col("jacc_milli") >= 800)
+        val n0 = out.count()
+        // the reuse question decides whether this shape is safe at scale:
+        // the cands subtree is referenced three times (verify driver +
+        // two semi-join prunes) — without exchange/stage reuse the
+        // signature pass would run three times. Dump the FINAL adaptive
+        // plan (executedPlan.toString pre-execution shows isFinalPlan=false)
+        val fin = out.queryExecution.executedPlan
+          .asInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+          .executedPlan.treeString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("/tmp/probe_lsh_pruned_plan.txt"),
+          fin.getBytes("UTF-8"))
+        def cnt(pat: String) = pat.r.findAllIn(fin).size
+        println(s"[probe] minhash_lsh_pruned reused_shuffle=${cnt("ReusedQueryStage|ReusedExchange")} " +
+          s"shuffle_stages=${cnt("ShuffleQueryStage")} generates=${cnt("Generate ")}")
+        n0
+      // pre-r12 estimator shape (corpus-wide component arrays on BOTH
+      // verify sides — the minhash kernel three times over the corpus),
+      // kept for A/B attribution of the candidate-pruned production path
+      // (measured 16.6 vs 11.5 s min-of-4 at x100 in the same window)
+      case "minhash_estimate_unpruned" =>
+        val shArr = Dedup.shingleArrays(docs)
+        val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(shArr, 8))
+        val comp = shArr.select(col("sid"),
+          Dedup.mhComponentsCol(col("shs"), 8, shArr.sparkSession).as("mhs"),
+          col("shs"))
+        val a = comp.select(col("sid").as("doc_a"),
+          col("mhs").as("mhs_a"), col("shs").as("shs_a"))
+        val b = comp.select(col("sid").as("doc_b"),
+          col("mhs").as("mhs_b"), col("shs").as("shs_b"))
+        cands.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("_m", aggregate(
+            zip_with(col("mhs_a"), col("mhs_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+          .withColumn("est_milli", expr(s"(_m * 1000) div ${8 * Dedup.RowsPerBand}"))
+          .where(col("est_milli") >= 500)
+          .withColumn("_i",
+            size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+          .withColumn("jacc_milli",
+            floor(lit(1000.0) * col("_i") /
+              (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
+          .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0)
       case other => sys.error(s"unknown family $other")
     }
+    // per-rep stage + shuffle-write accounting: the decisive evidence for
+    // recompute-vs-reuse questions (a 3x-referenced subtree that does NOT
+    // stage-reuse shows up as ~3x the shuffle bytes of its single run,
+    // invisible in wall time on a page-cached local disk)
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     (1 to reps).foreach { i =>
+      val (st0, sb0) = (stages.get, shufBytes.get)
       val t0 = System.nanoTime()
       val rows = run()
-      println(f"[probe] $family x$n rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus drain
+      println(f"[probe] $family x$n rep$i $secs%.2f s rows=$rows " +
+        f"stages=${stages.get - st0} shuffle_mb=${(shufBytes.get - sb0) / 1e6}%.1f")
       spark.catalog.clearCache()
     }
     spark.stop()

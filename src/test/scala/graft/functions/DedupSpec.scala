@@ -454,6 +454,42 @@ class DedupSpec extends SparkSpec {
       s"estimated pair (${p._1},${p._2}) is not an LSH candidate"))
   }
 
+  test("candidate-pruned estimator matches the unpruned formulation row-for-row") {
+    // the production minhashJaccardEstimate semi-joins each verify side
+    // to its candidate id set BEFORE the shingle/component kernels run;
+    // this pins it against the pre-r12 unpruned twin (corpus-wide
+    // component arrays joined to the candidate pairs) — inner joins on
+    // the candidate set make the prune output-invisible by construction,
+    // and this test keeps it that way
+    val unpruned = {
+      val shArr = Dedup.shingleArrays(docs)
+      val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(shArr, Bands))
+      val comp = shArr.select(col("sid"),
+        Dedup.mhComponentsCol(col("shs"), Bands, spark).as("mhs"), col("shs"))
+      val a = comp.select(col("sid").as("doc_a"), col("mhs").as("mhs_a"),
+        col("shs").as("shs_a"))
+      val b = comp.select(col("sid").as("doc_b"), col("mhs").as("mhs_b"),
+        col("shs").as("shs_b"))
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("_m", aggregate(
+          zip_with(col("mhs_a"), col("mhs_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("est_milli", expr(s"(_m * 1000) div ${Bands * Dedup.RowsPerBand}"))
+        .where(col("est_milli") >= 500)
+        .withColumn("_i",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("jacc_milli",
+          floor(lit(1000.0) * col("_i") /
+            (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("est_milli"), col("jacc_milli"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val pruned = Dedup.minhashJaccardEstimate(docs, Bands, 500)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pruned.nonEmpty && pruned === unpruned)
+  }
+
   test("operators leave no CacheManager entries behind (no-leak contract)") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, 800).count()
