@@ -876,7 +876,10 @@ object Dedup {
     * stage-reuse dedups identical shuffle stages at runtime, verified by
     * listener accounting in the ProbeFamily A/B (shuffle bytes 26.6 vs
     * 26.3 MB unpruned at the x10 smoke point; a re-execution would read
-    * ~3x) — and the post-exchange prune work is candidate-sized. Probed
+    * ~3x) — and the post-exchange prune work is candidate-sized (no
+    * distinct on the id sets: a semi join is an existence check, and the
+    * exchange+aggregate barrier cost more than the duplicate build
+    * rows). Probed
     * at the 100x smoke point against the unpruned twin
     * (`minhash_estimate_unpruned`), 14 interleaved fresh-JVM samples in
     * a noisy disk window: min-of-samples ties (11.5 vs 11.4 s), medians
@@ -896,8 +899,12 @@ object Dedup {
     val shArr = shingleArrays(docs)
     val cands = lshCandidatePairs(minhashSignatureRows(shArr, bands))
     def side(pairCol: String): DataFrame = {
+      // no .distinct() on the id set: a semi join is an existence check,
+      // so duplicate build rows change nothing — and dropping it removes
+      // an exchange+aggregate barrier per side (first-execution stage
+      // bring-up was the measured cost of the pruning at small factors)
       val pruned = shingleArrays(docs.join(
-        cands.select(col(pairCol).as("doc_id")).distinct(),
+        cands.select(col(pairCol).as("doc_id")),
         Seq("doc_id"), "left_semi"))
       pruned.select(col("sid").as(pairCol),
         mhComponentsCol(col("shs"), bands, pruned.sparkSession)

@@ -320,6 +320,32 @@ object ProbeFamily {
             floor(lit(1000.0) * col("_i") /
               (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
           .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0)
+      // third estimator shape: the OLD 7-stage topology (no semi-join
+      // barriers) with the component kernel moved POST-JOIN — sides carry
+      // only shingle arrays (cheap trigram pass), and the 16-md5 kernel
+      // runs once corpus-wide (signature pass) plus twice PER CANDIDATE
+      // PAIR (same per-pair complexity class as the array_intersect the
+      // verify already pays)
+      case "minhash_estimate_pairkernel" =>
+        val shArr = Dedup.shingleArrays(docs)
+        val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(shArr, 8))
+        val a = shArr.select(col("sid").as("doc_a"), col("shs").as("shs_a"))
+        val b = shArr.select(col("sid").as("doc_b"), col("shs").as("shs_b"))
+        cands.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("mhs_a", Dedup.mhComponentsCol(col("shs_a"), 8, spark))
+          .withColumn("mhs_b", Dedup.mhComponentsCol(col("shs_b"), 8, spark))
+          .withColumn("_m", aggregate(
+            zip_with(col("mhs_a"), col("mhs_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+          .withColumn("est_milli", expr(s"(_m * 1000) div ${8 * Dedup.RowsPerBand}"))
+          .where(col("est_milli") >= 500)
+          .withColumn("_i",
+            size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+          .withColumn("jacc_milli",
+            floor(lit(1000.0) * col("_i") /
+              (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
+          .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0)
       case other => sys.error(s"unknown family $other")
     }
     // per-rep stage + shuffle-write accounting: the decisive evidence for
