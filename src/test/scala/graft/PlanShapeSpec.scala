@@ -435,6 +435,11 @@ class PlanShapeSpec extends SparkSpec {
     val badGen = p.linesIterator.filter(_.contains("Generate "))
       .filter(l => l.contains("mhs_") || l.contains("shs_")).toSeq
     assert(badGen.isEmpty, s"verify stage explodes arrays:\n${badGen.mkString("\n")}")
+    // the r12 pruning contract: both verify sides semi-join to their
+    // candidate id set BEFORE the component kernel runs (drops back to
+    // corpus-wide kernels if someone removes the prune)
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"verify sides must be candidate-pruned via semi joins:\n$p")
   }
 
   test("p53 collocations: top-k is a heap take, totals broadcast") {
