@@ -454,40 +454,76 @@ class DedupSpec extends SparkSpec {
       s"estimated pair (${p._1},${p._2}) is not an LSH candidate"))
   }
 
+  /** The pre-r12 unpruned estimator twin (corpus-wide component arrays
+    * on both verify sides) — the reference formulation the
+    * candidate-pruned production path must match row-for-row. */
+  private def unprunedEstimate(
+      d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] = {
+    val shArr = Dedup.shingleArrays(d)
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(shArr, Bands))
+    val comp = shArr.select(col("sid"),
+      Dedup.mhComponentsCol(col("shs"), Bands, spark).as("mhs"), col("shs"))
+    val a = comp.select(col("sid").as("doc_a"), col("mhs").as("mhs_a"),
+      col("shs").as("shs_a"))
+    val b = comp.select(col("sid").as("doc_b"), col("mhs").as("mhs_b"),
+      col("shs").as("shs_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("_m", aggregate(
+        zip_with(col("mhs_a"), col("mhs_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("est_milli", expr(s"(_m * 1000) div ${Bands * Dedup.RowsPerBand}"))
+      .where(col("est_milli") >= 500)
+      .withColumn("_i",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jacc_milli",
+        floor(lit(1000.0) * col("_i") /
+          (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("est_milli"), col("jacc_milli"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
   test("candidate-pruned estimator matches the unpruned formulation row-for-row") {
     // the production minhashJaccardEstimate semi-joins each verify side
     // to its candidate id set BEFORE the shingle/component kernels run;
-    // this pins it against the pre-r12 unpruned twin (corpus-wide
-    // component arrays joined to the candidate pairs) — inner joins on
+    // this pins it against the pre-r12 unpruned twin — inner joins on
     // the candidate set make the prune output-invisible by construction,
     // and this test keeps it that way
-    val unpruned = {
-      val shArr = Dedup.shingleArrays(docs)
-      val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatureRows(shArr, Bands))
-      val comp = shArr.select(col("sid"),
-        Dedup.mhComponentsCol(col("shs"), Bands, spark).as("mhs"), col("shs"))
-      val a = comp.select(col("sid").as("doc_a"), col("mhs").as("mhs_a"),
-        col("shs").as("shs_a"))
-      val b = comp.select(col("sid").as("doc_b"), col("mhs").as("mhs_b"),
-        col("shs").as("shs_b"))
-      cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("_m", aggregate(
-          zip_with(col("mhs_a"), col("mhs_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v))
-        .withColumn("est_milli", expr(s"(_m * 1000) div ${Bands * Dedup.RowsPerBand}"))
-        .where(col("est_milli") >= 500)
-        .withColumn("_i",
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-        .withColumn("jacc_milli",
-          floor(lit(1000.0) * col("_i") /
-            (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
-        .select(col("doc_a"), col("doc_b"), col("est_milli"), col("jacc_milli"))
-        .as[(Long, Long, Long, Long)].collect().toSet
-    }
     val pruned = Dedup.minhashJaccardEstimate(docs, Bands, 500)
       .as[(Long, Long, Long, Long)].collect().toSet
-    assert(pruned.nonEmpty && pruned === unpruned)
+    assert(pruned.nonEmpty && pruned === unprunedEstimate(docs))
+  }
+
+  test("estimator parity holds on generated corpora with planted dups and edge texts") {
+    // beyond the fixture corpus: small-vocab generated docs (so shingles
+    // genuinely collide), planted exact dups and one-word-appended
+    // near-dups (so the candidate set is non-trivial), plus the
+    // shingle-less edge classes (empty, <3 words, unicode)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val sentence = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    (1 to 3).foreach { corpus =>
+      val base = Gen.listOfN(8, sentence)
+        .pureApply(Gen.Parameters.default.withSize(20), Seed(corpus.toLong))
+      val rows = base.zipWithIndex.flatMap { case (t, i) =>
+        val id = corpus * 1000L + i * 10L
+        Seq((id, t),                       // original
+          (id + 1L, t),                    // planted exact dup
+          (id + 2L, s"$t omega"))          // near-dup
+      } ++ Seq((corpus * 1000L + 900L, ""), // shingle-less edges
+        (corpus * 1000L + 901L, "one two"),
+        (corpus * 1000L + 902L, "é ü 漢字 点の between words here"))
+      val d = rows.toDF("doc_id", "text")
+      val pruned = Dedup.minhashJaccardEstimate(d, Bands, 500)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val ref = unprunedEstimate(d)
+      assert(pruned === ref, s"corpus $corpus diverged")
+      assert(pruned.exists(p => p._3 == 1000L),
+        s"corpus $corpus must surface a planted exact dup at est 1000")
+    }
   }
 
   test("operators leave no CacheManager entries behind (no-leak contract)") {
