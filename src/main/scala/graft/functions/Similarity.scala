@@ -391,6 +391,25 @@ object Similarity {
       .agg(array((0 until bins).map(h =>
         coalesce(sum(when(col("_h") === h, col("_c"))), lit(0L))): _*).as("hist"))
 
+  /** [[activityHistograms]]∘[[activityCells]] fused into ONE key-keyed
+    * exchange: the `bins` conditional sums aggregate the raw event
+    * stream directly, so each mapper ships one `bins`-long partial row
+    * per key instead of up to `bins` (key, _h, cnt) cell rows (≈3x less
+    * exchange volume) and the cell-sized second exchange disappears.
+    * Identical output to the two-step composition (parity-pinned in
+    * PipelineSpec); the two-step form stays for the exact route, whose
+    * inverted-index join consumes the cells themselves. */
+  def activityHistogramsFromEvents(events: DataFrame, keyCol: String,
+                                   tsCol: String, hourUs: Long,
+                                   bins: Int = 24): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val bin = pmod(
+      expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
+    events.groupBy(col(keyCol))
+      .agg(array((0 until bins).map(h =>
+        coalesce(sum(when(bin === h, 1L)), lit(0L))): _*).as("hist"))
+  }
+
   /** LSH stride for the 24-bin histograms: coprime to 24 so all table
     * dim-sets stay distinct (the embedding default 4 divides 24 — tables
     * 6.. would repeat tables 0..5's dims exactly). */
@@ -448,8 +467,7 @@ object Similarity {
                        bits: Int = DefaultBits, bins: Int = 24): DataFrame = {
     require(hourUs > 0, s"need positive hour width, got $hourUs")
     indexOfHistograms(
-      activityHistograms(activityCells(events, keyCol, tsCol, hourUs, bins),
-        keyCol, bins),
+      activityHistogramsFromEvents(events, keyCol, tsCol, hourUs, bins),
       keyCol, tables, bits, bins)
   }
 

@@ -714,6 +714,28 @@ class PipelineSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("fused histogram build equals the cells∘histograms composition") {
+    // the LSH index build aggregates raw events in ONE key-keyed
+    // exchange (activityHistogramsFromEvents); the two-step composition
+    // is the reference — pre-epoch timestamps included so both paths
+    // exercise the floor-div + non-negative-mod binning, at the default
+    // geometry and a non-default (bins=7 day-of-week over day buckets)
+    val rnd = new scala.util.Random(29)
+    val hourUs = 3_600_000_000L
+    val evs = (1 to 400).map { i =>
+      (1L + rnd.nextInt(10), (i - 200L) * hourUs / 2 + rnd.nextInt(1000) * 1000L)
+    }
+    val df = evs.toDF("k", "ts")
+    for ((unit, bins) <- Seq((hourUs, 24), (24L * hourUs, 7))) {
+      val fused = Similarity.activityHistogramsFromEvents(df, "k", "ts", unit, bins)
+        .as[(Long, Seq[Long])].collect().toMap
+      val twoStep = Similarity.activityHistograms(
+          Similarity.activityCells(df, "k", "ts", unit, bins), "k", bins)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fused.nonEmpty && fused === twoStep, s"bins=$bins diverged")
+    }
+  }
+
   test("activityCosineTopK: salted join equals the unsalted (parallelism knob, not semantics)") {
     val rnd = new scala.util.Random(31)
     val hourUs = 3_600_000_000L
