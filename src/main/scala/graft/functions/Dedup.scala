@@ -895,6 +895,16 @@ object Dedup {
                              estThresholdMilli: Int): DataFrame = {
     require(estThresholdMilli >= 0 && estThresholdMilli <= 1000,
       s"estThresholdMilli must be in [0, 1000] (got $estThresholdMilli)")
+    // the pruned shape's perf contract (ONE corpus-wide signature pass)
+    // rests on AQE stage-reuse deduping the thrice-referenced candidate
+    // exchange; with AQE off the result is still correct but the
+    // (band, sig) exchange subtree executes three times — surface that
+    // instead of silently tripling the md5 kernel
+    if (!docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+      System.err.println("[graft] minhashJaccardEstimate: " +
+        "spark.sql.adaptive.enabled=false — the candidate subtree will " +
+        "execute 3x (no stage reuse); enable AQE or persist the " +
+        "candidate pairs upstream")
     val total = bands * RowsPerBand
     val shArr = shingleArrays(docs)
     val cands = lshCandidatePairs(minhashSignatureRows(shArr, bands))

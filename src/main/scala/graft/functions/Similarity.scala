@@ -371,6 +371,7 @@ object Similarity {
     * a non-negative mod. */
   def activityCells(events: DataFrame, keyCol: String, tsCol: String,
                     hourUs: Long, bins: Int = 24): DataFrame = {
+    require(hourUs > 0, s"need positive hour width, got $hourUs")
     require(bins >= 2, s"need bins >= 2, got $bins")
     events.groupBy(col(keyCol),
         pmod(expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
@@ -398,16 +399,39 @@ object Similarity {
     * exchange volume) and the cell-sized second exchange disappears.
     * Identical output to the two-step composition (parity-pinned in
     * PipelineSpec); the two-step form stays for the exact route, whose
-    * inverted-index join consumes the cells themselves. */
+    * inverted-index join consumes the cells themselves.
+    *
+    * WIDE-BINS ROUTING: the fused aggregate does O(bins) conditional-sum
+    * work per EVENT row, and past `spark.sql.codegen.maxFields` (default
+    * 100) Spark drops the whole stage out of codegen — measured at
+    * bins=168 on 20M cached events: fused 3.4-3.6 s interpreted vs the
+    * two-step 1.5 s (whose corpus-sized pass is an O(1)-per-row codegen'd
+    * (key, bin) count; only its CELL-sized second aggregate is wide), and
+    * forcing codegen with maxFields=400 was WORSE still (11 s — the
+    * 168-sum generated method defeats the JIT). So past the codegen
+    * limit this routes to the two-step composition: same output, the
+    * extra exchange is cell-sized, and the corpus-sized scan stays
+    * codegen'd. */
   def activityHistogramsFromEvents(events: DataFrame, keyCol: String,
                                    tsCol: String, hourUs: Long,
                                    bins: Int = 24): DataFrame = {
+    // hourUs = 0 would make the div expression yield null bins and
+    // silently produce all-zero histograms (indexOfActivity guards, but
+    // this is public API too)
+    require(hourUs > 0, s"need positive hour width, got $hourUs")
     require(bins >= 2, s"need bins >= 2, got $bins")
-    val bin = pmod(
-      expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
-    events.groupBy(col(keyCol))
-      .agg(array((0 until bins).map(h =>
-        coalesce(sum(when(bin === h, 1L)), lit(0L))): _*).as("hist"))
+    val maxFields = events.sparkSession.conf
+      .get("spark.sql.codegen.maxFields", "100").toInt
+    if (bins > maxFields)
+      activityHistograms(
+        activityCells(events, keyCol, tsCol, hourUs, bins), keyCol, bins)
+    else {
+      val bin = pmod(
+        expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
+      events.groupBy(col(keyCol))
+        .agg(array((0 until bins).map(h =>
+          coalesce(sum(when(bin === h, 1L)), lit(0L))): _*).as("hist"))
+    }
   }
 
   /** LSH stride for the 24-bin histograms: coprime to 24 so all table

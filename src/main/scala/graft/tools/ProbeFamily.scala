@@ -282,10 +282,13 @@ object ProbeFamily {
         // the cands subtree is referenced three times (verify driver +
         // two semi-join prunes) — without exchange/stage reuse the
         // signature pass would run three times. Dump the FINAL adaptive
-        // plan (executedPlan.toString pre-execution shows isFinalPlan=false)
-        val fin = out.queryExecution.executedPlan
-          .asInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
-          .executedPlan.treeString
+        // plan (executedPlan.toString pre-execution shows isFinalPlan=false);
+        // with AQE off there is no adaptive wrapper — dump the raw plan
+        val fin = out.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.treeString
+          case p => p.treeString
+        }
         java.nio.file.Files.write(
           java.nio.file.Paths.get("/tmp/probe_lsh_pruned_plan.txt"),
           fin.getBytes("UTF-8"))
@@ -366,7 +369,18 @@ object ProbeFamily {
       val t0 = System.nanoTime()
       val rows = run()
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // listener bus drain
+      // a real drain, not a fixed sleep: under load, stage/shuffle events
+      // posted after 500 ms would bleed into the NEXT rep's window and
+      // skew the A/B accounting this tool exists to provide.
+      // LiveListenerBus.waitUntilEmpty is private[spark] (public
+      // bytecode), so reflect — dev tool, same pattern as the
+      // DebeziumRuntime public-API loader
+      locally {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+      }
       println(f"[probe] $family x$n rep$i $secs%.2f s rows=$rows " +
         f"stages=${stages.get - st0} shuffle_mb=${(shufBytes.get - sb0) / 1e6}%.1f")
       spark.catalog.clearCache()

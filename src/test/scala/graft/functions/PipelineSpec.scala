@@ -726,14 +726,57 @@ class PipelineSpec extends SparkSpec {
       (1L + rnd.nextInt(10), (i - 200L) * hourUs / 2 + rnd.nextInt(1000) * 1000L)
     }
     val df = evs.toDF("k", "ts")
-    for ((unit, bins) <- Seq((hourUs, 24), (24L * hourUs, 7))) {
-      val fused = Similarity.activityHistogramsFromEvents(df, "k", "ts", unit, bins)
-        .as[(Long, Seq[Long])].collect().toMap
-      val twoStep = Similarity.activityHistograms(
-          Similarity.activityCells(df, "k", "ts", unit, bins), "k", bins)
-        .as[(Long, Seq[Long])].collect().toMap
-      assert(fused.nonEmpty && fused === twoStep, s"bins=$bins diverged")
-    }
+    // bins=168 is the README-advertised hour-of-week geometry: 168
+    // conditional sums in ONE aggregate is the widest the fused build is
+    // documented for, so pin parity there too — and pin that the 168-wide
+    // aggregate still plans as a codegen'd HashAggregate (the map route's
+    // ObjectHashAggregate fallback, or a width-triggered codegen bailout,
+    // would silently cost the measured 2x). codegen.fallback=false makes
+    // a janino compile failure THROW instead of silently interpreting.
+    val priorFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for ((unit, bins) <- Seq((hourUs, 24), (24L * hourUs, 7), (hourUs, 168))) {
+        // keep ONE dataset and read the plan off the instance that ran,
+        // so the adaptive plan is final and carries the codegen spans
+        val fusedDs = Similarity
+          .activityHistogramsFromEvents(df, "k", "ts", unit, bins)
+          .as[(Long, Seq[Long])]
+        val fused = fusedDs.collect().toMap
+        val twoStep = Similarity.activityHistograms(
+            Similarity.activityCells(df, "k", "ts", unit, bins), "k", bins)
+          .as[(Long, Seq[Long])].collect().toMap
+        assert(fused.nonEmpty && fused === twoStep, s"bins=$bins diverged")
+        // the adaptive plan string carries BOTH the Final and the (never
+        // codegen-annotated) Initial plan — judge the Final section only
+        val plan = fusedDs.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+          s"bins=$bins: expected a plain HashAggregate, got:\n$plan")
+        // the final plan marks whole-stage-codegen'd operators with the
+        // `*(id)` prefix; within the codegen field limit (<= 100) the
+        // fused single-exchange aggregate must be FULLY codegen'd; past
+        // it the build routes to the two-step shape — two exchanges, the
+        // corpus-facing (key, bin) count still codegen'd, only the
+        // CELL-sized wide aggregate interpreted (measured 2.3x faster
+        // than the interpreted fused form at bins=168)
+        val aggs = "HashAggregate\\(".r.findAllIn(plan).size
+        val starred = "\\*\\(\\d+\\) HashAggregate\\(".r.findAllIn(plan).size
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+        if (bins <= 100)
+          assert(aggs >= 2 && starred == aggs && exchanges == 1,
+            s"bins=$bins: $starred of $aggs HashAggregates codegen'd, " +
+              s"$exchanges exchanges:\n$plan")
+        else
+          assert(aggs >= 4 && starred >= 2 && exchanges == 2,
+            s"bins=$bins: expected the routed two-step shape " +
+              s"($starred of $aggs starred, $exchanges exchanges):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", priorFallback)
+    intercept[IllegalArgumentException](
+      Similarity.activityHistogramsFromEvents(df, "k", "ts", 0L, 24))
+    intercept[IllegalArgumentException](
+      Similarity.activityCells(df, "k", "ts", 0L, 24))
   }
 
   test("activityCosineTopK: salted join equals the unsalted (parallelism knob, not semantics)") {
