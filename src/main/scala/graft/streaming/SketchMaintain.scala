@@ -67,10 +67,13 @@ object SketchMaintain {
     * committed round is retired once a newer round commits after it).
     * A caller may therefore hold a round across any number of
     * subsequent advances and still read its frames. Call `release()`
-    * when done with the frames to drop the cached blocks (the
-    * streaming [[handler]] does); after `release()` — or an external
-    * `spark.catalog.clearCache()` — a retired round's frames are gone
-    * for good (recompute would read deleted parquet). */
+    * when done with the frames to drop the cached blocks; after
+    * `release()` — or an external `spark.catalog.clearCache()` — a
+    * retired round's frames are gone for good (recompute would read
+    * deleted parquet). Callers that never read the frames (the
+    * streaming [[handler]]) pass `eagerFrames = false` to [[advance]]:
+    * the frames come back as plain lazy scans — valid only until the
+    * round is retired — and no read-back jobs run. */
   final case class SketchRound(round: Long, cms: DataFrame, kmv: DataFrame,
                                candidates: DataFrame, totalValues: Long,
                                commit: () => Unit, release: () => Unit)
@@ -84,9 +87,12 @@ object SketchMaintain {
   }
 
   private def eagerRound(round: Long, roundDir: Path, total: Long,
-                         spark: SparkSession, commit: () => Unit): SketchRound = {
-    val frames = Seq("cms", "kmv", "cand").map(a =>
-      eager(spark.read.parquet(new Path(roundDir, a).toString)))
+                         spark: SparkSession, commit: () => Unit,
+                         eagerFrames: Boolean = true): SketchRound = {
+    val frames = Seq("cms", "kmv", "cand").map { a =>
+      val df = spark.read.parquet(new Path(roundDir, a).toString)
+      if (eagerFrames) eager(df) else df
+    }
     SketchRound(round, frames(0), frames(1), frames(2), total, commit,
       () => frames.foreach(_.unpersist(false)))
   }
@@ -111,7 +117,8 @@ object SketchMaintain {
   def advance(spark: SparkSession, increment: DataFrame, groupCol: String,
               valueCol: String, stateDir: String, floorPermille: Int = 1,
               depth: Int = Sketches.CmsDepth, width: Int = Sketches.CmsWidth,
-              k: Int = Sketches.DefaultK, tag: String = ""): SketchRound = {
+              k: Int = Sketches.DefaultK, tag: String = "",
+              eagerFrames: Boolean = true): SketchRound = {
     require(floorPermille >= 1 && floorPermille <= 1000,
       s"floorPermille must be in [1, 1000] (got $floorPermille)")
     require(!tag.contains("|"), s"tag must not contain '|' (got $tag)")
@@ -161,7 +168,8 @@ object SketchMaintain {
     prev match {
       case Some((prevDir, prevTotal, prevTag))
           if tag.nonEmpty && prevTag == tag =>
-        return eagerRound(round - 1L, prevDir, prevTotal, spark, () => ())
+        return eagerRound(round - 1L, prevDir, prevTotal, spark, () => (),
+          eagerFrames)
       case _ => ()
     }
     val inc = increment.select(col(groupCol).cast("string").as("_g"),
@@ -214,7 +222,12 @@ object SketchMaintain {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft_sketch")
         val path = new Path(roundDir, name).toString
         dbg(s"${name}_write")(write(path))
-        dbg(s"${name}_load")(eager(spark.read.parquet(path)))
+        // eagerFrames=false (the streaming handler): the caller never
+        // reads the frames, so skip the cache+count read-back entirely —
+        // the returned frame is a plain lazy scan of what was just
+        // written and release() is a no-op on it
+        if (eagerFrames) dbg(s"${name}_load")(eager(spark.read.parquet(path)))
+        else spark.read.parquet(path)
       }
     val frames =
       try {
@@ -255,12 +268,13 @@ object SketchMaintain {
               floorPermille: Int = 1, depth: Int = Sketches.CmsDepth,
               width: Int = Sketches.CmsWidth, k: Int = Sketches.DefaultK)
   : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val r = advance(batch.sparkSession, batch, groupCol, valueCol, stateDir,
-      floorPermille, depth, width, k, tag = s"b$batchId")
-    r.commit()
     // the loop never touches the returned frames (readers go through
-    // heavyHitters/distinctReport) — release the eager cache so a
-    // long-running stream's storage stays one round, not one per batch
+    // heavyHitters/distinctReport), so skip the eager read-back loads —
+    // eagerFrames=false keeps the per-batch job budget at the count plus
+    // the three concurrent writes, with nothing cached to release
+    val r = advance(batch.sparkSession, batch, groupCol, valueCol, stateDir,
+      floorPermille, depth, width, k, tag = s"b$batchId", eagerFrames = false)
+    r.commit()
     r.release()
   }
 

@@ -442,6 +442,61 @@ class PlanShapeSpec extends SparkSpec {
       s"verify sides must be candidate-pruned via semi joins:\n$p")
   }
 
+  test("p54 stage reuse: the thrice-referenced candidate subtree shuffles once") {
+    // runtime guard, not a plan-string pin: p54's perf contract is that
+    // AQE stage-reuse dedups the corpus-sized (band, sig) exchange the
+    // candidate subtree ships, even though the plan references it three
+    // times (verify driver + two semi-join prunes). Proven by ProbeFamily
+    // listener runs (26.6 vs 26.3 MB at x10); this spec makes an
+    // AQE/config change that silently re-executes it a test failure.
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    // LiveListenerBus.waitUntilEmpty is private[spark] (public bytecode)
+    def drain(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(30000L))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = Tables.documents(spark, sf())
+      // the candidate subtree exactly as p54 builds it (bands = 8),
+      // executed ONCE, as the byte baseline
+      bytes.set(0)
+      graft.functions.Dedup.lshCandidatePairs(
+        graft.functions.Dedup.minhashSignatureRows(
+          graft.functions.Dedup.shingleArrays(docs), 8)).count()
+      drain()
+      val candsOnce = bytes.get()
+      assert(candsOnce > 0L, "baseline run wrote no shuffle bytes")
+      // the full estimator: with stage reuse its total shuffle is the
+      // candidate subtree once plus candidate-sized extras; a reuse
+      // regression re-executes the corpus-sized exchange three times
+      bytes.set(0)
+      val est = SparkEntry.queries("p54_minhash_estimate")(spark, sf())
+      est.collect()
+      drain()
+      val full = bytes.get()
+      assert(full < 2L * candsOnce,
+        f"p54 shuffled ${full / 1e6}%.1f MB vs candidate subtree " +
+          f"${candsOnce / 1e6}%.1f MB — stage reuse regressed (3x re-execution reads ~3x)")
+      // and the final adaptive plan must carry the reuse nodes themselves
+      val fin = est.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.treeString
+        case p => p.treeString
+      }
+      val reused = "ReusedQueryStage|ReusedExchange".r.findAllIn(fin).size
+      assert(reused >= 2,
+        s"expected >= 2 reused stages in the final plan, got $reused:\n$fin")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("p53 collocations: top-k is a heap take, totals broadcast") {
     val p = plan("p53_collocations")
     assert(p.contains("TakeOrderedAndProject"),

@@ -187,6 +187,52 @@ class SketchMaintainSpec extends SparkSpec {
     assert(SketchMaintain.distinctReport(spark, dirS).count() === 2L)
   }
 
+  test("eagerFrames=false skips the read-back loads (handler mode)") {
+    val dirS = tmp()
+    // count job submissions: the lazy advance must run strictly fewer
+    // jobs than the eager one on the same increment shape — the three
+    // read-back cache+count jobs are exactly what it skips
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rLazy = SketchMaintain.advance(spark,
+        Seq(("s", "x"), ("s", "y")).toDF("source", "w"), "source", "w", dirS,
+        tag = "b0", eagerFrames = false)
+      rLazy.commit()
+      Thread.sleep(300) // let job-start events land
+      val lazyJobs = jobs.get()
+      // nothing cached: the frames are plain lazy scans, release a no-op
+      for (f <- Seq(rLazy.cms, rLazy.kmv, rLazy.candidates))
+        assert(f.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+      rLazy.release()
+      // the frames still read fine while the round is live, and the
+      // stored state is byte-identical to an eager advance's
+      assert(rLazy.kmv.count() === 2L && rLazy.totalValues === 2L)
+      // a replayed tag in lazy mode also skips the read-back loads
+      val replay = SketchMaintain.advance(spark,
+        Seq(("s", "x"), ("s", "y")).toDF("source", "w"), "source", "w", dirS,
+        tag = "b0", eagerFrames = false)
+      assert(replay.round === rLazy.round && replay.totalValues === 2L)
+      assert(replay.cms.storageLevel ===
+        org.apache.spark.storage.StorageLevel.NONE)
+      jobs.set(0)
+      val dirE = tmp()
+      SketchMaintain.advance(spark,
+        Seq(("s", "x"), ("s", "y")).toDF("source", "w"), "source", "w", dirE)
+        .commit()
+      Thread.sleep(300)
+      val eagerJobs = jobs.get()
+      assert(lazyJobs < eagerJobs,
+        s"lazy advance ran $lazyJobs jobs, eager $eagerJobs — expected " +
+          "the three read-back loads to disappear")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("an item crossing the threshold in a later round is recalled; query below floor refused") {
     val dirS = tmp()
     // round 0: "late" is 1 of 2001 values (0.5 permille) -> pruned at floor 1
