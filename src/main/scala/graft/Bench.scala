@@ -288,12 +288,32 @@ object Bench {
       case (s, i) if s > 2.5 * sentMedian => i
     }
     val prior = priorRound()
-    val sentRatio = prior.flatMap(_._3)
+    val sentRatio = prior.flatMap(_.sent)
       .filter(ps => ps > 0 && sentMedian > 0).map(sentMedian / _)
-    val deviant = prior.toSeq.flatMap { case (_, pq, _) =>
-      deviantVsPrior(results, pq, sentRatio.getOrElse(1.0))
-        .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+    val deviantPairs = prior.toSeq.flatMap { p =>
+      deviantVsPrior(results, p.medians, sentRatio.getOrElse(1.0))
     }
+    val deviant = deviantPairs.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+    // min-vs-min beside the median ratio (the ScaleSmoke round-12 lesson
+    // applied to the committed artifact): contention only ever SLOWS a
+    // deterministic query, so a min that agrees with the prior proves a
+    // deviant median was a disk window, while a min that moved with it is
+    // a genuine plan change. Prior artifacts before the sparse `qmin` map
+    // carry no mins — their MEDIANS stand in as the min baseline, which
+    // is conservative in the only direction that matters (prior median >=
+    // prior min, so a current-min spike past 3x of it is still genuine).
+    val mins: Map[String, Double] = results.map { case (n, _) =>
+      val ts = samples.getOrElse(n, Nil).map(_._1).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }.toMap
+    val minResults = results.map { case (n, _) => n -> mins(n) }
+    val deviantMinPairs = prior.toSeq.flatMap { p =>
+      val minBase = p.medians.map { case (n, m) =>
+        n -> p.mins.flatMap(_.get(n)).getOrElse(m)
+      }
+      deviantVsPrior(minResults, minBase, sentRatio.getOrElse(1.0))
+    }
+    val deviantMin = deviantMinPairs.map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
     val sentJson = sentinels.map(s => f"$s%.2f").mkString("[", ",", "]")
     val ioMedian =
       if (ioSentinels.isEmpty) -1.0
@@ -310,19 +330,37 @@ object Bench {
         s""""io_sentinel":${ioSentinels.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
         s""""contended_segments":${contended.mkString("[", ",", "]")},""" +
         s""""contaminated_queries":${contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""prior":${prior.map(p => "\"" + p._1 + "\"").getOrElse("null")},""" +
+        s""""prior":${prior.map(p => "\"" + p.name + "\"").getOrElse("null")},""" +
+        s""""prior_has_min":${prior.map(_.mins.nonEmpty).getOrElse(false)},""" +
         s""""sent_ratio_vs_prior":${sentRatio.map(r => f"$r%.3f").getOrElse("null")},""" +
-        s""""deviant_vs_prior":${deviant.mkString("{", ",", "}")}}"""
+        s""""deviant_vs_prior":${deviant.mkString("{", ",", "}")},""" +
+        s""""deviant_min_vs_prior":${deviantMin.mkString("{", ",", "}")}}"""
     if (contended.nonEmpty)
       System.err.println(s"[bench] CONTENDED segments ${contended.mkString(",")}: " +
         s"sentinels ${sentJson}" +
         (if (contaminated.nonEmpty)
            s"; queries with NO clean sample (all-sample median kept): ${contaminated.mkString(",")}"
          else "; every query retained at least one clean sample"))
-    if (deviant.nonEmpty)
+    if (deviant.nonEmpty || deviantMin.nonEmpty) {
+      val minNames = deviantMinPairs.map(_._1).toSet
+      val (confirmed, medianOnly) = deviantPairs.partition(p => minNames(p._1))
       System.err.println(s"[bench] DEVIANT >3x vs prior round" +
         sentRatio.map(r => f" (sentinel-normalized, ratio $r%.3f)").getOrElse("") +
-        s": ${deviant.mkString(",")} — on unchanged code, re-run before committing")
+        (if (confirmed.nonEmpty)
+           s" — MIN-CONFIRMED (genuine on unchanged code): " +
+             confirmed.map { case (n, r) => f"$n=$r%.2f" }.mkString(",")
+         else "") +
+        (if (medianOnly.nonEmpty)
+           s" — median-only (clean min agrees with prior: a disk window, " +
+             s"not the plan): " +
+             medianOnly.map { case (n, r) => f"$n=$r%.2f" }.mkString(",")
+         else "") +
+        (if (deviantMinPairs.exists(p => !deviantPairs.exists(_._1 == p._1)))
+           s" — min-only movers: " + deviantMinPairs
+             .filter(p => !deviantPairs.exists(_._1 == p._1))
+             .map { case (n, r) => f"$n=$r%.2f" }.mkString(",")
+         else ""))
+    }
     // min-of-samples beside the clean-segment median (the ScaleSmoke
     // round-12 device, query edition): contention only ever slows a
     // deterministic query, so on unchanged code min-vs-min is the drift
@@ -330,8 +368,16 @@ object Bench {
     // UNCAPPED long-name line only — the tail-capped final line stays
     // within its byte budget.
     val minJson = results.map { case (n, _) =>
-      val ts = samples.getOrElse(n, Nil).map(_._1).filter(_ >= 0)
-      "\"" + n + "\":" + f"${if (ts.isEmpty) -1.0 else ts.min}%.2f"
+      "\"" + n + "\":" + f"${mins(n)}%.2f"
+    }.mkString("{", ",", "}")
+    // the SPARSE short-key min map for the committed final line (the
+    // full map above rides the long-name line, which the tail cap eats):
+    // only queries whose min materially diverges from the reported
+    // median appear — absent = min ≈ median, so the next round's
+    // min-vs-min baseline reconstructs as medians overlaid with qmin
+    val (qminEntries, qminN) = sparseMins(results, mins)
+    val qminJson = qminEntries.map { case (n, v) =>
+      "\"" + shorts(n) + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
     // queries_min BEFORE queries: the shape-3 salvage parser regex-scans
     // every "name":secs pair and keeps the LAST occurrence per name, so
@@ -340,9 +386,13 @@ object Bench {
     println(s"""{"metric":"bench_named","queries_min":$minJson,""" +
       s""""queries":${qJson(identity)}}""")
     println(diag)
-    // the short final line — the one the tail cap must preserve whole
+    // the short final line — the one the tail cap must preserve whole.
+    // qmin BEFORE queries: the shape-3 salvage parser keeps the LAST
+    // occurrence per name, so medians must print second to win if a
+    // truncated tail ever carries only this line
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""sf":"$sfDir","sent":${f"$sentMedian%.3f"},"io_sent":${f"$ioMedian%.3f"},""" +
+      s""""qmin":$qminJson,"qmin_n":$qminN,""" +
       s""""queries":${qJson(shorts)},"contaminated_n":$contamN,""" +
       s""""contaminated_queries":$contamJson}""")
   }
@@ -350,11 +400,46 @@ object Bench {
   /** Max contaminated-query short keys on the final line (see `emit`). */
   private[graft] val ContamCap = 8
 
+  /** A query joins the final line's sparse `qmin` map when its min runs
+    * below this fraction of its reported median — i.e. when the two
+    * disagree enough that next round's min-vs-min comparison needs the
+    * real min rather than the median stand-in. */
+  private[graft] val MinAgreement = 0.8
+
+  /** Max sparse-min entries on the byte-budgeted final line; the true
+    * divergent count rides beside them as `qmin_n`. */
+  private[graft] val QminCap = 12
+
+  /** The sparse min selection for the final line: (entries, true count).
+    * Entries are the most-divergent (lowest min/median) first, capped at
+    * [[QminCap]]; queries at or under the 0.05 s jitter floor or with no
+    * valid sample never join. */
+  private[graft] def sparseMins(results: Seq[(String, Double)],
+                                mins: Map[String, Double])
+      : (Seq[(String, Double)], Int) = {
+    val med = results.toMap
+    val div = results.collect {
+      case (n, m) if m > 0.05 && mins.getOrElse(n, -1.0) > 0 &&
+        mins(n) < MinAgreement * m => n -> mins(n)
+    }
+    (div.sortBy { case (n, mn) => mn / med(n) }.take(QminCap), div.size)
+  }
+
+  /** A prior round's comparison baseline: per-query medians, the sparse
+    * per-query mins when the artifact carries a `qmin` map (from round 13
+    * on; None before — the caller overlays mins onto medians, so an old
+    * artifact degrades to median-vs-min, conservative in the slow
+    * direction), and the median CPU sentinel when present. */
+  private[graft] final case class Prior(name: String,
+                                        medians: Map[String, Double],
+                                        mins: Option[Map[String, Double]],
+                                        sent: Option[Double])
+
   /** The latest committed BENCH_r*.json (or SPARK_GRAFT_BENCH_PRIOR): the
     * per-query baseline for the >3x deviation flag, plus the prior run's
     * median sentinel when its artifact carries one (`"sent"` — emitted
     * from round 11 on) for sentinel-normalized comparison. */
-  private def priorRound(): Option[(String, Map[String, Double], Option[Double])] = {
+  private def priorRound(): Option[Prior] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
     val candidate = explicit.orElse {
       val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
@@ -367,7 +452,8 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val txt = try src.mkString finally src.close()
-        parsePriorQueries(txt).map(q => (f.getName, q, parsePriorSentinel(txt)))
+        parsePriorQueries(txt).map(q =>
+          Prior(f.getName, q, parsePriorMins(txt), parsePriorSentinel(txt)))
       } catch { case _: Exception => None }
     }
   }
@@ -414,6 +500,39 @@ object Bench {
         .orElse(fromNode(root.path("parsed"))) // shape 2
         .orElse(fromText(root.path("tail").asText(""))) // shape 3
     } catch { case _: Exception => fromText(txt) } // not JSON at all
+  }
+
+  /** The prior run's SPARSE min map — the final line's `"qmin":{...}`
+    * (emitted from round 13 on), searched in the same three shapes as
+    * [[parsePriorQueries]]. Some(map) — possibly empty, meaning every
+    * min agreed with its median — when the artifact carries the key;
+    * None for a pre-qmin artifact. Short keys expand through the
+    * registry; removed queries are dropped rather than guessed. */
+  private[graft] def parsePriorMins(txt: String): Option[Map[String, Double]] = {
+    import scala.jdk.CollectionConverters._
+    val expand: Map[String, String] =
+      SparkEntry.queries.keys.map(n => shortKey(n) -> n).toMap
+    def resolve(k: String): Option[String] =
+      if (k.contains('_')) Some(k) else expand.get(k)
+    def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] = {
+      val q = n.path("qmin")
+      if (!q.isObject) None
+      else Some(q.fields().asScala.filter(_.getValue.isNumber)
+        .flatMap(e => resolve(e.getKey).map(_ -> e.getValue.asDouble())).toMap)
+    }
+    def fromText(s: String): Option[Map[String, Double]] =
+      // the final line survives the tail cap whole, so a present qmin
+      // object is complete; take the LAST occurrence (the final line)
+      """"qmin":\{([^}]*)\}""".r.findAllMatchIn(s).toSeq.lastOption.map { m =>
+        """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(m.group(1))
+          .flatMap(p => resolve(p.group(1)).map(_ -> p.group(2).toDouble)).toMap
+      }
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      fromNode(root)
+        .orElse(fromNode(root.path("parsed")))
+        .orElse(fromText(root.path("tail").asText("")))
+    } catch { case _: Exception => fromText(txt) }
   }
 
   /** The prior run's median sentinel — `"sent":<secs>` on the final line

@@ -144,6 +144,86 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.deviantVsPrior(Seq("q99_new" -> 100.0), prior, 1.0) === Seq.empty)
   }
 
+  test("qmin parsing: the sparse min map reads in all three shapes; absent -> None") {
+    // shape 1: raw final line (round 13+) — short keys expand, and an
+    // unresolvable key is dropped, never guessed
+    val raw =
+      """{"metric":"total","value":12.5,"unit":"sec","sent":0.21,"qmin":{"q1":0.20,"q999":9.9},"qmin_n":2,"queries":{"q1":0.46,"p4":1.00}}"""
+    assert(Bench.parsePriorMins(raw) === Some(Map("q1_op_filter" -> 0.20)))
+    // shape 2: driver wrapper, parsed object
+    val wrapper =
+      """{"n":13,"parsed":{"metric":"total","qmin":{"p4":0.80},"queries":{"p4":1.00}},"tail":""}"""
+    assert(Bench.parsePriorMins(wrapper) === Some(Map("p4_fingerprint" -> 0.80)))
+    // shape 3: parsed null, qmin present in the escaped tail text; the
+    // LAST qmin occurrence (the final line) wins
+    val tailWrapped =
+      """{"n":13,"parsed":null,"tail":"noise\n{\"metric\":\"total\",\"sent\":0.2,\"qmin\":{\"q1\":0.25},\"queries\":{\"q1\":0.46}}\n"}"""
+    assert(Bench.parsePriorMins(tailWrapped) === Some(Map("q1_op_filter" -> 0.25)))
+    // an EMPTY qmin is Some(empty): every min agreed with its median —
+    // distinct from a pre-qmin artifact, which is None (min guard falls
+    // back to the median baseline)
+    assert(Bench.parsePriorMins("""{"qmin":{},"queries":{"q1":0.5}}""") ===
+      Some(Map.empty[String, Double]))
+    assert(Bench.parsePriorMins("""{"queries":{"q1":0.5}}""").isEmpty)
+    assert(Bench.parsePriorMins("not json").isEmpty)
+  }
+
+  test("sparse min selection: only material divergence joins, capped, most-divergent first") {
+    val results = Seq(
+      "q1_op_filter" -> 1.00,   // min 0.95: agrees (>= 0.8x) -> absent
+      "q2_before_after" -> 2.00, // min 0.50: 0.25x -> most divergent
+      "q12_dedup" -> 1.00,      // min 0.60: 0.6x -> joins, second
+      "q3_initial_offset" -> 0.04, // under the jitter floor -> never
+      "q4_delta_scan" -> 1.00)  // min -1 (failed) -> never
+    val mins = Map("q1_op_filter" -> 0.95, "q2_before_after" -> 0.50,
+      "q12_dedup" -> 0.60, "q3_initial_offset" -> 0.01, "q4_delta_scan" -> -1.0)
+    val (entries, n) = Bench.sparseMins(results, mins)
+    assert(entries === Seq("q2_before_after" -> 0.50, "q12_dedup" -> 0.60))
+    assert(n === 2)
+    // the cap: QminCap most-divergent entries, true count preserved
+    val wide = (1 to 30).map(i => f"q$i%d_x" -> 1.0)
+    val wideMins = wide.map { case (q, _) => q -> 0.1 }.toMap
+    val (capped, total) = Bench.sparseMins(wide, wideMins)
+    assert(capped.size === Bench.QminCap && total === 30)
+  }
+
+  test("a contended median misleads where the clean min does not (the r11 q17/q27 trap)") {
+    // prior round: median 1.0, min agreed (no qmin entry) -> min baseline
+    // falls back to the median. This run: a one-pass disk window inflated
+    // the committed MEDIAN 4x, but the min stayed clean.
+    val priorMed = Map("q17_asof_join" -> 1.0)
+    val medians = Seq("q17_asof_join" -> 4.0)
+    val mins = Seq("q17_asof_join" -> 1.05)
+    // median comparison flags it...
+    assert(Bench.deviantVsPrior(medians, priorMed, 1.0).nonEmpty)
+    // ...but min-vs-min(=prior median fallback) exonerates it
+    assert(Bench.deviantVsPrior(mins, priorMed, 1.0) === Seq.empty)
+    // a GENUINE 4x regression moves the min with the median — both flag
+    assert(Bench.deviantVsPrior(Seq("q17_asof_join" -> 4.0),
+      priorMed, 1.0).nonEmpty)
+    // and with a prior qmin entry, min-vs-min uses the REAL prior min:
+    // prior median 1.0 / min 0.4, current min 1.5 — median ratio 1.5x
+    // (quiet) but min ratio 3.75x flags the slow creep a median-only
+    // guard would miss
+    val priorMin = Map("q17_asof_join" -> 0.4)
+    assert(Bench.deviantVsPrior(Seq("q17_asof_join" -> 1.5),
+      priorMin, 1.0).nonEmpty)
+  }
+
+  test("the final short line still fits the tail cap with a full qmin map") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val qs = names.map(n => "\"" + Bench.shortKey(n) + "\":999.99")
+      .mkString("{", ",", "}")
+    val qmin = names.take(Bench.QminCap)
+      .map(n => "\"" + Bench.shortKey(n) + "\":999.99").mkString("{", ",", "}")
+    val contam = names.take(Bench.ContamCap)
+      .map(n => "\"" + Bench.shortKey(n) + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":99999.99,"unit":"sec","sf":"/root/testdata/sf0.1","sent":0.210,"io_sent":99.999,"qmin":$qmin,"qmin_n":${names.size},"queries":$qs,"contaminated_n":${names.size},"contaminated_queries":$contam}"""
+    assert(line.getBytes("UTF-8").length <= 1900,
+      s"final line with qmin must stay under the 2,000-byte tail cap, got ${line.length}")
+  }
+
   test("sentinel normalization math: prior sentinel absent -> raw ratios (None)") {
     assert(Bench.parsePriorSentinel("""{"metric":"total","queries":{"q1":0.5}}""").isEmpty)
     assert(Bench.parsePriorSentinel("not json").isEmpty)
