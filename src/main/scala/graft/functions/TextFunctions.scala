@@ -730,17 +730,45 @@ object TextFunctions {
     * appears; docs with < 2 words carry zeros. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame =
+    ngramNoveltyOfSets(bigramSets(docs, idCol, textCol), idCol)
+
+  /** The (id, distinct-bigram-array) projection [[ngramNovelty]] derives —
+    * exposed so a caller whose corpus fits the storage fraction can
+    * `persist()` it and pay the bigram derivation ONCE (the
+    * build-once/probe pattern, with the caller owning the cache
+    * lifetime): probed at ×1/×10/×40/×100, a persisted projection wins
+    * 24-45% on [[ngramNoveltyOfSets]]'s two references (×100 min 8.0-9.2
+    * vs 11.3 s) because re-deriving the arrays — not the parquet scan —
+    * is the dominant cost. A hidden persist inside the operator was
+    * REJECTED (an un-releasable cache leaking into long sessions), and so
+    * was routing the projection through a doc-keyed exchange for AQE
+    * stage reuse (`ngram_novelty_shuffled`: shipping ~2× text bytes cost
+    * 676 MB shuffle and 26 s at ×100 vs 11 s re-deriving — shuffle IO
+    * loses to recompute here, and only gets worse at 100 TB). Null text
+    * -> null array (size coalesces to 0, matching explode dropping the
+    * doc). */
+  def bigramSets(docs: org.apache.spark.sql.DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      array_distinct(bigrams(words(normText(col(textCol))))).as("_bgs"))
+
+  /** [[ngramNovelty]] over a pre-derived [[bigramSets]] projection: the
+    * per-doc distinct set is already a column, so both references —
+    * the exploded min(doc_id) branch and the per-doc size — are cheap
+    * re-reads when the caller persisted the projection, and identical
+    * recomputes (the production two-scan shape) when not. */
+  def ngramNoveltyOfSets(sets: org.apache.spark.sql.DataFrame,
+                         idCol: String = "doc_id")
   : org.apache.spark.sql.DataFrame = {
-    // per-doc distinct set map-side (null text -> null array -> size
-    // coalesces to 0 bigrams, matching explode dropping the doc)
-    val bgSet = array_distinct(bigrams(words(normText(col(textCol)))))
-    val novel = docs
-      .select(col(idCol).as("_id"), explode(bgSet).as("_bg"))
+    val novel = sets
+      .select(col(idCol).as("_id"), explode(col("_bgs")).as("_bg"))
       .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
       .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
-    docs
+    sets
       .select(col(idCol),
-        coalesce(size(bgSet), lit(0)).cast("long").as("n_bigrams"))
+        coalesce(size(col("_bgs")), lit(0)).cast("long").as("n_bigrams"))
       .join(novel, col(idCol) === col("_first"), "left")
       .select(col(idCol), col("n_bigrams"),
         coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),

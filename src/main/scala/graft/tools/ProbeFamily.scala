@@ -190,6 +190,28 @@ object ProbeFamily {
       case "ngram_novelty" =>
         TF.ngramNovelty(probeDocs())
           .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
+      // single-scan candidate (r13): PERSIST the (id, bigram-set)
+      // projection so both branches read the cache instead of scanning
+      // and re-deriving the bigram arrays twice — would delete the
+      // production shape's documented x1 two-scan cost IF the cache
+      // write+read beats the second derive; at corpus scale the
+      // projection (~2x text bytes) spills to disk, so this is exactly
+      // the measure-first trade
+      case "ngram_novelty_cached" =>
+        val proj = TF.bigramSets(probeDocs())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try TF.ngramNoveltyOfSets(proj)
+          .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
+        finally proj.unpersist(false)
+      // scale-safe single-derive candidate (r13): same idea as _cached
+      // but the projection rides ONE id-keyed exchange instead of the
+      // storage fraction — AQE stage-reuse dedups the twice-referenced
+      // shuffle subtree (the p54 mechanism), so the bigram arrays are
+      // derived once and spill like any shuffle at 100 TB
+      case "ngram_novelty_shuffled" =>
+        TF.ngramNoveltyOfSets(
+            TF.bigramSets(probeDocs()).repartition(col("doc_id")))
+          .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
       // pre-r12 shape (global (doc, bigram) distinct exchange + id-keyed
       // perDoc count), for A/B attribution of the kernel fast path
       case "ngram_novelty_old" =>

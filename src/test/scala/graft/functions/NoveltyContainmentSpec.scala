@@ -70,6 +70,26 @@ class NoveltyContainmentSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("novelty: a persisted bigramSets projection yields row-identical results") {
+    // the caller-owned single-derive path (corpus fits the storage
+    // fraction): persist the exposed projection, feed it to
+    // ngramNoveltyOfSets, and match the two-scan production route
+    // row-for-row — plus the unpersisted composition, which IS the
+    // production plan
+    val want = TextFunctions.ngramNovelty(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val proj = TextFunctions.bigramSets(docs).persist()
+    try {
+      val got = TextFunctions.ngramNoveltyOfSets(proj).orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === want && got.nonEmpty)
+    } finally proj.unpersist(false)
+    val unpersisted = TextFunctions.ngramNoveltyOfSets(
+        TextFunctions.bigramSets(docs)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(unpersisted === want)
+  }
+
   test("containment: reported best matches agree with a brute-force containment matrix") {
     val thr = 200
     val got = Dedup.containmentScan(docs, thr)
