@@ -730,8 +730,34 @@ object TextFunctions {
     * appears; docs with < 2 words carry zeros. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
-  : org.apache.spark.sql.DataFrame =
-    ngramNoveltyOfSets(bigramSets(docs, idCol, textCol), idCol)
+  : org.apache.spark.sql.DataFrame = {
+    // INLINE derive on both branches — deliberately NOT the
+    // [[ngramNoveltyOfSets]]∘[[bigramSets]] composition: when explode's
+    // child is a plain attribute, InferFiltersFromGenerate synthesizes a
+    // `size(_bgs) > 0` filter that predicate pushdown substitutes back
+    // through the projection, so the bigram derivation — the dominant
+    // cost — runs a THIRD time inside the filter (measured: p51
+    // 2.89 -> 3.94 s at sf0.1, min-ratio 1.61 vs a 1.17 machine ratio,
+    // caught by the r13 min-vs-min bench guard). With the derive inline
+    // under explode the rule does not fire and both branches pay it
+    // exactly once. The composition stays correct (parity-pinned) and
+    // is the right call ONLY when the projection is persisted — then
+    // the inferred filter reads a cached array column for free.
+    val bgSet = array_distinct(bigrams(words(normText(col(textCol)))))
+    val novel = docs
+      .select(col(idCol).as("_id"), explode(bgSet).as("_bg"))
+      .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
+      .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
+    docs
+      .select(col(idCol),
+        coalesce(size(bgSet), lit(0)).cast("long").as("n_bigrams"))
+      .join(novel, col(idCol) === col("_first"), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("novel_cnt"), lit(0L)).as("novel_cnt"),
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("(coalesce(novel_cnt, 0L) * 1000) div n_bigrams"))
+          .cast("long").as("novelty_pm"))
+  }
 
   /** The (id, distinct-bigram-array) projection [[ngramNovelty]] derives —
     * exposed so a caller whose corpus fits the storage fraction can
@@ -757,8 +783,13 @@ object TextFunctions {
   /** [[ngramNovelty]] over a pre-derived [[bigramSets]] projection: the
     * per-doc distinct set is already a column, so both references —
     * the exploded min(doc_id) branch and the per-doc size — are cheap
-    * re-reads when the caller persisted the projection, and identical
-    * recomputes (the production two-scan shape) when not. */
+    * re-reads when the caller persisted the projection. Use ONLY with a
+    * persisted (or otherwise materialized) projection: on a lazy
+    * projection this composition is correct but SLOWER than
+    * [[ngramNovelty]] — explode over a plain attribute makes
+    * InferFiltersFromGenerate synthesize a size filter that pushdown
+    * rewrites back into a third in-plan bigram derivation (see
+    * [[ngramNovelty]]'s scaladoc for the measurement). */
   def ngramNoveltyOfSets(sets: org.apache.spark.sql.DataFrame,
                          idCol: String = "doc_id")
   : org.apache.spark.sql.DataFrame = {

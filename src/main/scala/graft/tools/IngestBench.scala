@@ -244,6 +244,11 @@ object IngestBench {
       val tAdv = med(
         graft.streaming.SketchMaintain.advance(spark, inc, "src", "w", state)
           .commit())
+      // the streaming handler's mode (r13): no eager read-back loads —
+      // prices what each foreachBatch micro-batch actually pays
+      val tAdvLazy = med(
+        graft.streaming.SketchMaintain.advance(spark, inc, "src", "w", state,
+          eagerFrames = false).commit())
       val whole = hist.unionByName(inc)
       val tRecomp = med {
         graft.functions.Sketches.cmsPartial(whole, col("w"))
@@ -251,8 +256,9 @@ object IngestBench {
         graft.functions.Sketches.kmvPartial(whole, "src", col("w"))
           .write.format("noop").mode("overwrite").save()
       }
-      println(f"[ingest] sketch_maintain x$f%-3d advance $tAdv%.2f s vs recompute $tRecomp%.2f s ($histRows hist rows)")
-      (f, tAdv, tRecomp)
+      println(f"[ingest] sketch_maintain x$f%-3d advance $tAdv%.2f s " +
+        f"(handler-mode $tAdvLazy%.2f s) vs recompute $tRecomp%.2f s ($histRows hist rows)")
+      (f, tAdv, tAdvLazy, tRecomp)
     }
 
     val snapJson = snapshot.map { case (p, r) => s""""p$p":${fmt(r)}""" }.mkString(",")
@@ -264,8 +270,9 @@ object IngestBench {
       s""""ladder_scale":[""" + ladderScale.map { case (f, tf, tr) =>
         s"""{"factor":$f,"fold_sec":${fmt(tf)},"reagg_sec":${fmt(tr)}}""" }
         .mkString(",") + "]," +
-      s""""sketch_maintain":[""" + sketchScale.map { case (f, ta, tr) =>
-        s"""{"factor":$f,"advance_sec":${fmt(ta)},"recompute_sec":${fmt(tr)}}""" }
+      s""""sketch_maintain":[""" + sketchScale.map { case (f, ta, tl, tr) =>
+        s"""{"factor":$f,"advance_sec":${fmt(ta)},"advance_handler_sec":${fmt(tl)},""" +
+          s""""recompute_sec":${fmt(tr)}}""" }
         .mkString(",") + "]}")
     spark.stop()
     conn.close()

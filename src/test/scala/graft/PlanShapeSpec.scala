@@ -415,6 +415,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("p51_ngram_novelty")
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the novelty plan:\n$p")
+    // the InferFiltersFromGenerate trap (r13): explode over a plain
+    // attribute gets a synthesized size filter that pushdown rewrites
+    // into a THIRD in-plan bigram derivation (a Filter node carrying the
+    // text-normalization expression — measured 2.89 -> 3.94 s at sf0.1).
+    // The inline form keeps the derive count at exactly two: the explode
+    // branch and the size branch.
+    val derivingFilters = p.linesIterator
+      .filter(l => l.trim.startsWith("Filter") && l.contains("regexp_replace"))
+      .toSeq
+    assert(derivingFilters.isEmpty,
+      s"novelty filter re-derives the bigram arrays:\n${derivingFilters.mkString("\n")}")
+    // one operator node per line: the derive expression may only appear
+    // under the explode branch's Generate and the size branch's Project
+    val deriveLines = p.linesIterator.filter(_.contains("regexp_replace"))
+      .map(_.dropWhile(c => !c.isLetter).takeWhile(_.isLetter)).toSeq
+    assert(deriveLines.forall(op => op == "Generate" || op == "Project"),
+      s"bigram derive leaked beyond the two branches: $deriveLines")
+    assert(deriveLines.size <= 3, // Generate + Project (+1 alias repeat)
+      s"expected two derive sites, saw ${deriveLines.size}: $deriveLines")
   }
 
   test("p52 containment: the shingle join is the merge-hinted inverted index") {

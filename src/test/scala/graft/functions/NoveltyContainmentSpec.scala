@@ -74,8 +74,9 @@ class NoveltyContainmentSpec extends SparkSpec {
     // the caller-owned single-derive path (corpus fits the storage
     // fraction): persist the exposed projection, feed it to
     // ngramNoveltyOfSets, and match the two-scan production route
-    // row-for-row — plus the unpersisted composition, which IS the
-    // production plan
+    // row-for-row — plus the unpersisted composition, which is
+    // correct-but-slower (the InferFiltersFromGenerate third derive;
+    // see ngramNovelty's scaladoc)
     val want = TextFunctions.ngramNovelty(docs).orderBy("doc_id")
       .as[(Long, Long, Long, Long)].collect().toSeq
     val proj = TextFunctions.bigramSets(docs).persist()
