@@ -79,7 +79,7 @@ class CdcSpec extends SparkSpec {
     val churn = graft.streaming.StreamPatterns.followedBy(
       events, "uid", "ts", "_ts_ms", "_op", "insert", "delete",
       withinUs = 10_000_000L, delay = "0 seconds")
-    val q = churn.toDF.writeStream.format("memory").queryName("cdc_churn")
+    val q = churn.toDF().writeStream.format("memory").queryName("cdc_churn")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val got = spark.sql("SELECT key, gap FROM cdc_churn WHERE key != 99")
@@ -117,7 +117,7 @@ class CdcSpec extends SparkSpec {
     val hits = graft.streaming.StreamPatterns.countSequence(
       events, "uid", "ts", "_ts_ms", "_op", "update", "delete",
       withinUs = 10_000_000L, minCount = 2L, delay = "0 seconds")
-    val q = hits.toDF.writeStream.format("memory").queryName("cdc_cseq")
+    val q = hits.toDF().writeStream.format("memory").queryName("cdc_cseq")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val got = spark.sql("SELECT key, a_cnt FROM cdc_cseq WHERE key != 99")

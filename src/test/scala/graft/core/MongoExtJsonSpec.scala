@@ -39,7 +39,7 @@ class MongoExtJsonSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // (op, after, patch, key_id) — the Debezium-Mongo value shapes
     val in = MemoryStream[(String, String, String, String)]
-    val src = in.toDF.toDF("op", "after", "patch", "key_id")
+    val src = in.toDF().toDF("op", "after", "patch", "key_id")
     val inserts = MongoExtJson.decodeInsert(src.where($"op" === "c"), rowSchema)
       .withColumn("_op", org.apache.spark.sql.functions.lit("insert"))
     val updates = MongoExtJson.decodeUpdate(src.where($"op" === "u"), rowSchema)

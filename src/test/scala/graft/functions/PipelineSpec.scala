@@ -13,7 +13,7 @@ class PipelineSpec extends SparkSpec {
 
   test("exact dedup: fingerprint groups partition the corpus") {
     val d = Dedup.exact(docs)
-    assert(d.agg(sum("dup_cnt")).as[Long].head === docs.count())
+    assert(d.agg(sum("dup_cnt")).as[Long].head() === docs.count())
   }
 
   test("minhash LSH finds the same near-dup pairs as exhaustive jaccard") {
@@ -72,7 +72,7 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4)
     // cells partition the corpus
     val cellCnt = IvfIndex.index(embs, m1).groupBy("cell").count()
-    assert(cellCnt.agg(sum("count")).as[Long].head === embs.count())
+    assert(cellCnt.agg(sum("count")).as[Long].head() === embs.count())
   }
 
   test("balanced/stratified sampling: deterministic, partition-stable, min group kept whole") {
@@ -138,7 +138,7 @@ class PipelineSpec extends SparkSpec {
     assert(eq(c1, c2))
     assert(!eq(c1, full))
     // a capped codebook still assigns and searches the FULL corpus
-    assert(IvfIndex.index(embs, c1).agg(sum(lit(1))).as[Long].head === embs.count())
+    assert(IvfIndex.index(embs, c1).agg(sum(lit(1))).as[Long].head() === embs.count())
     val knn = IvfIndex.knn(embs, c1, col("vec_id") < 20, 3, nprobe = 4)
     assert(knn.groupBy("q_id").count().as[(Long, Long)].collect().forall(_._2 === 3L))
   }
