@@ -485,7 +485,7 @@ object Bench {
     def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] = {
       val q = n.path("queries")
       if (!q.isObject) None
-      else Some(q.fields().asScala
+      else Some(q.properties().asScala.iterator
         .filter(e => e.getKey.matches(QueryName) && e.getValue.isNumber)
         .flatMap(e => resolve(e.getKey).map(_ -> e.getValue.asDouble())).toMap)
         .filter(_.nonEmpty)
@@ -517,7 +517,7 @@ object Bench {
     def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, Double]] = {
       val q = n.path("qmin")
       if (!q.isObject) None
-      else Some(q.fields().asScala.filter(_.getValue.isNumber)
+      else Some(q.properties().asScala.iterator.filter(_.getValue.isNumber)
         .flatMap(e => resolve(e.getKey).map(_ -> e.getValue.asDouble())).toMap)
     }
     def fromText(s: String): Option[Map[String, Double]] =

@@ -68,7 +68,7 @@ object JdbcApply {
       else Seq("_source_ts_ms", "_ts_ms").filter(batch.columns.contains)) :+ "_seq"
     val ordered = batch
       .withColumn("_seq", monotonically_increasing_id())
-      .select(batch.columns.map(col) :+ col("_seq") :+ struct(effKeys: _*).as("_gk"): _*)
+      .select((batch.columns.map(col) :+ col("_seq") :+ struct(effKeys: _*).as("_gk")).toIndexedSeq: _*)
       .repartition(numPartitions, col("_gk"))
       .sortWithinPartitions(order.map(col): _*)
     ordered.foreachPartition { rows: Iterator[Row] =>
