@@ -198,7 +198,7 @@ class IncrementalAggSpec extends SparkSpec {
   test("streaming finest level: emitted cells equal the batch ladder's (built-in window agg)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Double)]
-    val src = in.toDF.toDF("key", "ts_s", "value")
+    val src = in.toDF().toDF("key", "ts_s", "value")
       .withColumn("ts", timestamp_seconds(col("ts_s")))
     val q = IncrementalAggStream.finestLevel(src, "key", "ts", "value",
         Hour * 1000000L, "0 seconds")

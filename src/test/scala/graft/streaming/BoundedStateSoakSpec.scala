@@ -43,11 +43,11 @@ class BoundedStateSoakSpec extends SparkSpec {
   private def lengthWindowSoak(engine: String): Unit = withEngine(engine) {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long)]
-    val src = in.toDF.toDF("k", "ts_us", "id")
+    val src = in.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("value", lit(1.0))
     val q = StreamPatterns.lengthWindow(src, "k", "ts", "id", "value", 5, "0 seconds")
-      .toDF.writeStream.format("memory").queryName(s"soak_lw_$engine")
+      .toDF().writeStream.format("memory").queryName(s"soak_lw_$engine")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       var id = 0L
@@ -87,11 +87,11 @@ class BoundedStateSoakSpec extends SparkSpec {
   private def lengthBatchSoak(engine: String): Unit = withEngine(engine) {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long)]
-    val src = in.toDF.toDF("k", "ts_us", "id")
+    val src = in.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("value", lit(1.0))
     val q = StreamPatterns.lengthBatch(src, "k", "ts", "id", "value", 5, "0 seconds")
-      .toDF.writeStream.format("memory").queryName(s"soak_lb_$engine")
+      .toDF().writeStream.format("memory").queryName(s"soak_lb_$engine")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       var id = 0L
@@ -125,12 +125,12 @@ class BoundedStateSoakSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Long)]
     val dimIn = MemoryStream[(Long, Long, String)]
-    val evSrc = evIn.toDF.toDF("k", "ts_us", "id")
+    val evSrc = evIn.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
-    val dimSrc = dimIn.toDF.toDF("k", "ts_us", "sv")
+    val dimSrc = dimIn.toDF().toDF("k", "ts_us", "sv")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamAsOf.asOf(evSrc, dimSrc, "k", "ts", "id", Seq("sv"), "0 seconds")
-      .toDF.writeStream.format("memory").queryName(s"soak_asof_$engine")
+      .toDF().writeStream.format("memory").queryName(s"soak_asof_$engine")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       var id = 0L
@@ -171,11 +171,11 @@ class BoundedStateSoakSpec extends SparkSpec {
   private def sortWindowSoak(engine: String): Unit = withEngine(engine) {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long)]
-    val src = in.toDF.toDF("k", "ts_us", "id")
+    val src = in.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("value", (col("id") * 31 % 997).cast("double"))
     val q = StreamPatterns.sortWindow(src, "k", "ts", "id", "value", 5, "0 seconds")
-      .toDF.writeStream.format("memory").queryName(s"soak_sw_$engine")
+      .toDF().writeStream.format("memory").queryName(s"soak_sw_$engine")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       var id = 0L
@@ -208,10 +208,10 @@ class BoundedStateSoakSpec extends SparkSpec {
   private def frequentSoak(engine: String): Unit = withEngine(engine) {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamPatterns.frequentTypes(src, "k", "ts", "id", "typ", 2, "0 seconds")
-      .toDF.writeStream.format("memory").queryName(s"soak_fq_$engine")
+      .toDF().writeStream.format("memory").queryName(s"soak_fq_$engine")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       var id = 0L
@@ -256,12 +256,12 @@ class BoundedStateSoakSpec extends SparkSpec {
   private def delaySoak(engine: String): Unit = withEngine(engine) {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long)]
-    val src = in.toDF.toDF("k", "ts_us", "id")
+    val src = in.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("value", lit(1.0))
     val q = StreamPatterns.delayWindow(src, "k", "ts", "id", "value",
         100_000L, "0 seconds")
-      .toDF.writeStream.format("memory").queryName(s"soak_dw_$engine")
+      .toDF().writeStream.format("memory").queryName(s"soak_dw_$engine")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       var id = 0L

@@ -42,12 +42,12 @@ class StreamAsOfSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Long)]
     val dimIn = MemoryStream[(Long, Long, String)]
-    val evSrc = evIn.toDF.toDF("k", "ts_us", "id")
+    val evSrc = evIn.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
-    val dimSrc = dimIn.toDF.toDF("k", "ts_us", "sv")
+    val dimSrc = dimIn.toDF().toDF("k", "ts_us", "sv")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamAsOf.asOf(evSrc, dimSrc, "k", "ts", "id", Seq("sv"), "0 seconds")
-      .toDF.writeStream.format("memory").queryName(name)
+      .toDF().writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       // chunk BOTH streams by aligned time ranges: the stateful operator
@@ -88,12 +88,12 @@ class StreamAsOfSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Long)]
     val dimIn = MemoryStream[(Long, Long, String)]
-    val evSrc = evIn.toDF.toDF("k", "ts_us", "id")
+    val evSrc = evIn.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
-    val dimSrc = dimIn.toDF.toDF("k", "ts_us", "sv")
+    val dimSrc = dimIn.toDF().toDF("k", "ts_us", "sv")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamAsOf.asOf(evSrc, dimSrc, "k", "ts", "id", Seq("sv"), "0 seconds")
-      .toDF.writeStream.format("memory").queryName("sa_timer")
+      .toDF().writeStream.format("memory").queryName("sa_timer")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       dimIn.addData((1L, 1_000_000L, "v1"))
@@ -117,12 +117,12 @@ class StreamAsOfSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val evIn = MemoryStream[(Long, Long, Long)]
     val dimIn = MemoryStream[(Long, Long, String)]
-    val evSrc = evIn.toDF.toDF("k", "ts_us", "id")
+    val evSrc = evIn.toDF().toDF("k", "ts_us", "id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
-    val dimSrc = dimIn.toDF.toDF("k", "ts_us", "sv")
+    val dimSrc = dimIn.toDF().toDF("k", "ts_us", "sv")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamAsOf.asOf(evSrc, dimSrc, "k", "ts", "id", Seq("sv"), "0 seconds")
-      .toDF.writeStream.format("memory").queryName("sa_evict")
+      .toDF().writeStream.format("memory").queryName("sa_evict")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       // three versions arrive and age below the watermark...

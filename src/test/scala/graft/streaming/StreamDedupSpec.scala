@@ -41,9 +41,9 @@ class StreamDedupSpec extends SparkSpec {
   private def parityRun(name: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
-    val src = in.toDF.toDF("doc_id", "text")
+    val src = in.toDF().toDF("doc_id", "text")
     val q = StreamDedup.lshCandidates(src, Bands)
-      .toDF.writeStream.format("memory").queryName(name)
+      .toDF().writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       // feed in 3 chunks — near-dup partners land in DIFFERENT batches
@@ -66,9 +66,9 @@ class StreamDedupSpec extends SparkSpec {
   test("re-sending a seen document creates no new pairs (idempotent membership)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
-    val src = in.toDF.toDF("doc_id", "text")
+    val src = in.toDF().toDF("doc_id", "text")
     val q = StreamDedup.lshCandidates(src, Bands)
-      .toDF.writeStream.format("memory").queryName("sd_idem")
+      .toDF().writeStream.format("memory").queryName("sd_idem")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       val d = (1L, "alpha beta gamma delta epsilon zeta eta theta")

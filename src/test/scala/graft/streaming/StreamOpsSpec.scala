@@ -17,7 +17,7 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
     val df = StreamOps.windowedOpCounts(
-      in.toDF.toDF("ts", "op"), "ts", "op", "10 seconds", "5 seconds")
+      in.toDF().toDF("ts", "op"), "ts", "op", "10 seconds", "5 seconds")
     val q = df.writeStream.format("memory").queryName("win_counts")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
@@ -38,7 +38,7 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
     val df = StreamOps.dedupWithinWatermark(
-      in.toDF.toDF("ts", "id", "name"), "ts", "10 seconds", Seq("id"))
+      in.toDF().toDF("ts", "id", "name"), "ts", "10 seconds", Seq("id"))
     val q = df.writeStream.format("memory").queryName("dedup_sink")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {

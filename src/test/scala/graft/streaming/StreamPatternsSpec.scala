@@ -43,7 +43,7 @@ class StreamPatternsSpec extends SparkSpec {
   private def runStreamRows(build: DataFrame => DataFrame, name: String): Seq[Seq[Any]] = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = build(src).writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
@@ -68,7 +68,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("followedBy parity with batch operator") {
     val got = runStream(src => StreamPatterns.followedBy(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_seq")
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF(), "sp_seq")
     val want = Patterns.followedBy(staticDf, "k", "ts_us", "id", "typ",
       "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -78,7 +78,7 @@ class StreamPatternsSpec extends SparkSpec {
     // the same flush contract on Spark 4's successor state API: typed
     // ValueState + explicit per-key timers on the (required) RocksDB store
     val got = runStream(src => StreamPatterns.followedByTws(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF,
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF(),
       "sp_seq_tws")
     val want = Patterns.followedBy(staticDf, "k", "ts_us", "id", "typ",
       "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
@@ -92,29 +92,29 @@ class StreamPatternsSpec extends SparkSpec {
     spark.conf.set(StreamPatterns.EngineConf, "tws")
     try {
       val conj = runStream(src => StreamPatterns.conjunction(
-        src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF,
+        src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF(),
         "tws_conj")
       assert(conj === Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
         "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet)
       val burst = runStream(src => StreamPatterns.burst(
-        src, "k", "ts", "id", "typ", "error", WindowUs, 3L, "0 seconds").toDF,
+        src, "k", "ts", "id", "typ", "error", WindowUs, 3L, "0 seconds").toDF(),
         "tws_burst")
       assert(burst === Patterns.burst(staticDf, "k", "ts_us", "id", "typ",
         "error", WindowUs, 3L).collect().map(_.toSeq).toSet)
       val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
       val lw = runStream(src => StreamPatterns.lengthWindow(
         valued(src), "k", "ts", "id", "value", 5, "0 seconds",
-        onlyType = ("typ", "purchase")).toDF, "tws_lw")
+        onlyType = ("typ", "purchase")).toDF(), "tws_lw")
       assert(lw === Patterns.lengthWindow(
         valued(staticDf).where(col("typ") === "purchase"),
         "k", "ts_us", "id", "value", 5).collect().map(_.toSeq).toSet)
       val sess = runStream(src => StreamPatterns.sessionize(
-        src, "k", "ts", GapUs, "0 seconds").toDF, "tws_sess")
+        src, "k", "ts", GapUs, "0 seconds").toDF(), "tws_sess")
       assert(sess === Patterns.sessionize(staticDf, "k", "ts_us", GapUs)
         .collect().map(_.toSeq).toSet)
       val chain = runStream(src => StreamPatterns.chain(
         src, "k", "ts", "id", "typ", "signup", "noise", "purchase",
-        2 * WithinUs, "0 seconds").toDF, "tws_chain")
+        2 * WithinUs, "0 seconds").toDF(), "tws_chain")
       assert(chain === Patterns.chain(staticDf, "k", "ts_us", "id", "typ",
         "signup", "noise", "purchase", 2 * WithinUs).collect().map(_.toSeq).toSet)
     } finally spark.conf.unset(StreamPatterns.EngineConf)
@@ -129,10 +129,10 @@ class StreamPatternsSpec extends SparkSpec {
       .contains("RocksDBStateStoreProvider"))
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamPatterns.followedBy(src, "k", "ts", "id", "typ",
-        "signup", "purchase", WithinUs, "0 seconds").toDF
+        "signup", "purchase", WithinUs, "0 seconds").toDF()
       .writeStream.format("memory").queryName("sp_rocksdb")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
@@ -146,7 +146,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("absence parity with batch operator") {
     val got = runStream(src => StreamPatterns.absence(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_abs")
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF(), "sp_abs")
     val want = Patterns.absence(staticDf, "k", "ts_us", "id", "typ",
       "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -154,7 +154,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("burst parity with batch operator") {
     val got = runStream(src => StreamPatterns.burst(
-      src, "k", "ts", "id", "typ", "error", WindowUs, 3L, "0 seconds").toDF, "sp_burst")
+      src, "k", "ts", "id", "typ", "error", WindowUs, 3L, "0 seconds").toDF(), "sp_burst")
     val want = Patterns.burst(staticDf, "k", "ts_us", "id", "typ",
       "error", WindowUs, 3L).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -162,7 +162,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("sessionize parity with batch operator") {
     val got = runStream(src => StreamPatterns.sessionize(
-      src, "k", "ts", GapUs, "0 seconds").toDF, "sp_sess")
+      src, "k", "ts", GapUs, "0 seconds").toDF(), "sp_sess")
     val want = Patterns.sessionize(staticDf, "k", "ts_us", GapUs)
       .collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -170,7 +170,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("conjunction parity with batch operator") {
     val got = runStream(src => StreamPatterns.conjunction(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF, "sp_and")
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF(), "sp_and")
     val want = Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
       "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -178,7 +178,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("countSequence parity with batch operator (multiset)") {
     val got = runStreamRows(src => StreamPatterns.countSequence(
-      src, "k", "ts", "id", "typ", "error", "purchase", WindowUs, 2L, "0 seconds").toDF,
+      src, "k", "ts", "id", "typ", "error", "purchase", WindowUs, 2L, "0 seconds").toDF(),
       "sp_cseq")
     val want = Patterns.countSequence(staticDf, "k", "ts_us", "id", "typ",
       "error", "purchase", WindowUs, 2L).collect().map(_.toSeq).toSeq
@@ -189,7 +189,7 @@ class StreamPatternsSpec extends SparkSpec {
   test("chain parity with batch operator") {
     val got = runStream(src => StreamPatterns.chain(
       src, "k", "ts", "id", "typ", "signup", "error", "purchase", WindowUs,
-      "0 seconds").toDF, "sp_chain")
+      "0 seconds").toDF(), "sp_chain")
     val want = Patterns.chain(staticDf, "k", "ts_us", "id", "typ",
       "signup", "error", "purchase", WindowUs).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -201,7 +201,7 @@ class StreamPatternsSpec extends SparkSpec {
     val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 37) % 100)
     val got = runStream(src => StreamPatterns.guardedFollowedBy(
       valued(src), "k", "ts", "id", "typ", "value", "signup", "purchase",
-      WithinUs, (av, bv) => bv > av, "0 seconds").toDF, "sp_guard")
+      WithinUs, (av, bv) => bv > av, "0 seconds").toDF(), "sp_guard")
     val want = Patterns.guardedFollowedBy(valued(staticDf), "k", "ts_us", "id",
         "typ", "value", "signup", "purchase", WithinUs, (av, bv) => bv > av)
       .collect().map(_.toSeq).toSet
@@ -212,7 +212,7 @@ class StreamPatternsSpec extends SparkSpec {
     val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
     val got = runStream(src => StreamPatterns.lengthWindow(
       valued(src), "k", "ts", "id", "value", 5, "0 seconds",
-      onlyType = ("typ", "purchase")).toDF, "sp_lenwin")
+      onlyType = ("typ", "purchase")).toDF(), "sp_lenwin")
     val want = Patterns.lengthWindow(
       valued(staticDf).where(col("typ") === "purchase"),
       "k", "ts_us", "id", "value", 5)
@@ -231,7 +231,7 @@ class StreamPatternsSpec extends SparkSpec {
       val got =
         try runStream(src => StreamPatterns.timeLengthWindow(
           valued(src), "k", "ts", "id", "value", WindowUs, 5, "0 seconds",
-          onlyType = ("typ", "purchase")).toDF,
+          onlyType = ("typ", "purchase")).toDF(),
           s"sp_tlwin_${engine.getOrElse("fmgws")}")
         finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
       assert(want.nonEmpty && got === want)
@@ -242,7 +242,7 @@ class StreamPatternsSpec extends SparkSpec {
     val valued = (df: DataFrame) => df.withColumn("value", (col("id") * 13 % 100) / lit(10.0))
     val got = runStream(src => StreamPatterns.lengthBatch(
       valued(src), "k", "ts", "id", "value", 5, "0 seconds",
-      onlyType = ("typ", "purchase")).toDF, "sp_lenbatch")
+      onlyType = ("typ", "purchase")).toDF(), "sp_lenbatch")
     val want = Patterns.lengthBatch(
       valued(staticDf).where(col("typ") === "purchase"),
       "k", "ts_us", "id", "value", 5)
@@ -256,7 +256,7 @@ class StreamPatternsSpec extends SparkSpec {
     val got =
       try runStream(src => StreamPatterns.lengthBatch(
         valued(src), "k", "ts", "id", "value", 5, "0 seconds",
-        onlyType = ("typ", "purchase")).toDF, "sp_lenbatch_tws")
+        onlyType = ("typ", "purchase")).toDF(), "sp_lenbatch_tws")
       finally spark.conf.unset(StreamPatterns.EngineConf)
     val want = Patterns.lengthBatch(
       valued(staticDf).where(col("typ") === "purchase"),
@@ -268,7 +268,7 @@ class StreamPatternsSpec extends SparkSpec {
   test("outputFirstEvery parity with batch operator (rate-limit throttle)") {
     val got = runStream(src => StreamPatterns.outputFirstEvery(
       src, "k", "ts", "id", WindowUs, "0 seconds",
-      onlyType = ("typ", "error")).toDF, "sp_first")
+      onlyType = ("typ", "error")).toDF(), "sp_first")
     val want = Patterns.outputFirstEvery(
       staticDf.where(col("typ") === "error"), "k", "ts_us", "id", WindowUs)
       .collect().map(_.toSeq).toSet
@@ -277,7 +277,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("outputFirstEvery parity on the transformWithState engine (frontier state)") {
     val got = runStream(src => StreamPatterns.outputFirstEveryTws(
-      src, "k", "ts", "id", WindowUs, "0 seconds").toDF, "sp_first_tws")
+      src, "k", "ts", "id", WindowUs, "0 seconds").toDF(), "sp_first_tws")
     val want = Patterns.outputFirstEvery(staticDf, "k", "ts_us", "id", WindowUs)
       .collect().map(_.toSeq).toSet
     assert(want.nonEmpty && got === want)
@@ -286,7 +286,7 @@ class StreamPatternsSpec extends SparkSpec {
   test("outputLastEvery parity with batch operator (trailing-edge throttle)") {
     val got = runStream(src => StreamPatterns.outputLastEvery(
       src, "k", "ts", "id", WindowUs, "0 seconds",
-      onlyType = ("typ", "purchase")).toDF, "sp_last")
+      onlyType = ("typ", "purchase")).toDF(), "sp_last")
     val want = Patterns.outputLastEvery(
       staticDf.where(col("typ") === "purchase"), "k", "ts_us", "id", WindowUs)
       .collect().map(_.toSeq).toSet
@@ -295,7 +295,7 @@ class StreamPatternsSpec extends SparkSpec {
 
   test("disjunction parity with batch operator (multiset — stateless twin)") {
     val got = runStreamRows(src => StreamPatterns.disjunction(
-      src, "k", "id", "typ", "signup", "error").toDF, "sp_or")
+      src, "k", "id", "typ", "signup", "error").toDF(), "sp_or")
     val want = Patterns.disjunction(staticDf, "k", "id", "typ", "signup", "error")
       .collect().map(_.toSeq).toSeq
     def multiset(rows: Seq[Seq[Any]]) = rows.groupBy(identity).view.mapValues(_.size).toMap
@@ -307,7 +307,7 @@ class StreamPatternsSpec extends SparkSpec {
     // the frontier guard they re-passed the emission filter on the next
     // invocation and double-emitted — only visible under MULTISET compare
     val got = runStreamRows(src => StreamPatterns.conjunction(
-      src, "k", "ts", "id", "typ", "purchase", "purchase", WithinUs, "0 seconds").toDF,
+      src, "k", "ts", "id", "typ", "purchase", "purchase", WithinUs, "0 seconds").toDF(),
       "sp_self_and")
     val want = Patterns.conjunction(staticDf, "k", "ts_us", "id", "typ",
       "purchase", "purchase", WithinUs).collect().map(_.toSeq).toSeq
@@ -324,7 +324,7 @@ class StreamPatternsSpec extends SparkSpec {
     def run(name: String,
             build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
       val in = MemoryStream[(Long, Long, Long, String)]
-      val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+      val src = in.toDF().toDF("k", "ts_us", "id", "typ")
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val q = build(src).writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
@@ -342,10 +342,10 @@ class StreamPatternsSpec extends SparkSpec {
       } finally q.stop()
     }
     val fb = run("sp_xbatch_fb", src => StreamPatterns.followedBy(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "60 seconds").toDF)
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "60 seconds").toDF())
     assert(fb === Set(Seq(1L, 1L, 2L, 10_000_000L))) // match found, gap 10s
     val ab = run("sp_xbatch_ab", src => StreamPatterns.absence(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "60 seconds").toDF)
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "60 seconds").toDF())
     assert(ab === Set.empty) // and no false absence
   }
 
@@ -356,11 +356,11 @@ class StreamPatternsSpec extends SparkSpec {
     // A is pending yet
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamPatterns.conjunction(src, "k", "ts", "id", "typ",
         "signup", "purchase", WithinUs, "60 seconds")
-      .toDF.writeStream.format("memory").queryName("sp_and_back")
+      .toDF().writeStream.format("memory").queryName("sp_and_back")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       in.addData((1L, 25_000_000L, 1L, "purchase"), // the backward B
@@ -381,11 +381,11 @@ class StreamPatternsSpec extends SparkSpec {
   test("absence fires on watermark advance without further key input (timer path)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamPatterns.absence(src, "k", "ts", "id", "typ",
         "signup", "purchase", WithinUs, "0 seconds")
-      .toDF.writeStream.format("memory").queryName("sp_timer")
+      .toDF().writeStream.format("memory").queryName("sp_timer")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       in.addData((1L, 1_000_000L, 1L, "signup"))
@@ -404,7 +404,7 @@ class StreamPatternsSpec extends SparkSpec {
   test("absence parity + timer-only firing on the transformWithState engine") {
     // full-stream parity
     val got = runStream(src => StreamPatterns.absenceTws(
-      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF,
+      src, "k", "ts", "id", "typ", "signup", "purchase", WithinUs, "0 seconds").toDF(),
       "sp_abs_tws")
     val want = Patterns.absence(staticDf, "k", "ts_us", "id", "typ",
       "signup", "purchase", WithinUs).collect().map(_.toSeq).toSet
@@ -413,11 +413,11 @@ class StreamPatternsSpec extends SparkSpec {
     // DIFFERENT key — TWS handleExpiredTimer, no further input for key 1
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamPatterns.absenceTws(src, "k", "ts", "id", "typ",
         "signup", "purchase", WithinUs, "0 seconds")
-      .toDF.writeStream.format("memory").queryName("sp_timer_tws")
+      .toDF().writeStream.format("memory").queryName("sp_timer_tws")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
       in.addData((1L, 1_000_000L, 1L, "signup"))
@@ -452,7 +452,7 @@ class StreamPatternsSpec extends SparkSpec {
       val rows =
         try runStreamRows(src => StreamPatterns.sortWindow(
           valued(src), "k", "ts", "id", "value", 4, "0 seconds",
-          onlyType = ("typ", "purchase")).toDF,
+          onlyType = ("typ", "purchase")).toDF(),
           s"sp_sortwin_${engine.getOrElse("fmgws")}")
         finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
       // every snapshot's ranks are contiguous from 1 (internally consistent)
@@ -470,7 +470,7 @@ class StreamPatternsSpec extends SparkSpec {
       engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
       val rows =
         try runStreamRows(src => StreamPatterns.frequentTypes(
-          src, "k", "ts", "id", "typ", 2, "0 seconds").toDF,
+          src, "k", "ts", "id", "typ", 2, "0 seconds").toDF(),
           s"sp_freq_${engine.getOrElse("fmgws")}")
         finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
       assert(want.nonEmpty && lastSnapshots(rows).map(r => r.head +: r.drop(1)) === want)
@@ -488,7 +488,7 @@ class StreamPatternsSpec extends SparkSpec {
       val got =
         try runStream(src => StreamPatterns.delayWindow(
           valued(src), "k", "ts", "id", "value", WindowUs, "0 seconds",
-          onlyType = ("typ", "purchase")).toDF,
+          onlyType = ("typ", "purchase")).toDF(),
           s"sp_delay_${engine.getOrElse("fmgws")}")
         finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
       assert(want.nonEmpty && got === want)
@@ -502,7 +502,7 @@ class StreamPatternsSpec extends SparkSpec {
       engine.foreach(spark.conf.set(StreamPatterns.EngineConf, _))
       val rows =
         try runStreamRows(src => StreamPatterns.lossyFrequent(
-          src, "k", "ts", "id", "typ", 250L, "0 seconds").toDF,
+          src, "k", "ts", "id", "typ", 250L, "0 seconds").toDF(),
           s"sp_lossy_${engine.getOrElse("fmgws")}")
         finally engine.foreach(_ => spark.conf.unset(StreamPatterns.EngineConf))
       // snapshot-reading convention: a rev's snapshot is its
@@ -519,10 +519,10 @@ class StreamPatternsSpec extends SparkSpec {
     // reserved '#' prefix must count as ordinary data, not state rows.
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String)]
-    val src = in.toDF.toDF("k", "ts_us", "id", "typ")
+    val src = in.toDF().toDF("k", "ts_us", "id", "typ")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val q = StreamPatterns.lossyFrequent(src, "k", "ts", "id", "typ", 500L,
-        "0 seconds").toDF
+        "0 seconds").toDF()
       .writeStream.format("memory").queryName("sp_lossy_tomb")
       .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
     try {
