@@ -378,6 +378,19 @@ object ScaleSmoke {
         eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
       time("activity_lsh", n)(Similarity.activityCosineTopKLsh(
         eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
+      // the r13 wide-bins routing at scale: bins=168 (hour-of-week) rides
+      // the two-step shape past the codegen maxFields limit — its
+      // corpus-sized pass is the O(1)-per-row (key, bin) count, so the
+      // curve must track activity_lsh's index-build component, not the
+      // rejected fused-interpreted O(bins)-per-row form (ProbeFamily
+      // carries that twin for A/B adjudication)
+      // consumption folds the WHOLE array: element_at(hist, 1) would let
+      // SimplifyExtractValueOps collapse the CreateArray to one
+      // conditional sum and time 1/168th of the operator
+      time("activity_hist_wide", n)(Similarity.activityHistogramsFromEvents(
+        eventsN, "user_id", "ts_us", 3600000000L, bins = 168)
+        .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+        .head().getLong(0))
       // the deployment shape: index built ONCE (untimed — it is a stored
       // artifact; forked passes share the materialization), every query
       // pays only the probe. The probe curve growing far below the full
