@@ -43,7 +43,25 @@ object ProbeFamily {
       }
     }
     lazy val docs = probeDocs()
-    def run(): Long = family match {
+    // A/B lever for the InferFiltersFromGenerate re-derive trap: a family
+    // suffixed `_noinfer` runs the same body with the rule excluded, so a
+    // probe pair attributes the cost of synthesized size/isnotnull scan
+    // filters that predicate pushdown rewrites into extra evaluations of
+    // the aliased kernel (explode over a projected attribute — the p51
+    // bigramSets lesson; p33/p37/p52 carry the same shape on the
+    // shingle/signature kernels)
+    // `_infer` re-ENABLES the rule (GraftSession now excludes it), so the
+    // pair still measures both sides of the trade on any family
+    val (familyBase, noinfer) =
+      if (family.endsWith("_noinfer")) (family.dropRight("_noinfer".length), true)
+      else (family, false)
+    val (familyBase2, reinfer) =
+      if (familyBase.endsWith("_infer")) (familyBase.dropRight("_infer".length), true)
+      else (familyBase, false)
+    if (noinfer) spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    if (reinfer) spark.conf.set("spark.sql.optimizer.excludedRules", "")
+    def run(): Long = familyBase2 match {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
@@ -256,6 +274,19 @@ object ProbeFamily {
           .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0)
       case "containment_scan" =>
         Dedup.containmentScan(probeDocs(), 200).count()
+      // p12's shape at probe factors: train + index + probe-cell knn
+      case "ivf_knn" =>
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sfDir), n)
+        val model = graft.functions.IvfIndex.train(embsN,
+          k = math.min(16 * n, 512), iters = 3)
+        graft.functions.IvfIndex.knn(embsN, model,
+          col("vec_id") < 20, 5, nprobe = 2).count()
+      // p37's shape at probe factors: in-query index + increment probe
+      case "cross_corpus" =>
+        val newDocs = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+        val oldIdx = Dedup.lshIndex(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), 8)
+        Dedup.crossCorpusPairs(newDocs, oldIdx, 8, 800).count()
       case "collocations" =>
         TF.collocations(probeDocs(), 5L, 50)
           .agg(sum(col("pmi_ppm"))).head().getLong(0)
@@ -371,6 +402,33 @@ object ProbeFamily {
             floor(lit(1000.0) * col("_i") /
               (size(col("shs_a")) + size(col("shs_b")) - col("_i"))).cast("long"))
           .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0)
+      case "activity_hist_wide" =>
+        // the routed histogram builder at bins=168 (hour-of-week): past
+        // spark.sql.codegen.maxFields the public API goes through the
+        // two-step composition — keeps the r13 routing measurement
+        // (20M cached events: two-step 1.5 s vs fused-interpreted
+        // 3.4-3.6 s) reproducible per round
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+        // fold the whole array (count() would prune the agg columns, and
+        // element_at a CreateArray collapses to one conditional sum)
+        graft.functions.Similarity.activityHistogramsFromEvents(
+            ev, "user_id", "ts_us", 3600000000L, bins = 168)
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
+      case "activity_hist_wide_fused" =>
+        // measurement-record twin: the fused 168-conditional-sum aggregate
+        // the routing REJECTED (the stage drops out of codegen past
+        // maxFields=100) — inlined here because the public builder now
+        // routes around it; output is parity-pinned in PipelineSpec
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+        val hourUs = 3600000000L
+        val bin = pmod(
+          expr(s"((ts_us) - pmod(ts_us, $hourUs)) div $hourUs"), lit(168))
+        ev.groupBy(col("user_id"))
+          .agg(array((0 until 168).map(h =>
+            coalesce(sum(when(bin === h, 1L)), lit(0L))): _*).as("hist"))
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
       case other => sys.error(s"unknown family $other")
     }
     // per-rep stage + shuffle-write accounting: the decisive evidence for
