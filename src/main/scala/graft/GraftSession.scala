@@ -24,6 +24,23 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // InferFiltersFromGenerate synthesizes `isnotnull(e) AND size(e) > 0`
+      // under every explode of a plain attribute, and predicate pushdown
+      // then substitutes the attribute's deriving expression — so when the
+      // exploded column is a projected KERNEL (trigram_shingles,
+      // minhash_bands, words∘normText), the scan-stage Filter re-evaluates
+      // the kernel once per conjunct on top of the projection's own
+      // evaluation (the r13 p51/bigramSets postmortem, found plan-wide by
+      // the p33/p37 plan pins). In this engine every Generate sits
+      // DIRECTLY on its deriving scan, so the inferred prune can never pay
+      // for itself: it drops only rows explode would drop in the same
+      // stage anyway. Measured (ProbeFamily `_noinfer` twins, x40,
+      // min-of-6): cross_corpus 5.66 -> 3.53 s (the minhash_bands kernel
+      // ran 3x per indexed doc), containment_scan 4.64 -> 4.45 s (the
+      // cheaper trigram kernel). Exclusion is semantics-preserving — the
+      // rule is an optimization only.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.stateStore.providerClass",

@@ -436,6 +436,73 @@ class PlanShapeSpec extends SparkSpec {
       s"expected two derive sites, saw ${deriveLines.size}: $deriveLines")
   }
 
+  test("p33 bloom decontamination: map-side prune, test side broadcasts, no corpus sort") {
+    val p = plan("p33_contamination_bloom")
+    // the sketch prune must sit in a Filter over the train stream (the
+    // map-side drop BEFORE any exchange), and the verify join must ride
+    // the broadcast hint — a sort-merge here sorts the pruned-but-still-
+    // corpus-sized train shingle stream
+    assert(p.contains("bloom_contains") || p.contains("might_contain"),
+      s"bloom prune missing from the train scan stage:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"held-out suite must broadcast into the verify join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train shingles must never sort for the verify join:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    // GraftSession excludes InferFiltersFromGenerate: without that, the
+    // synthesized size/isnotnull filters under each explode(shs) get
+    // pushdown-substituted into scan-stage re-evaluations of the shingle
+    // kernel (the r13 plan-wide audit finding)
+    assertNoKernelFilters(p, "trigram_shingles")
+  }
+
+  /** No Filter node may carry `kernel` — a filter that re-derives an
+    * exploded projection's expensive expression is the
+    * InferFiltersFromGenerate + pushdown-substitution trap (measured on
+    * p37's shape: 5.66 -> 3.53 s at x40 once removed). */
+  private def assertNoKernelFilters(p: String, kernel: String): Unit = {
+    val deriving = p.linesIterator
+      .filter(l => l.trim.startsWith("Filter") && l.contains(kernel)).toSeq
+    assert(deriving.isEmpty,
+      s"a Filter re-derives $kernel:\n${deriving.mkString("\n")}")
+  }
+
+  test("p37 cross-corpus probe: signature join sort-merges, verify joins never explode") {
+    val p = plan("p37_dedup_cross_corpus")
+    // the one large shuffle is the (band, sig) equi-join — merge-hinted
+    // because Generate-fed sides carry no usable size estimate for AQE
+    assert(p.contains("SortMergeJoin"),
+      s"signature equi-join must sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus probe must stay equi-joined:\n$p")
+    // verification is per-row array_intersect over the candidate pairs —
+    // no Generate may touch the shingle arrays after the candidate set
+    val badGen = p.linesIterator.filter(_.contains("Generate "))
+      .filter(l => l.contains("shs_a") || l.contains("shs_b")).toSeq
+    assert(badGen.isEmpty, s"verify stage explodes arrays:\n${badGen.mkString("\n")}")
+    // the candidate distinct is two-phase: a keys-only HashAggregate on
+    // each side of its exchange (distinct plans functions=[], so there is
+    // no partial_ marker to grep — count the nodes instead)
+    assert(p.linesIterator.count(_.contains("HashAggregate(keys=[new_id")) >= 2,
+      s"candidate distinct lost its map-side phase:\n$p")
+    // both posexplode(bandsigs) sides must stay free of synthesized
+    // filters that re-derive the signature kernel at the scan (the
+    // finding that motivated GraftSession's InferFiltersFromGenerate
+    // exclusion: 5.66 -> 3.53 s at x40)
+    assertNoKernelFilters(p, "minhash_bands")
+    assertNoKernelFilters(p, "trigram_shingles")
+  }
+
+  test("p12 IVF knn: probe side broadcasts — the indexed corpus never shuffles for the join") {
+    val p = plan("p12_embed_ivf_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exploded probe cells must broadcast onto the inverted file:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not sort for the cell join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell join must stay an equi-join:\n$p")
+  }
+
   test("p52 containment: the shingle join is the merge-hinted inverted index") {
     val p = plan("p52_containment")
     assert(p.contains("SortMergeJoin"),
