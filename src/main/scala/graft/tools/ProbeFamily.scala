@@ -52,16 +52,24 @@ object ProbeFamily {
     // shingle/signature kernels)
     // `_infer` re-ENABLES the rule (GraftSession now excludes it), so the
     // pair still measures both sides of the trade on any family
-    val (familyBase, noinfer) =
-      if (family.endsWith("_noinfer")) (family.dropRight("_noinfer".length), true)
-      else (family, false)
-    val (familyBase2, reinfer) =
-      if (familyBase.endsWith("_infer")) (familyBase.dropRight("_infer".length), true)
-      else (familyBase, false)
-    if (noinfer) spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    if (reinfer) spark.conf.set("spark.sql.optimizer.excludedRules", "")
-    def run(): Long = familyBase2 match {
+    // `_infer` re-ENABLES the generate rule (GraftSession now excludes
+    // it); `_noconstraints` ADDITIONALLY excludes
+    // InferFiltersFromConstraints — only a measurement lever (that rule's
+    // join-key isnotnulls are valuable in general): it isolates the cost
+    // of inferred isnotnulls over DERIVED kernel columns
+    // (isnotnull(sqrt(vec_dot(e,e))) at the scan, found by KernelAudit on
+    // p13/p49/p6)
+    val ruleOf = Map(
+      "_noinfer" -> "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+      "_infer" -> "",
+      "_noconstraints" ->
+        ("org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints"))
+    val (familyBase, lever) = ruleOf.keys.find(family.endsWith)
+      .map(s => (family.dropRight(s.length), Some(ruleOf(s))))
+      .getOrElse((family, None))
+    lever.foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
+    def run(): Long = familyBase match {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
           col("_ws"), 3).count()
@@ -274,6 +282,17 @@ object ProbeFamily {
           .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0)
       case "containment_scan" =>
         Dedup.containmentScan(probeDocs(), 200).count()
+      // p13's shape at probe factors: exact cosine near-dup pair scan
+      // (prep runs in-query — the isnotnull(sqrt(vec_dot)) scan-filter
+      // candidate KernelAudit flagged)
+      case "embed_pairs" =>
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sfDir), n)
+        graft.functions.Similarity.cosineNearDupPairs(embsN, 450000L).count()
+      // p6's shape: exhaustive n-gram Jaccard (isnotnull(size(shingles))
+      // scan-filter candidate)
+      case "ngram_jaccard" =>
+        Dedup.ngramJaccardPairs(docs, 500).count()
       // p12's shape at probe factors: train + index + probe-cell knn
       case "ivf_knn" =>
         val embsN = ScaleSmoke.replicateEmbsRotated(
