@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, CharHist16, MinhashBands, NearestCell, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -115,6 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity("vec_sum_fixed", children, 2)
         VecSumFixed(children.head, longLit("vec_sum_fixed", children(1), 2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bin_count_agg"),
+      new ExpressionInfo(classOf[BinCountAgg].getName, "bin_count_agg"),
+      (children: Seq[Expression]) => {
+        arity("bin_count_agg", children, 2)
+        BinCountAgg(children.head, intLit("bin_count_agg", children(1), 2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),

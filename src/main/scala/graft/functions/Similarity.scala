@@ -401,17 +401,29 @@ object Similarity {
     * PipelineSpec); the two-step form stays for the exact route, whose
     * inverted-index join consumes the cells themselves.
     *
-    * WIDE-BINS ROUTING: the fused aggregate does O(bins) conditional-sum
-    * work per EVENT row, and past `spark.sql.codegen.maxFields` (default
-    * 100) Spark drops the whole stage out of codegen — measured at
-    * bins=168 on 20M cached events: fused 3.4-3.6 s interpreted vs the
-    * two-step 1.5 s (whose corpus-sized pass is an O(1)-per-row codegen'd
-    * (key, bin) count; only its CELL-sized second aggregate is wide), and
-    * forcing codegen with maxFields=400 was WORSE still (11 s — the
-    * 168-sum generated method defeats the JIT). So past the codegen
-    * limit this routes to the two-step composition: same output, the
-    * extra exchange is cell-sized, and the corpus-sized scan stays
-    * codegen'd. */
+    * WIDE-BINS ROUTING (regime-dependent — both composable forms lose
+    * one): the fused aggregate does O(bins) conditional-sum work per
+    * EVENT row, and past `spark.sql.codegen.maxFields` (default 100)
+    * Spark drops the whole stage out of codegen — at bins=168 on dense
+    * cached events (few keys, ≫bins events each) the interpreted sums
+    * ran 2.3× slower than the two-step composition, whose corpus pass
+    * is an O(1)-per-row codegen'd (key, bin) count. But the two-step's
+    * "cell-sized" intermediate is keys×bins ROWS — on SPARSE activity
+    * (fewer than `bins` events per key, the common hour-of-week shape,
+    * and this corpus' ~67 events/key) that exchange EXCEEDS the corpus:
+    * probed at ×100 replicated events, two-step 222 MB shuffle /
+    * 19.5 s min vs fused 40 MB / 9.5 s. So past the codegen limit this
+    * routes to the [[graft.functions.expr.BinCountAgg]] kernel when the
+    * session has the extensions: `buf(bin) += 1` per row — O(1) per row
+    * (two-step's winning half) AND one `bins`-long array partial per
+    * key (fused's winning half), immune to the codegen width limit by
+    * construction. Probed min-of-reps (kernel / fused / two-step):
+    * ×10 0.88 / 3.98 / 3.14 s, ×40 2.29 / 4.94 / 9.24, ×100
+    * 5.26 / 9.49 / 19.50 at 36.5 / 40 / 222 MB shuffle — the kernel
+    * beats both composable forms at every factor. Sessions without the
+    * extensions fall back to the two-step composition (wide-aggregate
+    * interpreted eval is the worse failure mode at 100 TB: it taxes
+    * every row of the corpus, the cell exchange only the key set). */
   def activityHistogramsFromEvents(events: DataFrame, keyCol: String,
                                    tsCol: String, hourUs: Long,
                                    bins: Int = 24): DataFrame = {
@@ -422,16 +434,18 @@ object Similarity {
     require(bins >= 2, s"need bins >= 2, got $bins")
     val maxFields = events.sparkSession.conf
       .get("spark.sql.codegen.maxFields", "100").toInt
-    if (bins > maxFields)
-      activityHistograms(
-        activityCells(events, keyCol, tsCol, hourUs, bins), keyCol, bins)
-    else {
-      val bin = pmod(
-        expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
+    val bin = pmod(
+      expr(s"(($tsCol) - pmod($tsCol, $hourUs)) div $hourUs"), lit(bins))
+    if (bins <= maxFields)
       events.groupBy(col(keyCol))
         .agg(array((0 until bins).map(h =>
           coalesce(sum(when(bin === h, 1L)), lit(0L))): _*).as("hist"))
-    }
+    else if (events.sparkSession.catalog.functionExists("bin_count_agg"))
+      events.groupBy(col(keyCol))
+        .agg(call_function("bin_count_agg", bin, lit(bins)).as("hist"))
+    else
+      activityHistograms(
+        activityCells(events, keyCol, tsCol, hourUs, bins), keyCol, bins)
   }
 
   /** LSH stride for the 24-bin histograms: coprime to 24 so all table

@@ -434,6 +434,18 @@ object ProbeFamily {
             ev, "user_id", "ts_us", 3600000000L, bins = 168)
           .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
           .head().getLong(0)
+      // measurement-record twin: the two-step cells composition at
+      // bins=168 — r13's first routing target, REJECTED for sparse
+      // activity once probes showed its keys×bins cell exchange exceeds
+      // the corpus (222 vs 40 MB at ×100); kept for A/B against the
+      // bin_count_agg kernel the public builder now routes to
+      case "activity_hist_wide_twostep" =>
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+        graft.functions.Similarity.activityHistograms(
+            graft.functions.Similarity.activityCells(
+              ev, "user_id", "ts_us", 3600000000L, bins = 168), "user_id", 168)
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
       case "activity_hist_wide_fused" =>
         // measurement-record twin: the fused 168-conditional-sum aggregate
         // the routing REJECTED (the stage drops out of codegen past

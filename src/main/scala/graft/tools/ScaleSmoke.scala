@@ -379,11 +379,9 @@ object ScaleSmoke {
       time("activity_lsh", n)(Similarity.activityCosineTopKLsh(
         eventsN, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count())
       // the r13 wide-bins routing at scale: bins=168 (hour-of-week) rides
-      // the two-step shape past the codegen maxFields limit — its
-      // corpus-sized pass is the O(1)-per-row (key, bin) count, so the
-      // curve must track activity_lsh's index-build component, not the
-      // rejected fused-interpreted O(bins)-per-row form (ProbeFamily
-      // carries that twin for A/B adjudication)
+      // the bin_count_agg kernel past the codegen maxFields limit —
+      // O(1) per row, one exchange of array partials (ProbeFamily carries
+      // the rejected fused-interpreted and two-step twins for A/B)
       // consumption folds the WHOLE array: element_at(hist, 1) would let
       // SimplifyExtractValueOps collapse the CreateArray to one
       // conditional sum and time 1/168th of the operator

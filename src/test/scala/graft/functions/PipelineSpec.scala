@@ -726,13 +726,13 @@ class PipelineSpec extends SparkSpec {
       (1L + rnd.nextInt(10), (i - 200L) * hourUs / 2 + rnd.nextInt(1000) * 1000L)
     }
     val df = evs.toDF("k", "ts")
-    // bins=168 is the README-advertised hour-of-week geometry: 168
-    // conditional sums in ONE aggregate is the widest the fused build is
-    // documented for, so pin parity there too — and pin that the 168-wide
-    // aggregate still plans as a codegen'd HashAggregate (the map route's
-    // ObjectHashAggregate fallback, or a width-triggered codegen bailout,
-    // would silently cost the measured 2x). codegen.fallback=false makes
-    // a janino compile failure THROW instead of silently interpreting.
+    // bins=168 is the README-advertised hour-of-week geometry: past the
+    // codegen field limit the build routes to the bin_count_agg kernel
+    // (O(1)-per-row imperative buffer, one exchange of array partials —
+    // probed 2-4x faster than BOTH composable forms at every factor), so
+    // pin parity there too and pin each route's plan shape.
+    // codegen.fallback=false makes a janino compile failure THROW
+    // instead of silently interpreting.
     val priorFallback = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
@@ -748,35 +748,58 @@ class PipelineSpec extends SparkSpec {
           .as[(Long, Seq[Long])].collect().toMap
         assert(fused.nonEmpty && fused === twoStep, s"bins=$bins diverged")
         // the adaptive plan string carries BOTH the Final and the (never
-        // codegen-annotated) Initial plan — judge the Final section only
-        val plan = fusedDs.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0)
-        assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
-          s"bins=$bins: expected a plain HashAggregate, got:\n$plan")
-        // the final plan marks whole-stage-codegen'd operators with the
+        // codegen-annotated) Initial plan — judge the Final section only.
+        // The final plan marks whole-stage-codegen'd operators with the
         // `*(id)` prefix; within the codegen field limit (<= 100) the
         // fused single-exchange aggregate must be FULLY codegen'd; past
-        // it the build routes to the two-step shape — two exchanges, the
-        // corpus-facing (key, bin) count still codegen'd, only the
-        // CELL-sized wide aggregate interpreted (measured 2.3x faster
-        // than the interpreted fused form at bins=168)
-        val aggs = "HashAggregate\\(".r.findAllIn(plan).size
-        val starred = "\\*\\(\\d+\\) HashAggregate\\(".r.findAllIn(plan).size
+        // it the kernel route is ObjectHashAggregate (imperative buffer,
+        // never codegen'd) — still exactly ONE exchange either way
+        val plan = fusedDs.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
         val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-        if (bins <= 100)
-          assert(aggs >= 2 && starred == aggs && exchanges == 1,
-            s"bins=$bins: $starred of $aggs HashAggregates codegen'd, " +
-              s"$exchanges exchanges:\n$plan")
-        else
-          assert(aggs >= 4 && starred >= 2 && exchanges == 2,
-            s"bins=$bins: expected the routed two-step shape " +
-              s"($starred of $aggs starred, $exchanges exchanges):\n$plan")
+        assert(exchanges == 1,
+          s"bins=$bins: expected ONE key exchange, got $exchanges:\n$plan")
+        if (bins <= 100) {
+          assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+            s"bins=$bins: expected a plain HashAggregate, got:\n$plan")
+          val aggs = "HashAggregate\\(".r.findAllIn(plan).size
+          val starred = "\\*\\(\\d+\\) HashAggregate\\(".r.findAllIn(plan).size
+          assert(aggs >= 2 && starred == aggs,
+            s"bins=$bins: $starred of $aggs HashAggregates codegen'd:\n$plan")
+        } else
+          assert("ObjectHashAggregate\\(".r.findAllIn(plan).size >= 2 &&
+            plan.contains("bin_count_agg"),
+            s"bins=$bins: expected the two-phase bin_count_agg kernel:\n$plan")
       }
     } finally spark.conf.set("spark.sql.codegen.fallback", priorFallback)
     intercept[IllegalArgumentException](
       Similarity.activityHistogramsFromEvents(df, "k", "ts", 0L, 24))
     intercept[IllegalArgumentException](
       Similarity.activityCells(df, "k", "ts", 0L, 24))
+  }
+
+  test("bin_count_agg kernel: null/out-of-range bins drop, merge is partition-independent") {
+    // direct-call contract beyond what the routed parity covers: a null
+    // bin and an out-of-range bin must contribute nothing (the
+    // conditional-sum formulation's when(bin === h) matches no branch),
+    // and the imperative buffers must merge identically at any
+    // partitioning
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, 0L), (1L, 0L), (1L, 3L), (1L, null), (1L, 7L), (1L, -1L),
+      (2L, 3L), (2L, 3L), (2L, 3L))
+    val df = rows.toDF("k", "bin")
+    def hist(parts: Int): Map[Long, Seq[Long]] =
+      df.repartition(parts).groupBy($"k")
+        .agg(call_function("bin_count_agg", $"bin", lit(4)).as("hist"))
+        .as[(Long, Seq[Long])].collect().toMap
+    val expected = Map(
+      1L -> Seq(2L, 0L, 0L, 1L), // null, 7 (>= bins) and -1 all dropped
+      2L -> Seq(0L, 0L, 0L, 3L))
+    assert(hist(1) === expected)
+    assert(hist(7) === expected) // forces cross-partition buffer merges
+    // non-foldable bins argument fails at analysis, not mid-job
+    intercept[org.apache.spark.sql.AnalysisException](
+      df.groupBy($"k").agg(call_function("bin_count_agg", $"bin", $"k")).collect())
   }
 
   test("activityCosineTopK: salted join equals the unsalted (parallelism knob, not semantics)") {
