@@ -420,7 +420,11 @@ object Similarity {
     * construction. Probed min-of-reps (kernel / fused / two-step):
     * ×10 0.88 / 3.98 / 3.14 s, ×40 2.29 / 4.94 / 9.24, ×100
     * 5.26 / 9.49 / 19.50 at 36.5 / 40 / 222 MB shuffle — the kernel
-    * beats both composable forms at every factor. Sessions without the
+    * beats both composable forms at every factor. BELOW the limit the
+    * codegen'd conditional sums keep the default: probed at bins=24
+    * ×100 they tie the kernel (min 4.91 vs 5.10 s, identical 11 MB
+    * exchange), and codegen'd expressions compose into surrounding
+    * stages where the imperative aggregate cannot. Sessions without the
     * extensions fall back to the two-step composition (wide-aggregate
     * interpreted eval is the worse failure mode at 100 TB: it taxes
     * every row of the corpus, the cell exchange only the key set). */

@@ -434,6 +434,24 @@ object ProbeFamily {
             ev, "user_id", "ts_us", 3600000000L, bins = 168)
           .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
           .head().getLong(0)
+      // 24-bin A/B: is the codegen'd fused form still the right default
+      // under the codegen field limit, or should bin_count_agg take over
+      // everywhere? (the public builder keeps fused at <= maxFields)
+      case "activity_hist24" =>
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+        graft.functions.Similarity.activityHistogramsFromEvents(
+            ev, "user_id", "ts_us", 3600000000L, bins = 24)
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
+      case "activity_hist24_kernel" =>
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+        val hourUs = 3600000000L
+        val bin = pmod(
+          expr(s"((ts_us) - pmod(ts_us, $hourUs)) div $hourUs"), lit(24))
+        ev.groupBy(col("user_id"))
+          .agg(call_function("bin_count_agg", bin, lit(24)).as("hist"))
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
       // measurement-record twin: the two-step cells composition at
       // bins=168 — r13's first routing target, REJECTED for sparse
       // activity once probes showed its keys×bins cell exchange exceeds
