@@ -420,7 +420,11 @@ object Similarity {
     * construction. Probed min-of-reps (kernel / fused / two-step):
     * ×10 0.88 / 3.98 / 3.14 s, ×40 2.29 / 4.94 / 9.24, ×100
     * 5.26 / 9.49 / 19.50 at 36.5 / 40 / 222 MB shuffle — the kernel
-    * beats both composable forms at every factor. BELOW the limit the
+    * beats both composable forms at every factor — including the DENSE
+    * regime that originally motivated the two-step route (keys collapsed
+    * to 64, ~156k events/key at ×100: kernel min 4.46 s vs two-step
+    * 5.60, and only 64 buffers so the ObjectHashAggregate sort-based
+    * fallback never engages). BELOW the limit the
     * codegen'd conditional sums keep the default: probed at bins=24
     * ×100 they tie the kernel (min 4.91 vs 5.10 s, identical 11 MB
     * exchange), and codegen'd expressions compose into surrounding

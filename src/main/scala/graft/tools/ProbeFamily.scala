@@ -452,6 +452,25 @@ object ProbeFamily {
           .agg(call_function("bin_count_agg", bin, lit(24)).as("hist"))
           .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
           .head().getLong(0)
+      // DENSE-regime twins (keys collapsed to 64, so events-per-key ≫
+      // bins): the regime where the two-step composition originally beat
+      // the fused form — closes the loop on the kernel routing claim
+      // ("wins both regimes") with a measurement instead of reasoning
+      case "activity_hist_wide_dense" =>
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+          .withColumn("user_id", pmod(col("user_id"), lit(64)))
+        graft.functions.Similarity.activityHistogramsFromEvents(
+            ev, "user_id", "ts_us", 3600000000L, bins = 168)
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
+      case "activity_hist_wide_dense_twostep" =>
+        val ev = ScaleSmoke.replicateEvents(graft.Tables.events(spark, sfDir), n)
+          .withColumn("user_id", pmod(col("user_id"), lit(64)))
+        graft.functions.Similarity.activityHistograms(
+            graft.functions.Similarity.activityCells(
+              ev, "user_id", "ts_us", 3600000000L, bins = 168), "user_id", 168)
+          .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
+          .head().getLong(0)
       // measurement-record twin: the two-step cells composition at
       // bins=168 — r13's first routing target, REJECTED for sparse
       // activity once probes showed its keys×bins cell exchange exceeds
