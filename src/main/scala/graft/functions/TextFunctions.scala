@@ -731,18 +731,22 @@ object TextFunctions {
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
                    idCol: String = "doc_id", textCol: String = "text")
   : org.apache.spark.sql.DataFrame = {
-    // INLINE derive on both branches — deliberately NOT the
-    // [[ngramNoveltyOfSets]]∘[[bigramSets]] composition: when explode's
-    // child is a plain attribute, InferFiltersFromGenerate synthesizes a
-    // `size(_bgs) > 0` filter that predicate pushdown substitutes back
-    // through the projection, so the bigram derivation — the dominant
-    // cost — runs a THIRD time inside the filter (measured: p51
-    // 2.89 -> 3.94 s at sf0.1, min-ratio 1.61 vs a 1.17 machine ratio,
-    // caught by the r13 min-vs-min bench guard). With the derive inline
-    // under explode the rule does not fire and both branches pay it
-    // exactly once. The composition stays correct (parity-pinned) and
-    // is the right call ONLY when the projection is persisted — then
-    // the inferred filter reads a cached array column for free.
+    // INLINE derive on both branches. Under GraftSession (which excludes
+    // InferFiltersFromGenerate) this is plan-equivalent to the lazy
+    // [[ngramNoveltyOfSets]]∘[[bigramSets]] composition — r14 re-probe
+    // x40 min-of-6: inline 5.40 s vs composition 5.23 s, identical
+    // stage/shuffle counts, zero kernel-bearing filters in either plan.
+    // The inline form is KEPT because it is also safe in sessions where
+    // the rule is ON (vanilla Spark, or the
+    // spark.graft.excludeInferFiltersFromGenerate=false escape hatch):
+    // there, explode over the plain `_bgs` attribute makes the rule
+    // synthesize a `size(_bgs) > 0` filter that predicate pushdown
+    // substitutes back through the projection, so the bigram derivation
+    // — the dominant cost — runs a THIRD time inside the filter
+    // (measured r13: p51 2.89 -> 3.94 s at sf0.1, caught by the
+    // min-vs-min bench guard; re-measured r14 with the `_infer` lever:
+    // composition 9.04 s vs inline 5.05 s min at x40). With the derive
+    // inline under explode the rule never fires, in any session.
     val bgSet = array_distinct(bigrams(words(normText(col(textCol)))))
     val novel = docs
       .select(col(idCol).as("_id"), explode(bgSet).as("_bg"))
@@ -783,13 +787,19 @@ object TextFunctions {
   /** [[ngramNovelty]] over a pre-derived [[bigramSets]] projection: the
     * per-doc distinct set is already a column, so both references —
     * the exploded min(doc_id) branch and the per-doc size — are cheap
-    * re-reads when the caller persisted the projection. Use ONLY with a
-    * persisted (or otherwise materialized) projection: on a lazy
-    * projection this composition is correct but SLOWER than
-    * [[ngramNovelty]] — explode over a plain attribute makes
-    * InferFiltersFromGenerate synthesize a size filter that pushdown
-    * rewrites back into a third in-plan bigram derivation (see
-    * [[ngramNovelty]]'s scaladoc for the measurement). */
+    * re-reads when the caller persisted the projection.
+    *
+    * On a LAZY (unpersisted) projection the composition is correct and,
+    * under GraftSession's InferFiltersFromGenerate exclusion,
+    * plan-equivalent to [[ngramNovelty]] (r14 re-probe: 5.23 vs 5.40 s
+    * min-of-6 at x40, same stages/shuffle). In sessions where that rule
+    * is ENABLED (vanilla Spark, or the
+    * `spark.graft.excludeInferFiltersFromGenerate=false` escape hatch)
+    * a lazy composition is the r13 trap: explode over the plain `_bgs`
+    * attribute gets a synthesized size filter that pushdown rewrites
+    * into a third in-plan bigram derivation — 9.04 vs 5.05 s min at x40
+    * (`_infer` lever). Prefer [[ngramNovelty]] unless the projection is
+    * persisted. */
   def ngramNoveltyOfSets(sets: org.apache.spark.sql.DataFrame,
                          idCol: String = "doc_id")
   : org.apache.spark.sql.DataFrame = {

@@ -68,6 +68,10 @@ case class BinCountAgg(
     buffer
   }
 
+  /** Invariant: both buffers are length `bins` — true by construction
+    * (`bins` is a literal baked into the expression, and every buffer
+    * comes from [[createAggregationBuffer]] or [[deserialize]] of one),
+    * so no length reconciliation is needed here. */
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
     while (i < b1.length) { b1(i) += b2(i); i += 1 }

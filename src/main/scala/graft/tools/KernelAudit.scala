@@ -1,17 +1,59 @@
 package graft.tools
 
-/** Dev diagnostic: sweep every contract query's executed plan for
-  * expensive kernel expressions evaluated inside Filter nodes or scan
-  * DataFilters — the general form of the InferFiltersFromGenerate +
-  * pushdown-substitution trap (any rule that clones a predicate through
-  * a projection re-evaluates the projected kernel per conjunct).
+/** Sweep every contract query's executed plan for expensive kernel
+  * expressions evaluated inside Filter nodes or scan DataFilters — the
+  * general form of the InferFiltersFromGenerate + pushdown-substitution
+  * trap (any rule that clones a predicate through a projection
+  * re-evaluates the projected kernel per conjunct).
+  *
+  * The matcher lives here so the dev tool and the spec-level guard
+  * (KernelAuditSpec) share one implementation: the r13 version's
+  * `trim.startsWith("Filter")` never matched a real executed-plan line
+  * (tree connectors `+- ` / `:- ` and the codegen `*(n) ` prefix precede
+  * the node name), so the Filter branch was dead — KernelAuditSpec keeps
+  * a positive control so the matcher can't silently go dead again.
+  *
   * `runMain graft.tools.KernelAudit [sfDir]` */
 object KernelAudit {
-  private val Kernels = Seq(
+  val Kernels = Seq(
     "trigram_shingles", "minhash_bands", "minhash_components",
     "anchor_window_hashes", "anchor_window_pos_hashes", "word_term_counts",
     "word_stats", "regexp_replace", "vec_dot", "nearest_cell",
     "bloom_contains")
+
+  // a plan line's node name follows optional tree art (spaces, `:`,
+  // `+-`) and an optional whole-stage-codegen `*(n) ` prefix
+  private val FilterNode = """^[\s:+-]*(\*\(\d+\) )?Filter\b""".r
+
+  /** The `[...]` payload of `DataFilters: [...]` on a scan line, or ""
+    * — kernels elsewhere on a FileScan line (ReadSchema, PushedFilters,
+    * Location) are not evaluated filters and must not flag. */
+  private[tools] def dataFiltersSegment(line: String): String = {
+    val marker = "DataFilters: ["
+    val start = line.indexOf(marker)
+    if (start < 0) ""
+    else {
+      val rest = line.substring(start + marker.length)
+      // the list is followed by `], Format:`; fall back to the last `]`
+      // for truncated/other renderings
+      val end = rest.indexOf("], Format:") match {
+        case -1 => rest.lastIndexOf(']')
+        case i => i
+      }
+      if (end < 0) rest else rest.substring(0, end)
+    }
+  }
+
+  /** (line index, kernel, line text) for every plan line that evaluates
+    * a kernel inside a Filter node or a scan's DataFilters. */
+  def hits(plan: String, kernels: Seq[String] = Kernels): Seq[(Int, String, String)] =
+    plan.linesIterator.zipWithIndex.flatMap { case (l, i) =>
+      val searchable =
+        if (FilterNode.findFirstIn(l).isDefined) l.trim
+        else dataFiltersSegment(l)
+      if (searchable.isEmpty) Nil
+      else kernels.filter(searchable.contains).map(k => (i, k, l.trim))
+    }.toSeq
 
   def main(args: Array[String]): Unit = {
     val spark = DevTool.session()
@@ -21,18 +63,12 @@ object KernelAudit {
       val plan =
         try q(spark, dir).queryExecution.executedPlan.toString
         catch { case e: Exception => s"<failed: ${e.getMessage}>" }
-      val hits = plan.linesIterator.zipWithIndex.flatMap { case (l, i) =>
-        val t = l.trim
-        val inFilter = t.startsWith("Filter") ||
-          (t.contains("FileScan") && t.contains("DataFilters: [") &&
-            Kernels.exists(k => t.substring(t.indexOf("DataFilters: [")).contains(k)))
-        if (inFilter) Kernels.filter(t.contains).map(k => (i, k)) else Nil
-      }.toSeq
-      if (hits.nonEmpty) {
+      val found = hits(plan)
+      if (found.nonEmpty) {
         flagged += 1
-        println(s"[audit] $name: ${hits.map(_._2).distinct.mkString(",")}")
-        hits.map(_._1).distinct.foreach { i =>
-          println("    " + plan.linesIterator.toSeq(i).trim.take(240))
+        println(s"[audit] $name: ${found.map(_._2).distinct.mkString(",")}")
+        found.map(h => (h._1, h._3)).distinct.foreach { case (_, line) =>
+          println("    " + line.take(240))
         }
       }
     }

@@ -50,8 +50,6 @@ object ProbeFamily {
     // the aliased kernel (explode over a projected attribute — the p51
     // bigramSets lesson; p33/p37/p52 carry the same shape on the
     // shingle/signature kernels)
-    // `_infer` re-ENABLES the rule (GraftSession now excludes it), so the
-    // pair still measures both sides of the trade on any family
     // `_infer` re-ENABLES the generate rule (GraftSession now excludes
     // it); `_noconstraints` ADDITIONALLY excludes
     // InferFiltersFromConstraints — only a measurement lever (that rule's
@@ -215,6 +213,15 @@ object ProbeFamily {
           .agg(sum(col("oov_milli") + col("mean_rank_centi"))).head().getLong(0)
       case "ngram_novelty" =>
         TF.ngramNovelty(probeDocs())
+          .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
+      // LAZY composition twin (r14): bigramSets ∘ ngramNoveltyOfSets with
+      // no persist/repartition. The r13 inline revert was measured BEFORE
+      // GraftSession excluded InferFiltersFromGenerate session-wide —
+      // under the exclusion the synthesized size filter (the third
+      // derive) cannot appear, so this should now be plan-identical to
+      // the inline form; pair with `_infer` to re-measure the trap side
+      case "ngram_novelty_lazy" =>
+        TF.ngramNoveltyOfSets(TF.bigramSets(probeDocs()))
           .agg(sum(col("novel_cnt") + col("novelty_pm"))).head().getLong(0)
       // single-scan candidate (r13): PERSIST the (id, bigram-set)
       // projection so both branches read the cache instead of scanning

@@ -408,6 +408,18 @@ object ScaleSmoke {
       time("minhash_estimate", n)(Dedup.minhashJaccardEstimate(docs, 8, 500)
         .agg(sum(col("est_milli") + col("jacc_milli"))).head().getLong(0))
       time("dedup_clusters", n)(Dedup.nearDupClusters(docs, 8, 800).count())
+      // p37's shape at depth (r14): in-query LSH index over 3/4 of the
+      // corpus + increment probe of the rest. Committed so the r13
+      // rule-exclusion win (probe x40 5.66 -> 3.53 s, previously only a
+      // ProbeFamily record) stays regression-guarded the way
+      // activity_hist_wide is — a re-enabled InferFiltersFromGenerate
+      // (or any future rule that clones the minhash_bands kernel into a
+      // scan filter) shows up as this curve stepping back up
+      time("cross_corpus", n) {
+        val newDocs = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+        val oldIdx = Dedup.lshIndex(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), 8)
+        Dedup.crossCorpusPairs(newDocs, oldIdx, 8, 800).count()
+      }
       time("substring_overlap", n)(Dedup.substringOverlapPairs(docs, 48, 2L).count())
       // the span REWRITE next to the pair detector: per-word replica tags
       // keep cross-replica verdicts impossible, so coverage density stays

@@ -1,0 +1,85 @@
+package graft
+
+import graft.tools.KernelAudit
+import org.apache.spark.sql.functions._
+
+/** Spec-level promotion of the [[graft.tools.KernelAudit]] dev sweep
+  * (r13 found the InferFiltersFromGenerate + pushdown-substitution trap
+  * twice; a committed tool only helps if someone runs it): every contract
+  * query's executed plan is swept for kernel expressions evaluated inside
+  * Filter nodes or scan DataFilters, against a pinned allowlist of
+  * adjudicated benign hits. Any NEW (query, kernel) hit fails the build.
+  *
+  * Includes a positive control — the r13 matcher was vacuous
+  * (`trim.startsWith("Filter")` never matches the `+- *(n) Filter`
+  * rendering of executed-plan lines), so the p33/p37 pins silently
+  * passed; the control plans a known-trap shape with the optimizer rule
+  * re-enabled and requires the matcher to flag it. */
+class KernelAuditSpec extends SparkSpec {
+
+  /** Adjudicated benign (query -> kernels evaluated inside a filter):
+    *   - p13/p49/p6/p12: InferFiltersFromConstraints isnotnulls over a
+    *     DERIVED join key (isnotnull(sqrt(vec_dot(e,e))),
+    *     isnotnull(size(trigram_shingles(text))), isnotnull of the
+    *     nearest-cell argmin) — probed via ProbeFamily's `_noconstraints`
+    *     lever in r13 and adjudicated harmless: the rule's join-key
+    *     isnotnulls are load-bearing in general, and the flagged scans
+    *     re-pay only a cheap per-row guard, not a per-conjunct explode
+    *     kernel (VERDICT r13 "probed and adjudicated harmless").
+    *   - p17: the quality gate IS the query's user predicate — pushdown
+    *     of the words/normText-derived score to the scan is the desired
+    *     plan (one map-side pass), not a synthesized re-derive.
+    *   - p52: the user's split-bucket predicate plus the constraints
+    *     isnotnull over the shingle arrays, same class as p6. */
+  private val Adjudicated: Map[String, Set[String]] = Map(
+    "p12_embed_ivf_knn" -> Set("vec_dot"),
+    "p13_dedup_embed" -> Set("vec_dot"),
+    "p17_pipeline" -> Set("regexp_replace"),
+    "p49_semdedup" -> Set("vec_dot"),
+    "p52_containment" -> Set("trigram_shingles"),
+    "p6_dedup_ngram" -> Set("trigram_shingles"))
+
+  test("positive control: the matcher flags a re-enabled InferFiltersFromGenerate trap plan") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "")
+    try {
+      // explode over a PROJECTED kernel attribute: the rule synthesizes
+      // `isnotnull(shs) AND size(shs) > 0`, and pushdown substitutes the
+      // shingle kernel into the scan-stage Filter — the exact r13 trap
+      val trap = docs
+        .select(col("doc_id"), call_function("trigram_shingles", col("text")).as("shs"))
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+      val p = trap.queryExecution.executedPlan.toString
+      val hits = KernelAudit.hits(p, Seq("trigram_shingles"))
+      assert(hits.nonEmpty,
+        s"matcher went dead: known-trap plan produced zero hits\n$p")
+      assert(hits.exists(h => h._3.contains("size(trigram_shingles")),
+        s"expected the synthesized size filter among the hits:\n${hits.map(_._3).mkString("\n")}")
+    } finally spark.conf.set("spark.sql.optimizer.excludedRules", prev)
+  }
+
+  test("negative control: DataFilters kernels flag, ReadSchema/PushedFilters mentions do not") {
+    val scanLine = "+- FileScan parquet [doc_id#1L,text#2] Batched: true, " +
+      "DataFilters: [isnotnull(doc_id#1L)], Format: Parquet, " +
+      "Location: InMemoryFileIndex(1 paths)[file:/tmp/trigram_shingles], " +
+      "PushedFilters: [IsNotNull(doc_id)], ReadSchema: struct<vec_dot:bigint>"
+    assert(KernelAudit.hits(scanLine).isEmpty,
+      "kernel names outside the DataFilters payload must not flag")
+    val hot = scanLine.replace("[isnotnull(doc_id#1L)]",
+      "[isnotnull(size(trigram_shingles(text#2), false))]")
+    assert(KernelAudit.hits(hot).map(_._2) == Seq("trigram_shingles"),
+      "a kernel inside the DataFilters payload must flag")
+  }
+
+  test("kernel audit sweep: no contract query evaluates a kernel inside an unadjudicated filter") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, sf()).queryExecution.executedPlan.toString
+      val allowed = Adjudicated.getOrElse(name, Set.empty)
+      KernelAudit.hits(plan).filterNot(h => allowed.contains(h._2))
+        .map(h => s"$name [${h._2}]: ${h._3.take(200)}")
+    }
+    assert(violations.isEmpty,
+      s"kernel evaluated inside a filter (adjudicate or fix):\n${violations.mkString("\n")}")
+  }
+}

@@ -421,11 +421,7 @@ class PlanShapeSpec extends SparkSpec {
     // text-normalization expression — measured 2.89 -> 3.94 s at sf0.1).
     // The inline form keeps the derive count at exactly two: the explode
     // branch and the size branch.
-    val derivingFilters = p.linesIterator
-      .filter(l => l.trim.startsWith("Filter") && l.contains("regexp_replace"))
-      .toSeq
-    assert(derivingFilters.isEmpty,
-      s"novelty filter re-derives the bigram arrays:\n${derivingFilters.mkString("\n")}")
+    assertNoKernelFilters(p, "regexp_replace")
     // one operator node per line: the derive expression may only appear
     // under the explode branch's Generate and the size branch's Project
     val deriveLines = p.linesIterator.filter(_.contains("regexp_replace"))
@@ -456,15 +452,18 @@ class PlanShapeSpec extends SparkSpec {
     assertNoKernelFilters(p, "trigram_shingles")
   }
 
-  /** No Filter node may carry `kernel` — a filter that re-derives an
-    * exploded projection's expensive expression is the
-    * InferFiltersFromGenerate + pushdown-substitution trap (measured on
-    * p37's shape: 5.66 -> 3.53 s at x40 once removed). */
+  /** No Filter node (or scan DataFilters entry) may carry `kernel` — a
+    * filter that re-derives an exploded projection's expensive expression
+    * is the InferFiltersFromGenerate + pushdown-substitution trap
+    * (measured on p37's shape: 5.66 -> 3.53 s at x40 once removed).
+    * Delegates to the shared [[graft.tools.KernelAudit]] matcher — the
+    * r13 local predicate (`trim.startsWith("Filter")`) never matched a
+    * real plan line; KernelAuditSpec's positive control guards the
+    * shared one. */
   private def assertNoKernelFilters(p: String, kernel: String): Unit = {
-    val deriving = p.linesIterator
-      .filter(l => l.trim.startsWith("Filter") && l.contains(kernel)).toSeq
+    val deriving = graft.tools.KernelAudit.hits(p, Seq(kernel))
     assert(deriving.isEmpty,
-      s"a Filter re-derives $kernel:\n${deriving.mkString("\n")}")
+      s"a Filter re-derives $kernel:\n${deriving.map(_._3).mkString("\n")}")
   }
 
   test("p37 cross-corpus probe: signature join sort-merges, verify joins never explode") {
