@@ -55,11 +55,13 @@ object Dedup {
     * pipeline, which is the shared dominant cost of p6/p7/p19); the
     * composable [[shingleArraysFallback]] produces identical bytes
     * (parity-tested in DedupSpec). */
-  def shingleArrays(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def shingleArrays(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    EngineWarnings.warnIfGenerateInferEnabled(docs.sparkSession, "shingleArrays")
     if (docs.sparkSession.catalog.functionExists("trigram_shingles"))
       docs.select(col(idCol).as("sid"),
         call_function("trigram_shingles", col(textCol)).as("shs"))
     else shingleArraysFallback(docs, idCol, textCol)
+  }
 
   /** Composable twin of [[expr.TrigramShingles]] — built-in functions only,
     * identical bytes (parity-asserted in DedupSpec).

@@ -803,6 +803,7 @@ object TextFunctions {
   def ngramNoveltyOfSets(sets: org.apache.spark.sql.DataFrame,
                          idCol: String = "doc_id")
   : org.apache.spark.sql.DataFrame = {
+    EngineWarnings.warnIfGenerateInferEnabled(sets.sparkSession, "ngramNoveltyOfSets")
     val novel = sets
       .select(col(idCol).as("_id"), explode(col("_bgs")).as("_bg"))
       .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))

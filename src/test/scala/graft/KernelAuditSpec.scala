@@ -72,6 +72,33 @@ class KernelAuditSpec extends SparkSpec {
       "a kernel inside the DataFilters payload must flag")
   }
 
+  test("EngineWarnings: rule-enabled sessions warn once at the kernel chokepoint; Graft sessions never") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    def captureErr(f: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val prev = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try f finally System.setErr(prev)
+      buf.toString("UTF-8")
+    }
+    // GraftSession default (rule excluded): silent
+    val quiet = captureErr(graft.functions.Dedup.shingleArrays(docs))
+    assert(!quiet.contains("InferFiltersFromGenerate"),
+      s"warned despite the exclusion being active:\n$quiet")
+    val prevConf = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "")
+    try {
+      val first = captureErr(graft.functions.Dedup.shingleArrays(docs))
+      assert(first.contains("InferFiltersFromGenerate"),
+        "rule-enabled session did not warn")
+      // once per session: a second chokepoint call stays silent
+      val second = captureErr(graft.functions.TextFunctions.ngramNoveltyOfSets(
+        graft.functions.TextFunctions.bigramSets(docs)))
+      assert(!second.contains("InferFiltersFromGenerate"),
+        s"warned twice for the same session:\n$second")
+    } finally spark.conf.set("spark.sql.optimizer.excludedRules", prevConf)
+  }
+
   test("kernel audit sweep: no contract query evaluates a kernel inside an unadjudicated filter") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val plan = q(spark, sf()).queryExecution.executedPlan.toString
