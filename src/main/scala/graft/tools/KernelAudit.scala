@@ -44,6 +44,27 @@ object KernelAudit {
     }
   }
 
+  // non-Filter per-node sweep targets: a kernel inline in a join
+  // condition is evaluated per candidate pair; one in an exchange/sort/
+  // window/aggregate key would mean the operator keys on a raw kernel
+  // expression instead of its projected attribute
+  private val NodeRe =
+    ("""^[\s:+-]*(\*\(\d+\) )?(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|""" +
+      """BroadcastNestedLoopJoin|CartesianProduct|Exchange|Sort|Window|""" +
+      """HashAggregate|ObjectHashAggregate|SortAggregate|TakeOrderedAndProject)\b""").r
+
+  /** (node name, kernel, line text) for every join/exchange/sort/window/
+    * aggregate plan line that carries a kernel expression inline. Unlike
+    * [[hits]] these are not automatically traps — a similarity predicate
+    * in a join condition IS the operator's per-pair work — so the
+    * spec-level guard allowlists the adjudicated shapes. */
+  def nodeHits(plan: String, kernels: Seq[String] = Kernels): Seq[(String, String, String)] =
+    plan.linesIterator.flatMap { l =>
+      NodeRe.findFirstMatchIn(l).toSeq.flatMap { m =>
+        kernels.filter(l.contains).map(k => (m.group(2), k, l.trim))
+      }
+    }.toSeq
+
   /** (line index, kernel, line text) for every plan line that evaluates
     * a kernel inside a Filter node or a scan's DataFilters. */
   def hits(plan: String, kernels: Seq[String] = Kernels): Seq[(Int, String, String)] =

@@ -99,14 +99,41 @@ class KernelAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.optimizer.excludedRules", prevConf)
   }
 
+  // all 92 executed plans, computed once for both sweep tests (suites run
+  // sequentially in the forked JVM, so this is safe and halves the cost)
+  private lazy val allPlans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> q(spark, sf()).queryExecution.executedPlan.toString
+    }
+
   test("kernel audit sweep: no contract query evaluates a kernel inside an unadjudicated filter") {
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val plan = q(spark, sf()).queryExecution.executedPlan.toString
+    val violations = allPlans.flatMap { case (name, plan) =>
       val allowed = Adjudicated.getOrElse(name, Set.empty)
       KernelAudit.hits(plan).filterNot(h => allowed.contains(h._2))
         .map(h => s"$name [${h._2}]: ${h._3.take(200)}")
     }
     assert(violations.isEmpty,
       s"kernel evaluated inside a filter (adjudicate or fix):\n${violations.mkString("\n")}")
+  }
+
+  /** Adjudicated join-condition kernels: the cosine pair-scoring
+    * predicate `vec_dot(a,b) >= threshold` IS the operator's per-pair
+    * work — p13 is the exact all-pairs anchor (BroadcastNestedLoopJoin
+    * by design), p49's within-cell verify scores each cell collision.
+    * Everything else — and ANY kernel inside an exchange/sort/window/
+    * aggregate key, which would mean keying on a raw kernel expression
+    * instead of its projected attribute — fails. */
+  private val AdjudicatedNodes: Set[(String, String, String)] = Set(
+    ("p13_dedup_embed", "BroadcastNestedLoopJoin", "vec_dot"),
+    ("p49_semdedup", "BroadcastHashJoin", "vec_dot"))
+
+  test("node sweep: kernels appear only in the two adjudicated pair-scoring join conditions") {
+    val violations = allPlans.flatMap { case (name, plan) =>
+      KernelAudit.nodeHits(plan)
+        .filterNot(h => AdjudicatedNodes.contains((name, h._1, h._2)))
+        .map(h => s"$name ${h._1} [${h._2}]: ${h._3.take(200)}")
+    }
+    assert(violations.isEmpty,
+      s"kernel inline in a non-filter node (adjudicate or project it first):\n${violations.mkString("\n")}")
   }
 }
