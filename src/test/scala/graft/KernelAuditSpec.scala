@@ -99,6 +99,33 @@ class KernelAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.optimizer.excludedRules", prevConf)
   }
 
+  test("applyOptimizerExclusions: escape hatch respected, deployer rules appended to, idempotent") {
+    val rulesKey = "spark.sql.optimizer.excludedRules"
+    val hatchKey = "spark.graft.excludeInferFiltersFromGenerate"
+    val infer = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val prevRules = spark.conf.get(rulesKey, "")
+    try {
+      // escape hatch off: nothing is appended
+      spark.conf.set(rulesKey, "")
+      spark.conf.set(hatchKey, "false")
+      GraftSession.applyOptimizerExclusions(spark)
+      assert(spark.conf.get(rulesKey, "") == "", "hatch=false must not append")
+      // hatch on (default): rule appended AFTER any deployer-set rules
+      spark.conf.set(hatchKey, "true")
+      spark.conf.set(rulesKey, "com.example.UserRule")
+      GraftSession.applyOptimizerExclusions(spark)
+      assert(spark.conf.get(rulesKey) == s"com.example.UserRule,$infer",
+        "deployer exclusions must be preserved, not clobbered")
+      // idempotent: re-applying does not duplicate
+      GraftSession.applyOptimizerExclusions(spark)
+      assert(spark.conf.get(rulesKey) == s"com.example.UserRule,$infer",
+        "re-application must not duplicate the rule")
+    } finally {
+      spark.conf.set(rulesKey, prevRules)
+      spark.conf.unset(hatchKey)
+    }
+  }
+
   // all 92 executed plans, computed once for both sweep tests (suites run
   // sequentially in the forked JVM, so this is safe and halves the cost)
   private lazy val allPlans: Seq[(String, String)] =
