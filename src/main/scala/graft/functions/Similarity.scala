@@ -161,7 +161,15 @@ object Similarity {
     * only the within-cell pair scan. Also the fast shape inline: the
     * index subplan feeds three consumers (both pair sides + the final
     * keeper join), and handing the SAME DataFrame in lets Spark reuse
-    * one exchange instead of re-deriving the assignment thrice. */
+    * one exchange instead of re-deriving the assignment thrice.
+    *
+    * Size the codebook WITH the corpus (SemDeDup's k ∝ n): the pair
+    * scan is ~n²/k, so a fixed k drifts quadratic as the corpus grows.
+    * Measured (`tools/SemKnProbe`, stored-index posture, ×100→×400 of
+    * the sf0.1 embeddings): at 4× the data the scan grew 1.22× with
+    * k ∝ n (min 1.35 s) vs 3.1× with k held at 512 (min 3.78 s);
+    * training the 4×-bigger codebook is the one-time trade (312 s vs
+    * 66 s, amortized into the stored artifact). */
   def semDedupOnIndex(idx: DataFrame, thresholdMicro: Long,
                       salts: Int = 1, idCol: String = "vec_id"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1 (got $salts)")
