@@ -163,13 +163,21 @@ object Similarity {
     * keeper join), and handing the SAME DataFrame in lets Spark reuse
     * one exchange instead of re-deriving the assignment thrice.
     *
-    * Size the codebook WITH the corpus (SemDeDup's k ∝ n): the pair
-    * scan is ~n²/k, so a fixed k drifts quadratic as the corpus grows.
-    * Measured (`tools/SemKnProbe`, stored-index posture, ×100→×400 of
-    * the sf0.1 embeddings): at 4× the data the scan grew 1.22× with
-    * k ∝ n (min 1.35 s) vs 3.1× with k held at 512 (min 3.78 s);
-    * training the 4×-bigger codebook is the one-time trade (312 s vs
-    * 66 s, amortized into the stored artifact). */
+    * Codebook sizing is a measured two-regime trade (r14,
+    * `tools/SemKnProbe` + the smoke A/B):
+    *   - BULK dedup rounds (this scan dominates): size k WITH the
+    *     corpus (SemDeDup's k ∝ n) — the pair scan is ~n²/k, so a
+    *     fixed k drifts quadratic. Measured ×100→×400: the scan grew
+    *     1.22× per 4× data with k ∝ n (min 1.35 s) vs 3.1× with k held
+    *     at 512 (min 3.78 s); training the 4×-bigger codebook is the
+    *     one-time trade (312 s vs 66 s, amortized into the artifact).
+    *   - INCREMENT-heavy pipelines ([[semDedupIncrement]] per batch):
+    *     bound k — `nearest_cell` assignment is exact over all k
+    *     cells, so each batch pays batch_rows × k; with k ∝ n that
+    *     grows with the STORED corpus (measured: the ×100 increment
+    *     probe regressed 2.63 → 5.73 s min when k went 512 → 1600),
+    *     while under a bounded k the increment stays flat (1.17× per
+    *     4× data, measured to ×400). */
   def semDedupOnIndex(idx: DataFrame, thresholdMicro: Long,
                       salts: Int = 1, idCol: String = "vec_id"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1 (got $salts)")

@@ -125,12 +125,20 @@ object ProbeFamily {
         graft.functions.Similarity.activityCosineTopKLsh(
           ev, "user_id", "ts_us", 3600000000L, col("user_id") < 20, 3).count()
       case "semdedup" =>
-        val semIdxPath = s"/tmp/graft_sem_idx_${sfKey}_x$n"
+        // capped k, mirroring the smoke's index+increment posture: the
+        // r14 uncap experiment (k = 16·n) flattened the scan but
+        // regressed the increment probe 2.2x — nearest_cell assignment
+        // is exact over all k cells, so per-batch cost grows with k
+        // (see the deepSuite comment; SemKnProbe records both regimes).
+        // k in the cache key so regime experiments never silently reuse
+        // a differently-trained index
+        val kCap = math.min(16 * n, 512)
+        val semIdxPath = s"/tmp/graft_sem_idx_${sfKey}_k${kCap}_x$n"
         if (!success(semIdxPath)) {
           val embsN = ScaleSmoke.replicateEmbsRotated(
             graft.Tables.embeddings(spark, sfDir), n)
           val model = graft.functions.IvfIndex.train(embsN,
-            k = math.min(16 * n, 512), iters = 3)
+            k = kCap, iters = 3)
           println(s"[probe] semdedup model trained k=${model.k}")
           graft.functions.IvfIndex.index(embsN, model)
             .write.mode("overwrite").parquet(semIdxPath)

@@ -509,14 +509,24 @@ object ScaleSmoke {
           beforeSnap, prevDigests, afterSnap, Seq("o_orderkey")).count()
       }
       // SemDeDup at depth: rotated replicas (decorrelated — see
-      // replicateEmbsRotated) and a codebook that grows with the corpus
-      // (the paper's k ∝ n regime), so per-cell population stays ~flat
-      // and the within-cell pair scan must track corpus size, not its
-      // square. Codebook AND inverted file are the stored artifacts
-      // (trained/assigned untimed — the activity_probe posture; forked
-      // passes share the materialization); the timed region is what a
-      // dedup round actually pays: the within-cell pair scan + keeper
-      // fold over the stored index.
+      // replicateEmbsRotated) and a codebook k = min(16·n, 512). The cap
+      // is a MEASURED two-sided trade, not an oversight (r14 probed both
+      // regimes end to end): uncapping to the paper's k ∝ n flattens the
+      // within-cell SCAN (SemKnProbe ×400: capped min 3.78 s vs k∝n
+      // 1.35 s — the scan is ~n²/k) but regresses the INCREMENT probe
+      // 2.2× at ×100 (semdedup_probe min 2.63 → 5.73 s, 3-pass medians,
+      // SCALE_SMOKE_LOCAL_r14 vs the rejected r14b run): `nearest_cell`
+      // assignment is exact over all k cells, so each probed batch pays
+      // batch_rows × k — with k ∝ n the per-increment cost grows with
+      // the STORED corpus and the flat-increment claim (1.17× per 4×
+      // data under the cap, measured to ×400) breaks. The smoke keeps
+      // the index+increment posture; a bulk scan-dominated dedup round
+      // should size k with the corpus instead (semDedupOnIndex scaladoc
+      // records both regimes). Codebook AND inverted file are the
+      // stored artifacts (trained/assigned untimed — the activity_probe
+      // posture; forked passes share the materialization); the timed
+      // region is what a dedup round actually pays: the within-cell
+      // pair scan + keeper fold over the stored index.
       val semIdxPath = s"$smokeDir/sem_idx_x$n"
       val semModelPath = s"$smokeDir/sem_model_x$n"
       if (!new java.io.File(s"$semIdxPath/_SUCCESS").exists()) {
