@@ -35,6 +35,20 @@ object GraftSession {
   private val InferFiltersFromGenerateRule =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+  /** Conf key for the [[applyOptimizerExclusions]] escape hatch. */
+  val ExcludeHatchKey = "spark.graft.excludeInferFiltersFromGenerate"
+
+  /** The hatch conf, parsed leniently (trimmed, case-insensitive) with a
+    * readable failure: a bare `.toBoolean` on a malformed value (`"False "`,
+    * `"0"`, `"no"`) would crash create() with an unhelpful stack. */
+  def excludeHatch(spark: SparkSession): Boolean =
+    spark.conf.get(ExcludeHatchKey, "true").trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$ExcludeHatchKey must be 'true' or 'false' (got '$other')")
+    }
+
   /** Exclude `InferFiltersFromGenerate` unless the escape hatch
     * `spark.graft.excludeInferFiltersFromGenerate=false` is set.
     *
@@ -59,7 +73,7 @@ object GraftSession {
     * `spark.conf.set("spark.sql.optimizer.excludedRules", ...)`.
     * Deployer-set exclusions are APPENDED to, never clobbered. */
   def applyOptimizerExclusions(spark: SparkSession): Unit =
-    if (spark.conf.get("spark.graft.excludeInferFiltersFromGenerate", "true").toBoolean) {
+    if (excludeHatch(spark)) {
       val prior = spark.conf.get("spark.sql.optimizer.excludedRules", "")
       val rules = (prior.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         :+ InferFiltersFromGenerateRule).distinct

@@ -15,34 +15,56 @@ package graft.tools
   *
   * `runMain graft.tools.KernelAudit [sfDir]` */
 object KernelAudit {
-  val Kernels = Seq(
-    "trigram_shingles", "minhash_bands", "minhash_components",
-    "anchor_window_hashes", "anchor_window_pos_hashes", "word_term_counts",
-    "word_stats", "regexp_replace", "vec_dot", "nearest_cell",
-    "bloom_contains")
+  /** Kernel names, DERIVED from the extension registry (r15): every
+    * function [[graft.GraftExtensions]] registers is swept automatically,
+    * so a future kernel cannot be forgotten here (the r14 manual-list
+    * gap). The two extras are not registry names: `minhash_components`
+    * is the md5-slice composite [[graft.functions.Dedup.mhComponentsCol]]
+    * derives from minhash_bands, and `regexp_replace` is the one BUILTIN
+    * expensive enough to treat as a kernel (the p17 quality gate). */
+  val Kernels: Seq[String] =
+    (graft.GraftExtensions.FunctionNames ++
+      Seq("minhash_components", "regexp_replace")).distinct
 
   // a plan line's node name follows optional tree art (spaces, `:`,
   // `+-`) and an optional whole-stage-codegen `*(n) ` prefix
   private val FilterNode = """^[\s:+-]*(\*\(\d+\) )?Filter\b""".r
 
-  /** The `[...]` payload of `DataFilters: [...]` on a scan line, or ""
-    * — kernels elsewhere on a FileScan line (ReadSchema, PushedFilters,
-    * Location) are not evaluated filters and must not flag. */
-  private[tools] def dataFiltersSegment(line: String): String = {
-    val marker = "DataFilters: ["
+  /** Kernel INVOCATIONS in `text` — `name` followed by `(`. A bare
+    * substring match would flag aliased output attributes (e.g. a
+    * projection named `vec_dot_sim#12` in a node's output list), which
+    * are references to an already-computed column, not evaluations. */
+  private def invoked(text: String, kernels: Seq[String]): Seq[String] =
+    kernels.filter(k => text.contains(k + "("))
+
+  /** The payload of a `marker[...]` segment on a plan line, bracket-depth
+    * balanced, or "" — kernels elsewhere on the line (ReadSchema,
+    * PushedFilters, Location, output lists) are not evaluated there and
+    * must not flag. Depth counting (not `lastIndexOf(']')`) so a
+    * truncated or non-standard rendering can never absorb later
+    * bracketed metadata into the segment. */
+  private[tools] def bracketSegment(line: String, marker: String): String = {
     val start = line.indexOf(marker)
     if (start < 0) ""
     else {
       val rest = line.substring(start + marker.length)
-      // the list is followed by `], Format:`; fall back to the last `]`
-      // for truncated/other renderings
-      val end = rest.indexOf("], Format:") match {
-        case -1 => rest.lastIndexOf(']')
-        case i => i
+      var depth = 1
+      var i = 0
+      while (i < rest.length && depth > 0) {
+        rest.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case _ => ()
+        }
+        i += 1
       }
-      if (end < 0) rest else rest.substring(0, end)
+      if (depth == 0) rest.substring(0, i - 1) else rest
     }
   }
+
+  /** The `[...]` payload of `DataFilters: [...]` on a scan line, or "". */
+  private[tools] def dataFiltersSegment(line: String): String =
+    bracketSegment(line, "DataFilters: [")
 
   // non-Filter per-node sweep targets: a kernel inline in a join
   // condition is evaluated per candidate pair; one in an exchange/sort/
@@ -54,14 +76,25 @@ object KernelAudit {
       """HashAggregate|ObjectHashAggregate|SortAggregate|TakeOrderedAndProject)\b""").r
 
   /** (node name, kernel, line text) for every join/exchange/sort/window/
-    * aggregate plan line that carries a kernel expression inline. Unlike
+    * aggregate plan line that carries a kernel INVOCATION inline. Unlike
     * [[hits]] these are not automatically traps — a similarity predicate
     * in a join condition IS the operator's per-pair work — so the
-    * spec-level guard allowlists the adjudicated shapes. */
+    * spec-level guard allowlists the adjudicated shapes.
+    *
+    * Aggregate nodes are scoped to their `keys=[...]` segment: an
+    * AGGREGATE kernel (bin_count_agg, bloom_agg, vec_sum_fixed) inside
+    * `functions=[...]` is the operator itself running where it belongs;
+    * the trap class this sweep exists for is a kernel in a GROUPING key
+    * (the exchange would re-evaluate it per row instead of hashing the
+    * projected attribute). */
   def nodeHits(plan: String, kernels: Seq[String] = Kernels): Seq[(String, String, String)] =
     plan.linesIterator.flatMap { l =>
       NodeRe.findFirstMatchIn(l).toSeq.flatMap { m =>
-        kernels.filter(l.contains).map(k => (m.group(2), k, l.trim))
+        val node = m.group(2)
+        val searchable =
+          if (node.contains("Aggregate")) bracketSegment(l, "keys=[")
+          else l
+        invoked(searchable, kernels).map(k => (node, k, l.trim))
       }
     }.toSeq
 
@@ -73,7 +106,7 @@ object KernelAudit {
         if (FilterNode.findFirstIn(l).isDefined) l.trim
         else dataFiltersSegment(l)
       if (searchable.isEmpty) Nil
-      else kernels.filter(searchable.contains).map(k => (i, k, l.trim))
+      else invoked(searchable, kernels).map(k => (i, k, l.trim))
     }.toSeq
 
   def main(args: Array[String]): Unit = {

@@ -59,6 +59,23 @@ class KernelAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.optimizer.excludedRules", prev)
   }
 
+  test("kernel list derives from the extension registry: every registered function is swept and resolvable") {
+    // the sweep list is GENERATED from GraftExtensions.registrations, so a
+    // future kernel registered there is audited automatically — this pins
+    // the derivation (a refactor back to a manual list fails here) and
+    // that the registry names actually resolve in a live session
+    GraftExtensions.FunctionNames.foreach { fn =>
+      assert(KernelAudit.Kernels.contains(fn),
+        s"registered function '$fn' missing from the KernelAudit sweep list")
+      assert(spark.catalog.functionExists(fn),
+        s"registry name '$fn' does not resolve in the session catalog")
+    }
+    // and the two non-registry extras are still present (composite +
+    // expensive builtin)
+    assert(KernelAudit.Kernels.contains("minhash_components"))
+    assert(KernelAudit.Kernels.contains("regexp_replace"))
+  }
+
   test("negative control: DataFilters kernels flag, ReadSchema/PushedFilters mentions do not") {
     val scanLine = "+- FileScan parquet [doc_id#1L,text#2] Batched: true, " +
       "DataFilters: [isnotnull(doc_id#1L)], Format: Parquet, " +
@@ -70,6 +87,89 @@ class KernelAuditSpec extends SparkSpec {
       "[isnotnull(size(trigram_shingles(text#2), false))]")
     assert(KernelAudit.hits(hot).map(_._2) == Seq("trigram_shingles"),
       "a kernel inside the DataFilters payload must flag")
+    // truncated rendering (no `], Format:` tail): the depth-balanced
+    // segment must stop at the payload's own `]`, never absorbing later
+    // bracketed metadata (the r14 lastIndexOf fallback spanned to the
+    // LAST `]` on the line — PushedFilters/Location text false-flagged)
+    val truncated = "+- FileScan parquet [a#1] DataFilters: " +
+      "[isnotnull(a#1)], PushedFilters: [In(a, [vec_dot(x,y)])]"
+    assert(KernelAudit.hits(truncated).isEmpty,
+      "segment absorbed bracketed metadata past the DataFilters payload")
+    // nested brackets INSIDE the payload stay in it
+    val nested = "+- FileScan parquet [a#1] DataFilters: " +
+      "[In(a#1, [1,2]), isnotnull(trigram_shingles(t#2))], Location: x"
+    assert(KernelAudit.hits(nested).map(_._2) == Seq("trigram_shingles"),
+      "nested brackets inside the payload must not end the segment early")
+  }
+
+  test("invocation matching: aliased kernel-named attributes and aggregate functions do not flag") {
+    // an output attribute that merely CONTAINS a kernel name is a
+    // reference to an already-computed column, not an evaluation
+    val aliasLine = "+- *(2) Sort [vec_dot_sim#12 ASC NULLS FIRST], false, 0"
+    assert(KernelAudit.nodeHits(aliasLine).isEmpty,
+      "kernel-named attribute in a sort key false-flagged")
+    // an AGGREGATE kernel inside functions=[...] is the operator running
+    // where it belongs; the same kernel in keys=[...] is the trap
+    val aggFn = "+- HashAggregate(keys=[user_id#3L], " +
+      "functions=[bin_count_agg(_bin#9L, 24)], output=[user_id#3L, hist#11])"
+    assert(KernelAudit.nodeHits(aggFn).isEmpty,
+      "aggregate kernel inside functions=[...] false-flagged")
+    val aggKey = "+- HashAggregate(keys=[trigram_shingles(text#2)], " +
+      "functions=[count(1)], output=[sh#5, cnt#6L])"
+    assert(KernelAudit.nodeHits(aggKey).map(_._2) == Seq("trigram_shingles"),
+      "kernel inside a grouping key must flag")
+    // a kernel inline in a join condition still flags (the adjudicated
+    // p13/p49 shape — the positive control for invocation matching)
+    val joinLine = "+- *(5) BroadcastHashJoin [cell#1], [cell#2], Inner, " +
+      "BuildRight, ((vec_dot(avd#3, bvd#4) / (anrm#5 * bnrm#6)) >= 0.45)"
+    assert(KernelAudit.nodeHits(joinLine).map(_._2) == Seq("vec_dot"),
+      "kernel invocation in a join condition must flag")
+  }
+
+  test("hatch conf: malformed values fail with a readable message; explicit false suppresses the advisory") {
+    val hatchKey = GraftSession.ExcludeHatchKey
+    val prevRules = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    try {
+      spark.conf.set(hatchKey, "not-a-bool")
+      val e = intercept[IllegalArgumentException] {
+        GraftSession.applyOptimizerExclusions(spark)
+      }
+      assert(e.getMessage.contains(hatchKey) && e.getMessage.contains("not-a-bool"),
+        s"error must name the conf and the offending value: ${e.getMessage}")
+      // lenient whitespace/case still parses
+      spark.conf.set(hatchKey, " False ")
+      GraftSession.applyOptimizerExclusions(spark) // no throw, no append
+      // explicit opt-out: the chokepoint advisory stays quiet even though
+      // the rule is enabled (the user CHOSE the documented hatch). A FRESH
+      // session object: the suite's earlier advisory test already consumed
+      // this session's once-per-session warning slot, which would make the
+      // assertion vacuous on `spark` itself.
+      val s2 = spark.newSession()
+      s2.conf.set(hatchKey, "false")
+      s2.conf.set("spark.sql.optimizer.excludedRules", "")
+      val buf = new java.io.ByteArrayOutputStream()
+      val prevErr = System.err
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try graft.functions.Dedup.shingleArrays(
+        Tables.documents(s2, sf()).select("doc_id", "text"))
+      finally System.setErr(prevErr)
+      assert(!buf.toString("UTF-8").contains("InferFiltersFromGenerate"),
+        "advisory nagged a session that explicitly chose the escape hatch")
+      // and WITHOUT the opt-out the same fresh-session shape does warn —
+      // the positive control that keeps the suppression test non-vacuous
+      val s3 = spark.newSession()
+      s3.conf.set("spark.sql.optimizer.excludedRules", "")
+      val buf3 = new java.io.ByteArrayOutputStream()
+      System.setErr(new java.io.PrintStream(buf3, true, "UTF-8"))
+      try graft.functions.Dedup.shingleArrays(
+        Tables.documents(s3, sf()).select("doc_id", "text"))
+      finally System.setErr(prevErr)
+      assert(buf3.toString("UTF-8").contains("InferFiltersFromGenerate"),
+        "fresh rule-enabled session without the hatch failed to warn")
+    } finally {
+      spark.conf.unset(hatchKey)
+      spark.conf.set("spark.sql.optimizer.excludedRules", prevRules)
+    }
   }
 
   test("EngineWarnings: rule-enabled sessions warn once at the kernel chokepoint; Graft sessions never") {
