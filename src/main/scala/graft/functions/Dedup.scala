@@ -953,22 +953,49 @@ object Dedup {
     * Splits are the deterministic 90/5/5 hash split
     * ([[TextFunctions.splitBucket]]), so both engines carve identical
     * sides. Scale shape: the shingle-keyed equi-join is the p19
-    * inverted-index form (merge-hinted for the same Generate-estimate
-    * reason as [[ngramJaccardPairs]]); the per-(test,train) counts and
-    * the test-side set sizes are partial-agg'd; the best-match pick is
+    * inverted-index form, hinted SHUFFLED-HASH with the build on the
+    * TEST side (5% of the corpus): a hint is needed at all because the
+    * Generate-fed sides carry no usable size estimate (the
+    * [[ngramJaccardPairs]] trap — left alone the planner can pick a
+    * broadcast of an exploded side), and hash-not-merge because the
+    * merge form SORTS the corpus-sized exploded train side — an
+    * n·log n with spill that was the x400 super-linearity (r15
+    * root-cause, ProbeFamily fresh-JVM mins: join output rows grow
+    * exactly linearly — 11.4M -> 45.6M for 4x data, word-tagged
+    * replicas share nothing so there is NO hot-shingle densification —
+    * yet merge timed 4.93 -> 16.85 s (3.42x) while test-side
+    * shuffled-hash timed 3.81 -> 11.53 s (3.03x), back inside the
+    * 3.1-3.5x shingle-join peer class and ~30% faster at depth).
+    * At 100 TB the SHJ build is the test explode's per-partition
+    * slice — 5% of shingle volume over the shuffle partition count,
+    * with AQE skew-join splitting available on SHJ — while the train
+    * side streams unsorted. The per-(test,train) counts and the
+    * test-side set sizes are partial-agg'd; the best-match pick is
     * a per-test-doc window over only the thresholded candidates, never
     * the corpus. Output: (test_id, train_id, containment_pm), one row
     * per test doc with a match ≥ `thresholdMilli`‰. */
   def containmentScan(docs: DataFrame, thresholdMilli: Int,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    containmentScanImpl(docs, thresholdMilli, idCol, textCol,
+      trainHint = None, testHint = Some("shuffle_hash"))
+
+  /** [[containmentScan]] with the shingle equi-join's strategy exposed —
+    * ProbeFamily's A/B hook (a hint binds to the side it is called on,
+    * so the build/stream roles are part of the lever). */
+  private[graft] def containmentScanImpl(docs: DataFrame, thresholdMilli: Int,
+                                         idCol: String, textCol: String,
+                                         trainHint: Option[String],
+                                         testHint: Option[String]): DataFrame = {
     require(thresholdMilli >= 0 && thresholdMilli <= 1000,
       s"thresholdMilli must be in [0, 1000] (got $thresholdMilli)")
     val sh = shingleArrays(docs, idCol, textCol)
       .withColumn("_bucket", TextFunctions.splitBucket(col("sid")))
     val testArr = sh.where(col("_bucket") >= 95)
-    val train = sh.where(col("_bucket") < 90)
-      .select(col("sid").as("train_id"), explode(col("shs")).as("sh")).hint("merge")
-    val test = testArr.select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+    val train0 = sh.where(col("_bucket") < 90)
+      .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+    val train = trainHint.fold(train0)(train0.hint(_))
+    val test0 = testArr.select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+    val test = testHint.fold(test0)(test0.hint(_))
     val inter = train.join(test, Seq("sh"))
       .groupBy(col("test_id"), col("train_id")).agg(count(lit(1)).as("_inter"))
     val sizes = testArr

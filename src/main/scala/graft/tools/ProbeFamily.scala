@@ -297,6 +297,44 @@ object ProbeFamily {
           .agg(sum(abs(col("score_ppm")) + col("n_tokens"))).head().getLong(0)
       case "containment_scan" =>
         Dedup.containmentScan(probeDocs(), 200).count()
+      // r15 root-cause kit for the x400 super-linearity (4.48x per 4x
+      // data vs 3.1-3.5x for the shingle-join peers). Stage attribution:
+      // the explode volume alone, then the join+pair-count aggregation
+      // (the suspected stage — its merge hint sorts the corpus-sized
+      // exploded train side, an n·log n with spill the peers don't pay).
+      case "containment_explode" =>
+        val sh = Dedup.shingleArrays(probeDocs())
+          .withColumn("_bucket", TF.splitBucket(col("sid")))
+        val train = sh.where(col("_bucket") < 90)
+          .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+        val test = sh.where(col("_bucket") >= 95)
+          .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+        train.unionAll(test).count()
+      // join-output volume: if THIS curve is linear in the factor while
+      // the timed op is super-linear, the drift is strategy/spill, not
+      // pair blow-up (replicas are word-tagged — cross-replica sharing
+      // is impossible by construction)
+      case "containment_join_rows" =>
+        val sh = Dedup.shingleArrays(probeDocs())
+          .withColumn("_bucket", TF.splitBucket(col("sid")))
+        val train = sh.where(col("_bucket") < 90)
+          .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+        val test = sh.where(col("_bucket") >= 95)
+          .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+        train.join(test, Seq("sh")).count()
+      // strategy A/B twins: the production merge-hinted form vs a
+      // shuffled-hash join BUILDING ON THE TEST SIDE (5% of the corpus —
+      // the explode stays unsorted, the big side streams)
+      case "containment_scan_smj" =>
+        Dedup.containmentScanImpl(probeDocs(), 200, "doc_id", "text",
+          trainHint = Some("merge"), testHint = None).count()
+      case "containment_scan_hash" =>
+        Dedup.containmentScanImpl(probeDocs(), 200, "doc_id", "text",
+          trainHint = None, testHint = Some("shuffle_hash")).count()
+      // no hint at all: what does the planner pick off Generate estimates?
+      case "containment_scan_nohint" =>
+        Dedup.containmentScanImpl(probeDocs(), 200, "doc_id", "text",
+          trainHint = None, testHint = None).count()
       // p13's shape at probe factors: exact cosine near-dup pair scan
       // (prep runs in-query — the isnotnull(sqrt(vec_dot)) scan-filter
       // candidate KernelAudit flagged)

@@ -502,12 +502,26 @@ class PlanShapeSpec extends SparkSpec {
       s"cell join must stay an equi-join:\n$p")
   }
 
-  test("p52 containment: the shingle join is the merge-hinted inverted index") {
+  test("p52 containment: shuffled-hash inverted index, build on the test side, train never sorts") {
     val p = plan("p52_containment")
-    assert(p.contains("SortMergeJoin"),
-      s"shingle equi-join must sort-merge (Generate estimate trap):\n$p")
+    // r15: hash-not-merge — the merge form sorted the corpus-sized
+    // exploded train side (the x400 super-linearity: 3.42x per 4x data
+    // vs 3.03x hashed, join volume exactly linear either way); the hint
+    // is still explicit because Generate-fed sides carry no usable size
+    // estimate for the planner
+    assert(p.contains("ShuffledHashJoin"),
+      s"shingle equi-join must shuffled-hash (build = 5% test side):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the exploded train side must not sort:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must stay an equi-join on the shingle key:\n$p")
+    // build side must be the TEST explode: test is the join's RIGHT
+    // side (train.join(test)) and carries the shuffle_hash hint, so the
+    // planner must mark BuildRight — BuildLeft would hash the 90% train
+    // explode instead (the OOM direction at scale)
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).get
+    assert(joinLine.contains("BuildRight"),
+      s"hash build must sit on the 5% test side (BuildRight):\n$joinLine")
   }
 
   test("p54 signature estimate: array-expression verify — no explode after the candidate set") {
