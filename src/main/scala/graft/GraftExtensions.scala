@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -69,6 +69,11 @@ object GraftExtensions {
     ("nearest_cell", classOf[NearestCell], (children: Seq[Expression]) => {
       arity("nearest_cell", children, 3)
       NearestCell(children.head, children(1), children(2))
+    }),
+    ("nearest_cell_2", classOf[NearestCellTwoLevel], (children: Seq[Expression]) => {
+      arity("nearest_cell_2", children, 5)
+      NearestCellTwoLevel(children.head, children(1), children(2),
+        children(3), children(4))
     }),
     ("nearest_cells", classOf[NearestCells], (children: Seq[Expression]) => {
       arity("nearest_cells", children, 4)

@@ -834,6 +834,28 @@ object PipelineQueries {
   private def p55(s: SparkSession, dir: String): DataFrame =
     TF.bpePairStats(docs(s, dir), BpeK)
 
+  /** Codebooks trained by the last [[p56]] run — the [[lastSemModel]]
+    * device, hierarchical edition. */
+  @volatile private var lastSemModel2: Option[IvfIndex.Model2] = None
+
+  /** p56 — two-level SemDeDup ([[Similarity.semDedup2]]): p49's
+    * cluster-bounded semantic dedup routed through the hierarchical
+    * coarse quantizer ([[IvfIndex.trainTwoLevel]]) — the regime that
+    * keeps BOTH the bulk pair scan and per-batch ingest increments flat
+    * as the corpus grows (total fine cells ∝ corpus while assignment
+    * pays coarseK + k/coarseK ≈ 2·√k dots per vector; the r14 regime
+    * trade, resolved — SemKnProbe carries the three-way A/B). coarseK=4
+    * against the contract-scale kTotal=16 exercises a real 4×4
+    * hierarchy; the threshold matches p49/p13 so the embedding-dedup
+    * routes stay directly comparable. */
+  private def p56(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val m2 = IvfIndex.trainTwoLevel(e, kTotal = IvfK, iters = IvfIters,
+      coarseK = 4)
+    lastSemModel2 = Some(m2)
+    Similarity.semDedup2(e, m2, CosDupThresholdMicro).orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -890,6 +912,7 @@ object PipelineQueries {
     "p53_collocations" -> p53 _,
     "p54_minhash_estimate" -> p54 _,
     "p55_bpe_pairs" -> p55 _,
+    "p56_semdedup_two" -> p56 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1059,12 +1082,22 @@ object PipelineQueries {
   /** p49 oracle: same embedded codebook, then the within-cell pair scan
     * with the lowest-id keeper rule (`dup_of` = min lower-id neighbor at
     * cosine ≥ threshold, null for keepers). */
-  private def semOracleSql(m: IvfIndex.Model): String = {
+  private def semOracleSql(m: IvfIndex.Model): String =
+    semOracleSqlFrom(ivfAssignCtes(m))
+
+  /** p56 oracle: the TWO-LEVEL assignment re-derived in SQL, then the
+    * identical keeper chain. */
+  private def semOracleSql2(m: IvfIndex.Model2): String =
+    semOracleSqlFrom(ivfAssign2Ctes(m))
+
+  /** The SemDeDup keeper chain over whatever CTE chain produced `idx`
+    * (vec_id, vd, nrm, cell). */
+  private def semOracleSqlFrom(assignCtes: String): String = {
     val dotAB =
       """list_reduce(list_prepend(0.0,
         |          list_transform(range(1, len(a.vd) + 1), i -> a.vd[i] * b.vd[i])),
         |          (x, y) -> x + y)""".stripMargin
-    s"""WITH ${ivfAssignCtes(m)},
+    s"""WITH $assignCtes,
        |pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
        |         CAST(floor(1000000.0 * $dotAB / (a.nrm * b.nrm)) AS BIGINT) AS sim
        |       FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -1073,6 +1106,52 @@ object PipelineQueries {
        |SELECT i.vec_id, CAST(i.cell AS INTEGER) AS cell, dp.dup_of
        |FROM idx i LEFT JOIN dp ON i.vec_id = dp.vec_id
        |ORDER BY i.vec_id""".stripMargin
+  }
+
+  /** Two-level assignment CTEs: coarse codebook VALUES + argmin routing
+    * (ties → lowest coarse cell), then the routed cell's FINE
+    * sub-codebook — embedded with GLOBAL ids precomputed driver-side
+    * from the model's offsets (ragged books included) — joined on the
+    * coarse route and argmin'd (ties → lowest global id, which equals
+    * the kernel's lowest-fine-index rule because offsets are monotone).
+    * Same literal-c² / strict-left-fold-dot parity devices as
+    * [[ivfAssignCtes]], so every double matches Spark bit-for-bit. */
+  private def ivfAssign2Ctes(m: IvfIndex.Model2): String = {
+    val coarseRows = m.coarse.centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}]::DOUBLE[], ${c2})"
+    }.mkString(",\n    ")
+    val fineRows = m.fine.zipWithIndex.flatMap { case (fm, c) =>
+      fm.centroids.zipWithIndex.map { case (cent, j) =>
+        val f2 = cent.map(x => x * x).sum
+        s"($c, ${m.offsets(c) + j}, [${cent.mkString(", ")}]::DOUBLE[], ${f2})"
+      }
+    }.mkString(",\n    ")
+    val dotEC =
+      """list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * c.cvd[i])),
+        |            (a, b) -> a + b)""".stripMargin
+    val dotEF =
+      """list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * f.fvd[i])),
+        |            (a, b) -> a + b)""".stripMargin
+    s"""$VecCte,
+       |ccents AS (SELECT * FROM (VALUES
+       |    $coarseRows
+       |  ) AS c(ccell, cvd, c2)),
+       |cad AS (SELECT e.vec_id, e.vd, e.nrm, c.ccell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           c.c2 - 2 * $dotEC, c.ccell) AS rn
+       |       FROM n e CROSS JOIN ccents c),
+       |cidx AS (SELECT vec_id, vd, nrm, ccell FROM cad WHERE rn = 1),
+       |fcents AS (SELECT * FROM (VALUES
+       |    $fineRows
+       |  ) AS f(ccell, gid, fvd, f2)),
+       |fad AS (SELECT e.vec_id, e.vd, e.nrm, f.gid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           f.f2 - 2 * $dotEF, f.gid) AS rn
+       |       FROM cidx e JOIN fcents f ON f.ccell = e.ccell),
+       |idx AS (SELECT vec_id, vd, nrm, gid AS cell FROM fad WHERE rn = 1)""".stripMargin
   }
 
   /** Rabin–Karp fold over the characters of `v` — the SQL twin of
@@ -1084,7 +1163,8 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] =
     staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m)) ++
-      lastSemModel.map(m => "p49_semdedup" -> semOracleSql(m))
+      lastSemModel.map(m => "p49_semdedup" -> semOracleSql(m)) ++
+      lastSemModel2.map(m => "p56_semdedup_two" -> semOracleSql2(m))
 
   private val staticOracleSql: Map[String, String] = Map(
     "p1_text_stats" ->

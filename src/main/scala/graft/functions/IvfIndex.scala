@@ -224,11 +224,21 @@ object IvfIndex {
     // every action before constant folding collapses them — measured
     // ~30 s of pure driver time per self-join at k=512 over a 40-branch
     // union. typedlit is born as ONE Literal node.
-    val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
-    val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
+    // kernel route: CodebookCodec-PACKED binary literals, not typedlit
+    // arrays — a boxed array literal is ~k·dim heap objects that every
+    // stage serialization, task deserialization, and plan
+    // canonicalization walks; at k=1600 that plumbing exceeded all task
+    // work combined (AssignProbe r15, the SemDeDup increment: 5.7 s wall
+    // vs ~4 s SUMMED task time across 32 cores; packed literals are one
+    // primitive byte[] each)
     if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell"))
-      call_function("nearest_cell", vd, centsLit, c2sLit)
+      call_function("nearest_cell", vd,
+        lit(graft.functions.expr.CodebookCodec.packMatrix(model.centroids)),
+        lit(graft.functions.expr.CodebookCodec.packVector(
+          model.centroids.map(c => c.map(x => x * x).sum))))
     else {
+      val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
+      val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
       val cents = array(model.centroids.zipWithIndex.map { case (c, j) =>
         val c2 = c.map(x => x * x).sum
         struct(lit(c2).as("c2"), centroidCol(c).as("cvd"), lit(j).as("j"))
@@ -259,11 +269,15 @@ object IvfIndex {
   }
 
   private[functions] def probeCellsFolded(vd: Column, model: Model, nprobe: Int): Column = {
-    val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
-    val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
     if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cells"))
-      call_function("nearest_cells", vd, centsLit, c2sLit, lit(nprobe))
+      call_function("nearest_cells", vd,
+        lit(graft.functions.expr.CodebookCodec.packMatrix(model.centroids)),
+        lit(graft.functions.expr.CodebookCodec.packVector(
+          model.centroids.map(c => c.map(x => x * x).sum))),
+        lit(nprobe))
     else {
+      val centsLit = typedlit(model.centroids.map(_.toSeq).toSeq)
+      val c2sLit = typedlit(model.centroids.map(c => c.map(x => x * x).sum).toSeq)
       // composable twin (HOFs evaluate interpreted — parity anchor, not
       // the hot path): score every centroid by position, full sort,
       // prefix — the inline route's shape over the folded literal
@@ -272,6 +286,241 @@ object IvfIndex {
           i.cast("int").as("j")))
       slice(transform(array_sort(scored), _.getField("j")), 1, nprobe)
     }
+  }
+
+  // ---- two-level coarse quantizer (r15) ----------------------------
+
+  /** Hierarchical quantizer: `coarse` routes each vector to a per-cell
+    * FINE sub-codebook; the global fine cell id is `offsets(coarseCell)
+    * + fineIdx`. Fine books may be ragged (a coarse cell whose training
+    * sample was smaller than its fine-k trains fewer centroids; an
+    * empty one degenerates to the coarse centroid itself).
+    *
+    * Why two levels (the r14 SemDeDup regime trade, resolved): the
+    * within-cell pair scan needs TOTAL cells ∝ corpus (else it drifts
+    * toward n²/k), but a flat codebook's assignment is exact over all k
+    * cells, so each ingest batch pays batch·k dots and the increment
+    * cost grows with the STORED corpus. Routing through ≤64 coarse
+    * cells makes assignment coarseK + kTotal/coarseK ≈ 2·√k per vector
+    * while cell population still stays constant — both regimes flat. */
+  case class Model2(coarse: Model, fine: Array[Model]) {
+    require(fine.length == coarse.k,
+      s"fine sub-codebook count ${fine.length} != coarse k ${coarse.k}")
+    /** Global-id base per coarse cell (prefix sums of fine sizes). */
+    val offsets: Array[Int] = fine.scanLeft(0)(_ + _.k).init
+    /** Total fine cells (the `k` of the equivalent flat codebook). */
+    def k: Int = fine.iterator.map(_.k).sum
+  }
+
+  /** Two-level assignment column — global fine cell id. Hot path is the
+    * [[graft.functions.expr.NearestCellTwoLevel]] kernel (coarse argmin
+    * + routed fine argmin, one constant-size codegen'd expression); the
+    * composable twin below (element_at over nested literals + HOF
+    * argmin, interpreted) is the parity anchor for sessions without the
+    * extension, pinned row-identical in SketchesSpec. */
+  private[graft] def cell2Of(vd: Column, m: Model2): Column = {
+    import graft.functions.expr.CodebookCodec
+    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell_2"))
+      call_function("nearest_cell_2", vd,
+        lit(CodebookCodec.packMatrix(m.coarse.centroids)),
+        lit(CodebookCodec.packVector(
+          m.coarse.centroids.map(c => c.map(x => x * x).sum))),
+        lit(CodebookCodec.packNested(m.fine.map(_.centroids))),
+        lit(CodebookCodec.packMatrix(
+          m.fine.map(_.centroids.map(c => c.map(x => x * x).sum)))))
+    else cell2OfTwin(vd, m)
+  }
+
+  /** The composable two-level assignment (no extension required):
+    * coarse route via [[cellOfFolded]], then element_at into the nested
+    * fine literals and a HOF argmin — interpreted per element, the
+    * parity anchor, never the hot path (parity-pinned in SketchesSpec). */
+  private[graft] def cell2OfTwin(vd: Column, m: Model2): Column = {
+    val fineLit = typedlit(m.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)
+    val fineC2 = typedlit(m.fine.map(_.centroids.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    val cc = cellOfFolded(vd, m.coarse)
+    val offLit = typedlit(m.offsets.toSeq)
+    val sub = element_at(fineLit, cc + 1)
+    val subC2 = element_at(fineC2, cc + 1)
+    val scored = transform(sub, (c, i) =>
+      struct((element_at(subC2, i + 1) - lit(2.0) * Similarity.dot(vd, c)).as("d"),
+        i.cast("int").as("j")))
+    (element_at(offLit, cc + 1) +
+      when(size(sub) === 0, lit(0))
+        .otherwise(array_min(scored).getField("j"))).cast("int")
+  }
+
+  /** Default coarse codebook size: assignment cost is coarseK +
+    * kTotal/coarseK, minimized at √kTotal, but a FIXED coarse book keeps
+    * stored-artifact compatibility simple and 64 keeps the coarse argmin
+    * inside [[InlineAssignMaxK]] everywhere. */
+  val DefaultCoarseK = 64
+
+  /** Train the hierarchical quantizer: the coarse book via [[train]]
+    * (sample-capped Lloyd's), then ALL fine sub-codebooks simultaneously
+    * — one DataFrame pass per iteration assigns every sampled vector its
+    * global fine cell ([[cell2Of]] with the current books) and one
+    * aggregation updates every centroid (k·(dim+1) longs cross the
+    * exchange, bounded by the codebook, never the corpus). Training
+    * input is a deterministic hash sample capped at coarseK ·
+    * maxTrainPerCell total with a per-cell row_number cap, so training
+    * cost stops scaling with the corpus — and is FAR cheaper than a
+    * flat k ∝ n book (each sampled vector scores 64 + fineK centroids
+    * per pass instead of kTotal; measured in SemKnProbe).
+    *
+    * Deterministic at any partitioning: hash-sample + hash-ordered
+    * row_number caps, id-ordered seeds, fixed-point long accumulation
+    * (the [[train]] devices). */
+  def trainTwoLevel(emb: DataFrame, kTotal: Int, iters: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    coarseK: Int = DefaultCoarseK,
+                    maxTrainPerCell: Int = 4096): Model2 = {
+    require(kTotal >= 1, s"kTotal must be >= 1 (got $kTotal)")
+    require(coarseK >= 1, s"coarseK must be >= 1 (got $coarseK)")
+    require(maxTrainPerCell >= 1,
+      s"maxTrainPerCell must be >= 1 (got $maxTrainPerCell)")
+    val cK = math.min(coarseK, kTotal)
+    val coarse = train(emb, cK, iters, idCol, vecCol)
+    val fineK = math.max(1, (kTotal + cK - 1) / cK)
+    if (fineK == 1)
+      return Model2(coarse, coarse.centroids.map(c => Model(Array(c))))
+    val spark = emb.sparkSession
+    val native = spark.catalog.functionExists("vec_sum_fixed")
+    val prepped = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
+    var cellSample: DataFrame = null
+    try {
+      val total = prepped.count()
+      val capTotal = cK.toLong * maxTrainPerCell
+      val sampled =
+        if (total <= capTotal) prepped
+        else {
+          val keep = math.max(1L, capTotal * SampleDomain / total)
+          prepped.where(pmod(xxhash64(col(idCol)), lit(SampleDomain)) < keep)
+        }
+      // per-cell cap: hash-ordered row_number inside each coarse cell —
+      // the window runs over the (bounded) sample, never the corpus
+      val cw = Window.partitionBy(col("_cc"))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+      cellSample = sampled
+        .withColumn("_cc",
+          if (coarse.k <= InlineAssignMaxK) cellOf(col("vd"), coarse)
+          else cellOfFolded(col("vd"), coarse))
+        .withColumn("_rn", row_number().over(cw))
+        .where(col("_rn") <= maxTrainPerCell)
+        .select(col(idCol), col("vd"), col("_cc"))
+        .cache()
+      // seeds: the fineK lowest-id sampled vectors per coarse cell;
+      // a cell empty in the sample degenerates to its coarse centroid
+      val sw = Window.partitionBy(col("_cc")).orderBy(col(idCol))
+      val seedRows = cellSample.withColumn("_rs", row_number().over(sw))
+        .where(col("_rs") <= fineK)
+        .select(col("_cc"), col("_rs"), col("vd")).collect()
+      val byCell = seedRows.groupBy(_.getInt(0))
+      var fines: Array[Model] = Array.tabulate(coarse.k) { c =>
+        byCell.get(c) match {
+          case Some(rs) =>
+            Model(rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+          case None => Model(Array(coarse.centroids(c)))
+        }
+      }
+      val dim = coarse.centroids.headOption.map(_.length).getOrElse(0)
+      (1 to iters).foreach { _ =>
+        val m2 = Model2(coarse, fines)
+        // global id -> (coarse cell, fine idx) for the update fold
+        val gToCell: Array[(Int, Int)] =
+          fines.zipWithIndex.flatMap { case (fm, c) =>
+            (0 until fm.k).map(j => (c, j))
+          }
+        val assigned = cellSample.withColumn("_g", cell2Of(col("vd"), m2))
+        val next = fines.map(_.centroids.map(_.clone()))
+        def fold(g: Int, n: Long, s: Int => Option[Long], len: Int): Unit =
+          if (g >= 0 && g < gToCell.length && n > 0) {
+            val (c, j) = gToCell(g)
+            var i = 0
+            while (i < dim && i < len) {
+              s(i).foreach(v => next(c)(j)(i) = v.toDouble / FixedPointScale / n)
+              i += 1
+            }
+          }
+        if (native) {
+          assigned.groupBy(col("_g"))
+            .agg(call_function("vec_sum_fixed", col("vd"), lit(FixedPointScale)).as("s"),
+              count(col("vd")).as("n"))
+            .collect()
+            .foreach { r =>
+              val s = r.getSeq[Long](1)
+              fold(r.getAs[Int]("_g"), r.getAs[Long]("n"),
+                i => Some(s(i)), s.length)
+            }
+        } else {
+          val aggCols = (0 until dim).map { i =>
+            sum((element_at(col("vd"), i + 1) * FixedPointScale).cast("long")).as(s"s$i")
+          } :+ count(col("vd")).as("n")
+          assigned.groupBy(col("_g"))
+            .agg(aggCols.head, aggCols.tail: _*).collect()
+            .foreach { r =>
+              fold(r.getAs[Int]("_g"), r.getAs[Long]("n"),
+                i => {
+                  val fi = r.fieldIndex(s"s$i")
+                  if (r.isNullAt(fi)) None else Some(r.getLong(fi))
+                }, dim)
+            }
+        }
+        fines = next.map(Model(_))
+      }
+      Model2(coarse, fines)
+    } finally {
+      if (cellSample != null) cellSample.unpersist()
+      prepped.unpersist()
+    }
+  }
+
+  /** Corpus with GLOBAL fine cell assignment — the two-level inverted
+    * file. Same schema as [[index]] (idCol, vd, nrm, cell), so every
+    * downstream consumer ([[Similarity.semDedupOnIndex]], the increment
+    * path) works unchanged on either artifact. */
+  def index2(emb: DataFrame, model: Model2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.prep(emb, vecCol)
+      .withColumn("cell", cell2Of(col("vd"), model))
+      .select(col(idCol), col("vd"), col("nrm"), col("cell"))
+
+  /** Persist the two-level codebook next to its inverted file (the
+    * [[saveModel]] contract, hierarchical edition): rows are
+    * (level, c, j, centroid) — level 0 the coarse book (j unused),
+    * level 1 the fine books keyed (coarse cell, fine idx). */
+  def saveModel2(model: Model2, path: String)
+                (implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val coarseRows = model.coarse.centroids.zipWithIndex
+      .map { case (c, j) => (0, j, 0, c.toSeq) }
+    val fineRows = model.fine.zipWithIndex.flatMap { case (fm, c) =>
+      fm.centroids.zipWithIndex.map { case (cent, j) => (1, c, j, cent.toSeq) }
+    }
+    (coarseRows ++ fineRows).toSeq.toDF("level", "c", "j", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel2(path: String)
+                (implicit spark: org.apache.spark.sql.SparkSession): Model2 = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("level"), col("c"), col("j"), col("centroid"))
+      .as[(Int, Int, Int, Seq[Double])].collect()
+    val coarseRows = rows.filter(_._1 == 0).sortBy(_._2)
+    require(coarseRows.nonEmpty, s"no coarse codebook rows at $path")
+    require(coarseRows.map(_._2).toSeq == coarseRows.indices.toSeq,
+      s"coarse cells at $path are not contiguous 0..${coarseRows.length - 1}")
+    val coarse = Model(coarseRows.map(_._4.toArray))
+    val fineByCell = rows.filter(_._1 == 1).groupBy(_._2)
+    val fine = Array.tabulate(coarse.k) { c =>
+      val fr = fineByCell.getOrElse(c,
+        sys.error(s"coarse cell $c has no fine codebook at $path")).sortBy(_._3)
+      require(fr.map(_._3).toSeq == fr.indices.toSeq,
+        s"fine cells of coarse $c at $path are not contiguous")
+      Model(fr.map(_._4.toArray))
+    }
+    Model2(coarse, fine)
   }
 
   /** Approximate top-k: probe `nprobe` cells per query, exact cosine

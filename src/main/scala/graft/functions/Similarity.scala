@@ -163,21 +163,32 @@ object Similarity {
     * keeper join), and handing the SAME DataFrame in lets Spark reuse
     * one exchange instead of re-deriving the assignment thrice.
     *
-    * Codebook sizing is a measured two-regime trade (r14,
+    * Codebook sizing was a measured two-regime trade (r14,
     * `tools/SemKnProbe` + the smoke A/B):
     *   - BULK dedup rounds (this scan dominates): size k WITH the
     *     corpus (SemDeDup's k ∝ n) — the pair scan is ~n²/k, so a
-    *     fixed k drifts quadratic. Measured ×100→×400: the scan grew
-    *     1.22× per 4× data with k ∝ n (min 1.35 s) vs 3.1× with k held
-    *     at 512 (min 3.78 s); training the 4×-bigger codebook is the
-    *     one-time trade (312 s vs 66 s, amortized into the artifact).
+    *     fixed k drifts quadratic (capped-512 scan min 3.66 s at ×400
+    *     vs 1.47 flat / 1.36 two-level, r15 re-measure).
     *   - INCREMENT-heavy pipelines ([[semDedupIncrement]] per batch):
-    *     bound k — `nearest_cell` assignment is exact over all k
-    *     cells, so each batch pays batch_rows × k; with k ∝ n that
-    *     grows with the STORED corpus (measured: the ×100 increment
-    *     probe regressed 2.63 → 5.73 s min when k went 512 → 1600),
-    *     while under a bounded k the increment stays flat (1.17× per
-    *     4× data, measured to ×400). */
+    *     bound k — flat assignment is exact over all k cells, so each
+    *     batch pays batch_rows × k; with k ∝ n that grows with the
+    *     STORED corpus (×400 probe min 3.71 s flat-6400 vs 0.82
+    *     capped).
+    * r15 RESOLVED the trade: the TWO-LEVEL coarse quantizer
+    * ([[IvfIndex.trainTwoLevel]] / [[semDedup2]] /
+    * [[semDedupIncrement2]]) routes ≤64 coarse cells to fine
+    * sub-codebooks totalling k ∝ n, so the scan stays off the n²/k
+    * drift (×100→×400 min 1.11 → 1.36 s, 1.23× per 4× data) AND the
+    * increment pays coarseK + k/coarseK ≈ 2·√k dots (0.69 → 1.03 s,
+    * fastest at both factors; flat k∝n is 3.6× slower at depth).
+    * Prefer the two-level artifact for new deployments; the flat
+    * regimes remain for stored-artifact compatibility and as the
+    * measured record (SemKnProbe carries the standing three-way A/B).
+    * Two prerequisites made it win, both r15 measurements: packed
+    * BINARY codebook literals ([[expr.CodebookCodec]] — boxed array
+    * literals taxed stage serialization/deserialization) and
+    * payload-free kernel renderings ([[expr.NearestCell.toString]] —
+    * plan descriptions re-rendered megabyte literals per AQE stage). */
   def semDedupOnIndex(idx: DataFrame, thresholdMicro: Long,
                       salts: Int = 1, idCol: String = "vec_id"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1 (got $salts)")
@@ -215,8 +226,32 @@ object Similarity {
     * Output: (idCol, cell, dup_of) for the NEW vectors — append these
     * rows (minus dup_of) to the stored index to advance the artifact. */
   def semDedupIncrement(idx: DataFrame, newEmb: DataFrame, model: IvfIndex.Model,
-                        thresholdMicro: Long, idCol: String = "vec_id"): DataFrame = {
-    val newIdx = IvfIndex.index(newEmb, model, idCol)
+                        thresholdMicro: Long, idCol: String = "vec_id"): DataFrame =
+    semDedupIncrementAssigned(idx, IvfIndex.index(newEmb, model, idCol),
+      thresholdMicro, idCol)
+
+  /** [[semDedupIncrement]] against a TWO-LEVEL stored index
+    * ([[IvfIndex.trainTwoLevel]] / [[IvfIndex.index2]]): identical
+    * contract and join geometry; assignment routes coarse→fine, so the
+    * batch pays coarseK + kTotal/coarseK dots per vector instead of the
+    * flat book's kTotal — the shape that keeps increments flat while
+    * the TOTAL cell count tracks the corpus (the r14 regime trade,
+    * resolved; A/B in SemKnProbe). */
+  def semDedupIncrement2(idx: DataFrame, newEmb: DataFrame, model: IvfIndex.Model2,
+                         thresholdMicro: Long, idCol: String = "vec_id"): DataFrame =
+    semDedupIncrementAssigned(idx, IvfIndex.index2(newEmb, model, idCol),
+      thresholdMicro, idCol)
+
+  /** [[semDedup]] over the two-level quantizer: assign globally-fine
+    * cells, then the SAME within-cell pair scan ([[semDedupOnIndex]] —
+    * the index schema is identical, so the scan path is shared, which
+    * IS the keeper-parity contract with the flat route). */
+  def semDedup2(emb: DataFrame, model: IvfIndex.Model2, thresholdMicro: Long,
+                salts: Int = 1, idCol: String = "vec_id"): DataFrame =
+    semDedupOnIndex(IvfIndex.index2(emb, model, idCol), thresholdMicro, salts, idCol)
+
+  private def semDedupIncrementAssigned(idx: DataFrame, newIdx: DataFrame,
+                                        thresholdMicro: Long, idCol: String): DataFrame = {
     val keepersSide = idx.select(col(idCol), col("vd"), col("nrm"), col("cell"))
       .unionAll(newIdx)
       .select(col(idCol).as("_aid"), col("vd").as("avd"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** Codegen'd `nprobe`-nearest-centroids: the first `nprobe` cells of the
   * distance ranking (c2s[j] − 2·vec·cents[j] ascending, ties → lowest
@@ -36,25 +36,38 @@ case class NearestCells(vec: Expression, cents: Expression, c2s: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, cents.dataType, c2s.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _),
-            ArrayType(DoubleType, _)) =>
+            ArrayType(DoubleType, _))
+         | (ArrayType(DoubleType, _), BinaryType, BinaryType) =>
         if (!cents.foldable || !c2s.foldable) TypeCheckResult.TypeCheckFailure(
           "nearest_cells requires the codebook arguments (2nd and 3rd) to be literals")
         else if (nprobe < 1) TypeCheckResult.TypeCheckFailure(
           s"nearest_cells requires nprobe >= 1 (got $nprobe)")
         else TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        "nearest_cells requires (array<double>, array<array<double>>, array<double>), " +
+        "nearest_cells requires (array<double>, array<array<double>>, array<double>) " +
+          "or (array<double>, binary, binary) [CodebookCodec-packed], " +
           s"got (${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
-  @transient private lazy val centsMat: Array[Array[Double]] = {
-    val cc = cents.eval().asInstanceOf[ArrayData]
-    Array.tabulate(cc.numElements())(j => cc.getArray(j).toDoubleArray())
-  }
+  /** Unboxed once; the BINARY form is the large-book hot path (boxed
+    * array literals tax stage serialization, task deserialization, and
+    * plan canonicalization — see [[CodebookCodec]]). */
+  @transient private lazy val centsMat: Array[Array[Double]] =
+    cents.dataType match {
+      case BinaryType =>
+        CodebookCodec.unpackMatrix(cents.eval().asInstanceOf[Array[Byte]])
+      case _ =>
+        val cc = cents.eval().asInstanceOf[ArrayData]
+        Array.tabulate(cc.numElements())(j => cc.getArray(j).toDoubleArray())
+    }
   @transient private lazy val c2Arr: Array[Double] =
-    c2s.eval().asInstanceOf[ArrayData].toDoubleArray()
+    c2s.dataType match {
+      case BinaryType =>
+        CodebookCodec.unpackVector(c2s.eval().asInstanceOf[Array[Byte]])
+      case _ => c2s.eval().asInstanceOf[ArrayData].toDoubleArray()
+    }
 
   /** Spark double-ordering "strictly better" test for (d, j) pairs:
     * NaN ranks greatest; equal distances break to the lower cell. */
@@ -108,6 +121,14 @@ case class NearestCells(vec: Expression, cents: Expression, c2s: Expression,
     val self = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
     nullSafeCodeGen(ctx, ev, (v, _, _) => s"${ev.value} = $self.probes($v);")
   }
+
+  /** Codebook operands elided from plan renderings — see
+    * [[NearestCell.toString]] for the measured rationale. */
+  override def toString: String =
+    s"$prettyName($vec, <codebook k=${centsMat.length}>, $nprobe)"
+  override def sql: String =
+    s"$prettyName(${vec.sql}, <codebook k=${centsMat.length}>, $nprobe)"
+
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

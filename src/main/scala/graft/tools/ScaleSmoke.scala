@@ -158,6 +158,9 @@ object ScaleSmoke {
     val deepFactors = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DEEP", "40,100")
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
       .filterNot(factors.contains)
+    val deep400Factors = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DEEP400", "400")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filterNot(n => factors.contains(n) || deepFactors.contains(n))
     val runs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_RUNS", "3").toInt
     // PROCESS-PER-PASS is the default for multi-pass runs: an in-process
     // pass loop poisons the late (deep-factor) points of every early pass
@@ -170,15 +173,16 @@ object ScaleSmoke {
     // parent merges medians, and the per-pass sentinel then compares
     // MACHINE state cleanly across identical process lifecycles.
     if (runs > 1 && sys.env.getOrElse("SPARK_GRAFT_SMOKE_FORK", "1") != "0")
-      forkedPasses(dir, factors, deepFactors, runs)
-    else inProcess(dir, factors, deepFactors, runs)
+      forkedPasses(dir, factors, deepFactors, deep400Factors, runs)
+    else inProcess(dir, factors, deepFactors, deep400Factors, runs)
   }
 
   /** Materialize the salted corpora + snapshot fixtures once (the salting
     * transform must never sit inside a timed plan — see
     * [[replicateDocsDistinct]]); forked passes share one materialization. */
   private def materialize(spark: SparkSession, dir: String,
-                          allFactors: Seq[Int], smokeDir: String): Unit = {
+                          allFactors: Seq[Int], snapFactors: Seq[Int],
+                          smokeDir: String): Unit = {
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     allFactors.foreach { n =>
       val t0 = System.nanoTime()
@@ -191,7 +195,7 @@ object ScaleSmoke {
     // be proven at depth (a fixed ~100-row change set over a table that
     // grows 100x — churn 0.07% at 1x, 0.0007% at 100x; the verdict-r7
     // low-churn crossover requirement)
-    allFactors.foreach { n =>
+    snapFactors.foreach { n =>
       val t0 = System.nanoTime()
       val ordersN = replicateOrders(Tables.orders(spark, dir), n)
       ordersN.write.mode("overwrite").parquet(s"$smokeDir/orders_before_x$n")
@@ -231,12 +235,17 @@ object ScaleSmoke {
     * corpus dir), parse its `[scalesample]`/`[scalesentinel]` lines, and
     * merge cross-process medians into the artifact. */
   private def forkedPasses(dir: String, factors: Seq[Int],
-                           deepFactors: Seq[Int], runs: Int): Unit = {
+                           deepFactors: Seq[Int], deep400Factors: Seq[Int],
+                           runs: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val smokeDir = java.nio.file.Files.createTempDirectory("graft_smoke").toString
     locally {
       val spark = DevTool.session()
-      materialize(spark, dir, (factors ++ deepFactors).distinct.sorted, smokeDir)
+      // snapshots only for the factors whose suites use them — the ×400
+      // tier reads docs + sem artifacts only
+      materialize(spark, dir,
+        (factors ++ deepFactors ++ deep400Factors).distinct.sorted,
+        (factors ++ deepFactors).distinct.sorted, smokeDir)
       spark.stop()
     }
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -273,7 +282,8 @@ object ScaleSmoke {
   }
 
   private def inProcess(dir: String, factors: Seq[Int],
-                        deepFactors: Seq[Int], runs: Int): Unit = {
+                        deepFactors: Seq[Int], deep400Factors: Seq[Int],
+                        runs: Int): Unit = {
     val spark = DevTool.session()
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     val embs0 = Tables.embeddings(spark, dir)
@@ -355,7 +365,9 @@ object ScaleSmoke {
       case Some(d) => d // forked child: parent already materialized
       case None =>
         val d = java.nio.file.Files.createTempDirectory("graft_smoke").toString
-        materialize(spark, dir, (factors ++ deepFactors).distinct.sorted, d)
+        materialize(spark, dir,
+          (factors ++ deepFactors ++ deep400Factors).distinct.sorted,
+          (factors ++ deepFactors).distinct.sorted, d)
         d
     }
 
@@ -527,6 +539,12 @@ object ScaleSmoke {
       // posture; forked passes share the materialization); the timed
       // region is what a dedup round actually pays: the within-cell
       // pair scan + keeper fold over the stored index.
+      semDedupPair(n)
+    }
+
+    /** Capped-codebook SemDeDup scan + increment at factor `n` (artifact
+      * shared across forked passes). */
+    def semDedupPair(n: Int): Unit = {
       val semIdxPath = s"$smokeDir/sem_idx_x$n"
       val semModelPath = s"$smokeDir/sem_model_x$n"
       if (!new java.io.File(s"$semIdxPath/_SUCCESS").exists()) {
@@ -548,13 +566,57 @@ object ScaleSmoke {
       // broadcasts)
       time("semdedup_probe", n) {
         val semModel = graft.functions.IvfIndex.loadModel(semModelPath)(spark)
-        val batch = Tables.embeddings(spark, dir)
-          .select((col("vec_id") + lit(990000000L)).as("vec_id"),
-            col("embedding"), col("label"))
         Similarity.semDedupIncrement(spark.read.parquet(semIdxPath),
-            batch, semModel, 450000L)
+            semBatch, semModel, 450000L)
           .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0)
       }
+    }
+
+    def semBatch = Tables.embeddings(spark, dir)
+      .select((col("vec_id") + lit(990000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+
+    /** TWO-LEVEL SemDeDup scan + increment (r15): total fine cells ∝ n
+      * through a ≤64-cell coarse router — the regime that resolves the
+      * r14 capped-vs-k∝n trade (scan stays off the n²/k drift AND the
+      * increment stays flat; SemKnProbe carries the three-way A/B with
+      * the flat books). Codebooks ride CodebookCodec-packed binary
+      * literals — the boxed-literal plumbing tax was the real increment
+      * cost, see AssignProbe. */
+    def semDedupTwoPair(n: Int): Unit = {
+      val idxPath = s"$smokeDir/sem2_idx_x$n"
+      val modelPath = s"$smokeDir/sem2_model_x$n"
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
+        val embsN = replicateEmbsRotated(Tables.embeddings(spark, dir), n)
+        val m2 = graft.functions.IvfIndex.trainTwoLevel(embsN,
+          kTotal = 16 * n, iters = 3)
+        graft.functions.IvfIndex.saveModel2(m2, modelPath)(spark)
+        graft.functions.IvfIndex.index2(embsN, m2)
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      time("semdedup_two", n)(
+        Similarity.semDedupOnIndex(spark.read.parquet(idxPath), 450000L)
+          .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0))
+      time("semdedup_two_probe", n) {
+        val m2 = graft.functions.IvfIndex.loadModel2(modelPath)(spark)
+        Similarity.semDedupIncrement2(spark.read.parquet(idxPath),
+            semBatch, m2, 450000L)
+          .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell"))).head().getLong(0)
+      }
+    }
+
+    /** r15 ×400 drift tier: the families whose ×100 curves could not see
+      * their depth drift (containment's train-side sort, the capped
+      * semdedup scan's n²/k) plus the two-level pair, at the deep400
+      * factors. The pre-existing families' ×100 comparison points come
+      * from the regular deep suite; semdedup_two gets its own ×100 pair
+      * from the pass loop. Cheap by construction — four timed samples
+      * per pass over shared artifacts. */
+    def deep400Suite(n: Int): Unit = {
+      val docs = spark.read.parquet(s"$smokeDir/docs_x$n")
+      time("containment_scan", n)(Dedup.containmentScan(docs, 200).count())
+      semDedupPair(n)
+      semDedupTwoPair(n)
     }
 
     def fullSuite(n: Int): Unit = {
@@ -713,6 +775,10 @@ object ScaleSmoke {
       // exactly what a pass-start probe cannot see)
       factors.foreach { n => fullSuite(n); deepSuite(n) }
       deepFactors.foreach(deepSuite)
+      // the ×400 drift tier + the two-level pair's own ×100 point (its
+      // ratio partner; skipped when the tier is disabled)
+      if (deep400Factors.nonEmpty) semDedupTwoPair(100)
+      deep400Factors.foreach(deep400Suite)
       graft.functions.Dedup.releaseCcLabels()
     }
 

@@ -30,13 +30,19 @@ class KernelAuditSpec extends SparkSpec {
     *     of the words/normText-derived score to the scan is the desired
     *     plan (one map-side pass), not a synthesized re-derive.
     *   - p52: the user's split-bucket predicate plus the constraints
-    *     isnotnull over the shingle arrays, same class as p6. */
+    *     isnotnull over the shingle arrays, same class as p6.
+    *   - p56: p49's class through the two-level quantizer — the
+    *     constraints isnotnulls over BOTH derived join keys
+    *     (isnotnull(sqrt(vec_dot(e,e))) for the norm,
+    *     isnotnull(nearest_cell_2(...)) for the cell): cheap per-row
+    *     guards at the scan, not per-conjunct explode kernels. */
   private val Adjudicated: Map[String, Set[String]] = Map(
     "p12_embed_ivf_knn" -> Set("vec_dot"),
     "p13_dedup_embed" -> Set("vec_dot"),
     "p17_pipeline" -> Set("regexp_replace"),
     "p49_semdedup" -> Set("vec_dot"),
     "p52_containment" -> Set("trigram_shingles"),
+    "p56_semdedup_two" -> Set("vec_dot", "nearest_cell_2"),
     "p6_dedup_ngram" -> Set("trigram_shingles"))
 
   test("positive control: the matcher flags a re-enabled InferFiltersFromGenerate trap plan") {
@@ -252,7 +258,8 @@ class KernelAuditSpec extends SparkSpec {
     * instead of its projected attribute — fails. */
   private val AdjudicatedNodes: Set[(String, String, String)] = Set(
     ("p13_dedup_embed", "BroadcastNestedLoopJoin", "vec_dot"),
-    ("p49_semdedup", "BroadcastHashJoin", "vec_dot"))
+    ("p49_semdedup", "BroadcastHashJoin", "vec_dot"),
+    ("p56_semdedup_two", "BroadcastHashJoin", "vec_dot"))
 
   test("node sweep: kernels appear only in the two adjudicated pair-scoring join conditions") {
     val violations = allPlans.flatMap { case (name, plan) =>

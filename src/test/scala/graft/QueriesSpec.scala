@@ -13,7 +13,8 @@ class QueriesSpec extends SparkSpec {
     * the queries before dumping oracle_sql.json, so the driver still
     * hash-checks both); each also has a dedicated equivalence/recall
     * spec. */
-  private val rowsOnlyQueries = Set("p12_embed_ivf_knn", "p49_semdedup")
+  private val rowsOnlyQueries =
+    Set("p12_embed_ivf_knn", "p49_semdedup", "p56_semdedup_two")
 
   test("every declared query runs and matches its oracle's column names") {
     // oracleSql is stateful for the rows-only set (p12's oracle appears

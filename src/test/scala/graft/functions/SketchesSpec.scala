@@ -260,6 +260,103 @@ class SketchesSpec extends SparkSpec {
     assert(incr.nonEmpty)
   }
 
+  test("Two-level quantizer: kernel and composable twin assign identically; routing is coarse-consistent") {
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 3, coarseK = 4)
+    assert(m2.coarse.k === 4)
+    assert(m2.k >= 4 && m2.k <= 16)
+    val kernel = IvfIndex.index2(embs, m2)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    val twin = Similarity.prep(embs)
+      .withColumn("cell", IvfIndex.cell2OfTwin(col("vd"), m2))
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    assert(twin.toSeq === kernel.toSeq)
+    // every global cell id decomposes into (coarse, fine) within bounds,
+    // and the COARSE component of the routed cell equals the plain
+    // coarse assignment (the two-level kernel's first stage is exactly
+    // the flat coarse quantizer)
+    val coarseOf = IvfIndex.index(embs, m2.coarse)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val offsets = m2.offsets
+    kernel.foreach { r =>
+      val g = r.getInt(1)
+      val c = offsets.lastIndexWhere(_ <= g)
+      assert(c >= 0 && g - offsets(c) < m2.fine(c).k,
+        s"global id $g outside its sub-codebook")
+      assert(c === coarseOf(r.getLong(0)),
+        s"two-level coarse route $c disagrees with the flat coarse assignment")
+    }
+  }
+
+  test("Two-level quantizer: deterministic at any partitioning; save/load round-trips ragged books") {
+    val m1 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 2, coarseK = 4)
+    val m2 = IvfIndex.trainTwoLevel(embs.repartition(7), kTotal = 16, iters = 2, coarseK = 4)
+    assert(m1.coarse.centroids.map(_.toSeq).toSeq === m2.coarse.centroids.map(_.toSeq).toSeq)
+    assert(m1.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq ===
+      m2.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)
+    // round-trip through the parquet artifact, ragged sizes preserved
+    val dir = java.nio.file.Files.createTempDirectory("sem_model2").toString
+    IvfIndex.saveModel2(m1, s"$dir/m2")(spark)
+    val loaded = IvfIndex.loadModel2(s"$dir/m2")(spark)
+    assert(loaded.coarse.centroids.map(_.toSeq).toSeq ===
+      m1.coarse.centroids.map(_.toSeq).toSeq)
+    assert(loaded.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq ===
+      m1.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)
+    assert(loaded.offsets.toSeq === m1.offsets.toSeq)
+  }
+
+  test("Two-level SemDeDup: soundness against the exact pair scan; increment equals full recompute") {
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 3, coarseK = 4)
+    val exact = Similarity.cosineNearDupPairs(embs, 450000L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    Similarity.semDedup2(embs, m2, 450000L)
+      .where(col("dup_of").isNotNull)
+      .select(col("dup_of"), col("vec_id")).as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(a < b)
+        assert(exact.contains((a, b)),
+          s"semDedup2 flagged ($a,$b) which the exact scan does not contain")
+      }
+    // increment contract, model round-tripped through its artifact
+    val dir = java.nio.file.Files.createTempDirectory("sem_model2i").toString
+    IvfIndex.saveModel2(m2, s"$dir/m2")(spark)
+    val loaded = IvfIndex.loadModel2(s"$dir/m2")(spark)
+    val old = embs.where(col("vec_id") < 250)
+    val fresh = embs.where(col("vec_id") >= 250)
+    val storedIdx = IvfIndex.index2(old, m2)
+    val incr = Similarity.semDedupIncrement2(storedIdx, fresh, loaded, 450000L)
+      .orderBy("vec_id").collect()
+    val full = Similarity.semDedup2(embs, m2, 450000L)
+      .where(col("vec_id") >= 250).orderBy("vec_id").collect()
+    assert(incr.toSeq === full.toSeq)
+    assert(incr.nonEmpty)
+  }
+
+  test("Two-level SemDeDup: planted near-identicals recalled through the hierarchical cluster bound") {
+    // the flat recall spec's corpus, routed through coarse->fine cells:
+    // a 0.999-cosine perturbation lands in its source's FINE cell except
+    // on a knife-edge boundary (now two boundaries — coarse and fine —
+    // hence the same 0.9 floor)
+    val planted = embs.where(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * lit(1.0f) + when(i === 0, lit(0.01f)).otherwise(lit(0.0f)))
+          .as("embedding"),
+        col("label"))
+    val aug = embs.select("vec_id", "embedding", "label").unionAll(planted)
+    val m2 = IvfIndex.trainTwoLevel(aug, kTotal = 16, iters = 3, coarseK = 4)
+    val tau = 990000L
+    val exactDupVecs = Similarity.cosineNearDupPairs(aug, tau)
+      .select(col("vec_b")).distinct().as[Long].collect().toSet
+    val semDupVecs = Similarity.semDedup2(aug, m2, tau)
+      .where(col("dup_of").isNotNull)
+      .select("vec_id").as[Long].collect().toSet
+    assert(semDupVecs.subsetOf(exactDupVecs))
+    assert(exactDupVecs.nonEmpty)
+    val recall = semDupVecs.size.toDouble / exactDupVecs.size
+    assert(recall >= 0.9,
+      s"hierarchical cluster-bounded recall $recall (${semDupVecs.size}/${exactDupVecs.size})")
+  }
+
   test("SemDeDup: every vector appears exactly once, keepers are null") {
     val model = IvfIndex.train(embs, k = 8, iters = 3)
     val r = Similarity.semDedup(embs, model, 450000L)
