@@ -776,8 +776,10 @@ object ScaleSmoke {
       factors.foreach { n => fullSuite(n); deepSuite(n) }
       deepFactors.foreach(deepSuite)
       // the ×400 drift tier + the two-level pair's own ×100 point (its
-      // ratio partner; skipped when the tier is disabled)
-      if (deep400Factors.nonEmpty) semDedupTwoPair(100)
+      // ratio partner; skipped when the tier is disabled or the run
+      // carries no ×100 deep point to anchor against)
+      if (deep400Factors.nonEmpty && deepFactors.contains(100))
+        semDedupTwoPair(100)
       deep400Factors.foreach(deep400Suite)
       graft.functions.Dedup.releaseCcLabels()
     }

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * probe ×100→×400 capped 0.72→0.82, k∝n 1.39→3.71 (batch·k), two-
   * level 0.69→1.03 — the two-level artifact is at-or-near best on
   * BOTH axes, resolving the r14 trade. Builds (one-time, untimed):
-  * flat k=6400 92.6 s, two-level 243 s at ×400 under a 40g heap —
-  * the 8g default OOMs the ×400 builds, export SPARK_DRIVER_MEM.
+  * flat k=6400 96 s, two-level 170 s at ×400 — both fine under the
+  * default 8g heap AFTER the rendering fix (the pre-fix hex-dumped
+  * plan descriptions OOM'd 8g; same sums at 8g and 40g, determinism
+  * independent of heap).
   * `runMain graft.tools.SemKnProbe <factor> [reps]` */
 object SemKnProbe {
   def main(args: Array[String]): Unit = {
