@@ -116,10 +116,7 @@ object IvfIndex {
       val native = emb.sparkSession.catalog.functionExists("vec_sum_fixed")
       (1 to iters).foreach { _ =>
         val model = Model(centroids)
-        val assigned =
-          if (model.k <= InlineAssignMaxK)
-            p.withColumn("cell", cellOf(col("vd"), model))
-          else p.withColumn("cell", cellOfFolded(col("vd"), model))
+        val assigned = p.withColumn("cell", assignCol(col("vd"), model))
         // per-cell per-dimension sums WITHOUT exploding the corpus by dim:
         // the one-buffer [[expr.VecSumFixed]] aggregate sums whole vectors
         // per update call (k·(dim+1) longs across the exchange); the
@@ -183,16 +180,37 @@ object IvfIndex {
     * `Code grows beyond 64 KB` and falls back). */
   val InlineAssignMaxK = 64
 
-  /** Corpus with cell assignment (the "inverted file"). Small codebooks
-    * assign with the unrolled [[cellOf]] projection; large ones with the
-    * [[cellOfFolded]] runtime loop — identical output (parity-pinned in
-    * SketchesSpec). */
+  /** Assignment dispatch (r15): the registered kernel at ANY k — the
+    * unrolled inline projection loses even at k=16 because each of its
+    * k branches carries a boxed per-centroid array literal, the same
+    * plumbing-tax class as the codebook literals (smoke semdedup_probe
+    * ×4 [k=64 inline] min 7.05 s vs ×10 [k=160 kernel] 0.95 on a
+    * SMALLER corpus; SemKnProbe ×4 A/B: flat-book increments 7.0-8.5 s
+    * inline vs 0.97 via the always-kernel two-level route, same
+    * artifacts, same sums). Kernel-less sessions keep the size
+    * dispatch: the inline form codegens fine to k≈100, the interpreted
+    * HOF twin takes over beyond. */
+  private def assignCol(vd: Column, model: Model): Column =
+    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell")
+        || model.k > InlineAssignMaxK) cellOfFolded(vd, model)
+    else cellOf(vd, model)
+
+  /** Corpus with cell assignment (the "inverted file"). Assignment via
+    * [[assignCol]] (kernel whenever registered; inline/HOF fallbacks) —
+    * all routes identical output (parity-pinned in SketchesSpec). */
   def index(emb: DataFrame, model: Model,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.prep(emb, vecCol)
-      .withColumn("cell",
-        if (model.k <= InlineAssignMaxK) cellOf(col("vd"), model)
-        else cellOfFolded(col("vd"), model))
+      .withColumn("cell", assignCol(col("vd"), model))
+      .select(col(idCol), col("vd"), col("nrm"), col("cell"))
+
+  /** [[index]] forced down the small-codebook INLINE projection
+    * (spec hook for route parity). */
+  private[graft] def indexViaInlineAssign(emb: DataFrame, model: Model,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding"): DataFrame =
+    Similarity.prep(emb, vecCol)
+      .withColumn("cell", cellOf(col("vd"), model))
       .select(col(idCol), col("vd"), col("nrm"), col("cell"))
 
   /** [[index]] forced down the large-codebook path (spec hook). */
@@ -256,8 +274,9 @@ object IvfIndex {
     * codebooks go through the [[graft.functions.expr.NearestCells]]
     * kernel (parity-pinned in SketchesSpec). */
   private def probeCells(vd: Column, model: Model, nprobe: Int): Column =
-    if (model.k <= InlineAssignMaxK) probeCellsInline(vd, model, nprobe)
-    else probeCellsFolded(vd, model, nprobe)
+    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cells")
+        || model.k > InlineAssignMaxK) probeCellsFolded(vd, model, nprobe)
+    else probeCellsInline(vd, model, nprobe)
 
   private[functions] def probeCellsInline(vd: Column, model: Model, nprobe: Int): Column = {
     val scored = model.centroids.zipWithIndex.map { case (c, j) =>
@@ -402,9 +421,7 @@ object IvfIndex {
       val cw = Window.partitionBy(col("_cc"))
         .orderBy(xxhash64(col(idCol)), col(idCol))
       cellSample = sampled
-        .withColumn("_cc",
-          if (coarse.k <= InlineAssignMaxK) cellOf(col("vd"), coarse)
-          else cellOfFolded(col("vd"), coarse))
+        .withColumn("_cc", assignCol(col("vd"), coarse))
         .withColumn("_rn", row_number().over(cw))
         .where(col("_rn") <= maxTrainPerCell)
         .select(col(idCol), col("vd"), col("_cc"))

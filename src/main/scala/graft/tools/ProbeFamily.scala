@@ -298,10 +298,15 @@ object ProbeFamily {
       case "containment_scan" =>
         Dedup.containmentScan(probeDocs(), 200).count()
       // r15 root-cause kit for the x400 super-linearity (4.48x per 4x
-      // data vs 3.1-3.5x for the shingle-join peers). Stage attribution:
-      // the explode volume alone, then the join+pair-count aggregation
-      // (the suspected stage — its merge hint sorts the corpus-sized
-      // exploded train side, an n·log n with spill the peers don't pay).
+      // data vs 3.1-3.5x for the shingle-join peers) — RESOLVED: join
+      // output is exactly linear (11.4M -> 45.6M rows for 4x; word-
+      // tagged replicas share no shingles, so no densification); the
+      // drift was the then-production merge hint SORTING the corpus-
+      // sized exploded train side. Production now builds a shuffled
+      // hash on the 5% test side (_hash twin == production shape):
+      // merge 4.93 -> 16.85 s (3.42x/4x) vs hash 3.81 -> 11.53 (3.03x).
+      // Stage attribution twins below: the explode volume alone, then
+      // the raw join.
       case "containment_explode" =>
         val sh = Dedup.shingleArrays(probeDocs())
           .withColumn("_bucket", TF.splitBucket(col("sid")))
@@ -322,9 +327,10 @@ object ProbeFamily {
         val test = sh.where(col("_bucket") >= 95)
           .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
         train.join(test, Seq("sh")).count()
-      // strategy A/B twins: the production merge-hinted form vs a
-      // shuffled-hash join BUILDING ON THE TEST SIDE (5% of the corpus —
-      // the explode stays unsorted, the big side streams)
+      // strategy A/B twins: the REJECTED merge-hinted form (pre-r15
+      // production) vs the shuffled-hash join BUILDING ON THE TEST SIDE
+      // (5% of the corpus — the explode stays unsorted, the big side
+      // streams; the production shape since r15)
       case "containment_scan_smj" =>
         Dedup.containmentScanImpl(probeDocs(), 200, "doc_id", "text",
           trainHint = Some("merge"), testHint = None).count()

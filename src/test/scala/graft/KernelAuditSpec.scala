@@ -35,12 +35,16 @@ class KernelAuditSpec extends SparkSpec {
     *     constraints isnotnulls over BOTH derived join keys
     *     (isnotnull(sqrt(vec_dot(e,e))) for the norm,
     *     isnotnull(nearest_cell_2(...)) for the cell): cheap per-row
-    *     guards at the scan, not per-conjunct explode kernels. */
+    *     guards at the scan, not per-conjunct explode kernels.
+    *   - p12/p49 gained the same isnotnull(nearest_cell(...)) guard in
+    *     r15 when assignment started riding the kernel at every k (the
+    *     inline projection rendered the argmin as array_min, which the
+    *     sweep never keyed on) — identical class, identical verdict. */
   private val Adjudicated: Map[String, Set[String]] = Map(
-    "p12_embed_ivf_knn" -> Set("vec_dot"),
+    "p12_embed_ivf_knn" -> Set("vec_dot", "nearest_cell"),
     "p13_dedup_embed" -> Set("vec_dot"),
     "p17_pipeline" -> Set("regexp_replace"),
-    "p49_semdedup" -> Set("vec_dot"),
+    "p49_semdedup" -> Set("vec_dot", "nearest_cell"),
     "p52_containment" -> Set("trigram_shingles"),
     "p56_semdedup_two" -> Set("vec_dot", "nearest_cell_2"),
     "p6_dedup_ngram" -> Set("trigram_shingles"))

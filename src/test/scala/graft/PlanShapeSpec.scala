@@ -401,6 +401,22 @@ class PlanShapeSpec extends SparkSpec {
       s"pair scan must be an equi-join on cell:\n$p")
   }
 
+  test("p56 two-level SemDeDup: same within-cell equi-join geometry; assignment is one kernel call") {
+    val p = plan("p56_semdedup_two")
+    assert(!p.contains("CartesianProduct"), s"pair scan must stay within cells:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair scan must be an equi-join on the global fine cell:\n$p")
+    // the hierarchical assignment is ONE constant-size expression, not
+    // an unrolled per-centroid projection or a codebook join (the routes
+    // NearestCell's scaladoc rejected); codebook payloads are elided
+    // from the rendering (a megabyte hex dump here would mean the
+    // toString override regressed)
+    assert(p.contains("nearest_cell_2("),
+      s"assignment must ride the two-level kernel:\n$p")
+    assert(p.length < 200000,
+      s"plan rendering ballooned (codebook payload leaked into toString?): ${p.length} chars")
+  }
+
   test("p50 CMS heavy hitters: cell table broadcasts, stream partial-aggregates") {
     val p = plan("p50_cms_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"),

@@ -180,15 +180,20 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("IVF assignment: unrolled and folded-loop routes agree") {
-    // the folded route exists because the unrolled argmin overflows JVM
-    // codegen (64 KB) near k=100; on a small model both must emit the
+    // three routes, one answer: the KERNEL route is the default at any
+    // k when registered (r15 — the inline projection's per-centroid
+    // boxed array literals are a measured plumbing tax even at k=16);
+    // the unrolled inline and HOF-twin fallbacks must emit the
     // identical inverted file (same distances, same lowest-cell ties)
     val model = IvfIndex.train(embs, k = 8, iters = 3)
-    val inline = IvfIndex.index(embs, model)
+    val default = IvfIndex.index(embs, model)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+    val inline = IvfIndex.indexViaInlineAssign(embs, model)
       .select("vec_id", "cell").orderBy("vec_id").collect()
     val folded = IvfIndex.indexViaFoldedAssign(embs, model)
       .select("vec_id", "cell").orderBy("vec_id").collect()
-    assert(folded.toSeq === inline.toSeq)
+    assert(inline.toSeq === default.toSeq)
+    assert(folded.toSeq === default.toSeq)
   }
 
   test("IVF probe selection: unrolled, kernel, and composable routes agree") {
