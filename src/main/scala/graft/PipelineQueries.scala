@@ -856,6 +856,28 @@ object PipelineQueries {
     Similarity.semDedup2(e, m2, CosDupThresholdMicro).orderBy("vec_id")
   }
 
+  @volatile private var lastIvf2Model: Option[IvfIndex.Model2] = None
+
+  /** How many coarse cells [[p57]] routes each query through. */
+  private val Ivf2CoarseProbe = 2
+
+  /** p57 — ANN search through the two-level quantizer
+    * ([[IvfIndex.knn2]]): p12's probe shape over the SAME stored
+    * artifact class p56 dedups with — coarse-route the query (≤64
+    * dots), rank only the routed sub-codebooks' fine centroids, probe
+    * the best global fine cells, exact cosine within. One artifact,
+    * both workloads; recall bounded by the coarse routing (pinned in
+    * SketchesSpec). Same K/nprobe/query predicate as p12 so the flat
+    * and hierarchical search routes stay directly comparable. */
+  private def p57(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val m2 = IvfIndex.trainTwoLevel(e, kTotal = IvfK, iters = IvfIters,
+      coarseK = 4)
+    lastIvf2Model = Some(m2)
+    IvfIndex.knn2(e, m2, col("vec_id") < 20, K, nprobe = IvfNprobe,
+      coarseProbe = Ivf2CoarseProbe).orderBy("q_id", "n_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -913,6 +935,7 @@ object PipelineQueries {
     "p54_minhash_estimate" -> p54 _,
     "p55_bpe_pairs" -> p55 _,
     "p56_semdedup_two" -> p56 _,
+    "p57_embed_ivf2_knn" -> p57 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1108,6 +1131,35 @@ object PipelineQueries {
        |ORDER BY i.vec_id""".stripMargin
   }
 
+  /** p57 oracle: the two-level PROBE re-derived in SQL — coarse top-C
+    * per query from the same `cad` ranking the assignment uses, then
+    * the routed coarse cells' fine centroids ranked GLOBALLY by
+    * (distance, global id) and the top `IvfNprobe` probed; exact cosine
+    * within probed cells, per-query top-k. Tie-breaks mirror the Spark
+    * side exactly: coarse ties → lowest coarse cell ([[IvfIndex]]
+    * probe-selection rule), fine ties → lowest global id (the struct
+    * sort in `probeCells2`; offsets are monotone so global-id order IS
+    * within-book index order). */
+  private def ivf2OracleSql(m: IvfIndex.Model2): String = {
+    val dotEF =
+      """list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * f.fvd[i])),
+        |            (a, b) -> a + b)""".stripMargin
+    s"""WITH ${ivfAssign2Ctes(m)},
+       |pc AS (SELECT vec_id, vd, nrm, ccell FROM cad
+       |       WHERE rn <= $Ivf2CoarseProbe AND $QueryPredSql),
+       |fr AS (SELECT e.vec_id, e.vd, e.nrm, f.gid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           f.f2 - 2 * $dotEF, f.gid) AS rn
+       |       FROM pc e JOIN fcents f ON f.ccell = e.ccell),
+       |probes AS (SELECT vec_id, vd, nrm, gid AS cell FROM fr
+       |           WHERE rn <= $IvfNprobe),
+       |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+       |      FROM probes q JOIN idx e ON e.cell = q.cell AND e.vec_id != q.vec_id)
+       |${knnSql("p")}""".stripMargin
+  }
+
   /** Two-level assignment CTEs: coarse codebook VALUES + argmin routing
     * (ties → lowest coarse cell), then the routed cell's FINE
     * sub-codebook — embedded with GLOBAL ids precomputed driver-side
@@ -1164,7 +1216,8 @@ object PipelineQueries {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m)) ++
       lastSemModel.map(m => "p49_semdedup" -> semOracleSql(m)) ++
-      lastSemModel2.map(m => "p56_semdedup_two" -> semOracleSql2(m))
+      lastSemModel2.map(m => "p56_semdedup_two" -> semOracleSql2(m)) ++
+      lastIvf2Model.map(m => "p57_embed_ivf2_knn" -> ivf2OracleSql(m))
 
   private val staticOracleSql: Map[String, String] = Map(
     "p1_text_stats" ->

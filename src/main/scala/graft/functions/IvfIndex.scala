@@ -545,8 +545,42 @@ object IvfIndex {
   def knn(emb: DataFrame, model: Model, queryPred: Column, kNeighbors: Int,
           nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val idx = index(emb, model, idCol, vecCol)
-    val queries = Similarity.prep(emb.where(queryPred), vecCol)
-      .withColumn("cell", explode(probeCells(col("vd"), model, nprobe)))
+    knnOnIndex(idx, Similarity.prep(emb.where(queryPred), vecCol)
+        .withColumn("cell", explode(probeCells(col("vd"), model, nprobe))),
+      kNeighbors, idCol)
+  }
+
+  /** [[knn]] through the TWO-LEVEL quantizer — the SAME stored artifact
+    * ([[index2]] + [[Model2]]) that serves [[Similarity.semDedup2]] also
+    * answers similarity search. Probe-cell selection routes the
+    * hierarchy: the `coarseProbe` nearest COARSE cells first (the
+    * [[probeCells]] kernel over the ≤64-cell coarse book), then the fine
+    * centroids of ONLY those cells are ranked and the `nprobe` best
+    * GLOBAL fine cells probed. The fine ranking runs on the QUERY side
+    * — small by contract and broadcast — so its per-element HOF
+    * evaluation is query-bounded, never corpus-bounded; the corpus pays
+    * exactly what [[knn]] pays: one equi-join on the probed cells.
+    * Recall is bounded by the coarse routing (a fine cell of an
+    * unprobed coarse cell is invisible — raise `coarseProbe` to trade
+    * query flops for recall; SketchesSpec pins the measured floor).
+    * Output: (q_id, n_id, sim_micro). */
+  def knn2(emb: DataFrame, model: Model2, queryPred: Column, kNeighbors: Int,
+           nprobe: Int, coarseProbe: Int = 2,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(coarseProbe >= 1, s"coarseProbe must be >= 1 (got $coarseProbe)")
+    val idx = index2(emb, model, idCol, vecCol)
+    knnOnIndex(idx, Similarity.prep(emb.where(queryPred), vecCol)
+        .withColumn("cell",
+          explode(probeCells2(col("vd"), model, nprobe, coarseProbe))),
+      kNeighbors, idCol)
+  }
+
+  /** Shared verify tail: exact cosine within the probed cells, per-query
+    * top-k. The probe side broadcasts — the indexed corpus never
+    * shuffles for the join (the p12 plan pin). */
+  private def knnOnIndex(idx: DataFrame, probes: DataFrame,
+                         kNeighbors: Int, idCol: String): DataFrame = {
+    val queries = probes
       .select(col(idCol).as("q_id"), col("vd").as("qvd"), col("nrm").as("qnrm"), col("cell"))
     val sims = idx.join(broadcast(queries), Seq("cell"))
       .where(col("q_id") =!= col(idCol))
@@ -555,5 +589,28 @@ object IvfIndex {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim_micro").desc, col("n_id"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= kNeighbors)
       .select(col("q_id"), col("n_id"), col("sim_micro"))
+  }
+
+  /** The `nprobe` nearest GLOBAL fine cells among the `coarseProbe`
+    * nearest coarse cells' sub-codebooks: coarse selection via the
+    * [[probeCells]] dispatch (kernel when registered), fine ranking as
+    * a HOF over the nested codebook literals — (distance, global id)
+    * structs flattened across the selected sub-books, sorted (Spark's
+    * struct ordering: distance asc, NaN last, ties to the lower global
+    * id), prefix taken. Query-side only by construction. */
+  private[graft] def probeCells2(vd: Column, m: Model2, nprobe: Int,
+                                 coarseProbe: Int): Column = {
+    val cTop = probeCells(vd, m.coarse, coarseProbe)
+    val fineLit = typedlit(m.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)
+    val fineC2 = typedlit(m.fine.map(_.centroids.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    val offLit = typedlit(m.offsets.toSeq)
+    val scoredNested = transform(cTop, cc => {
+      val sub = element_at(fineLit, cc + 1)
+      val subC2 = element_at(fineC2, cc + 1)
+      transform(sub, (c, i) =>
+        struct((element_at(subC2, i + 1) - lit(2.0) * Similarity.dot(vd, c)).as("d"),
+          (element_at(offLit, cc + 1) + i).cast("int").as("j")))
+    })
+    slice(transform(array_sort(flatten(scoredNested)), _.getField("j")), 1, nprobe)
   }
 }

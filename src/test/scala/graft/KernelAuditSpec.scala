@@ -47,6 +47,7 @@ class KernelAuditSpec extends SparkSpec {
     "p49_semdedup" -> Set("vec_dot", "nearest_cell"),
     "p52_containment" -> Set("trigram_shingles"),
     "p56_semdedup_two" -> Set("vec_dot", "nearest_cell_2"),
+    "p57_embed_ivf2_knn" -> Set("nearest_cell_2"),
     "p6_dedup_ngram" -> Set("trigram_shingles"))
 
   test("positive control: the matcher flags a re-enabled InferFiltersFromGenerate trap plan") {

@@ -518,6 +518,18 @@ class PlanShapeSpec extends SparkSpec {
       s"cell join must stay an equi-join:\n$p")
   }
 
+  test("p57 two-level knn: probe side broadcasts — the indexed corpus never shuffles for the join") {
+    val p = plan("p57_embed_ivf2_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exploded probe cells must broadcast onto the two-level inverted file:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not sort for the cell join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell join must stay an equi-join:\n$p")
+    assert(p.length < 200000,
+      s"plan rendering ballooned (codebook payload leaked?): ${p.length} chars")
+  }
+
   test("p52 containment: shuffled-hash inverted index, build on the test side, train never sorts") {
     val p = plan("p52_containment")
     // r15: hash-not-merge — the merge form sorted the corpus-sized

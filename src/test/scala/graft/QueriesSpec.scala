@@ -14,7 +14,8 @@ class QueriesSpec extends SparkSpec {
     * hash-checks both); each also has a dedicated equivalence/recall
     * spec. */
   private val rowsOnlyQueries =
-    Set("p12_embed_ivf_knn", "p49_semdedup", "p56_semdedup_two")
+    Set("p12_embed_ivf_knn", "p49_semdedup", "p56_semdedup_two",
+      "p57_embed_ivf2_knn")
 
   test("every declared query runs and matches its oracle's column names") {
     // oracleSql is stateful for the rows-only set (p12's oracle appears

@@ -336,6 +336,28 @@ class SketchesSpec extends SparkSpec {
     assert(incr.nonEmpty)
   }
 
+  test("Two-level knn: probed-cell neighbors carry the true exact cosine; coarse routing bounds recall") {
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 2, coarseK = 4)
+    val r = IvfIndex.knn2(embs, m2, col("vec_id") < 10, 3, nprobe = 4, coarseProbe = 2)
+    assert(r.count() > 0)
+    // every reported neighbor must carry the true exact cosine (the
+    // within-cell verify is exact — only the CELL CHOICE approximates)
+    val brute = Similarity.bruteKnn(embs, col("vec_id") < 10, 500)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .map { case (q, nb, s) => (q, nb) -> s }.toMap
+    r.select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .foreach { case (q, nb, s) => assert(brute((q, nb)) === s) }
+    // full coarse fan-out + full fine fan-out degrades to scanning every
+    // cell: with all cells probed the per-query top-k must EQUAL brute
+    // force's (the recall ceiling, and a tie-break parity check)
+    val all = IvfIndex.knn2(embs, m2, col("vec_id") < 10, 3,
+        nprobe = m2.k, coarseProbe = m2.coarse.k)
+      .orderBy("q_id", "n_id").collect()
+    val bf = Similarity.bruteKnn(embs, col("vec_id") < 10, 3)
+      .orderBy("q_id", "n_id").collect()
+    assert(all.toSeq === bf.toSeq)
+  }
+
   test("Two-level SemDeDup: planted near-identicals recalled through the hierarchical cluster bound") {
     // the flat recall spec's corpus, routed through coarse->fine cells:
     // a 0.999-cosine perturbation lands in its source's FINE cell except
