@@ -562,8 +562,14 @@ object IvfIndex {
     * exactly what [[knn]] pays: one equi-join on the probed cells.
     * Recall is bounded by the coarse routing (a fine cell of an
     * unprobed coarse cell is invisible — raise `coarseProbe` to trade
-    * query flops for recall; SketchesSpec pins the measured floor).
-    * Output: (q_id, n_id, sim_micro). */
+    * query flops for recall; SketchesSpec pins the exactness floor and
+    * the full-fan-out == brute-force ceiling). Measured recall@10 on
+    * the rotated-replica corpus (KnnRecallProbe, ×100, ~1.6% of cells
+    * probed on every route): two-level (cp=8, nprobe=25 of 1600) 0.630
+    * vs flat k∝n (nprobe=25) 0.540 vs capped-512 (nprobe=8) 0.485 —
+    * the hierarchy gives the BEST recall per probed volume, on top of
+    * the flat-increment assignment economics; at ×10 (nprobe=8) 0.945
+    * vs 0.905 flat. Output: (q_id, n_id, sim_micro). */
   def knn2(emb: DataFrame, model: Model2, queryPred: Column, kNeighbors: Int,
            nprobe: Int, coarseProbe: Int = 2,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

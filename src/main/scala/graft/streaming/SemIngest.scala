@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.functions.{IvfIndex, Similarity}
+
+/** Semantic dedup-on-ingest LOOP — [[CorpusIngest]] for the EMBEDDING
+  * route: keeps a vector corpus near-duplicate-free (cosine ≥ τ) as
+  * increments arrive, over the TWO-LEVEL quantizer artifact
+  * ([[IvfIndex.trainTwoLevel]]) whose assignment cost stays flat as the
+  * stored corpus grows (the r15 SemKnProbe adjudication). Vector frames
+  * use the embeddings-table convention (`vec_id` long, `embedding`
+  * array<float>, `label`).
+  *
+  * Each micro-batch is ONE [[Similarity.semDedupIncrement2]] call —
+  * its keeper rule (reject a vector iff a LOWER-id vector of the same
+  * fine cell, stored or in-batch, is ≥ τ) does intra-batch AND
+  * cross-corpus admission in the same deterministic pass. Requires the
+  * ingest contract the batch operator documents: APPEND-ONLY ids (new
+  * ids exceed every stored id), the same admission orientation as the
+  * text loop's keep-lowest-id rule.
+  *
+  * The codebook is FROZEN at [[seed]] time and every increment assigns
+  * with it (the [[IvfIndex.loadModel2]] contract — re-training would
+  * silently diverge the cell spaces). Re-seed to re-quantize when the
+  * corpus outgrows the book; admission decisions already made are final
+  * either way.
+  *
+  * State layout (any Hadoop filesystem):
+  * {{{
+  * corpusDir/model/            the Model2 codebooks (written once by seed)
+  * corpusDir/vecs/seed|b<k>/   accepted vectors   (parquet)
+  * corpusDir/index/seed|b<k>/  their index2 rows  (vec_id, vd, nrm, cell)
+  * }}}
+  *
+  * EXACTLY-ONCE admission via batch-id idempotence, exactly the
+  * [[CorpusIngest]] device: per-batch dirs written with overwrite, the
+  * probe reads ONLY strictly-earlier index dirs, so a replayed batch
+  * cannot see its failed attempt's rows and recomputes the identical
+  * decision (pinned by the replay case in SemIngestSpec).
+  *
+  * Scale shape: the stored index is scanned once per batch and never
+  * shuffled (the assigned batch broadcasts — the semDedupIncrement2
+  * geometry); batch assignment pays coarseK + k/coarseK dots per
+  * vector. Compact the per-batch dirs offline with [[compact]]. */
+object SemIngest {
+
+  /** Bootstrap: train the two-level book on the seed corpus (fine cells
+    * sized to it via `kTotal`), persist model + vectors + index. */
+  def seed(embs: DataFrame, corpusDir: String, kTotal: Int, iters: Int = 3,
+           coarseK: Int = IvfIndex.DefaultCoarseK): Unit = {
+    val spark = embs.sparkSession
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal, iters, coarseK = coarseK)
+    IvfIndex.saveModel2(m2, s"$corpusDir/model")(spark)
+    embs.write.mode("overwrite").parquet(s"$corpusDir/vecs/seed")
+    IvfIndex.index2(embs, m2)
+      .write.mode("overwrite").parquet(s"$corpusDir/index/seed")
+  }
+
+  /** Index directories visible to `batchId`: `seed` plus `b<k>` for
+    * k < batchId (NEVER the current batch — replay determinism). */
+  private def priorIndexDirs(spark: SparkSession, corpusDir: String,
+                             batchId: Long): Seq[String] = {
+    val idx = new Path(s"$corpusDir/index")
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(idx)) Seq.empty
+    else fs.listStatus(idx).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName == "seed" ||
+          (p.getName.startsWith("b") &&
+            p.getName.drop(1).toLongOption.exists(_ < batchId))
+      }
+      .map(_.toString).sorted
+  }
+
+  /** The foreachBatch handler (usable directly against a batch frame —
+    * the spec's replay case does exactly that). */
+  def handler(corpusDir: String, thresholdMicro: Long)
+  : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val m2 = IvfIndex.loadModel2(s"$corpusDir/model")(spark)
+    val prior = priorIndexDirs(spark, corpusDir, batchId)
+    val verdicts =
+      if (prior.isEmpty) Similarity.semDedup2(batch, m2, thresholdMicro)
+      else Similarity.semDedupIncrement2(
+        spark.read.parquet(prior: _*), batch, m2, thresholdMicro)
+    val accepted = batch.join(
+      verdicts.where(col("dup_of").isNull).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    accepted.write.mode("overwrite").parquet(s"$corpusDir/vecs/b$batchId")
+    IvfIndex.index2(accepted, m2)
+      .write.mode("overwrite").parquet(s"$corpusDir/index/b$batchId")
+  }
+
+  /** The whole accepted corpus (seed + every committed batch);
+    * `_`-prefixed compaction temp dirs are invisible. */
+  def corpus(spark: SparkSession, corpusDir: String): DataFrame = {
+    val root = new Path(s"$corpusDir/vecs")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName == "seed" || p.getName.matches("b\\d+"))
+        .map(_.toString).sorted
+    require(dirs.nonEmpty, s"no ingested corpus under $corpusDir/vecs")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Wire a streaming embedding frame into the loop:
+    * `SemIngest.start(embs, dir, ckpt, 950000L).start()`. */
+  def start(embs: DataFrame, corpusDir: String, checkpointDir: String,
+            thresholdMicro: Long)
+  : DataStreamWriter[org.apache.spark.sql.Row] =
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(handler(corpusDir, thresholdMicro))
+
+  /** Offline compaction — the [[CorpusIngest.compact]] contract: fold
+    * per-batch dirs into `seed/` (bytes move, decisions never re-judged;
+    * index rows reused, vectors never re-assigned). Same crash contract:
+    * temp-dir write, swap, then cleanup; a crash between swap and
+    * cleanup leaves duplicate rows that make identical reject decisions
+    * and fold away on the next compact. Run only with no active ingest
+    * query and the last batch committed. */
+  def compact(spark: SparkSession, corpusDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def swap(sub: String): Unit = {
+      val root = new Path(s"$corpusDir/$sub")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return
+      val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_"))
+      if (dirs.size <= 1) return
+      val all = spark.read.parquet(dirs.map(_.toString): _*)
+        .dropDuplicates(Seq("vec_id"))
+      val tmp = new Path(root, "_compact_tmp")
+      all.write.mode("overwrite").parquet(tmp.toString)
+      val seed = new Path(root, "seed")
+      val old = new Path(root, s"_old_${System.nanoTime()}")
+      if (fs.exists(seed)) fs.rename(seed, old)
+      fs.rename(tmp, seed)
+      dirs.filter(_.getName != "seed").foreach(fs.delete(_, true))
+      fs.delete(old, true)
+      ()
+    }
+    swap("vecs")
+    swap("index")
+  }
+}
