@@ -172,12 +172,14 @@ object IvfIndex {
     } finally full.unpersist()
   }
 
-  /** Codebook size above which [[index]] switches from the inlined
-    * projection to the broadcast-join assignment: [[cellOf]] expands to
-    * k (c², centroid-literal, vec_dot) triples inside ONE projection,
-    * which overflows the JVM's 64 KB method limit near k≈100 and drops
-    * the whole stage to interpreted mode (measured: k=160 spews
-    * `Code grows beyond 64 KB` and falls back). */
+  /** KERNEL-LESS-session fallback boundary (since r15 the registered
+    * kernel handles every k — see [[assignCol]]): below it the unrolled
+    * [[cellOf]] projection, above it the interpreted HOF twin.
+    * [[cellOf]] expands to k (c², centroid-literal, vec_dot) triples
+    * inside ONE projection, which overflows the JVM's 64 KB method
+    * limit near k≈100 and drops the whole stage to interpreted mode
+    * (measured: k=160 spews `Code grows beyond 64 KB` and falls
+    * back). */
   val InlineAssignMaxK = 64
 
   /** Assignment dispatch (r15): the registered kernel at ANY k — the
