@@ -58,18 +58,13 @@ object CorpusIngest {
   /** Index directories visible to `batchId`: `seed` plus `b<k>` for
     * k < batchId (NEVER the current batch — replay determinism). */
   private def priorIndexDirs(spark: SparkSession, corpusDir: String,
-                             batchId: Long): Seq[String] = {
-    val idx = new Path(s"$corpusDir/index")
-    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(idx)) Seq.empty
-    else fs.listStatus(idx).toSeq.filter(_.isDirectory).map(_.getPath)
+                             batchId: Long): Seq[String] =
+    CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
       .filter { p =>
         p.getName == "seed" ||
-          (p.getName.startsWith("b") &&
-            p.getName.drop(1).toLongOption.exists(_ < batchId))
+          p.getName.drop(1).toLongOption.exists(_ < batchId)
       }
-      .map(_.toString).sorted
-  }
+      .map(_.toString)
 
   /** The foreachBatch handler (usable directly against a batch frame —
     * the spec's replay case does exactly that). */
@@ -102,15 +97,12 @@ object CorpusIngest {
 
   /** The whole accepted corpus (seed + every committed batch).
     * Only `seed` and `b<n>` directories are read — compaction temp /
-    * retired dirs (`_`-prefixed) are invisible, so a reader racing a
-    * crashed compact() never double-counts. */
+    * retired dirs (`_`-prefixed) are invisible, and a crashed compact()
+    * swap is healed before reading ([[CompactDirs.recover]]), so a
+    * reader never double-counts and never sees a seedless window. */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame = {
-    val root = new Path(s"$corpusDir/docs")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs = if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName == "seed" || p.getName.matches("b\\d+"))
-        .map(_.toString).sorted
+    val dirs = CompactDirs.readableDirs(spark, new Path(s"$corpusDir/docs"))
+      .map(_.toString)
     require(dirs.nonEmpty, s"no ingested corpus under $corpusDir/docs")
     spark.read.parquet(dirs: _*)
   }
@@ -130,37 +122,24 @@ object CorpusIngest {
     * never re-judges). Index rows are REUSED, not recomputed: the
     * corpus' text is not re-shingled.
     *
-    * Crash contract: the consolidated seed is written to a `_`-prefixed
-    * temp dir (invisible to readers), swapped in, and only then are the
-    * batch dirs removed. A crash before the swap changes nothing; a
-    * crash between swap and cleanup leaves batch dirs whose rows are
-    * already in seed — ADMISSION stays correct (a duplicate signature
-    * row makes the same reject decision) and the next compact() folds
-    * the duplicates away (it dedupes on id); docs are never lost.
+    * Crash contract ([[CompactDirs]]): the consolidated seed is written
+    * to a `_`-prefixed temp dir (invisible to readers), swapped in, and
+    * only then are the batch dirs removed. A crash before the swap
+    * changes nothing; a crash ANYWHERE in the swap — including between
+    * the two seed renames — is healed by [[CompactDirs.recover]]
+    * (which every read path and the next compact run first: it rolls
+    * the directory back to its exact pre-compact state); a crash
+    * between swap and cleanup leaves batch dirs whose rows are already
+    * in seed — ADMISSION stays correct (a duplicate signature row makes
+    * the same reject decision) and the next compact() folds the
+    * duplicates away (it dedupes on id); docs are never lost.
     *
     * Run only while no ingest query is active AND after the query's
     * last batch is committed to its checkpoint (clean stop() after
     * processAllAvailable): folding an UNCOMMITTED trailing batch into
     * seed would make its replay probe its own rows and self-reject. */
   def compact(spark: SparkSession, corpusDir: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    def swap(sub: String): Unit = {
-      val root = new Path(s"$corpusDir/$sub")
-      val fs = root.getFileSystem(conf)
-      if (!fs.exists(root)) return
-      val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      if (dirs.size <= 1) return
-      val all = spark.read.parquet(dirs.map(_.toString): _*)
-        .dropDuplicates(if (sub == "docs") Seq("doc_id") else Seq("sid"))
-      val tmp = new Path(root, "_compact_tmp")
-      all.write.mode("overwrite").parquet(tmp.toString)
-      val seed = new Path(root, "seed")
-      val old = new Path(root, s"_old_${System.nanoTime()}")
-      if (fs.exists(seed)) fs.rename(seed, old)
-      fs.rename(tmp, seed)
-      (dirs.filterNot(_.getName == "seed") :+ old).foreach(fs.delete(_, true))
-    }
-    swap("docs")
-    swap("index")
+    CompactDirs.swap(spark, new Path(s"$corpusDir/docs"), Seq("doc_id"))
+    CompactDirs.swap(spark, new Path(s"$corpusDir/index"), Seq("sid"))
   }
 }

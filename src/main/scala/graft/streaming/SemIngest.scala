@@ -63,18 +63,13 @@ object SemIngest {
   /** Index directories visible to `batchId`: `seed` plus `b<k>` for
     * k < batchId (NEVER the current batch — replay determinism). */
   private def priorIndexDirs(spark: SparkSession, corpusDir: String,
-                             batchId: Long): Seq[String] = {
-    val idx = new Path(s"$corpusDir/index")
-    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(idx)) Seq.empty
-    else fs.listStatus(idx).toSeq.filter(_.isDirectory).map(_.getPath)
+                             batchId: Long): Seq[String] =
+    CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
       .filter { p =>
         p.getName == "seed" ||
-          (p.getName.startsWith("b") &&
-            p.getName.drop(1).toLongOption.exists(_ < batchId))
+          p.getName.drop(1).toLongOption.exists(_ < batchId)
       }
-      .map(_.toString).sorted
-  }
+      .map(_.toString)
 
   /** The foreachBatch handler (usable directly against a batch frame —
     * the spec's replay case does exactly that). */
@@ -96,14 +91,12 @@ object SemIngest {
   }
 
   /** The whole accepted corpus (seed + every committed batch);
-    * `_`-prefixed compaction temp dirs are invisible. */
+    * `_`-prefixed compaction temp dirs are invisible, and a crashed
+    * [[compact]] swap is healed before reading
+    * ([[CompactDirs.recover]]). */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame = {
-    val root = new Path(s"$corpusDir/vecs")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs = if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName == "seed" || p.getName.matches("b\\d+"))
-        .map(_.toString).sorted
+    val dirs = CompactDirs.readableDirs(spark, new Path(s"$corpusDir/vecs"))
+      .map(_.toString)
     require(dirs.nonEmpty, s"no ingested corpus under $corpusDir/vecs")
     spark.read.parquet(dirs: _*)
   }
@@ -119,33 +112,17 @@ object SemIngest {
 
   /** Offline compaction — the [[CorpusIngest.compact]] contract: fold
     * per-batch dirs into `seed/` (bytes move, decisions never re-judged;
-    * index rows reused, vectors never re-assigned). Same crash contract:
-    * temp-dir write, swap, then cleanup; a crash between swap and
-    * cleanup leaves duplicate rows that make identical reject decisions
-    * and fold away on the next compact. Run only with no active ingest
-    * query and the last batch committed. */
+    * index rows reused, vectors never re-assigned). Crash contract
+    * ([[CompactDirs]]): the swap window is RECOVERABLE — a crash at any
+    * point (including between the two seed renames) loses nothing,
+    * because every read path and the next compact first run
+    * [[CompactDirs.recover]], which rolls the directory back to its
+    * exact pre-compact state; duplicate rows left across seed and
+    * batch dirs (the post-swap cleanup window) make identical reject
+    * decisions and fold away on the next compact. Run only with no
+    * active ingest query and the last batch committed. */
   def compact(spark: SparkSession, corpusDir: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    def swap(sub: String): Unit = {
-      val root = new Path(s"$corpusDir/$sub")
-      val fs = root.getFileSystem(conf)
-      if (!fs.exists(root)) return
-      val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(p => !p.getName.startsWith("_"))
-      if (dirs.size <= 1) return
-      val all = spark.read.parquet(dirs.map(_.toString): _*)
-        .dropDuplicates(Seq("vec_id"))
-      val tmp = new Path(root, "_compact_tmp")
-      all.write.mode("overwrite").parquet(tmp.toString)
-      val seed = new Path(root, "seed")
-      val old = new Path(root, s"_old_${System.nanoTime()}")
-      if (fs.exists(seed)) fs.rename(seed, old)
-      fs.rename(tmp, seed)
-      dirs.filter(_.getName != "seed").foreach(fs.delete(_, true))
-      fs.delete(old, true)
-      ()
-    }
-    swap("vecs")
-    swap("index")
+    CompactDirs.swap(spark, new Path(s"$corpusDir/vecs"), Seq("vec_id"))
+    CompactDirs.swap(spark, new Path(s"$corpusDir/index"), Seq("vec_id"))
   }
 }

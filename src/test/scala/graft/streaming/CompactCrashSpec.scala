@@ -1,0 +1,193 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Crash-injection coverage for the [[CompactDirs]] swap: a compact
+  * that dies BETWEEN the two seed renames leaves the seed payload only
+  * under `_`-prefixed dirs — before round 16 that state was invisible
+  * to readers and the NEXT compact rebuilt seed from the batch dirs
+  * alone, making the loss permanent (the r15 verdict's top item). Every
+  * case here constructs the exact mid-window filesystem state the real
+  * swap passes through and asserts full recovery via recover-on-read
+  * and via the next compact, for both ingest loops. */
+class CompactCrashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(root: Path) =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Reproduce [[CompactDirs.swap]] verbatim up to and including the
+    * FIRST rename, then stop — the crash point the r15 verdict
+    * identified: seed renamed away, staged payload not yet promoted. */
+  private def crashBetweenRenames(spark: SparkSession, root: Path,
+                                  dedupCols: Seq[String]): Unit = {
+    val fs = fsOf(root)
+    val dirs = CompactDirs.visibleDirs(fs, root)
+    val all = spark.read.parquet(dirs.map(_.toString): _*)
+      .dropDuplicates(dedupCols)
+    val tmp = new Path(root, "_compact_tmp")
+    all.write.mode("overwrite").parquet(tmp.toString)
+    val seed = new Path(root, "seed")
+    assert(fs.rename(seed, new Path(root, "_old_1")))
+    // CRASH — rename(tmp, seed) never runs
+  }
+
+  private def names(root: Path): Set[String] =
+    fsOf(root).listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+
+  // ---------------------------------------------------------------- //
+  // SemIngest (vecs/index, vec_id)                                   //
+  // ---------------------------------------------------------------- //
+
+  private val Tau = 990000L
+  private val Dim = 8
+  private def base(tag: Int): Array[Float] = {
+    val v = Array.fill(Dim)(0.01f); v(tag % Dim) = 1.0f; v
+  }
+  private def near(tag: Int): Array[Float] = {
+    val v = base(tag); v((tag + 1) % Dim) += 0.02f; v
+  }
+  private def mkEmbs(rows: (Long, Array[Float])*) =
+    rows.toSeq.map { case (id, v) => (id, v.toSeq, "t") }
+      .toDF("vec_id", "embedding", "label")
+
+  test("SemIngest: crash between the seed renames — corpus() heals, seed rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_crash").toString
+    val h = SemIngest.handler(dir, Tau)
+    SemIngest.seed(mkEmbs(1L -> base(0), 2L -> base(1)), dir,
+      kTotal = 8, coarseK = 2)
+    h(mkEmbs(10L -> base(2)), 0L)
+    h(mkEmbs(11L -> base(3)), 1L)
+    val expected = SemIngest.corpus(spark, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+
+    val vecs = new Path(s"$dir/vecs"); val index = new Path(s"$dir/index")
+    crashBetweenRenames(spark, vecs, Seq("vec_id"))
+    crashBetweenRenames(spark, index, Seq("vec_id"))
+    // the mid-window state: NO seed dir, payload only under `_` dirs
+    assert(!names(vecs).contains("seed") && !names(index).contains("seed"))
+
+    // recover-on-read: corpus() sees every row, and seed is back
+    val healed = SemIngest.corpus(spark, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(healed === expected)
+    assert(names(vecs).contains("seed"))
+
+    // a subsequent compact converges to seed-only with nothing lost
+    SemIngest.compact(spark, dir)
+    assert(names(vecs) === Set("seed") && names(index) === Set("seed"))
+    val after = SemIngest.corpus(spark, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(after === expected)
+
+    // admission against the recovered index still rejects a near-dup of
+    // a seed-era vector and admits a fresh one
+    h(mkEmbs(20L -> near(2), 21L -> base(4)), 2L)
+    val ids = SemIngest.corpus(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 10L, 11L, 21L))
+  }
+
+  test("SemIngest: crash mid-window then compact directly — the old 'loss goes durable' path") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_crash2").toString
+    val h = SemIngest.handler(dir, Tau)
+    SemIngest.seed(mkEmbs(1L -> base(0)), dir, kTotal = 8, coarseK = 2)
+    h(mkEmbs(10L -> base(2)), 0L)
+    val expected = SemIngest.corpus(spark, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+
+    crashBetweenRenames(spark, new Path(s"$dir/vecs"), Seq("vec_id"))
+    crashBetweenRenames(spark, new Path(s"$dir/index"), Seq("vec_id"))
+    // compact (NOT a read) from the crashed state: pre-r16 this rebuilt
+    // seed from the batch dirs alone and the seed corpus vanished
+    SemIngest.compact(spark, dir)
+    val after = SemIngest.corpus(spark, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(after === expected)
+  }
+
+  // ---------------------------------------------------------------- //
+  // CorpusIngest (docs/index, doc_id/sid)                            //
+  // ---------------------------------------------------------------- //
+
+  private def body(tag: String) =
+    s"the $tag story begins when $tag sailors leave the $tag harbor " +
+      s"carrying $tag charts and $tag rations toward the $tag strait " +
+      s"hoping the $tag winds hold until the $tag lighthouse appears"
+  private def edited(tag: String) = body(tag) + " slowly"
+  private def mkDocs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("CorpusIngest: crash between the seed renames — corpus() and next compact recover every doc") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_crash").toString
+    val h = CorpusIngest.handler(dir, 8, 800)
+    CorpusIngest.seed(mkDocs(1L -> body("alpha")), dir, 8)
+    h(mkDocs(10L -> body("gamma")), 0L)
+    h(mkDocs(11L -> body("delta")), 1L)
+    val expected = CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val docs = new Path(s"$dir/docs"); val index = new Path(s"$dir/index")
+    crashBetweenRenames(spark, docs, Seq("doc_id"))
+    crashBetweenRenames(spark, index, Seq("sid"))
+    assert(!names(docs).contains("seed"))
+
+    val healed = CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(healed === expected)
+
+    CorpusIngest.compact(spark, dir)
+    assert(names(docs) === Set("seed") && names(index) === Set("seed"))
+    assert(CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === expected)
+
+    // admission unchanged: near-dup of the seed doc rejects via the
+    // recovered index, fresh doc lands
+    h(mkDocs(20L -> edited("alpha"), 21L -> body("epsilon")), 2L)
+    val ids = CorpusIngest.corpus(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 10L, 11L, 21L))
+  }
+
+  // ---------------------------------------------------------------- //
+  // CompactDirs.recover edge states                                  //
+  // ---------------------------------------------------------------- //
+
+  test("recover: retired seed with no staged payload is restored from the newest _old_") {
+    val dir = java.nio.file.Files.createTempDirectory("recover_old").toString
+    val root = new Path(s"$dir/docs")
+    mkDocs(1L -> "a", 2L -> "b").write.parquet(s"$root/seed")
+    val fs = fsOf(root)
+    assert(fs.rename(new Path(root, "seed"), new Path(root, "_old_7")))
+    // a stale OLDER generation must lose to the newest one
+    mkDocs(99L -> "stale").write.parquet(s"$root/_old_3")
+
+    CompactDirs.recover(fs, root)
+    assert(names(root) === Set("seed"))
+    assert(spark.read.parquet(s"$root/seed").select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("recover: a partial _compact_tmp left beside a live seed is deleted, and compact proceeds") {
+    val dir = java.nio.file.Files.createTempDirectory("recover_tmp").toString
+    val h = CorpusIngest.handler(dir, 8, 800)
+    CorpusIngest.seed(mkDocs(1L -> body("alpha")), dir, 8)
+    h(mkDocs(10L -> body("gamma")), 0L)
+    val expected = CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    // a compact that died mid-write leaves a garbage staging dir; the
+    // pre-r16 CorpusIngest.compact read EVERY subdir and would choke
+    val junk = new java.io.File(s"$dir/docs/_compact_tmp")
+    junk.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      junk.toString, "part-garbage.parquet"), Array[Byte](1, 2, 3))
+
+    CorpusIngest.compact(spark, dir)
+    assert(names(new Path(s"$dir/docs")) === Set("seed"))
+    assert(CorpusIngest.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === expected)
+  }
+}
