@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,10 +59,11 @@ object IvfIndex {
     array(c.map(lit(_)).toSeq: _*)
 
   /** Distance rank: cell = argmin_j ||x - c_j||^2 = argmin_j (||c_j||^2 - 2 x·c_j). */
-  private def cellOf(vd: Column, model: Model): Column = {
+  private def cellOf(vd: Column, model: Model,
+                     session: SparkSession = SparkSession.active): Column = {
     val scored = model.centroids.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c))).as("d"),
+      struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c), session)).as("d"),
         lit(j).as("j"))
     }
     array_min(array(scored.toSeq: _*)).getField("j")
@@ -116,7 +117,8 @@ object IvfIndex {
       val native = emb.sparkSession.catalog.functionExists("vec_sum_fixed")
       (1 to iters).foreach { _ =>
         val model = Model(centroids)
-        val assigned = p.withColumn("cell", assignCol(col("vd"), model))
+        val assigned = p.withColumn("cell",
+          assignCol(col("vd"), model, emb.sparkSession))
         // per-cell per-dimension sums WITHOUT exploding the corpus by dim:
         // the one-buffer [[expr.VecSumFixed]] aggregate sums whole vectors
         // per update call (k·(dim+1) longs across the exchange); the
@@ -192,10 +194,17 @@ object IvfIndex {
     * artifacts, same sums). Kernel-less sessions keep the size
     * dispatch: the inline form codegens fine to k≈100, the interpreted
     * HOF twin takes over beyond. */
-  private def assignCol(vd: Column, model: Model): Column =
-    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell")
-        || model.k > InlineAssignMaxK) cellOfFolded(vd, model)
-    else cellOf(vd, model)
+  // Kernels resolve against the session that OWNS the input DataFrame —
+  // every DataFrame-level entry threads it (the [[Similarity.dot]]
+  // session-explicit contract: under `newSession()`/multi-session
+  // drivers the active session may lack the extension and would
+  // silently take the interpreted path or fail analysis). The
+  // active-session default exists only for column-level/spec use.
+  private def assignCol(vd: Column, model: Model,
+                        session: SparkSession = SparkSession.active): Column =
+    if (session.catalog.functionExists("nearest_cell")
+        || model.k > InlineAssignMaxK) cellOfFolded(vd, model, session)
+    else cellOf(vd, model, session)
 
   /** Corpus with cell assignment (the "inverted file"). Assignment via
     * [[assignCol]] (kernel whenever registered; inline/HOF fallbacks) —
@@ -203,7 +212,7 @@ object IvfIndex {
   def index(emb: DataFrame, model: Model,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.prep(emb, vecCol)
-      .withColumn("cell", assignCol(col("vd"), model))
+      .withColumn("cell", assignCol(col("vd"), model, emb.sparkSession))
       .select(col(idCol), col("vd"), col("nrm"), col("cell"))
 
   /** [[index]] forced down the small-codebook INLINE projection
@@ -212,14 +221,14 @@ object IvfIndex {
                                           idCol: String = "vec_id",
                                           vecCol: String = "embedding"): DataFrame =
     Similarity.prep(emb, vecCol)
-      .withColumn("cell", cellOf(col("vd"), model))
+      .withColumn("cell", cellOf(col("vd"), model, emb.sparkSession))
       .select(col(idCol), col("vd"), col("nrm"), col("cell"))
 
   /** [[index]] forced down the large-codebook path (spec hook). */
   def indexViaFoldedAssign(emb: DataFrame, model: Model,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.prep(emb, vecCol)
-      .withColumn("cell", cellOfFolded(col("vd"), model))
+      .withColumn("cell", cellOfFolded(col("vd"), model, emb.sparkSession))
       .select(col(idCol), col("vd"), col("nrm"), col("cell"))
 
   /** Large-codebook assignment: the same argmin as ONE constant-size
@@ -237,7 +246,8 @@ object IvfIndex {
     * lowest-cell ties) in 3.5 s at the same point. The HOF form remains
     * below as the composable twin (parity-pinned in SketchesSpec) for
     * sessions without the extension. */
-  private def cellOfFolded(vd: Column, model: Model): Column = {
+  private def cellOfFolded(vd: Column, model: Model,
+                           session: SparkSession = SparkSession.active): Column = {
     // typedlit, NOT array(lit...): CreateArray of k×dim lit nodes is a
     // ~32k-node expression tree PER occurrence (one per union branch /
     // join side), and the analyzer walks every node of every copy on
@@ -251,7 +261,7 @@ object IvfIndex {
     // work combined (AssignProbe r15, the SemDeDup increment: 5.7 s wall
     // vs ~4 s SUMMED task time across 32 cores; packed literals are one
     // primitive byte[] each)
-    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell"))
+    if (session.catalog.functionExists("nearest_cell"))
       call_function("nearest_cell", vd,
         lit(graft.functions.expr.CodebookCodec.packMatrix(model.centroids)),
         lit(graft.functions.expr.CodebookCodec.packVector(
@@ -264,7 +274,8 @@ object IvfIndex {
         struct(lit(c2).as("c2"), centroidCol(c).as("cvd"), lit(j).as("j"))
       }.toSeq: _*)
       array_min(transform(cents, ct =>
-        struct((ct.getField("c2") - lit(2.0) * Similarity.dot(vd, ct.getField("cvd")))
+        struct((ct.getField("c2") -
+          lit(2.0) * Similarity.dot(vd, ct.getField("cvd"), session))
           .as("d"), ct.getField("j").as("j")))).getField("j")
     }
   }
@@ -275,22 +286,25 @@ object IvfIndex {
     * ceiling at the same k≈100 as the assignment projection, so large
     * codebooks go through the [[graft.functions.expr.NearestCells]]
     * kernel (parity-pinned in SketchesSpec). */
-  private def probeCells(vd: Column, model: Model, nprobe: Int): Column =
-    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cells")
-        || model.k > InlineAssignMaxK) probeCellsFolded(vd, model, nprobe)
-    else probeCellsInline(vd, model, nprobe)
+  private def probeCells(vd: Column, model: Model, nprobe: Int,
+                         session: SparkSession = SparkSession.active): Column =
+    if (session.catalog.functionExists("nearest_cells")
+        || model.k > InlineAssignMaxK) probeCellsFolded(vd, model, nprobe, session)
+    else probeCellsInline(vd, model, nprobe, session)
 
-  private[functions] def probeCellsInline(vd: Column, model: Model, nprobe: Int): Column = {
+  private[functions] def probeCellsInline(vd: Column, model: Model, nprobe: Int,
+      session: SparkSession = SparkSession.active): Column = {
     val scored = model.centroids.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c))).as("d"),
+      struct((lit(c2) - lit(2.0) * Similarity.dot(vd, centroidCol(c), session)).as("d"),
         lit(j).as("j"))
     }
     slice(transform(array_sort(array(scored.toSeq: _*)), _.getField("j")), 1, nprobe)
   }
 
-  private[functions] def probeCellsFolded(vd: Column, model: Model, nprobe: Int): Column = {
-    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cells"))
+  private[functions] def probeCellsFolded(vd: Column, model: Model, nprobe: Int,
+      session: SparkSession = SparkSession.active): Column = {
+    if (session.catalog.functionExists("nearest_cells"))
       call_function("nearest_cells", vd,
         lit(graft.functions.expr.CodebookCodec.packMatrix(model.centroids)),
         lit(graft.functions.expr.CodebookCodec.packVector(
@@ -303,7 +317,8 @@ object IvfIndex {
       // the hot path): score every centroid by position, full sort,
       // prefix — the inline route's shape over the folded literal
       val scored = transform(centsLit, (c, i) =>
-        struct((element_at(c2sLit, i + 1) - lit(2.0) * Similarity.dot(vd, c)).as("d"),
+        struct((element_at(c2sLit, i + 1) -
+          lit(2.0) * Similarity.dot(vd, c, session)).as("d"),
           i.cast("int").as("j")))
       slice(transform(array_sort(scored), _.getField("j")), 1, nprobe)
     }
@@ -339,9 +354,10 @@ object IvfIndex {
     * composable twin below (element_at over nested literals + HOF
     * argmin, interpreted) is the parity anchor for sessions without the
     * extension, pinned row-identical in SketchesSpec. */
-  private[graft] def cell2Of(vd: Column, m: Model2): Column = {
+  private[graft] def cell2Of(vd: Column, m: Model2,
+      session: SparkSession = SparkSession.active): Column = {
     import graft.functions.expr.CodebookCodec
-    if (org.apache.spark.sql.SparkSession.active.catalog.functionExists("nearest_cell_2"))
+    if (session.catalog.functionExists("nearest_cell_2"))
       call_function("nearest_cell_2", vd,
         lit(CodebookCodec.packMatrix(m.coarse.centroids)),
         lit(CodebookCodec.packVector(
@@ -349,22 +365,24 @@ object IvfIndex {
         lit(CodebookCodec.packNested(m.fine.map(_.centroids))),
         lit(CodebookCodec.packMatrix(
           m.fine.map(_.centroids.map(c => c.map(x => x * x).sum)))))
-    else cell2OfTwin(vd, m)
+    else cell2OfTwin(vd, m, session)
   }
 
   /** The composable two-level assignment (no extension required):
     * coarse route via [[cellOfFolded]], then element_at into the nested
     * fine literals and a HOF argmin — interpreted per element, the
     * parity anchor, never the hot path (parity-pinned in SketchesSpec). */
-  private[graft] def cell2OfTwin(vd: Column, m: Model2): Column = {
+  private[graft] def cell2OfTwin(vd: Column, m: Model2,
+      session: SparkSession = SparkSession.active): Column = {
     val fineLit = typedlit(m.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)
     val fineC2 = typedlit(m.fine.map(_.centroids.map(c => c.map(x => x * x).sum).toSeq).toSeq)
-    val cc = cellOfFolded(vd, m.coarse)
+    val cc = cellOfFolded(vd, m.coarse, session)
     val offLit = typedlit(m.offsets.toSeq)
     val sub = element_at(fineLit, cc + 1)
     val subC2 = element_at(fineC2, cc + 1)
     val scored = transform(sub, (c, i) =>
-      struct((element_at(subC2, i + 1) - lit(2.0) * Similarity.dot(vd, c)).as("d"),
+      struct((element_at(subC2, i + 1) -
+        lit(2.0) * Similarity.dot(vd, c, session)).as("d"),
         i.cast("int").as("j")))
     (element_at(offLit, cc + 1) +
       when(size(sub) === 0, lit(0))
@@ -391,7 +409,15 @@ object IvfIndex {
     *
     * Deterministic at any partitioning: hash-sample + hash-ordered
     * row_number caps, id-ordered seeds, fixed-point long accumulation
-    * (the [[train]] devices). */
+    * (the [[train]] devices).
+    *
+    * `kTotal` is a TARGET rounded UP to a multiple of the coarse size:
+    * every coarse cell trains `ceil(kTotal/coarseK)` fine centroids, so
+    * the realized [[Model2.k]] can exceed `kTotal` by up to coarseK−1
+    * (e.g. kTotal=100 at coarseK=64 yields 128 cells) — and can come in
+    * BELOW it when sparse coarse cells train ragged (fewer) sub-books.
+    * Callers sizing k ∝ n for pair-scan density get at least the
+    * requested cell budget; read the realized count off `Model2.k`. */
   def trainTwoLevel(emb: DataFrame, kTotal: Int, iters: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     coarseK: Int = DefaultCoarseK,
@@ -423,7 +449,7 @@ object IvfIndex {
       val cw = Window.partitionBy(col("_cc"))
         .orderBy(xxhash64(col(idCol)), col(idCol))
       cellSample = sampled
-        .withColumn("_cc", assignCol(col("vd"), coarse))
+        .withColumn("_cc", assignCol(col("vd"), coarse, spark))
         .withColumn("_rn", row_number().over(cw))
         .where(col("_rn") <= maxTrainPerCell)
         .select(col(idCol), col("vd"), col("_cc"))
@@ -450,7 +476,7 @@ object IvfIndex {
           fines.zipWithIndex.flatMap { case (fm, c) =>
             (0 until fm.k).map(j => (c, j))
           }
-        val assigned = cellSample.withColumn("_g", cell2Of(col("vd"), m2))
+        val assigned = cellSample.withColumn("_g", cell2Of(col("vd"), m2, spark))
         val next = fines.map(_.centroids.map(_.clone()))
         def fold(g: Int, n: Long, s: Int => Option[Long], len: Int): Unit =
           if (g >= 0 && g < gToCell.length && n > 0) {
@@ -501,7 +527,7 @@ object IvfIndex {
   def index2(emb: DataFrame, model: Model2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.prep(emb, vecCol)
-      .withColumn("cell", cell2Of(col("vd"), model))
+      .withColumn("cell", cell2Of(col("vd"), model, emb.sparkSession))
       .select(col(idCol), col("vd"), col("nrm"), col("cell"))
 
   /** Persist the two-level codebook next to its inverted file (the
@@ -548,7 +574,8 @@ object IvfIndex {
           nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val idx = index(emb, model, idCol, vecCol)
     knnOnIndex(idx, Similarity.prep(emb.where(queryPred), vecCol)
-        .withColumn("cell", explode(probeCells(col("vd"), model, nprobe))),
+        .withColumn("cell",
+          explode(probeCells(col("vd"), model, nprobe, emb.sparkSession))),
       kNeighbors, idCol)
   }
 
@@ -579,7 +606,8 @@ object IvfIndex {
     val idx = index2(emb, model, idCol, vecCol)
     knnOnIndex(idx, Similarity.prep(emb.where(queryPred), vecCol)
         .withColumn("cell",
-          explode(probeCells2(col("vd"), model, nprobe, coarseProbe))),
+          explode(probeCells2(col("vd"), model, nprobe, coarseProbe,
+            emb.sparkSession))),
       kNeighbors, idCol)
   }
 
@@ -607,8 +635,8 @@ object IvfIndex {
     * struct ordering: distance asc, NaN last, ties to the lower global
     * id), prefix taken. Query-side only by construction. */
   private[graft] def probeCells2(vd: Column, m: Model2, nprobe: Int,
-                                 coarseProbe: Int): Column = {
-    val cTop = probeCells(vd, m.coarse, coarseProbe)
+      coarseProbe: Int, session: SparkSession = SparkSession.active): Column = {
+    val cTop = probeCells(vd, m.coarse, coarseProbe, session)
     val fineLit = typedlit(m.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)
     val fineC2 = typedlit(m.fine.map(_.centroids.map(c => c.map(x => x * x).sum).toSeq).toSeq)
     val offLit = typedlit(m.offsets.toSeq)
@@ -616,7 +644,8 @@ object IvfIndex {
       val sub = element_at(fineLit, cc + 1)
       val subC2 = element_at(fineC2, cc + 1)
       transform(sub, (c, i) =>
-        struct((element_at(subC2, i + 1) - lit(2.0) * Similarity.dot(vd, c)).as("d"),
+        struct((element_at(subC2, i + 1) -
+          lit(2.0) * Similarity.dot(vd, c, session)).as("d"),
           (element_at(offLit, cc + 1) + i).cast("int").as("j")))
     })
     slice(transform(array_sort(flatten(scoredNested)), _.getField("j")), 1, nprobe)

@@ -39,7 +39,7 @@ case class AnchorWindowHashes(child: Expression, windowLen: Int)
     case StringType => TypeCheckResult.TypeCheckFailure(
       s"anchor_window_hashes requires a positive window, got $windowLen")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"anchor_window_hashes requires string, got ${other.simpleString(10)}")
+      s"anchor_window_hashes requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "anchor_window_hashes"

@@ -33,7 +33,7 @@ case class AnchorWindowPosHashes(child: Expression, windowLen: Int)
     case StringType => TypeCheckResult.TypeCheckFailure(
       s"anchor_window_pos_hashes requires a positive window, got $windowLen")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"anchor_window_pos_hashes requires string, got ${other.simpleString(10)}")
+      s"anchor_window_pos_hashes requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("pos", IntegerType, nullable = false),

@@ -47,7 +47,7 @@ case class BinCountAgg(
     case _ if bins < 1 => TypeCheckResult.TypeCheckFailure(
       s"bin_count_agg requires bins >= 1, got $bins")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bin_count_agg requires an int/long bin index, got ${other.simpleString(10)}")
+      s"bin_count_agg requires an int/long bin index, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -32,7 +32,7 @@ case class CharHist16(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"char_hist16 requires string, got ${other.simpleString(10)}")
+      s"char_hist16 requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_hist16"

@@ -37,7 +37,7 @@ case class MinhashBands(child: Expression, bands: Int, rowsPerBand: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands requires array<string>, got ${other.simpleString(10)}")
+      s"minhash_bands requires array<string>, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_bands"

@@ -53,7 +53,7 @@ case class NearestCell(vec: Expression, cents: Expression, c2s: Expression)
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         "nearest_cell requires (array<double>, array<array<double>>, array<double>) " +
           "or (array<double>, binary, binary) [CodebookCodec-packed], " +
-          s"got (${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+          s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_cell"
@@ -126,11 +126,20 @@ case class NearestCell(vec: Expression, cents: Expression, c2s: Expression)
     * explain string, SQL-event plan description, and AQE plan-update
     * event — measured as SECONDS of driver time per query at k=6400
     * (AssignProbe r15). The `name(` shape is preserved for the
-    * KernelAudit matchers. */
-  override def toString: String =
-    s"$prettyName($vec, <codebook k=${centsMat.length}>)"
-  override def sql: String =
-    s"$prettyName(${vec.sql}, <codebook k=${centsMat.length}>)"
+    * KernelAudit matchers.
+    *
+    * The `k=` payload is rendered ONLY when the codebook unpacks:
+    * Spark builds these strings while CONSTRUCTING analysis errors
+    * too, and when the operands are non-foldable or mistyped — exactly
+    * what [[checkInputDataTypes]] rejects — forcing `centsMat` here
+    * would replace the intended "must be literals" message with an
+    * opaque eval crash (r15 ADVICE). */
+  private def codebookLabel: String =
+    if (!cents.foldable || !c2s.foldable) "<codebook>"
+    else try s"<codebook k=${centsMat.length}>"
+    catch { case scala.util.control.NonFatal(_) => "<codebook>" }
+  override def toString: String = s"$prettyName($vec, $codebookLabel)"
+  override def sql: String = s"$prettyName(${vec.sql}, $codebookLabel)"
 
 
   override protected def withNewChildrenInternal(

@@ -61,7 +61,7 @@ case class NearestCellTwoLevel(vec: Expression, coarseCents: Expression,
         "nearest_cell_2 requires (array<double>, array<array<double>>, " +
           "array<double>, array<array<array<double>>>, array<array<double>>) " +
           "or (array<double>, binary, binary, binary, binary) [CodebookCodec-packed], " +
-          s"got ${other.productIterator.map(_.asInstanceOf[DataType].simpleString(10)).mkString("(", ", ", ")")}")
+          s"got ${other.productIterator.map(_.asInstanceOf[DataType].catalogString).mkString("(", ", ", ")")}")
     }
 
   /** Codebooks, unboxed once (operands are foldable by contract). The
@@ -160,11 +160,19 @@ case class NearestCellTwoLevel(vec: Expression, coarseCents: Expression,
   }
 
   /** Codebook operands elided from plan renderings — see
-    * [[NearestCell.toString]] for the measured rationale. */
-  override def toString: String =
-    s"$prettyName($vec, <codebooks coarse=${coarseMat.length} fine=${offsets.length}>)"
-  override def sql: String =
-    s"$prettyName(${vec.sql}, <codebooks coarse=${coarseMat.length} fine=${offsets.length}>)"
+    * [[NearestCell.toString]] for the measured rationale and for why
+    * the size payload must not force an unpack of operands
+    * [[checkInputDataTypes]] is about to reject. `fine=` is the TOTAL
+    * fine-cell count across sub-codebooks (r15 ADVICE: `offsets.length`
+    * rendered the coarse count twice). */
+  private def codebookLabel: String =
+    if (!Seq(coarseCents, coarseC2s, fineCents, fineC2s).forall(_.foldable))
+      "<codebooks>"
+    else try s"<codebooks coarse=${coarseMat.length} " +
+      s"fine=${fineMats.iterator.map(_.length).sum}>"
+    catch { case scala.util.control.NonFatal(_) => "<codebooks>" }
+  override def toString: String = s"$prettyName($vec, $codebookLabel)"
+  override def sql: String = s"$prettyName(${vec.sql}, $codebookLabel)"
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

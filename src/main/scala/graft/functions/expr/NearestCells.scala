@@ -46,7 +46,7 @@ case class NearestCells(vec: Expression, cents: Expression, c2s: Expression,
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         "nearest_cells requires (array<double>, array<array<double>>, array<double>) " +
           "or (array<double>, binary, binary) [CodebookCodec-packed], " +
-          s"got (${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+          s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
@@ -123,11 +123,15 @@ case class NearestCells(vec: Expression, cents: Expression, c2s: Expression,
   }
 
   /** Codebook operands elided from plan renderings — see
-    * [[NearestCell.toString]] for the measured rationale. */
-  override def toString: String =
-    s"$prettyName($vec, <codebook k=${centsMat.length}>, $nprobe)"
-  override def sql: String =
-    s"$prettyName(${vec.sql}, <codebook k=${centsMat.length}>, $nprobe)"
+    * [[NearestCell.toString]] for the measured rationale and for why
+    * the `k=` payload must not force an unpack of operands
+    * [[checkInputDataTypes]] is about to reject. */
+  private def codebookLabel: String =
+    if (!cents.foldable || !c2s.foldable) "<codebook>"
+    else try s"<codebook k=${centsMat.length}>"
+    catch { case scala.util.control.NonFatal(_) => "<codebook>" }
+  override def toString: String = s"$prettyName($vec, $codebookLabel, $nprobe)"
+  override def sql: String = s"$prettyName(${vec.sql}, $codebookLabel, $nprobe)"
 
 
   override protected def withNewChildrenInternal(

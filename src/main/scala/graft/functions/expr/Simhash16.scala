@@ -24,7 +24,7 @@ case class Simhash16(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash16 requires array<string>, got ${other.simpleString(10)}")
+      s"simhash16 requires array<string>, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash16"

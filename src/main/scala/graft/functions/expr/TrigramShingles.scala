@@ -43,7 +43,7 @@ case class TrigramShingles(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"trigram_shingles requires string, got ${other.simpleString(10)}")
+      s"trigram_shingles requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "trigram_shingles"

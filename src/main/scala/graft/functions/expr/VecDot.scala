@@ -23,7 +23,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires (array<double>, array<double>), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+      s"vec_dot requires (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"

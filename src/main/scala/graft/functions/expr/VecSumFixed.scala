@@ -41,7 +41,7 @@ case class VecSumFixed(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"vec_sum_fixed requires array<double>, got ${other.simpleString(10)}")
+      s"vec_sum_fixed requires array<double>, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -39,7 +39,7 @@ case class WordRepStats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"word_rep_stats requires string, got ${other.simpleString(10)}")
+      s"word_rep_stats requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = WordRepStats.Schema
   override def prettyName: String = "word_rep_stats"

@@ -47,7 +47,7 @@ case class WordStats(child: Expression, stopwords: Seq[String],
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"word_stats requires string, got ${other.simpleString(10)}")
+      s"word_stats requires string, got ${other.catalogString}")
   }
   override def dataType: DataType = WordStats.Schema
   override def prettyName: String = "word_stats"

@@ -34,7 +34,7 @@ case class WordTermCounts(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"word_term_counts requires array<string>, got ${other.simpleString(10)}")
+      s"word_term_counts requires array<string>, got ${other.catalogString}")
   }
   override def dataType: DataType = WordTermCounts.Schema
   override def prettyName: String = "word_term_counts"
