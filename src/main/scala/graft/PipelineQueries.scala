@@ -151,11 +151,41 @@ object PipelineQueries {
     * the driver flow; standalone oracleSql calls simply omit p12. */
   @volatile private var lastIvfModel: Option[IvfIndex.Model] = None
 
+  /** One flat codebook per data dir, shared by p12 and p49 (r15 verdict
+    * item 4): the two queries train IDENTICAL models (same input, k,
+    * iters; training is deterministic at any partitioning by the
+    * [[IvfIndex.train]] devices), so Verify/Bench time query work
+    * instead of repeated quantizer training. The first query per dir
+    * pays the one training. The per-query `last*Model` oracle caches
+    * stay — each oracle re-derives from the model its query actually
+    * used. */
+  @volatile private var cachedFlatModel: Option[(String, IvfIndex.Model)] = None
+  private def contractModel(s: SparkSession, dir: String): IvfIndex.Model =
+    cachedFlatModel match {
+      case Some((d, m)) if d == dir => m
+      case _ =>
+        val m = IvfIndex.train(embs(s, dir), k = IvfK, iters = IvfIters)
+        cachedFlatModel = Some((dir, m))
+        m
+    }
+
+  /** The [[contractModel]] device, hierarchical edition (p56 + p57). */
+  @volatile private var cachedModel2: Option[(String, IvfIndex.Model2)] = None
+  private def contractModel2(s: SparkSession, dir: String): IvfIndex.Model2 =
+    cachedModel2 match {
+      case Some((d, m)) if d == dir => m
+      case _ =>
+        val m = IvfIndex.trainTwoLevel(embs(s, dir), kTotal = IvfK,
+          iters = IvfIters, coarseK = 4)
+        cachedModel2 = Some((dir, m))
+        m
+    }
+
   /** p12 — IVF approximate top-k (coarse-quantizer scale path; training
     * correctness additionally asserted as recall vs brute in PipelineSpec). */
   private def p12(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val model = IvfIndex.train(e, k = IvfK, iters = IvfIters)
+    val model = contractModel(s, dir)
     lastIvfModel = Some(model)
     IvfIndex.knn(e, model, col("vec_id") < 20, K, nprobe = IvfNprobe).orderBy("q_id", "n_id")
   }
@@ -765,7 +795,7 @@ object PipelineQueries {
     * so the three embedding-dedup routes stay directly comparable. */
   private def p49(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val model = IvfIndex.train(e, k = IvfK, iters = IvfIters)
+    val model = contractModel(s, dir)
     lastSemModel = Some(model)
     Similarity.semDedup(e, model, CosDupThresholdMicro).orderBy("vec_id")
   }
@@ -850,8 +880,7 @@ object PipelineQueries {
     * routes stay directly comparable. */
   private def p56(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val m2 = IvfIndex.trainTwoLevel(e, kTotal = IvfK, iters = IvfIters,
-      coarseK = 4)
+    val m2 = contractModel2(s, dir)
     lastSemModel2 = Some(m2)
     Similarity.semDedup2(e, m2, CosDupThresholdMicro).orderBy("vec_id")
   }
@@ -871,8 +900,7 @@ object PipelineQueries {
     * and hierarchical search routes stay directly comparable. */
   private def p57(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val m2 = IvfIndex.trainTwoLevel(e, kTotal = IvfK, iters = IvfIters,
-      coarseK = 4)
+    val m2 = contractModel2(s, dir)
     lastIvf2Model = Some(m2)
     IvfIndex.knn2(e, m2, col("vec_id") < 20, K, nprobe = IvfNprobe,
       coarseProbe = Ivf2CoarseProbe).orderBy("q_id", "n_id")

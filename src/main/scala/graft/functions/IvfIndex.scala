@@ -258,7 +258,7 @@ object IvfIndex {
     // arrays — a boxed array literal is ~k·dim heap objects that every
     // stage serialization, task deserialization, and plan
     // canonicalization walks; at k=1600 that plumbing exceeded all task
-    // work combined (AssignProbe r15, the SemDeDup increment: 5.7 s wall
+    // work combined (the assign_literal_tax probe, r15: the SemDeDup increment 5.7 s wall
     // vs ~4 s SUMMED task time across 32 cores; packed literals are one
     // primitive byte[] each)
     if (session.catalog.functionExists("nearest_cell"))
@@ -593,7 +593,7 @@ object IvfIndex {
     * unprobed coarse cell is invisible — raise `coarseProbe` to trade
     * query flops for recall; SketchesSpec pins the exactness floor and
     * the full-fan-out == brute-force ceiling). Measured recall@10 on
-    * the rotated-replica corpus (KnnRecallProbe, ×100, ~1.6% of cells
+    * the rotated-replica corpus (the knn_recall ProbeFamily family, ×100, ~1.6% of cells
     * probed on every route): two-level (cp=8, nprobe=25 of 1600) 0.630
     * vs flat k∝n (nprobe=25) 0.540 vs capped-512 (nprobe=8) 0.485 —
     * the hierarchy gives the BEST recall per probed volume, on top of

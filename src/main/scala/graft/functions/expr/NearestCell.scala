@@ -125,7 +125,7 @@ case class NearestCell(vec: Expression, cents: Expression, c2s: Expression)
     * for the packed form, a boxed list for the array form) into every
     * explain string, SQL-event plan description, and AQE plan-update
     * event — measured as SECONDS of driver time per query at k=6400
-    * (AssignProbe r15). The `name(` shape is preserved for the
+    * (the assign_literal_tax probe, r15). The `name(` shape is preserved for the
     * KernelAudit matchers.
     *
     * The `k=` payload is rendered ONLY when the codebook unpacks:

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.functions.{Dedup, TextFunctions => TF}
+import graft.functions.{Dedup, IvfIndex, Similarity, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** Dev diagnostic: time ONE smoke family at one factor in a fresh JVM —
@@ -67,6 +67,49 @@ object ProbeFamily {
       .map(s => (family.dropRight(s.length), Some(ruleOf(s))))
       .getOrElse((family, None))
     lever.foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
+    // per-rep stage + shuffle-write + task-time accounting: the decisive
+    // evidence for recompute-vs-reuse questions (a 3x-referenced subtree
+    // that does NOT stage-reuse shows up as ~3x the shuffle bytes of its
+    // single run, invisible in wall time on a page-cached local disk);
+    // executorDeserializeTime isolates task-binary deserialization —
+    // where a boxed plan literal bills (the assign_literal_tax family)
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        deserMs.addAndGet(sc.stageInfo.taskMetrics.executorDeserializeTime)
+        runMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
+    // a real drain, not a fixed sleep: under load, stage/shuffle events
+    // posted late would bleed into the next window and skew the A/B
+    // accounting this tool exists to provide. LiveListenerBus
+    // .waitUntilEmpty is private[spark] (public bytecode), so reflect —
+    // dev tool, same pattern as the DebeziumRuntime public-API loader
+    def drainBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(30000L))
+    }
+    // per-PHASE accounting inside one family run (multi-phase families:
+    // assign_literal_tax) — wall time plus the deser/run task split
+    def phase(tag: String)(f: => Long): Long = {
+      val (d0, r0, st0) = (deserMs.get, runMs.get, stages.get)
+      val t0 = System.nanoTime()
+      val s = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      println(f"[phase] $family x$n $tag $secs%.2f s sum=$s " +
+        f"deser_s=${(deserMs.get - d0) / 1e3}%.2f " +
+        f"run_s=${(runMs.get - r0) / 1e3}%.2f stages=${stages.get - st0}")
+      s
+    }
     def run(): Long = familyBase match {
       case "tfidf_topk" =>
         TF.tfidfTopK(docs.withColumn("_ws", TF.words(TF.normText(col("text")))),
@@ -556,38 +599,106 @@ object ProbeFamily {
             coalesce(sum(when(bin === h, 1L)), lit(0L))): _*).as("hist"))
           .agg(sum(aggregate(col("hist"), lit(0L), (a, x) => a + x)))
           .head().getLong(0)
+      // r15 adjudicated probe, folded in as a labeled family (finding
+      // recorded in CodebookCodec's scaladoc + VERDICT r15: the boxed
+      // codebook literal billed more in stage serialization + task
+      // deserialization + plan canonicalization than all task work —
+      // the deser_s column is the smoking gun). Times the 2000-vector
+      // batch assignment and the full SemDeDup increment per model
+      // route against a literal-free baseline. Requires the
+      // /tmp/graft_semkn_* artifacts a prior SemKnProbe run at the
+      // same factor materializes.
+      case "assign_literal_tax" =>
+        def batch = graft.Tables.embeddings(spark, sfDir)
+          .select((col("vec_id") + lit(990000000L)).as("vec_id"),
+            col("embedding"), col("label"))
+        val capped = IvfIndex.loadModel(
+          s"/tmp/graft_semkn_${n}_${math.min(16 * n, 512)}/model")(spark)
+        val kn = IvfIndex.loadModel(s"/tmp/graft_semkn_${n}_${16 * n}/model")(spark)
+        val two = IvfIndex.loadModel2(s"/tmp/graft_semkn_${n}_two${16 * n}/model")(spark)
+        var acc = 0L
+        acc += phase("baseline")(batch.agg(sum(col("vec_id"))).head().getLong(0))
+        acc += phase("capped")(IvfIndex.index(batch, capped)
+          .agg(sum(col("cell"))).head().getLong(0))
+        acc += phase("k16n")(IvfIndex.index(batch, kn)
+          .agg(sum(col("cell"))).head().getLong(0))
+        acc += phase("two")(IvfIndex.index2(batch, two)
+          .agg(sum(col("cell"))).head().getLong(0))
+        def incr(tag: String, idxPath: String,
+                 f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+          acc += phase(s"incr_$tag") {
+            f(spark.read.parquet(idxPath))
+              .agg(sum(coalesce(col("dup_of"), lit(0L)) + col("cell")))
+              .head().getLong(0)
+          }
+          spark.catalog.clearCache()
+        }
+        incr("capped", s"/tmp/graft_semkn_${n}_${math.min(16 * n, 512)}/idx",
+          idx => Similarity.semDedupIncrement(idx, batch, capped, 450000L))
+        incr("k16n", s"/tmp/graft_semkn_${n}_${16 * n}/idx",
+          idx => Similarity.semDedupIncrement(idx, batch, kn, 450000L))
+        incr("two", s"/tmp/graft_semkn_${n}_two${16 * n}/idx",
+          idx => Similarity.semDedupIncrement2(idx, batch, two, 450000L))
+        acc
+      // r15 adjudicated probe, folded in as a labeled family (the
+      // recall numbers behind IvfIndex.knn2's scaladoc; the ordering is
+      // now ALSO pinned deterministically by Knn2RecallSpec): recall@k
+      // of the three ANN routes vs exact brute force over rotated
+      // replicas — capped flat book, k∝n flat book, two-level.
+      // Parameters via SPARK_GRAFT_KNN_{K,NPROBE,CP} (defaults 10/8/4).
+      case "knn_recall" =>
+        import spark.implicits._
+        val k = sys.env.get("SPARK_GRAFT_KNN_K").map(_.toInt).getOrElse(10)
+        val nprobe = sys.env.get("SPARK_GRAFT_KNN_NPROBE").map(_.toInt).getOrElse(8)
+        val cp = sys.env.get("SPARK_GRAFT_KNN_CP").map(_.toInt).getOrElse(4)
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sfDir), n)
+        val pred = col("vec_id") < 20
+        def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          df.select("q_id", "n_id").as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+        var exact: Map[Long, Set[Long]] = Map.empty
+        phase("brute") {
+          exact = topSets(Similarity.bruteKnn(embsN, pred, k)); exact.size.toLong
+        }
+        def recall(ann: Map[Long, Set[Long]]): Double = {
+          val per = exact.map { case (q, ex) =>
+            ann.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+          }
+          per.sum / per.size
+        }
+        val capped = IvfIndex.train(embsN, k = math.min(16 * n, 512), iters = 3)
+        var cappedTop: Map[Long, Set[Long]] = Map.empty
+        phase(s"flat_capped k=${capped.k} nprobe=$nprobe") {
+          cappedTop = topSets(IvfIndex.knn(embsN, capped, pred, k, nprobe))
+          cappedTop.size.toLong
+        }
+        val kn = IvfIndex.train(embsN, k = 16 * n, iters = 3,
+          maxTrainVectors = math.max(1 << 16, 16 * n))
+        var knTop: Map[Long, Set[Long]] = Map.empty
+        phase(s"flat_kn k=${kn.k} nprobe=$nprobe") {
+          knTop = topSets(IvfIndex.knn(embsN, kn, pred, k, nprobe))
+          knTop.size.toLong
+        }
+        val m2 = IvfIndex.trainTwoLevel(embsN, kTotal = 16 * n, iters = 3)
+        var twoTop: Map[Long, Set[Long]] = Map.empty
+        phase(s"two k=${m2.k} coarse=${m2.coarse.k} cp=$cp nprobe=$nprobe") {
+          twoTop = topSets(IvfIndex.knn2(embsN, m2, pred, k, nprobe, cp))
+          twoTop.size.toLong
+        }
+        println(f"[recall] x$n k=$k nprobe=$nprobe coarseProbe=$cp " +
+          f"flat_capped=${recall(cappedTop)}%.3f flat_kn=${recall(knTop)}%.3f " +
+          f"two=${recall(twoTop)}%.3f")
+        // recall@k in permille as the family's comparable scalar
+        (recall(twoTop) * 1000).toLong
       case other => sys.error(s"unknown family $other")
     }
-    // per-rep stage + shuffle-write accounting: the decisive evidence for
-    // recompute-vs-reuse questions (a 3x-referenced subtree that does NOT
-    // stage-reuse shows up as ~3x the shuffle bytes of its single run,
-    // invisible in wall time on a page-cached local disk)
-    val stages = new java.util.concurrent.atomic.AtomicLong
-    val shufBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet()
-        shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
-    })
     (1 to reps).foreach { i =>
       val (st0, sb0) = (stages.get, shufBytes.get)
       val t0 = System.nanoTime()
       val rows = run()
       val secs = (System.nanoTime() - t0) / 1e9
-      // a real drain, not a fixed sleep: under load, stage/shuffle events
-      // posted after 500 ms would bleed into the NEXT rep's window and
-      // skew the A/B accounting this tool exists to provide.
-      // LiveListenerBus.waitUntilEmpty is private[spark] (public
-      // bytecode), so reflect — dev tool, same pattern as the
-      // DebeziumRuntime public-API loader
-      locally {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
-          .invoke(bus, java.lang.Long.valueOf(30000L))
-      }
+      drainBus()
       println(f"[probe] $family x$n rep$i $secs%.2f s rows=$rows " +
         f"stages=${stages.get - st0} shuffle_mb=${(shufBytes.get - sb0) / 1e6}%.1f")
       spark.catalog.clearCache()

@@ -582,7 +582,7 @@ object ScaleSmoke {
       * increment stays flat; SemKnProbe carries the three-way A/B with
       * the flat books). Codebooks ride CodebookCodec-packed binary
       * literals — the boxed-literal plumbing tax was the real increment
-      * cost, see AssignProbe. */
+      * cost, see the assign_literal_tax ProbeFamily family (née AssignProbe r15). */
     def semDedupTwoPair(n: Int): Unit = {
       val idxPath = s"$smokeDir/sem2_idx_x$n"
       val modelPath = s"$smokeDir/sem2_model_x$n"
