@@ -26,8 +26,9 @@ import graft.functions.{IvfIndex, Similarity}
   * The codebook is FROZEN at [[seed]] time and every increment assigns
   * with it (the [[IvfIndex.loadModel2]] contract — re-training would
   * silently diverge the cell spaces). Re-seed to re-quantize when the
-  * corpus outgrows the book; admission decisions already made are final
-  * either way.
+  * corpus outgrows the book — [[occupancy]] is the measured trigger
+  * (re-seed near mean ≈ 4× the seed-time design occupancy); admission
+  * decisions already made are final either way.
   *
   * State layout (any Hadoop filesystem):
   * {{{
@@ -109,6 +110,42 @@ object SemIngest {
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(handler(corpusDir, thresholdMicro))
+
+  /** Fine-cell occupancy of the stored index — the MEASURED re-seed
+    * trigger. The two-level book is frozen at [[seed]] time with total
+    * fine cells sized to the seed corpus (k ∝ n keeps the within-cell
+    * pair scan linear); as ingest grows the corpus against the fixed
+    * book, per-cell population rises and the increment's within-cell
+    * verify work grows QUADRATICALLY in occupancy (each new vector
+    * compares against every stored cell-mate). Rule of thumb: re-seed
+    * (retrain + re-quantize; admissions already made stay final) once
+    * `mean` exceeds ~4× the seed-time design occupancy
+    * `seedVectors / Model2.k` — that is ~16× the per-cell verify work —
+    * or earlier if `max` shows a runaway hot cell. All stats are
+    * computed from one groupBy over the index (k-bounded result, one
+    * bounded collect). */
+  case class Occupancy(vectors: Long, cells: Int, populatedCells: Int,
+                       mean: Double, p99: Long, max: Long)
+
+  def occupancy(spark: SparkSession, corpusDir: String): Occupancy = {
+    val m2 = IvfIndex.loadModel2(s"$corpusDir/model")(spark)
+    val dirs = CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
+      .map(_.toString)
+    require(dirs.nonEmpty, s"no index under $corpusDir/index")
+    val counts = spark.read.parquet(dirs: _*)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0)).sorted
+    val total = counts.sum
+    val k = m2.k
+    Occupancy(
+      vectors = total,
+      cells = k,
+      populatedCells = counts.length,
+      mean = if (k == 0) 0.0 else total.toDouble / k,
+      p99 = if (counts.isEmpty) 0L
+        else counts(math.min(counts.length - 1, (counts.length * 99) / 100)),
+      max = counts.lastOption.getOrElse(0L))
+  }
 
   /** Offline compaction — the [[CorpusIngest.compact]] contract: fold
     * per-batch dirs into `seed/` (bytes move, decisions never re-judged;

@@ -91,6 +91,33 @@ class SemIngestSpec extends SparkSpec {
     assert(ids === Set(1L, 10L, 11L, 21L))
   }
 
+  test("occupancy: the measured re-seed trigger counts stored vectors per fine cell") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_occ").toString
+    val h = SemIngest.handler(dir, Tau)
+    SemIngest.seed(mkEmbs(1L -> base(0), 2L -> base(1)), dir,
+      kTotal = 8, coarseK = 2)
+    val atSeed = SemIngest.occupancy(spark, dir)
+    assert(atSeed.vectors === 2L)
+    // ragged training: 2 seed vectors across coarseK=2 cells train one
+    // fine centroid each, so the realized book is 2 cells (Model2.k)
+    assert(atSeed.cells === 2)
+    assert(atSeed.mean === 2.0 / atSeed.cells)
+
+    // grow the corpus against the frozen book: occupancy must rise and
+    // reflect batch dirs too (same readable-dirs view as the probe)
+    h(mkEmbs(10L -> base(2), 11L -> base(3)), 0L)
+    h(mkEmbs(12L -> base(4)), 1L)
+    val grown = SemIngest.occupancy(spark, dir)
+    assert(grown.vectors === 5L)
+    assert(grown.cells === atSeed.cells) // the book is frozen
+    assert(grown.mean > atSeed.mean && grown.max >= 1L &&
+      grown.p99 <= grown.max && grown.populatedCells <= grown.cells)
+
+    // compaction moves bytes, never assignments — occupancy unchanged
+    SemIngest.compact(spark, dir)
+    assert(SemIngest.occupancy(spark, dir) === grown)
+  }
+
   test("semantic ingest through MemoryStream matches direct handler calls") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files.createTempDirectory("sem_stream").toString
