@@ -81,10 +81,27 @@ private[streaming] object CompactDirs {
     }
   }
 
+  /** Thrown by the [[swap]] failpoint — test-only (CompactCrashSpec's
+    * exhaustive crash-at-every-mutation cases). */
+  private[streaming] final class InjectedCrash(step: Int)
+    extends RuntimeException(s"injected compact crash after mutation $step")
+
   /** Consolidate `root`'s visible dirs into `seed/`, deduplicating on
     * `dedupCols` (a crashed previous compact is recovered first).
-    * Caller contract: no active ingest query, last batch committed. */
-  def swap(spark: SparkSession, root: Path, dedupCols: Seq[String]): Unit = {
+    * Caller contract: no active ingest query, last batch committed.
+    *
+    * `crashAfter` is a TEST-ONLY failpoint: throw [[InjectedCrash]]
+    * after that many filesystem mutations (1 = staging written,
+    * 2 = seed retired, 3 = staging promoted, 4.. = per-dir cleanup),
+    * so the spec can prove recovery from a crash at EVERY point of the
+    * sequence rather than only the hand-picked window. */
+  def swap(spark: SparkSession, root: Path, dedupCols: Seq[String],
+           crashAfter: Int = Int.MaxValue): Unit = {
+    var mutations = 0
+    def mutated(): Unit = {
+      mutations += 1
+      if (mutations >= crashAfter) throw new InjectedCrash(mutations)
+    }
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
     recover(fs, root)
@@ -94,16 +111,22 @@ private[streaming] object CompactDirs {
       .dropDuplicates(dedupCols)
     val tmp = new Path(root, TmpName)
     all.write.mode("overwrite").parquet(tmp.toString)
+    mutated()
     val seed = new Path(root, "seed")
     val old = new Path(root, s"$OldPrefix${System.nanoTime()}")
     // the recoverable window: between these two renames the seed payload
     // lives only under `_` dirs — recover() (run by every reader and the
     // next compact) rolls back to the pre-compact state, so a crash here
     // loses nothing (see object scaladoc for the ordering argument).
-    if (fs.exists(seed)) require(fs.rename(seed, old),
-      s"compact: rename $seed -> $old failed")
+    if (fs.exists(seed)) {
+      require(fs.rename(seed, old), s"compact: rename $seed -> $old failed")
+      mutated()
+    }
     require(fs.rename(tmp, seed), s"compact: rename $tmp -> $seed failed")
-    dirs.filter(_.getName != "seed").foreach(fs.delete(_, true))
+    mutated()
+    dirs.filter(_.getName != "seed").foreach { d =>
+      fs.delete(d, true); mutated()
+    }
     fs.delete(old, true)
     ()
   }

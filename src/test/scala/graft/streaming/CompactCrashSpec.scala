@@ -170,6 +170,43 @@ class CompactCrashSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("exhaustive: a crash after EVERY swap mutation loses no row; the next compact converges") {
+    // pure-directory fixture over the generic CompactDirs (no ingest
+    // loop needed): seed {1,2}, b0 {3}, b1 {4, 2-duplicate}. Mutation
+    // steps: 1 staging written, 2 seed retired, 3 staging promoted,
+    // 4/5 batch dirs deleted; 6 = past the end (clean run).
+    val expectedIds = Set(1L, 2L, 3L, 4L)
+    (1 to 6).foreach { crashAfter =>
+      val dir = java.nio.file.Files.createTempDirectory(s"crash_pt$crashAfter").toString
+      val root = new Path(s"$dir/docs")
+      mkDocs(1L -> "a", 2L -> "b").write.parquet(s"$root/seed")
+      mkDocs(3L -> "c").write.parquet(s"$root/b0")
+      mkDocs(4L -> "d", 2L -> "b").write.parquet(s"$root/b1")
+      val crashed =
+        try { CompactDirs.swap(spark, root, Seq("doc_id"), crashAfter); false }
+        catch { case _: CompactDirs.InjectedCrash => true }
+      assert(crashed === (crashAfter <= 5), s"crash point $crashAfter")
+
+      // recover-on-read: every id visible, no id lost
+      def readIds() = spark.read.parquet(
+          CompactDirs.readableDirs(spark, root).map(_.toString): _*)
+        .select("doc_id").as[Long].collect()
+      val seen = readIds()
+      assert(seen.toSet === expectedIds, s"crash point $crashAfter lost rows")
+      // up to the retire step the rollback restores the EXACT pre-compact
+      // state (no duplicates beyond the fixture's own b1 copy of id 2)
+      if (crashAfter <= 2)
+        assert(seen.sorted.toSeq === Seq(1L, 2L, 2L, 3L, 4L),
+          s"crash point $crashAfter: rollback should be exact")
+
+      // the next compact converges to a deduplicated seed-only layout
+      CompactDirs.swap(spark, root, Seq("doc_id"))
+      assert(names(root) === Set("seed"), s"crash point $crashAfter")
+      assert(readIds().sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+        s"crash point $crashAfter: converged corpus")
+    }
+  }
+
   test("recover: a partial _compact_tmp left beside a live seed is deleted, and compact proceeds") {
     val dir = java.nio.file.Files.createTempDirectory("recover_tmp").toString
     val h = CorpusIngest.handler(dir, 8, 800)
