@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, NearestCellsTwoLevel, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -79,6 +79,13 @@ object GraftExtensions {
       arity("nearest_cells", children, 4)
       NearestCells(children.head, children(1), children(2),
         intLit("nearest_cells", children(3), 4))
+    }),
+    ("nearest_cells_2", classOf[NearestCellsTwoLevel], (children: Seq[Expression]) => {
+      arity("nearest_cells_2", children, 7)
+      NearestCellsTwoLevel(children.head, children(1), children(2),
+        children(3), children(4),
+        intLit("nearest_cells_2", children(5), 6),
+        intLit("nearest_cells_2", children(6), 7))
     }),
     ("simhash16", classOf[Simhash16], (children: Seq[Expression]) => {
       arity("simhash16", children, 1)

@@ -628,13 +628,40 @@ object IvfIndex {
   }
 
   /** The `nprobe` nearest GLOBAL fine cells among the `coarseProbe`
-    * nearest coarse cells' sub-codebooks: coarse selection via the
-    * [[probeCells]] dispatch (kernel when registered), fine ranking as
-    * a HOF over the nested codebook literals — (distance, global id)
-    * structs flattened across the selected sub-books, sorted (Spark's
-    * struct ordering: distance asc, NaN last, ties to the lower global
-    * id), prefix taken. Query-side only by construction. */
+    * nearest coarse cells' sub-codebooks. Hot path is the
+    * [[graft.functions.expr.NearestCellsTwoLevel]] kernel with
+    * CodebookCodec-packed literals (r16, measured: the HOF twin below
+    * embeds the full nested fine codebook as a boxed typedlit — the
+    * r15 plan-tax class — and at knn_recall ×100 the two-level route
+    * summed 33.9 s of task deserialization vs 20.9 s flat at the same
+    * k, wall 14.9 vs 13.5 s despite ~20× fewer flops; with the kernel
+    * the deser tax drops to flat parity — 19.6 s, wall 13.5 — and at
+    * ×400/k=6400 the route matches flat wall, 99.9 vs 103.4 s, on
+    * ~3× less summed task work). The
+    * HOF twin stays as the kernel-less parity anchor (row-identical,
+    * pinned in SketchesSpec): coarse selection via [[probeCells]],
+    * fine ranking as (distance, global id) structs flattened across
+    * the selected sub-books, sorted (Spark's struct ordering: distance
+    * asc, NaN last, ties to the lower global id), prefix taken.
+    * Query-side only by construction. */
   private[graft] def probeCells2(vd: Column, m: Model2, nprobe: Int,
+      coarseProbe: Int, session: SparkSession = SparkSession.active): Column = {
+    import graft.functions.expr.CodebookCodec
+    if (session.catalog.functionExists("nearest_cells_2"))
+      call_function("nearest_cells_2", vd,
+        lit(CodebookCodec.packMatrix(m.coarse.centroids)),
+        lit(CodebookCodec.packVector(
+          m.coarse.centroids.map(c => c.map(x => x * x).sum))),
+        lit(CodebookCodec.packNested(m.fine.map(_.centroids))),
+        lit(CodebookCodec.packMatrix(
+          m.fine.map(_.centroids.map(c => c.map(x => x * x).sum)))),
+        lit(nprobe), lit(coarseProbe))
+    else probeCells2Twin(vd, m, nprobe, coarseProbe, session)
+  }
+
+  /** The composable two-level probe selection (no extension required) —
+    * the parity anchor, never the hot path. */
+  private[graft] def probeCells2Twin(vd: Column, m: Model2, nprobe: Int,
       coarseProbe: Int, session: SparkSession = SparkSession.active): Column = {
     val cTop = probeCells(vd, m.coarse, coarseProbe, session)
     val fineLit = typedlit(m.fine.map(_.centroids.map(_.toSeq).toSeq).toSeq)

@@ -55,6 +55,18 @@ class KernelErrorPathSpec extends SparkSpec {
       s"expected the checkInputDataTypes message, got: ${e.getMessage}")
   }
 
+  test("nearest_cells_2 with COLUMN codebooks fails analysis with the 'to be literals' message") {
+    val df = Seq((Seq(1.0, 0.0), Seq(Seq(1.0, 0.0)), Seq(1.0),
+      Seq(Seq(Seq(1.0, 0.0))), Seq(Seq(1.0))))
+      .toDF("v", "cc", "cq", "fc", "fq")
+    val e = intercept[AnalysisException] {
+      df.select(call_function("nearest_cells_2", col("v"), col("cc"),
+        col("cq"), col("fc"), col("fq"), lit(4), lit(2))).collect()
+    }
+    assert(e.getMessage.contains("to be literals"),
+      s"expected the checkInputDataTypes message, got: ${e.getMessage}")
+  }
+
   test("nearest_cell with a MISTYPED codebook fails analysis with the type message") {
     val e = intercept[AnalysisException] {
       vecsWithBook.select(

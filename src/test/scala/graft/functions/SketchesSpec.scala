@@ -336,6 +336,24 @@ class SketchesSpec extends SparkSpec {
     assert(incr.nonEmpty)
   }
 
+  test("Two-level probe selection: nearest_cells_2 kernel and composable twin rank identically") {
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 3, coarseK = 4)
+    val p = Similarity.prep(embs)
+    def cellsOf(c: org.apache.spark.sql.Column) =
+      p.select(col("vec_id"), c.as("pc")).orderBy("vec_id")
+        .as[(Long, Seq[Int])].collect().toSeq
+    // spans: minimal fan-out, the contract shape, nprobe under-filled by
+    // the routed books, and full over-fan-out (every cell, both levels)
+    Seq((1, 1), (4, 2), (3, 7), (99, 99)).foreach { case (np, cp) =>
+      val kernel = cellsOf(IvfIndex.probeCells2(col("vd"), m2, np, cp))
+      val twin = cellsOf(IvfIndex.probeCells2Twin(col("vd"), m2, np, cp))
+      assert(kernel === twin, s"nprobe=$np coarseProbe=$cp")
+    }
+    // over-fan-out covers every global cell exactly once
+    val all = cellsOf(IvfIndex.probeCells2(col("vd"), m2, m2.k, m2.coarse.k))
+    assert(all.forall(_._2.sorted == (0 until m2.k)))
+  }
+
   test("Two-level knn: probed-cell neighbors carry the true exact cosine; coarse routing bounds recall") {
     val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 2, coarseK = 4)
     val r = IvfIndex.knn2(embs, m2, col("vec_id") < 10, 3, nprobe = 4, coarseProbe = 2)
