@@ -598,7 +598,16 @@ object IvfIndex {
     * vs flat k∝n (nprobe=25) 0.540 vs capped-512 (nprobe=8) 0.485 —
     * the hierarchy gives the BEST recall per probed volume, on top of
     * the flat-increment assignment economics; at ×10 (nprobe=8) 0.945
-    * vs 0.905 flat. Output: (q_id, n_id, sim_micro). */
+    * vs 0.905 flat (r15 headline, reproduced bit-for-bit r16 through
+    * the nearest_cells_2 kernel).
+    *
+    * Regime boundary (r16, measured): the advantage needs `nprobe` on
+    * the order of the fine sub-book size (k/coarseK). At ×100 with
+    * nprobe=8 ≪ fineK=25, flat's GLOBAL cell ranking wins 0.440 vs
+    * 0.365–0.380 at ANY coarseProbe (4/8/16 swept) — the coarse
+    * routing bound costs more than the per-cell book quality buys.
+    * Size nprobe ≥ k/coarseK when recall matters at depth.
+    * Output: (q_id, n_id, sim_micro). */
   def knn2(emb: DataFrame, model: Model2, queryPred: Column, kNeighbors: Int,
            nprobe: Int, coarseProbe: Int = 2,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
