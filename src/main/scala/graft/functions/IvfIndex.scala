@@ -610,13 +610,29 @@ object IvfIndex {
     * Output: (q_id, n_id, sim_micro). */
   def knn2(emb: DataFrame, model: Model2, queryPred: Column, kNeighbors: Int,
            nprobe: Int, coarseProbe: Int = 2,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    knn2OnIndex(index2(emb, model, idCol, vecCol), emb.where(queryPred),
+      model, kNeighbors, nprobe, coarseProbe, idCol, vecCol)
+
+  /** [[knn2]] against an ALREADY-STORED inverted file: answers top-k
+    * from a persisted [[index2]] artifact + its [[Model2]] without
+    * re-indexing the corpus — the search half of the ingest-loop story
+    * ([[graft.streaming.SemIngest.search]] wraps this over its
+    * directory layout). Queries arrive as their own frame (idCol,
+    * vecCol); the stored index pays one probed-cell equi-join, the
+    * query side broadcasts. A stored vector with the SAME id as a
+    * query is excluded from that query's neighbors (the in-corpus
+    * self-pair rule knn/knn2 share) — give external queries ids
+    * disjoint from the corpus. */
+  def knn2OnIndex(idx: DataFrame, queries: DataFrame, model: Model2,
+                  kNeighbors: Int, nprobe: Int, coarseProbe: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     require(coarseProbe >= 1, s"coarseProbe must be >= 1 (got $coarseProbe)")
-    val idx = index2(emb, model, idCol, vecCol)
-    knnOnIndex(idx, Similarity.prep(emb.where(queryPred), vecCol)
+    knnOnIndex(idx, Similarity.prep(queries, vecCol)
         .withColumn("cell",
           explode(probeCells2(col("vd"), model, nprobe, coarseProbe,
-            emb.sparkSession))),
+            queries.sparkSession))),
       kNeighbors, idCol)
   }
 

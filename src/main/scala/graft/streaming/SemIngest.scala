@@ -111,6 +111,30 @@ object SemIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(handler(corpusDir, thresholdMicro))
 
+  /** ANN search over the ingest artifact — the third workload of the
+    * ONE stored index: the same model + inverted file that admit
+    * increments ([[handler]]) and bound the dedup scan also answer
+    * top-k similarity queries, with zero re-indexing
+    * ([[IvfIndex.knn2OnIndex]]: the stored index pays one probed-cell
+    * equi-join, queries broadcast). `queries` uses the embeddings
+    * convention (`vec_id`, `embedding`); give queries ids disjoint
+    * from the corpus (a stored vector with a query's id is excluded as
+    * a self-pair). Crash-healed dirs, frozen codebook — results
+    * reflect every committed batch. Output: (q_id, n_id, sim_micro).
+    *
+    * Recall note ([[IvfIndex.knn2]]): size `nprobe` on the order of
+    * the fine sub-book size (k/coarseK) — below it, coarse routing
+    * bounds recall hard. */
+  def search(spark: SparkSession, corpusDir: String, queries: DataFrame,
+             kNeighbors: Int, nprobe: Int, coarseProbe: Int = 2): DataFrame = {
+    val m2 = IvfIndex.loadModel2(s"$corpusDir/model")(spark)
+    val dirs = CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
+      .map(_.toString)
+    require(dirs.nonEmpty, s"no index under $corpusDir/index")
+    IvfIndex.knn2OnIndex(spark.read.parquet(dirs: _*), queries, m2,
+      kNeighbors, nprobe, coarseProbe)
+  }
+
   /** Fine-cell occupancy of the stored index — the MEASURED re-seed
     * trigger. The two-level book is frozen at [[seed]] time with total
     * fine cells sized to the seed corpus (k ∝ n keeps the within-cell

@@ -91,6 +91,27 @@ class SemIngestSpec extends SparkSpec {
     assert(ids === Set(1L, 10L, 11L, 21L))
   }
 
+  test("search: the ingest artifact answers ANN queries over every committed batch") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_search").toString
+    val h = SemIngest.handler(dir, Tau)
+    SemIngest.seed(mkEmbs(1L -> base(0), 2L -> base(1)), dir,
+      kTotal = 8, coarseK = 2)
+    h(mkEmbs(10L -> base(2)), 0L)
+    h(mkEmbs(11L -> base(3)), 1L)
+
+    // a query near stored vector 10 must find it first — 10 was admitted
+    // by a BATCH, so the search provably covers batch dirs, not just seed
+    def top(q: (Long, Array[Float])) = SemIngest.search(spark, dir,
+        mkEmbs(q), kNeighbors = 1, nprobe = 8, coarseProbe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSeq
+    assert(top(900L -> near(2)) === Seq((900L, 10L)))
+    assert(top(901L -> near(0)) === Seq((901L, 1L))) // and the seed era
+
+    // compaction must not change answers (bytes move, cells don't)
+    SemIngest.compact(spark, dir)
+    assert(top(900L -> near(2)) === Seq((900L, 10L)))
+  }
+
   test("occupancy: the measured re-seed trigger counts stored vectors per fine cell") {
     val dir = java.nio.file.Files.createTempDirectory("sem_occ").toString
     val h = SemIngest.handler(dir, Tau)
