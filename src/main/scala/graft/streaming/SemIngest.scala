@@ -23,19 +23,25 @@ import graft.functions.{IvfIndex, Similarity}
   * ids exceed every stored id), the same admission orientation as the
   * text loop's keep-lowest-id rule.
   *
-  * The codebook is FROZEN at [[seed]] time and every increment assigns
-  * with it (the [[IvfIndex.loadModel2]] contract — re-training would
-  * silently diverge the cell spaces). Re-seed to re-quantize when the
-  * corpus outgrows the book — [[occupancy]] is the measured trigger
-  * (re-seed near mean ≈ 4× the seed-time design occupancy); admission
-  * decisions already made are final either way.
+  * The codebook is FROZEN between re-seeds and every increment assigns
+  * with it (the [[IvfIndex.loadModel2]] contract — ad-hoc re-training
+  * would silently diverge the cell spaces). When the corpus outgrows the
+  * book, [[occupancy]] is the measured trigger and [[reseed]] the
+  * operation: retrain on the full corpus, re-quantize the index, publish
+  * model + index together with ONE atomic rename; admission decisions
+  * already made stay final (re-seed moves cells, never re-judges).
   *
   * State layout (any Hadoop filesystem):
   * {{{
-  * corpusDir/model/            the Model2 codebooks (written once by seed)
-  * corpusDir/vecs/seed|b<k>/   accepted vectors   (parquet)
-  * corpusDir/index/seed|b<k>/  their index2 rows  (vec_id, vd, nrm, cell)
+  * corpusDir/model/             Model2 codebooks    (generation 0, by seed)
+  * corpusDir/index/seed|b<k>/   index2 rows         (vec_id, vd, nrm, cell)
+  * corpusDir/vecs/seed|b<k>/    accepted vectors    (parquet, all gens)
+  * corpusDir/gen_<t>/model      re-seeded codebooks ([[reseed]])
+  * corpusDir/gen_<t>/index/...  their re-quantized index
   * }}}
+  * The CURRENT artifact is the newest committed `gen_<t>` if any reseed
+  * has run, else the generation-0 layout; `vecs/` is generation-free
+  * (vectors never change under re-quantization).
   *
   * EXACTLY-ONCE admission via batch-id idempotence, exactly the
   * [[CorpusIngest]] device: per-batch dirs written with overwrite, the
@@ -61,11 +67,38 @@ object SemIngest {
       .write.mode("overwrite").parquet(s"$corpusDir/index/seed")
   }
 
+  private val GenPrefix = "gen_"
+  private val GenStaging = "_gen_"
+
+  /** Resolve the CURRENT quantizer artifact — `(modelDir, indexRoot)`:
+    * the newest committed `gen_<t>` when a [[reseed]] has run, else the
+    * generation-0 seed-time layout. A generation is published by ONE
+    * rename (`_gen_<t>` → `gen_<t>`), so the resolved model and index
+    * always belong to the same training — there is no window where a
+    * reader can pair a new book with an old inverted file. Superseded
+    * generations are never resolved again (newest wins) and are swept
+    * lazily by the next reseed. */
+  private def artifact(spark: SparkSession, corpusDir: String)
+  : (String, String) = {
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(GenPrefix))
+    if (gens.isEmpty) (s"$corpusDir/model", s"$corpusDir/index")
+    else {
+      val newest = gens.maxBy(
+        _.getName.stripPrefix(GenPrefix).toLongOption.getOrElse(0L))
+      (s"$newest/model", s"$newest/index")
+    }
+  }
+
   /** Index directories visible to `batchId`: `seed` plus `b<k>` for
     * k < batchId (NEVER the current batch — replay determinism). */
-  private def priorIndexDirs(spark: SparkSession, corpusDir: String,
+  private def priorIndexDirs(spark: SparkSession, indexRoot: String,
                              batchId: Long): Seq[String] =
-    CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
+    CompactDirs.readableDirs(spark, new Path(indexRoot))
       .filter { p =>
         p.getName == "seed" ||
           p.getName.drop(1).toLongOption.exists(_ < batchId)
@@ -77,8 +110,9 @@ object SemIngest {
   def handler(corpusDir: String, thresholdMicro: Long)
   : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val m2 = IvfIndex.loadModel2(s"$corpusDir/model")(spark)
-    val prior = priorIndexDirs(spark, corpusDir, batchId)
+    val (modelDir, indexRoot) = artifact(spark, corpusDir)
+    val m2 = IvfIndex.loadModel2(modelDir)(spark)
+    val prior = priorIndexDirs(spark, indexRoot, batchId)
     val verdicts =
       if (prior.isEmpty) Similarity.semDedup2(batch, m2, thresholdMicro)
       else Similarity.semDedupIncrement2(
@@ -88,7 +122,7 @@ object SemIngest {
       Seq("vec_id"), "left_semi")
     accepted.write.mode("overwrite").parquet(s"$corpusDir/vecs/b$batchId")
     IvfIndex.index2(accepted, m2)
-      .write.mode("overwrite").parquet(s"$corpusDir/index/b$batchId")
+      .write.mode("overwrite").parquet(s"$indexRoot/b$batchId")
   }
 
   /** The whole accepted corpus (seed + every committed batch);
@@ -127,10 +161,11 @@ object SemIngest {
     * bounds recall hard. */
   def search(spark: SparkSession, corpusDir: String, queries: DataFrame,
              kNeighbors: Int, nprobe: Int, coarseProbe: Int = 2): DataFrame = {
-    val m2 = IvfIndex.loadModel2(s"$corpusDir/model")(spark)
-    val dirs = CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
+    val (modelDir, indexRoot) = artifact(spark, corpusDir)
+    val m2 = IvfIndex.loadModel2(modelDir)(spark)
+    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
       .map(_.toString)
-    require(dirs.nonEmpty, s"no index under $corpusDir/index")
+    require(dirs.nonEmpty, s"no index under $indexRoot")
     IvfIndex.knn2OnIndex(spark.read.parquet(dirs: _*), queries, m2,
       kNeighbors, nprobe, coarseProbe)
   }
@@ -152,10 +187,11 @@ object SemIngest {
                        mean: Double, p99: Long, max: Long)
 
   def occupancy(spark: SparkSession, corpusDir: String): Occupancy = {
-    val m2 = IvfIndex.loadModel2(s"$corpusDir/model")(spark)
-    val dirs = CompactDirs.readableDirs(spark, new Path(s"$corpusDir/index"))
+    val (modelDir, indexRoot) = artifact(spark, corpusDir)
+    val m2 = IvfIndex.loadModel2(modelDir)(spark)
+    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
       .map(_.toString)
-    require(dirs.nonEmpty, s"no index under $corpusDir/index")
+    require(dirs.nonEmpty, s"no index under $indexRoot")
     val counts = spark.read.parquet(dirs: _*)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .select("n").collect().map(_.getLong(0)).sorted
@@ -184,6 +220,71 @@ object SemIngest {
     * active ingest query and the last batch committed. */
   def compact(spark: SparkSession, corpusDir: String): Unit = {
     CompactDirs.swap(spark, new Path(s"$corpusDir/vecs"), Seq("vec_id"))
-    CompactDirs.swap(spark, new Path(s"$corpusDir/index"), Seq("vec_id"))
+    CompactDirs.swap(spark, new Path(artifact(spark, corpusDir)._2),
+      Seq("vec_id"))
+  }
+
+  /** RE-SEED — the operation [[occupancy]]'s trigger calls for: retrain
+    * the two-level book on the full crash-healed corpus (size `kTotal`
+    * to the CURRENT n, restoring the seed-time design occupancy) and
+    * re-quantize every stored vector, without re-judging a single
+    * admission (the accepted set is carried verbatim; dedup decisions
+    * are final by contract).
+    *
+    * Publication is crash-atomic by construction: the new model and its
+    * re-built index are staged together under one invisible
+    * `_gen_<t>` dir, then committed by a SINGLE rename to `gen_<t>` —
+    * the only mutation readers can observe. A crash before the rename
+    * leaves the old artifact fully intact (the staging dir is invisible
+    * and swept by the next reseed); a crash after it leaves the new
+    * artifact live with stale superseded dirs that are never resolved
+    * (newest generation wins) and are swept lazily. There is NO state
+    * in which a reader pairs a book with another generation's inverted
+    * file — the failure mode a two-dir in-place swap would have.
+    *
+    * Caller contract (the [[compact]] contract): no active ingest
+    * query, last batch committed; restart the stream on the SAME
+    * checkpoint afterwards so batch ids keep increasing. Post-reseed
+    * batches index into the new generation; their admission probes see
+    * the whole corpus through the re-built `seed`.
+    *
+    * `crashAfter` is the [[CompactDirs.swap]] test-only failpoint
+    * (1 = model staged, 2 = index staged, 3 = generation committed,
+    * 4.. = per-dir sweep of superseded artifacts). */
+  def reseed(spark: SparkSession, corpusDir: String, kTotal: Int,
+             iters: Int = 3, coarseK: Int = IvfIndex.DefaultCoarseK,
+             crashAfter: Int = Int.MaxValue): Unit = {
+    var mutations = 0
+    def mutated(): Unit = {
+      mutations += 1
+      if (mutations >= crashAfter)
+        throw new CompactDirs.InjectedCrash(mutations)
+    }
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val all = corpus(spark, corpusDir)
+    val m2 = IvfIndex.trainTwoLevel(all, kTotal, iters, coarseK = coarseK)
+    val t = System.nanoTime()
+    val staging = new Path(root, s"$GenStaging$t")
+    IvfIndex.saveModel2(m2, s"$staging/model")(spark)
+    mutated()
+    IvfIndex.index2(all, m2)
+      .write.mode("overwrite").parquet(s"$staging/index/seed")
+    mutated()
+    val committed = new Path(root, s"$GenPrefix$t")
+    require(fs.rename(staging, committed),
+      s"reseed: rename $staging -> $committed failed")
+    mutated()
+    // lazy sweep of superseded artifacts — all invisible to resolution
+    // already (newest gen wins; gen-0 dirs unresolved once a gen exists),
+    // so a crash anywhere in here costs bytes, never correctness. The
+    // gen-0 dirs are addressed directly (not via artifact resolution) so
+    // a sweep that crashed in an EARLIER reseed still converges here.
+    Seq(new Path(root, "model"), new Path(root, "index"))
+      .filter(fs.exists).foreach { p => fs.delete(p, true); mutated() }
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith(GenStaging) ||
+        (p.getName.startsWith(GenPrefix) && p.getName != committed.getName))
+      .foreach { p => fs.delete(p, true); mutated() }
   }
 }
