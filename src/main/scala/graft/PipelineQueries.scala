@@ -906,6 +906,34 @@ object PipelineQueries {
       coarseProbe = Ivf2CoarseProbe).orderBy("q_id", "n_id")
   }
 
+  @volatile private var lastContamModel2: Option[IvfIndex.Model2] = None
+
+  /** p58 threshold: cos ≥ 0.35 — the paraphrase band on this synthetic
+    * corpus (the planted near-dups sit ≥ 0.45; 0.35 reaches the
+    * cross-boundary "reworded" neighborhood so the query has hits at
+    * every SF). nprobe covers the routed sub-books fully (8 of 16 fine
+    * cells through 2 of 4 coarse routes at the contract book). */
+  private val ContamThresholdMicro = 350000L
+  private val ContamNprobe = 8
+
+  /** p58 — semantic decontamination
+    * ([[Similarity.semContamination]]): the embedding-space member of
+    * the contamination family (p19 n-gram Bloom, p33 its broadcast
+    * shape, p52 shingle containment) — corpus vectors (`vec_id >= 20`)
+    * within cosine ≥ threshold of any held-out "test suite" vector
+    * (the p9/p57 query set, `vec_id < 20`), through the SAME two-level
+    * artifact p56/p57 share. Catches paraphrased leakage no text route
+    * sees; the corpus is indexed map-side and never shuffled, the test
+    * suite broadcasts. */
+  private def p58(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val m2 = contractModel2(s, dir)
+    lastContamModel2 = Some(m2)
+    Similarity.semContamination(e.where(col("vec_id") >= 20),
+      e.where(col("vec_id") < 20), m2, ContamThresholdMicro,
+      nprobe = ContamNprobe, coarseProbe = Ivf2CoarseProbe).orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -964,6 +992,7 @@ object PipelineQueries {
     "p55_bpe_pairs" -> p55 _,
     "p56_semdedup_two" -> p56 _,
     "p57_embed_ivf2_knn" -> p57 _,
+    "p58_sem_contamination" -> p58 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1188,6 +1217,38 @@ object PipelineQueries {
        |${knnSql("p")}""".stripMargin
   }
 
+  /** p58 oracle: the TEST side's probe selection re-derived exactly as
+    * [[ivf2OracleSql]] (coarse top-C, routed fine cells ranked globally,
+    * first `ContamNprobe` probed), then every probed-cell (corpus, test)
+    * pair at cosine ≥ threshold reduced to the per-corpus-vector argmax
+    * (ties → the lowest test id — the struct-max rule on the Spark
+    * side). The corpus side is the `vec_id >= 20` complement of the
+    * test predicate. */
+  private def semContamOracleSql(m: IvfIndex.Model2): String = {
+    val dotEF =
+      """list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * f.fvd[i])),
+        |            (a, b) -> a + b)""".stripMargin
+    s"""WITH ${ivfAssign2Ctes(m)},
+       |pc AS (SELECT vec_id, vd, nrm, ccell FROM cad
+       |       WHERE rn <= $Ivf2CoarseProbe AND $QueryPredSql),
+       |fr AS (SELECT e.vec_id, e.vd, e.nrm, f.gid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           f.f2 - 2 * $dotEF, f.gid) AS rn
+       |       FROM pc e JOIN fcents f ON f.ccell = e.ccell),
+       |probes AS (SELECT vec_id, vd, nrm, gid AS cell FROM fr
+       |           WHERE rn <= $ContamNprobe),
+       |h AS (SELECT e.vec_id, q.vec_id AS test_id,
+       |        CAST(floor(1000000.0 * $DotSql / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+       |      FROM probes q JOIN idx e ON e.cell = q.cell AND e.vec_id >= 20),
+       |r AS (SELECT vec_id, test_id, sim_micro,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim_micro DESC, test_id) AS rn
+       |      FROM h WHERE sim_micro >= $ContamThresholdMicro)
+       |SELECT vec_id, test_id, sim_micro FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Two-level assignment CTEs: coarse codebook VALUES + argmin routing
     * (ties → lowest coarse cell), then the routed cell's FINE
     * sub-codebook — embedded with GLOBAL ids precomputed driver-side
@@ -1245,7 +1306,8 @@ object PipelineQueries {
     staticOracleSql ++ lastIvfModel.map(m => "p12_embed_ivf_knn" -> ivfOracleSql(m)) ++
       lastSemModel.map(m => "p49_semdedup" -> semOracleSql(m)) ++
       lastSemModel2.map(m => "p56_semdedup_two" -> semOracleSql2(m)) ++
-      lastIvf2Model.map(m => "p57_embed_ivf2_knn" -> ivf2OracleSql(m))
+      lastIvf2Model.map(m => "p57_embed_ivf2_knn" -> ivf2OracleSql(m)) ++
+      lastContamModel2.map(m => "p58_sem_contamination" -> semContamOracleSql(m))
 
   private val staticOracleSql: Map[String, String] = Map(
     "p1_text_stats" ->

@@ -250,6 +250,75 @@ object Similarity {
                 salts: Int = 1, idCol: String = "vec_id"): DataFrame =
     semDedupOnIndex(IvfIndex.index2(emb, model, idCol), thresholdMicro, salts, idCol)
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * contamination family ([[Dedup.contaminationPairs]] n-gram Bloom,
+    * [[Dedup.containmentScan]] shingle containment): flag every corpus
+    * vector whose embedding lies within cosine ≥ `thresholdMicro` of
+    * ANY held-out test vector, reporting the leaked test item and the
+    * similarity as the audit columns. This catches PARAPHRASED
+    * benchmark leakage — rewordings that share no n-grams, invisible
+    * to both text routes — which is exactly why eval-decontamination
+    * pipelines run an embedding pass beside the lexical ones.
+    *
+    * Geometry (the contam_bloom argument at embedding scale): the
+    * corpus is INDEXED map-side ([[IvfIndex.index2]] — cell assignment
+    * is a per-row kernel, the corpus never shuffles); the test suite,
+    * small by contract, is assigned and probe-expanded
+    * ([[IvfIndex.knn2OnIndex]]'s selection: `nprobe` fine cells through
+    * the `coarseProbe` nearest coarse routes) and BROADCAST onto the
+    * corpus cells; exact cosine runs inside the scan stage; the
+    * per-corpus-vector best hit folds behind map-side partial
+    * aggregation, so the one exchange carries only contaminated rows.
+    * Probed fine cells are distinct, so no (corpus, test) pair is
+    * scored twice. Recall is bounded by the probe geometry exactly as
+    * [[IvfIndex.knn2]] documents — size `nprobe` ≥ k/coarseK; full
+    * fan-out (coarseProbe = coarse k, nprobe = total k) is exhaustive
+    * and equals the brute-force scan (pinned in the spec).
+    *
+    * Output: (idCol, test_id, sim_micro) for CONTAMINATED vectors only —
+    * `test_id` the best-matching test vector (ties → lowest test id),
+    * `sim_micro` its similarity. Anti-join the corpus against it to
+    * scrub. */
+  def semContamination(corpus: DataFrame, test: DataFrame,
+                       model: IvfIndex.Model2, thresholdMicro: Long,
+                       nprobe: Int, coarseProbe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    semContaminationOnIndex(IvfIndex.index2(corpus, model, idCol, vecCol),
+      test, model, thresholdMicro, nprobe, coarseProbe, idCol, vecCol)
+
+  /** [[semContamination]] against an ALREADY-STORED inverted file (the
+    * [[IvfIndex.knn2OnIndex]] deployment shape): decontaminate a
+    * persisted corpus index without re-indexing —
+    * [[graft.streaming.SemIngest.contamination]] wraps this over the
+    * ingest-loop artifact, its fourth workload. */
+  def semContaminationOnIndex(idx: DataFrame, test: DataFrame,
+                              model: IvfIndex.Model2, thresholdMicro: Long,
+                              nprobe: Int, coarseProbe: Int = 2,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(coarseProbe >= 1, s"coarseProbe must be >= 1 (got $coarseProbe)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val session = test.sparkSession
+    val probes = prep(test, vecCol)
+      .withColumn("cell", explode(
+        IvfIndex.probeCells2(col("vd"), model, nprobe, coarseProbe, session)))
+      .select(col(idCol).as("test_id"), col("vd").as("tvd"),
+        col("nrm").as("tnrm"), col("cell"))
+    idx.join(broadcast(probes), Seq("cell"))
+      .select(col(idCol), col("test_id"),
+        simMicroPre(col("vd"), col("tvd"), col("nrm"), col("tnrm"),
+          session).as("sim_micro"))
+      .where(col("sim_micro") >= thresholdMicro)
+      // argmax via struct max: (sim asc, -test_id asc) ranks highest sim
+      // first, then the LOWEST test id — deterministic and partial-agg'd
+      // (max merges map-side), unlike max_by's tie behavior.
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim_micro"), (-col("test_id")).as("_nt"))).as("_b"))
+      .select(col(idCol), (-col("_b._nt")).as("test_id"),
+        col("_b.sim_micro").as("sim_micro"))
+  }
+
   private def semDedupIncrementAssigned(idx: DataFrame, newIdx: DataFrame,
                                         thresholdMicro: Long, idCol: String): DataFrame = {
     val keepersSide = idx.select(col(idCol), col("vd"), col("nrm"), col("cell"))

@@ -170,6 +170,26 @@ object SemIngest {
       kNeighbors, nprobe, coarseProbe)
   }
 
+  /** Decontamination over the ingest artifact — its FOURTH workload
+    * (admission, dedup scan, [[search]], and now eval-leak scanning
+    * share the one stored model + inverted file): flag every ingested
+    * vector within cosine ≥ `thresholdMicro` of a held-out test vector
+    * ([[graft.functions.Similarity.semContaminationOnIndex]] — the
+    * small test suite broadcasts, the stored index never shuffles).
+    * Crash-healed dirs, current generation's book. Output:
+    * (vec_id, test_id, sim_micro), contaminated vectors only. */
+  def contamination(spark: SparkSession, corpusDir: String, test: DataFrame,
+                    thresholdMicro: Long, nprobe: Int,
+                    coarseProbe: Int = 2): DataFrame = {
+    val (modelDir, indexRoot) = artifact(spark, corpusDir)
+    val m2 = IvfIndex.loadModel2(modelDir)(spark)
+    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
+      .map(_.toString)
+    require(dirs.nonEmpty, s"no index under $indexRoot")
+    Similarity.semContaminationOnIndex(spark.read.parquet(dirs: _*), test,
+      m2, thresholdMicro, nprobe, coarseProbe)
+  }
+
   /** Fine-cell occupancy of the stored index — the MEASURED re-seed
     * trigger. The two-level book is frozen at [[seed]] time with total
     * fine cells sized to the seed corpus (k ∝ n keeps the within-cell

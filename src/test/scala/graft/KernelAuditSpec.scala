@@ -48,6 +48,7 @@ class KernelAuditSpec extends SparkSpec {
     "p52_containment" -> Set("trigram_shingles"),
     "p56_semdedup_two" -> Set("vec_dot", "nearest_cell_2"),
     "p57_embed_ivf2_knn" -> Set("nearest_cell_2"),
+    "p58_sem_contamination" -> Set("vec_dot", "nearest_cell_2"),
     "p6_dedup_ngram" -> Set("trigram_shingles"))
 
   test("positive control: the matcher flags a re-enabled InferFiltersFromGenerate trap plan") {
@@ -257,16 +258,20 @@ class KernelAuditSpec extends SparkSpec {
   /** Adjudicated join-condition kernels: the cosine pair-scoring
     * predicate `vec_dot(a,b) >= threshold` IS the operator's per-pair
     * work — p13 is the exact all-pairs anchor (BroadcastNestedLoopJoin
-    * by design), p49's within-cell verify scores each cell collision.
-    * Everything else — and ANY kernel inside an exchange/sort/window/
-    * aggregate key, which would mean keying on a raw kernel expression
-    * instead of its projected attribute — fails. */
+    * by design), p49's within-cell verify scores each cell collision,
+    * and p58's decontamination verify scores each (corpus, probed test
+    * vector) collision inside the broadcast join so non-contaminated
+    * pairs never materialize. Everything else — and ANY kernel inside
+    * an exchange/sort/window/aggregate key, which would mean keying on
+    * a raw kernel expression instead of its projected attribute —
+    * fails. */
   private val AdjudicatedNodes: Set[(String, String, String)] = Set(
     ("p13_dedup_embed", "BroadcastNestedLoopJoin", "vec_dot"),
     ("p49_semdedup", "BroadcastHashJoin", "vec_dot"),
-    ("p56_semdedup_two", "BroadcastHashJoin", "vec_dot"))
+    ("p56_semdedup_two", "BroadcastHashJoin", "vec_dot"),
+    ("p58_sem_contamination", "BroadcastHashJoin", "vec_dot"))
 
-  test("node sweep: kernels appear only in the two adjudicated pair-scoring join conditions") {
+  test("node sweep: kernels appear only in the adjudicated pair-scoring join conditions") {
     val violations = allPlans.flatMap { case (name, plan) =>
       KernelAudit.nodeHits(plan)
         .filterNot(h => AdjudicatedNodes.contains((name, h._1, h._2)))

@@ -166,6 +166,17 @@ class PlanShapeSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("p58 decontamination: test suite broadcast onto the corpus cells, best-hit fold is two-phase") {
+    val p = plan("p58_sem_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed test suite not broadcast (corpus would shuffle):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_finalmerge") ||
+      p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"per-vector best-hit fold is not two-phase (map-side combine missing):\n$p")
+  }
+
   test("CEP patterns shuffle once on the key; no unbounded-following frame") {
     for (q <- Seq("q13_pattern_seq", "q14_pattern_absence", "q19_pattern_count_seq")) {
       val p = plan(q)

@@ -376,6 +376,75 @@ class SketchesSpec extends SparkSpec {
     assert(all.toSeq === bf.toSeq)
   }
 
+  test("Semantic decontamination: sound on probed cells; full fan-out equals the brute threshold-argmax") {
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 2, coarseK = 4)
+    val testSide = embs.where(col("vec_id") < 20)
+    val corpus = embs.where(col("vec_id") >= 20)
+    val thr = 350000L
+
+    // driver-side brute oracle: same strict left-fold double math as the
+    // engine (ascending-index products, 0.0 seed), so sims match bitwise
+    val vecs = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def dotd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Seq[Double]): Double = math.sqrt(dotd(a, a))
+    val testIds = vecs.keys.filter(_ < 20).toSeq.sorted
+    val bruteBest: Map[Long, (Long, Long)] = vecs.keys.filter(_ >= 20).flatMap { cid =>
+      val hits = testIds.map { t =>
+        val s = math.floor(1e6 * dotd(vecs(cid), vecs(t)) /
+          (nrm(vecs(cid)) * nrm(vecs(t)))).toLong
+        (t, s)
+      }.filter(_._2 >= thr)
+      if (hits.isEmpty) None
+      else {
+        val best = hits.maxBy { case (t, s) => (s, -t) }
+        Some(cid -> best)
+      }
+    }.toMap
+    assert(bruteBest.nonEmpty) // the fixture must exercise the threshold
+
+    // bounded probe: every flagged vector is a true contamination with
+    // the true best sim IF that test vector is reachable — soundness is
+    // sim-exactness plus membership in the brute hit set
+    val probed = Similarity.semContamination(corpus, testSide, m2, thr,
+        nprobe = 8, coarseProbe = 2)
+      .select("vec_id", "test_id", "sim_micro").as[(Long, Long, Long)]
+      .collect()
+    probed.foreach { case (cid, t, s) =>
+      val exact = math.floor(1e6 * dotd(vecs(cid), vecs(t)) /
+        (nrm(vecs(cid)) * nrm(vecs(t)))).toLong
+      assert(s === exact && s >= thr)
+    }
+
+    // full fan-out degrades to the exhaustive scan: argmax, tie rule,
+    // and sims must all equal the brute oracle exactly
+    val full = Similarity.semContamination(corpus, testSide, m2, thr,
+        nprobe = m2.k, coarseProbe = m2.coarse.k)
+      .select("vec_id", "test_id", "sim_micro").as[(Long, Long, Long)]
+      .collect().map { case (c, t, s) => c -> ((t, s)) }.toMap
+    assert(full === bruteBest)
+
+    // a planted paraphrase of a test vector is caught at near-dup tau
+    // through the bounded probe (same fine-cell argument as the dedup
+    // recall specs)
+    val planted = embs.where(col("vec_id") === 5)
+      .select(lit(777777L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i === 0, lit(0.01f)).otherwise(lit(0.0f)))
+          .as("embedding"),
+        col("label"))
+    val flagged = Similarity.semContamination(
+        corpus.select("vec_id", "embedding", "label").unionAll(planted),
+        testSide, m2, 990000L, nprobe = 4, coarseProbe = 2)
+      .select("vec_id", "test_id").as[(Long, Long)].collect().toMap
+    assert(flagged.get(777777L) === Some(5L))
+  }
+
   test("Two-level SemDeDup: planted near-identicals recalled through the hierarchical cluster bound") {
     // the flat recall spec's corpus, routed through coarse->fine cells:
     // a 0.999-cosine perturbation lands in its source's FINE cell except

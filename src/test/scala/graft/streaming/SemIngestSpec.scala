@@ -112,6 +112,31 @@ class SemIngestSpec extends SparkSpec {
     assert(top(900L -> near(2)) === Seq((900L, 10L)))
   }
 
+  test("contamination: the ingest artifact flags stored vectors near a held-out suite") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_contam").toString
+    val h = SemIngest.handler(dir, Tau)
+    SemIngest.seed(mkEmbs(1L -> base(0), 2L -> base(1)), dir,
+      kTotal = 8, coarseK = 2)
+    h(mkEmbs(10L -> base(2)), 0L)
+    h(mkEmbs(11L -> base(3)), 1L)
+
+    // held-out "benchmark": one item near batch-era vector 10, one near
+    // seed-era vector 1, one fresh direction — the two leaks flag with
+    // the right audit columns, the fresh one flags nothing
+    val suite = mkEmbs(900L -> near(2), 901L -> near(0), 902L -> base(5))
+    val flagged = SemIngest.contamination(spark, dir, suite,
+        thresholdMicro = Tau, nprobe = 8, coarseProbe = 2)
+      .select("vec_id", "test_id").as[(Long, Long)].collect().toMap
+    assert(flagged === Map(10L -> 900L, 1L -> 901L))
+
+    // compaction moves bytes, not verdicts
+    SemIngest.compact(spark, dir)
+    val after = SemIngest.contamination(spark, dir, suite,
+        thresholdMicro = Tau, nprobe = 8, coarseProbe = 2)
+      .select("vec_id", "test_id").as[(Long, Long)].collect().toMap
+    assert(after === flagged)
+  }
+
   test("occupancy: the measured re-seed trigger counts stored vectors per fine cell") {
     val dir = java.nio.file.Files.createTempDirectory("sem_occ").toString
     val h = SemIngest.handler(dir, Tau)
