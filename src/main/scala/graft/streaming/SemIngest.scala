@@ -268,6 +268,15 @@ object SemIngest {
     * batches index into the new generation; their admission probes see
     * the whole corpus through the re-built `seed`.
     *
+    * Measured cost (ProbeFamily `sem_reseed`, sf0.1 rotated replicas,
+    * kTotal = 16·factor, min of fresh-JVM steady-state reps): ×1 2.2 s,
+    * ×4 1.9, ×10 2.9, ×40 5.4, ×100 5.1 — TRAINING-dominated and near
+    * flat past the sample cap (`trainTwoLevel`'s maxTrainPerCell bounds
+    * the k-means input); the re-index term is linear in n but map-side
+    * (one kernel assignment pass, no shuffle), still minor at ×100
+    * (200k vectors, 1600 cells). Budget reseed ≈ a few increment
+    * batches, amortized over the growth that triggered it.
+    *
     * `crashAfter` is the [[CompactDirs.swap]] test-only failpoint
     * (1 = model staged, 2 = index staged, 3 = generation committed,
     * 4.. = per-dir sweep of superseded artifacts). */

@@ -691,6 +691,29 @@ object ProbeFamily {
           f"two=${recall(twoTop)}%.3f")
         // recall@k in permille as the family's comparable scalar
         (recall(twoTop) * 1000).toLong
+      case "sem_reseed" =>
+        // reseed cost curve: seed the ingest artifact at factor n with a
+        // BASE-sized book (kTotal=16 — the outgrown state occupancy()
+        // flags), then time SemIngest.reseed to the right-sized book
+        // (kTotal = 16·n). Cost anatomy: two-level training is
+        // sample-capped (flat past the cap) + one full re-index (linear
+        // map-side assignment, no shuffle) + one commit rename. Rep 1
+        // pays the outgrown→right-sized transition; later reps retrain
+        // at 16·n from the committed generation — the steady-state
+        // repeated-reseed cost (min-of-reps reports that).
+        val dir = s"/tmp/graft_reseed_${sfKey}_x$n"
+        if (!success(s"$dir/vecs/seed")) {
+          val embsN = ScaleSmoke.replicateEmbsRotated(
+            graft.Tables.embeddings(spark, sfDir), n)
+          graft.streaming.SemIngest.seed(embsN, dir, kTotal = 16, coarseK = 4)
+        }
+        val occBefore = graft.streaming.SemIngest.occupancy(spark, dir)
+        graft.streaming.SemIngest.reseed(spark, dir, kTotal = 16 * n)
+        val occAfter = graft.streaming.SemIngest.occupancy(spark, dir)
+        println(f"[probe] sem_reseed x$n vectors=${occAfter.vectors} " +
+          f"mean ${occBefore.mean}%.2f -> ${occAfter.mean}%.2f " +
+          f"cells ${occBefore.cells} -> ${occAfter.cells}")
+        occAfter.vectors
       case other => sys.error(s"unknown family $other")
     }
     (1 to reps).foreach { i =>
