@@ -691,6 +691,29 @@ object ProbeFamily {
           f"two=${recall(twoTop)}%.3f")
         // recall@k in permille as the family's comparable scalar
         (recall(twoTop) * 1000).toLong
+      case "sem_contam" =>
+        // semantic decontamination at depth: corpus = rotated replicas
+        // x n, held-out suite = the 20 base query vectors, book sized
+        // k = 16·n (the right-sized regime). Expected shape: the corpus
+        // pays one map-side index pass (coarseK + fineK dots/row); the
+        // probed-cell broadcast join touches nprobe cells' populations
+        // (≈ flat per-cell occupancy under k ∝ n), so the curve should
+        // track the scan, never the pair blow-up. Model cached per
+        // (sf, n) like the semdedup family.
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sfDir), n)
+        val contamModelDir = s"/tmp/graft_contam_m2_${sfKey}_x$n"
+        if (!success(contamModelDir)) {
+          val m2 = IvfIndex.trainTwoLevel(embsN, kTotal = 16 * n, iters = 3)
+          IvfIndex.saveModel2(m2, contamModelDir)(spark)
+        }
+        val m2 = IvfIndex.loadModel2(contamModelDir)(spark)
+        Similarity.semContamination(
+            embsN.where(col("vec_id") >= 20), embsN.where(col("vec_id") < 20),
+            m2, 350000L, nprobe = math.max(8, m2.k / m2.coarse.k),
+            coarseProbe = 2)
+          .agg(coalesce(count(lit(1)) + sum(col("sim_micro")), lit(0L)))
+          .head().getLong(0)
       case "sem_reseed" =>
         // reseed cost curve: seed the ingest artifact at factor n with a
         // BASE-sized book (kTotal=16 — the outgrown state occupancy()
