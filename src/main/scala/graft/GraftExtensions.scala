@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, NearestCellsTwoLevel, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, NearestCellsTwoLevel, PqAdcScore, PqAdcTable, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -86,6 +86,14 @@ object GraftExtensions {
         children(3), children(4),
         intLit("nearest_cells_2", children(5), 6),
         intLit("nearest_cells_2", children(6), 7))
+    }),
+    ("pq_adc_table", classOf[PqAdcTable], (children: Seq[Expression]) => {
+      arity("pq_adc_table", children, 2)
+      PqAdcTable(children.head, children(1))
+    }),
+    ("pq_adc_score", classOf[PqAdcScore], (children: Seq[Expression]) => {
+      arity("pq_adc_score", children, 3)
+      PqAdcScore(children.head, children(1), children(2))
     }),
     ("simhash16", classOf[Simhash16], (children: Seq[Expression]) => {
       arity("simhash16", children, 1)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, IvfIndex, Multimodal, Similarity, Sketches, TextFunctions => TF}
+import graft.functions.{Dedup, IvfIndex, Multimodal, Pq, Similarity, Sketches, TextFunctions => TF}
 
 /** Driver-mandated training-data pipeline operators (dedup, similarity
   * search, text analysis, multimodal) over `documents` / `embeddings`.
@@ -934,6 +934,62 @@ object PipelineQueries {
       nprobe = ContamNprobe, coarseProbe = Ivf2CoarseProbe).orderBy("vec_id")
   }
 
+  @volatile private var lastPqModel: Option[(Pq.PqModel, IvfIndex.Model2)] = None
+  @volatile private var lastPqRerankModel: Option[(Pq.PqModel, IvfIndex.Model2)] = None
+
+  /** One PQ model per data dir (the [[contractModel2]] device): m=8
+    * sub-books of (up to) 16 cells — small enough for a compact VALUES
+    * oracle, real enough to exercise ragged slicing on the 64-dim
+    * embeddings. */
+  private val PqM = 8
+  private val PqKsub = 16
+  @volatile private var cachedPqModel: Option[(String, Pq.PqModel)] = None
+  private def contractPqModel(s: SparkSession, dir: String): Pq.PqModel =
+    cachedPqModel match {
+      case Some((d, m)) if d == dir => m
+      case _ =>
+        val m = Pq.trainPq(embs(s, dir), PqM, PqKsub, iters = IvfIters)
+        cachedPqModel = Some((dir, m))
+        m
+    }
+
+  /** p59 — IVF-ADC search through the product-quantized index
+    * ([[Pq.knnOnPqIndex]]): p57's probe geometry over a compressed
+    * index that carries PQ CODES instead of raw vectors (m ints + one
+    * norm per vector — the 100 TB memory-residency shape), scoring by
+    * asymmetric distance (one table per query, m lookups per
+    * candidate). Same K/nprobe/coarseProbe/query predicate as p57, so
+    * exact-index and compressed-index search stay directly
+    * comparable. */
+  private def p59(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val m2 = contractModel2(s, dir)
+    val pq = contractPqModel(s, dir)
+    lastPqModel = Some((pq, m2))
+    Pq.knnOnPqIndex(Pq.index2Pq(e, m2, pq), e.where(col("vec_id") < 20),
+      m2, pq, K, nprobe = IvfNprobe, coarseProbe = Ivf2CoarseProbe)
+      .orderBy("q_id", "n_id")
+  }
+
+  /** How many ADC candidates [[p60]] re-ranks exactly per query. */
+  private val PqShortlist = 3 * K
+
+  /** p60 — the two-stage IVF-ADC-rerank ([[Pq.knnRerank]]): ADC
+    * shortlist over the compressed index, then ONE exact-cosine pass
+    * over just the shortlisted pairs against the raw corpus — the
+    * standard recall-at-the-top recipe; reported sims are EXACT
+    * (ADC only chose the candidates). */
+  private def p60(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val m2 = contractModel2(s, dir)
+    val pq = contractPqModel(s, dir)
+    lastPqRerankModel = Some((pq, m2))
+    Pq.knnRerank(e, Pq.index2Pq(e, m2, pq), e.where(col("vec_id") < 20),
+      m2, pq, K, shortlist = PqShortlist, nprobe = IvfNprobe,
+      coarseProbe = Ivf2CoarseProbe)
+      .orderBy("q_id", "n_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_text_stats" -> p1 _,
     "p2_quality_score" -> p2 _,
@@ -993,6 +1049,8 @@ object PipelineQueries {
     "p56_semdedup_two" -> p56 _,
     "p57_embed_ivf2_knn" -> p57 _,
     "p58_sem_contamination" -> p58 _,
+    "p59_embed_pq_knn" -> p59 _,
+    "p60_embed_pq_rerank" -> p60 _,
   )
 
   // ---- DuckDB oracle twins ----
@@ -1249,6 +1307,99 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** PQ CTE chain appended to [[ivfAssign2Ctes]]: the m sub-books as
+    * VALUES rows (sub, code id, 0-based slice start, centroid, c²),
+    * corpus codes as per-(vector, sub) argmins (ties → lowest code, the
+    * kernel rule), probe selection EXACTLY as [[ivf2OracleSql]], and
+    * the ADC estimate per probed pair: the query's sub-table entries at
+    * the candidate's codes, summed in ascending sub order from a 0.0
+    * seed (`list_reduce` over `list(t ORDER BY sub)`) — every double
+    * bit-identical to the kernels' pinned folds. */
+  private def pqAdcCtes(pq: Pq.PqModel): String = {
+    val bookRows = pq.books.zipWithIndex.flatMap { case (b, s) =>
+      b.centroids.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        s"($s, $j, ${pq.starts(s)}, [${c.mkString(", ")}]::DOUBLE[], $c2)"
+      }
+    }.mkString(",\n    ")
+    val dotSlice =
+      """list_reduce(list_prepend(0.0,
+        |            list_transform(range(1, len(p.cvd) + 1), i -> e.vd[p.strt + i] * p.cvd[i])),
+        |            (a, b) -> a + b)""".stripMargin
+    s"""pqb AS (SELECT * FROM (VALUES
+       |    $bookRows
+       |  ) AS p(sub, j, strt, cvd, c2)),
+       |enc AS (SELECT e.vec_id, p.sub, p.j,
+       |         row_number() OVER (PARTITION BY e.vec_id, p.sub ORDER BY
+       |           p.c2 - 2 * $dotSlice, p.j) AS rn
+       |       FROM n e CROSS JOIN pqb p),
+       |cds AS (SELECT vec_id, sub, j AS code FROM enc WHERE rn = 1),
+       |qt AS (SELECT e.vec_id AS q_id, p.sub, p.j, $dotSlice AS t
+       |       FROM n e CROSS JOIN pqb p WHERE $QueryPredSql),
+       |pc AS (SELECT vec_id, vd, nrm, ccell FROM cad
+       |       WHERE rn <= $Ivf2CoarseProbe AND $QueryPredSql),
+       |fr AS (SELECT e.vec_id, e.vd, e.nrm, f.gid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           f.f2 - 2 * list_reduce(list_prepend(0.0,
+       |             list_transform(range(1, len(e.vd) + 1), i -> e.vd[i] * f.fvd[i])),
+       |             (a, b) -> a + b), f.gid) AS rn
+       |       FROM pc e JOIN fcents f ON f.ccell = e.ccell),
+       |probes AS (SELECT vec_id, nrm, gid AS cell FROM fr
+       |           WHERE rn <= $IvfNprobe),
+       |prs AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |          q.nrm AS qnrm, e.nrm AS nnrm
+       |        FROM probes q JOIN idx e ON e.cell = q.cell AND e.vec_id != q.vec_id),
+       |adc AS (SELECT pr.q_id, pr.n_id,
+       |          CAST(floor(1000000.0 *
+       |            list_reduce(list_prepend(0.0, list(qt.t ORDER BY qt.sub)),
+       |              (a, b) -> a + b)
+       |            / (pr.qnrm * pr.nnrm)) AS BIGINT) AS sim_adc_micro
+       |        FROM prs pr
+       |        JOIN cds c ON c.vec_id = pr.n_id
+       |        JOIN qt ON qt.q_id = pr.q_id AND qt.sub = c.sub AND qt.j = c.code
+       |        GROUP BY pr.q_id, pr.n_id, pr.qnrm, pr.nnrm)""".stripMargin
+  }
+
+  /** p59 oracle: the IVF-ADC estimate re-derived end to end — two-level
+    * assignment + probe selection ([[ivf2OracleSql]]'s geometry), PQ
+    * encode argmins, ADC table-lookup sum, per-query top-k on the
+    * estimate. */
+  private def pqOracleSql(pq: Pq.PqModel, m2: IvfIndex.Model2): String =
+    s"""WITH ${ivfAssign2Ctes(m2)},
+       |${pqAdcCtes(pq)}
+       |SELECT q_id, n_id, sim_adc_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY sim_adc_micro DESC, n_id) AS rn FROM adc)
+       |WHERE rn <= $K
+       |ORDER BY q_id, n_id""".stripMargin
+
+  /** p60 oracle: the ADC shortlist (first `PqShortlist` of the p59
+    * ranking), then EXACT cosine over just those pairs and the final
+    * top-k — the sims are true dot products, ADC only chose the
+    * candidates. */
+  private def pqRerankOracleSql(pq: Pq.PqModel, m2: IvfIndex.Model2): String = {
+    val dotQN =
+      """list_reduce(list_prepend(0.0,
+        |          list_transform(range(1, len(q.vd) + 1), i -> q.vd[i] * e.vd[i])),
+        |          (a, b) -> a + b)""".stripMargin
+    s"""WITH ${ivfAssign2Ctes(m2)},
+       |${pqAdcCtes(pq)},
+       |sl AS (SELECT q_id, n_id
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                    ORDER BY sim_adc_micro DESC, n_id) AS rn FROM adc)
+       |       WHERE rn <= $PqShortlist),
+       |ex AS (SELECT s.q_id, s.n_id,
+       |         CAST(floor(1000000.0 * $dotQN / (q.nrm * e.nrm)) AS BIGINT) AS sim_micro
+       |       FROM sl s
+       |       JOIN n q ON q.vec_id = s.q_id
+       |       JOIN n e ON e.vec_id = s.n_id)
+       |SELECT q_id, n_id, sim_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY sim_micro DESC, n_id) AS rn FROM ex)
+       |WHERE rn <= $K
+       |ORDER BY q_id, n_id""".stripMargin
+  }
+
   /** Two-level assignment CTEs: coarse codebook VALUES + argmin routing
     * (ties → lowest coarse cell), then the routed cell's FINE
     * sub-codebook — embedded with GLOBAL ids precomputed driver-side
@@ -1307,7 +1458,11 @@ object PipelineQueries {
       lastSemModel.map(m => "p49_semdedup" -> semOracleSql(m)) ++
       lastSemModel2.map(m => "p56_semdedup_two" -> semOracleSql2(m)) ++
       lastIvf2Model.map(m => "p57_embed_ivf2_knn" -> ivf2OracleSql(m)) ++
-      lastContamModel2.map(m => "p58_sem_contamination" -> semContamOracleSql(m))
+      lastContamModel2.map(m => "p58_sem_contamination" -> semContamOracleSql(m)) ++
+      lastPqModel.map { case (pq, m2) =>
+        "p59_embed_pq_knn" -> pqOracleSql(pq, m2) } ++
+      lastPqRerankModel.map { case (pq, m2) =>
+        "p60_embed_pq_rerank" -> pqRerankOracleSql(pq, m2) }
 
   private val staticOracleSql: Map[String, String] = Map(
     "p1_text_stats" ->

@@ -200,8 +200,8 @@ object IvfIndex {
   // drivers the active session may lack the extension and would
   // silently take the interpreted path or fail analysis). The
   // active-session default exists only for column-level/spec use.
-  private def assignCol(vd: Column, model: Model,
-                        session: SparkSession = SparkSession.active): Column =
+  private[graft] def assignCol(vd: Column, model: Model,
+                               session: SparkSession = SparkSession.active): Column =
     if (session.catalog.functionExists("nearest_cell")
         || model.k > InlineAssignMaxK) cellOfFolded(vd, model, session)
     else cellOf(vd, model, session)

@@ -55,6 +55,20 @@ object CodebookCodec {
     lens.map(n => Array.fill(n)(b.getDouble))
   }
 
+  /** int-vector form (PQ table offsets): [int n][n ints]. */
+  def packInts(v: Array[Int]): Array[Byte] = {
+    val b = buf(4 + 4 * v.length)
+    b.putInt(v.length)
+    v.foreach(b.putInt)
+    b.array()
+  }
+
+  def unpackInts(bytes: Array[Byte]): Array[Int] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.getInt
+    Array.fill(n)(b.getInt)
+  }
+
   def packNested(t: Array[Array[Array[Double]]]): Array[Byte] = {
     val blocks = t.map(packMatrix)
     val b = buf(4 + blocks.iterator.map(4 + _.length).sum)

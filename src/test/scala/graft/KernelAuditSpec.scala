@@ -49,6 +49,8 @@ class KernelAuditSpec extends SparkSpec {
     "p56_semdedup_two" -> Set("vec_dot", "nearest_cell_2"),
     "p57_embed_ivf2_knn" -> Set("nearest_cell_2"),
     "p58_sem_contamination" -> Set("vec_dot", "nearest_cell_2"),
+    "p59_embed_pq_knn" -> Set("nearest_cell_2"),
+    "p60_embed_pq_rerank" -> Set("nearest_cell_2"),
     "p6_dedup_ngram" -> Set("trigram_shingles"))
 
   test("positive control: the matcher flags a re-enabled InferFiltersFromGenerate trap plan") {

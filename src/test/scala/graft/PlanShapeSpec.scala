@@ -177,6 +177,16 @@ class PlanShapeSpec extends SparkSpec {
       s"per-vector best-hit fold is not two-phase (map-side combine missing):\n$p")
   }
 
+  test("p59 IVF-ADC: probed queries broadcast onto the compressed index — no corpus shuffle join") {
+    val p = plan("p59_embed_pq_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join crept in:\n$p")
+    assert(p.contains("pq_adc_score"),
+      s"ADC scoring is not riding the kernel:\n$p")
+  }
+
   test("CEP patterns shuffle once on the key; no unbounded-following frame") {
     for (q <- Seq("q13_pattern_seq", "q14_pattern_absence", "q19_pattern_count_seq")) {
       val p = plan(q)

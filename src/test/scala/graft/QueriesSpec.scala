@@ -15,7 +15,8 @@ class QueriesSpec extends SparkSpec {
     * spec. */
   private val rowsOnlyQueries =
     Set("p12_embed_ivf_knn", "p49_semdedup", "p56_semdedup_two",
-      "p57_embed_ivf2_knn")
+      "p57_embed_ivf2_knn", "p58_sem_contamination",
+      "p59_embed_pq_knn", "p60_embed_pq_rerank")
 
   test("every declared query runs and matches its oracle's column names") {
     // oracleSql is stateful for the rows-only set (p12's oracle appears

@@ -1,0 +1,198 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product quantization ([[Pq]]) — the storage-scale ANN piece:
+  * training geometry, encode/table/score kernel-vs-twin parity, the
+  * ADC estimate against a driver-side reconstruction oracle, full-probe
+  * equivalence, measured recall floors, and the exact re-rank stage. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sf())
+
+  private val M = 8
+  private val Ksub = 128
+
+  private lazy val pq = Pq.trainPq(embs, M, Ksub, iters = 2)
+  private lazy val ivf = IvfIndex.trainTwoLevel(embs, kTotal = 16,
+    iters = 2, coarseK = 4)
+
+  /** Driver-side copies with the engine's exact fold arithmetic. */
+  private lazy val vecs: Map[Long, Array[Double]] =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap.map { case (k, v) => k -> v.toArray }
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def nrm(a: Array[Double]): Double = math.sqrt(dotd(a, a))
+
+  /** The kernel's own sub-space rule, replayed in Scala: per sub-space
+    * argmin (c² − 2·dot) with NaN-last / lowest-j ties. */
+  private def encodeOracle(x: Array[Double]): Array[Int] =
+    Array.tabulate(pq.m) { s =>
+      val sub = x.slice(pq.starts(s), pq.starts(s) + pq.subDims(s))
+      var best = 0; var bestD = Double.NaN; var init = false
+      var j = 0
+      while (j < pq.books(s).k) {
+        val c = pq.books(s).centroids(j)
+        val d = dotd(c, c) - 2.0 * dotd(sub, c)
+        if (!init || d < bestD ||
+          (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(d))) {
+          init = true; bestD = d; best = j
+        }
+        j += 1
+      }
+      best
+    }
+
+  /** ADC dot of (query, codes): ascending-sub-space fold, 0.0 seed —
+    * the kernel's pinned order. */
+  private def adcDot(q: Array[Double], codes: Array[Int]): Double = {
+    var s = 0; var sum = 0.0
+    while (s < pq.m) {
+      val c = pq.books(s).centroids(codes(s))
+      val qs = q.slice(pq.starts(s), pq.starts(s) + pq.subDims(s))
+      sum += dotd(qs, c)
+      s += 1
+    }
+    sum
+  }
+
+  test("trainPq: even contiguous slicing (ragged head), deterministic books, save/load round-trip") {
+    assert(pq.m === M && pq.subDims.sum === pq.dim)
+    assert(pq.subDims.forall(d => d == pq.dim / M || d == pq.dim / M + 1))
+    assert(pq.starts.head === 0 &&
+      pq.starts.last + pq.subDims.last === pq.dim)
+    // deterministic at any partitioning (the fixed-point train contract)
+    val again = Pq.trainPq(embs.repartition(7), M, Ksub, iters = 2)
+    assert(again.books.zip(pq.books).forall { case (a, b) =>
+      a.centroids.zip(b.centroids).forall { case (x, y) => x.sameElements(y) }
+    })
+    // persistence round-trips ragged sub-books exactly
+    val dir = java.nio.file.Files.createTempDirectory("pq_model").toString
+    Pq.saveModelPq(pq, s"$dir/pq")(spark)
+    val loaded = Pq.loadModelPq(s"$dir/pq")(spark)
+    assert(loaded.m === pq.m && loaded.offsets.sameElements(pq.offsets))
+    assert(loaded.books.zip(pq.books).forall { case (a, b) =>
+      a.centroids.zip(b.centroids).forall { case (x, y) => x.sameElements(y) }
+    })
+  }
+
+  test("encode: codes match the per-sub-space argmin oracle; table kernel == composable twin") {
+    val coded = Pq.encode(embs, pq)
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect()
+    assert(coded.nonEmpty)
+    coded.foreach { case (id, cs) =>
+      assert(cs.length === pq.m)
+      assert(cs.toArray.sameElements(encodeOracle(vecs(id))), s"vec $id")
+    }
+
+    // query-side table: kernel route and HOF twin are bit-identical
+    val prep = Similarity.prep(embs.where(col("vec_id") < 10))
+    val both = prep.select(
+        Pq.adcTableCol(col("vd"), pq, spark).as("k"),
+        Pq.adcTableTwin(col("vd"), pq, spark).as("t"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (k, t) =>
+      assert(k.length === pq.tableLen && k === t)
+    }
+  }
+
+  test("ADC score: kernel, HOF twin, and the reconstruction oracle agree pairwise") {
+    val q = vecs(3L)
+    val qtabLit = {
+      // the flattened table for query 3, driver-built with the same fold
+      val flat = pq.books.zipWithIndex.flatMap { case (b, s) =>
+        val qs = q.slice(pq.starts(s), pq.starts(s) + pq.subDims(s))
+        b.centroids.map(c => dotd(qs, c))
+      }
+      typedlit(flat.toSeq)
+    }
+    val scored = Pq.encode(embs, pq)
+      .select(col("vec_id"), col("codes"),
+        Pq.adcScoreCol(col("codes"), qtabLit, pq, spark).as("k"),
+        aggregate(
+          zip_with(col("codes"), typedlit(pq.offsets.toSeq),
+            (c, o) => element_at(qtabLit, o + c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("t"))
+      .as[(Long, Seq[Int], Double, Double)].collect()
+    assert(scored.nonEmpty)
+    scored.foreach { case (id, cs, k, t) =>
+      val oracle = adcDot(q, cs.toArray)
+      assert(k === oracle, s"kernel vs oracle for vec $id")
+      assert(t === oracle, s"twin vs oracle for vec $id")
+    }
+  }
+
+  test("IVF-ADC full fan-out equals the exhaustive driver-side ADC ranking") {
+    val pqIdx = Pq.index2Pq(embs, ivf, pq)
+    // the index carries NO raw vectors — the compression contract
+    assert(!pqIdx.columns.contains("vd") && !pqIdx.columns.contains("embedding"))
+    val got = Pq.knnOnPqIndex(pqIdx, embs.where(col("vec_id") < 10),
+        ivf, pq, kNeighbors = 3, nprobe = ivf.k, coarseProbe = ivf.coarse.k)
+      .select("q_id", "n_id", "sim_adc_micro").as[(Long, Long, Long)]
+      .collect().toSet
+
+    val codes = vecs.keys.map(id => id -> encodeOracle(vecs(id))).toMap
+    val expect = vecs.keys.filter(_ < 10).flatMap { qid =>
+      val q = vecs(qid)
+      vecs.keys.filter(_ != qid).toSeq.map { nid =>
+        val sim = math.floor(1e6 * adcDot(q, codes(nid)) /
+          (nrm(q) * nrm(vecs(nid)))).toLong
+        (nid, sim)
+      }.sortBy { case (nid, sim) => (-sim, nid) }.take(3)
+        .map { case (nid, sim) => (qid, nid, sim) }
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("recall: ADC top-k over full fan-out stays useful; exact re-rank recovers the top") {
+    val k = 5
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = Similarity.bruteKnn(embs, col("vec_id") < 20, k)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recallOf(rows: Array[(Long, Long)]): Double = {
+      val by = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val per = exact.map { case (q, ex) =>
+        by.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+      }
+      per.sum / per.size
+    }
+    val pqIdx = Pq.index2Pq(embs, ivf, pq)
+    val adc = Pq.knnOnPqIndex(pqIdx, queries, ivf, pq, k,
+        nprobe = ivf.k, coarseProbe = ivf.coarse.k)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    val adcRecall = recallOf(adc)
+    info(f"ADC recall@5 = $adcRecall%.3f")
+    // measured 0.550 on this fixture (m=8, ksub=128 over 500 near-random
+    // 64-dim vectors — tiny cosine margins, the hard case for
+    // quantization; ksub=16 gave 0.25, ksub=64 0.45) — pin a regression
+    // floor with margin
+    assert(adcRecall >= 0.45, s"ADC recall@5 $adcRecall")
+
+    val rr = Pq.knnRerank(embs, pqIdx, queries, ivf, pq, k,
+      shortlist = 10 * k, nprobe = ivf.k, coarseProbe = ivf.coarse.k)
+    val rrRows = rr.select("q_id", "n_id").as[(Long, Long)].collect()
+    val rrRecall = recallOf(rrRows)
+    info(f"rerank recall@5 = $rrRecall%.3f (shortlist ${10 * k})")
+    assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc $adcRecall")
+    // measured 0.950 with a 10k shortlist (vs 0.680 at 4k) — the exact
+    // re-rank recovers what quantization lost whenever the true
+    // neighbor lands anywhere in the ADC shortlist
+    assert(rrRecall >= 0.85, s"rerank recall@5 $rrRecall")
+
+    // and every reported re-rank similarity is the TRUE exact cosine
+    val brute = Similarity.bruteKnn(embs, col("vec_id") < 20, 1000)
+      .select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .map { case (q, nb, s) => (q, nb) -> s }.toMap
+    rr.select("q_id", "n_id", "sim_micro").as[(Long, Long, Long)].collect()
+      .foreach { case (q, nb, s) => assert(brute((q, nb)) === s) }
+  }
+}
