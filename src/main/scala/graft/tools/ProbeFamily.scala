@@ -691,6 +691,54 @@ object ProbeFamily {
           f"two=${recall(twoTop)}%.3f")
         // recall@k in permille as the family's comparable scalar
         (recall(twoTop) * 1000).toLong
+      case "pq_adc" =>
+        // IVF-ADC vs exact-index search at depth: same corpus, same
+        // two-level routing (k = 16·n), 20 base queries at
+        // nprobe = fineK. Phases report the exact knn2OnIndex route,
+        // the ADC route over the compressed index, and the two-stage
+        // rerank; the [probe] line reports the stored-index bytes —
+        // the 100 TB claim is the size ratio, the recall trade is
+        // PqSpec's pin.
+        import graft.functions.Pq
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sfDir), n)
+        val base = s"/tmp/graft_pq_${sfKey}_x$n"
+        if (!success(s"$base/idx") || !success(s"$base/pqidx")) {
+          val m2 = IvfIndex.trainTwoLevel(embsN, kTotal = 16 * n, iters = 3)
+          IvfIndex.saveModel2(m2, s"$base/model")(spark)
+          val pq = Pq.trainPq(embsN, m = 8, ksub = 256, iters = 3)
+          Pq.saveModelPq(pq, s"$base/pqmodel")(spark)
+          IvfIndex.index2(embsN, m2)
+            .write.mode("overwrite").parquet(s"$base/idx")
+          Pq.index2Pq(embsN, m2, pq)
+            .write.mode("overwrite").parquet(s"$base/pqidx")
+        }
+        val m2 = IvfIndex.loadModel2(s"$base/model")(spark)
+        val pq = Pq.loadModelPq(s"$base/pqmodel")(spark)
+        def dirBytes(p: String): Long = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.getContentSummary(path).getLength
+        }
+        println(s"[probe] pq_adc x$n index bytes exact=${dirBytes(s"$base/idx")} " +
+          s"pq=${dirBytes(s"$base/pqidx")} " +
+          f"ratio=${dirBytes(s"$base/idx").toDouble / dirBytes(s"$base/pqidx")}%.1f")
+        val queries = embsN.where(col("vec_id") < 20)
+        val np = math.max(8, m2.k / m2.coarse.k)
+        var out = 0L
+        phase(s"exact_knn2 np=$np") {
+          out = IvfIndex.knn2OnIndex(spark.read.parquet(s"$base/idx"),
+            queries, m2, 10, np).count(); out
+        }
+        phase(s"adc np=$np") {
+          out = Pq.knnOnPqIndex(spark.read.parquet(s"$base/pqidx"),
+            queries, m2, pq, 10, np).count(); out
+        }
+        phase(s"adc_rerank np=$np") {
+          out = Pq.knnRerank(embsN, spark.read.parquet(s"$base/pqidx"),
+            queries, m2, pq, 10, shortlist = 50, nprobe = np).count(); out
+        }
+        out
       case "sem_contam" =>
         // semantic decontamination at depth: corpus = rotated replicas
         // x n, held-out suite = the 20 base query vectors, book sized
