@@ -55,16 +55,50 @@ import graft.functions.{IvfIndex, Similarity}
   * vector. Compact the per-batch dirs offline with [[compact]]. */
 object SemIngest {
 
-  /** Bootstrap: train the two-level book on the seed corpus (fine cells
-    * sized to it via `kTotal`), persist model + vectors + index. */
+  /** Bootstrap ONLY: train the two-level book on the seed corpus (fine
+    * cells sized to it via `kTotal`), persist model + vectors + index
+    * in the generation-0 layout. Refuses a directory that already
+    * carries a committed [[reseed]] generation — the gen-0 artifact it
+    * would write is invisible behind the newer generation (use
+    * [[reseed]] to re-quantize an existing corpus). */
   def seed(embs: DataFrame, corpusDir: String, kTotal: Int, iters: Int = 3,
            coarseK: Int = IvfIndex.DefaultCoarseK): Unit = {
     val spark = embs.sparkSession
+    require(artifact(spark, corpusDir)._1 == s"$corpusDir/model",
+      s"$corpusDir already carries a reseed generation — seed() is " +
+        "bootstrap-only; use reseed() to re-quantize an existing corpus")
     val m2 = IvfIndex.trainTwoLevel(embs, kTotal, iters, coarseK = coarseK)
     IvfIndex.saveModel2(m2, s"$corpusDir/model")(spark)
     embs.write.mode("overwrite").parquet(s"$corpusDir/vecs/seed")
     IvfIndex.index2(embs, m2)
       .write.mode("overwrite").parquet(s"$corpusDir/index/seed")
+    writeDesign(spark, s"$corpusDir/design",
+      spark.read.parquet(s"$corpusDir/vecs/seed").count(), m2.k)
+  }
+
+  /** Design sidecar — the training-time (vectors, cells) pair that
+    * anchors [[occupancy]]'s re-seed advisory. Lives BESIDE the model
+    * (per generation for [[reseed]], so it commits atomically with the
+    * book it describes) and is immune to [[compact]], which folds batch
+    * dirs into the index `seed/` and would otherwise silently move a
+    * seed-row-count-derived baseline. */
+  private def writeDesign(spark: SparkSession, path: String,
+                          trainVectors: Long, k: Int): Unit = {
+    import spark.implicits._
+    Seq((trainVectors, k)).toDF("train_vectors", "k")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readDesign(spark: SparkSession,
+                         modelDir: String): Option[(Long, Int)] = {
+    val p = new Path(new Path(modelDir).getParent, "design")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString)
+        .select("train_vectors", "k").head()
+      Some((r.getLong(0), r.getInt(1)))
+    }
   }
 
   private val GenPrefix = "gen_"
@@ -202,9 +236,23 @@ object SemIngest {
     * `seedVectors / Model2.k` — that is ~16× the per-cell verify work —
     * or earlier if `max` shows a runaway hot cell. All stats are
     * computed from one groupBy over the index (k-bounded result, one
-    * bounded collect). */
+    * bounded collect).
+    *
+    * The rule is COMPUTED, not judged: seed/reseed persist their
+    * training-time (vectors, k) in a `design` sidecar beside the model
+    * (per generation — commits atomically with the book; immune to
+    * [[compact]], which rewrites the index root), and `reseedAdvised`
+    * reports `mean >= ReseedAdvisoryFactor × designMean`. `None` on
+    * artifacts predating the sidecar. */
   case class Occupancy(vectors: Long, cells: Int, populatedCells: Int,
-                       mean: Double, p99: Long, max: Long)
+                       mean: Double, p99: Long, max: Long,
+                       designMean: Option[Double],
+                       reseedAdvised: Option[Boolean])
+
+  /** Advisory threshold: re-seed once `mean` exceeds this multiple of
+    * the training-time design occupancy (~16× the per-cell verify work
+    * — see the [[occupancy]] scaladoc's quadratic argument). */
+  val ReseedAdvisoryFactor = 4.0
 
   def occupancy(spark: SparkSession, corpusDir: String): Occupancy = {
     val (modelDir, indexRoot) = artifact(spark, corpusDir)
@@ -217,14 +265,23 @@ object SemIngest {
       .select("n").collect().map(_.getLong(0)).sorted
     val total = counts.sum
     val k = m2.k
+    val mean = if (k == 0) 0.0 else total.toDouble / k
+    // design sidecar (written by seed/reseed beside their model): turns
+    // the scaladoc rule into a computed verdict; None on artifacts from
+    // before the sidecar existed
+    val design = readDesign(spark, modelDir).map { case (tv, dk) =>
+      if (dk == 0) 0.0 else tv.toDouble / dk
+    }
     Occupancy(
       vectors = total,
       cells = k,
       populatedCells = counts.length,
-      mean = if (k == 0) 0.0 else total.toDouble / k,
+      mean = mean,
       p99 = if (counts.isEmpty) 0L
         else counts(math.min(counts.length - 1, (counts.length * 99) / 100)),
-      max = counts.lastOption.getOrElse(0L))
+      max = counts.lastOption.getOrElse(0L),
+      designMean = design,
+      reseedAdvised = design.map(d => mean >= ReseedAdvisoryFactor * d))
   }
 
   /** Offline compaction — the [[CorpusIngest.compact]] contract: fold
@@ -278,8 +335,9 @@ object SemIngest {
     * batches, amortized over the growth that triggered it.
     *
     * `crashAfter` is the [[CompactDirs.swap]] test-only failpoint
-    * (1 = model staged, 2 = index staged, 3 = generation committed,
-    * 4.. = per-dir sweep of superseded artifacts). */
+    * (1 = model staged, 2 = index staged, 3 = design sidecar staged,
+    * 4 = generation committed, 5.. = per-dir sweep of superseded
+    * artifacts). */
   def reseed(spark: SparkSession, corpusDir: String, kTotal: Int,
              iters: Int = 3, coarseK: Int = IvfIndex.DefaultCoarseK,
              crashAfter: Int = Int.MaxValue): Unit = {
@@ -300,6 +358,9 @@ object SemIngest {
     IvfIndex.index2(all, m2)
       .write.mode("overwrite").parquet(s"$staging/index/seed")
     mutated()
+    writeDesign(spark, s"$staging/design",
+      spark.read.parquet(s"$staging/index/seed").count(), m2.k)
+    mutated()
     val committed = new Path(root, s"$GenPrefix$t")
     require(fs.rename(staging, committed),
       s"reseed: rename $staging -> $committed failed")
@@ -309,7 +370,8 @@ object SemIngest {
     // so a crash anywhere in here costs bytes, never correctness. The
     // gen-0 dirs are addressed directly (not via artifact resolution) so
     // a sweep that crashed in an EARLIER reseed still converges here.
-    Seq(new Path(root, "model"), new Path(root, "index"))
+    Seq(new Path(root, "model"), new Path(root, "index"),
+        new Path(root, "design"))
       .filter(fs.exists).foreach { p => fs.delete(p, true); mutated() }
     fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith(GenStaging) ||

@@ -94,10 +94,31 @@ class SemReseedSpec extends SparkSpec {
     assert(SemIngest.occupancy(spark, dir).vectors === 8L)
   }
 
+  test("occupancy advisory: the design sidecar turns the 4x rule into a computed verdict") {
+    val dir = grownCorpus() // designed 2 vecs / 2 cells = 1.0; now 7 vecs
+    val crowded = SemIngest.occupancy(spark, dir)
+    assert(crowded.designMean === Some(1.0))
+    // mean 3.5 < 4 x 1.0: below the line
+    assert(crowded.reseedAdvised === Some(false))
+    // one more admitted vector: mean 8/2 = 4.0 crosses the advisory line
+    SemIngest.handler(dir, Tau)(mkEmbs(15L -> base(7)), 2L)
+    val over = SemIngest.occupancy(spark, dir)
+    assert(over.mean === 4.0 && over.reseedAdvised === Some(true))
+    // reseed resets the baseline to the NEW book's design occupancy —
+    // the advisory clears and survives compaction (the sidecar lives
+    // beside the model, not in the index root compact() rewrites)
+    SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2)
+    val fresh = SemIngest.occupancy(spark, dir)
+    assert(fresh.designMean === Some(fresh.mean))
+    assert(fresh.reseedAdvised === Some(false))
+    SemIngest.compact(spark, dir)
+    assert(SemIngest.occupancy(spark, dir) === fresh)
+  }
+
   test("reseed crash before the commit rename leaves the OLD artifact fully live") {
     val dir = grownCorpus()
     val before = SemIngest.occupancy(spark, dir)
-    for (point <- Seq(1, 2)) { // model staged / index staged, no commit
+    for (point <- Seq(1, 2, 3)) { // model/index/design staged, no commit
       intercept[CompactDirs.InjectedCrash] {
         SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2,
           crashAfter = point)
@@ -121,7 +142,7 @@ class SemReseedSpec extends SparkSpec {
     val dir = grownCorpus()
     val crowded = SemIngest.occupancy(spark, dir)
     intercept[CompactDirs.InjectedCrash] {
-      SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2, crashAfter = 3)
+      SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2, crashAfter = 4)
     }
     // committed: readers resolve the new generation even though the
     // generation-0 dirs still sit on disk un-swept
@@ -133,7 +154,7 @@ class SemReseedSpec extends SparkSpec {
 
     // model and index stay paired mid-sweep too (crash while deleting)
     intercept[CompactDirs.InjectedCrash] {
-      SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2, crashAfter = 4)
+      SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2, crashAfter = 5)
     }
     val again = SemIngest.occupancy(spark, dir)
     assert(again.vectors === 7L && again.cells > crowded.cells)
