@@ -69,7 +69,11 @@ object Pq {
     * corpus's double vector into even contiguous sub-vectors (first
     * `dim % m` sub-spaces one dim wider) and run the deterministic
     * sample-capped [[IvfIndex.train]] per slice — m driver-sequenced
-    * Lloyd's runs, each over the k-means cap, never the corpus. */
+    * runs, each one corpus count (train's cache-then-cap handshake)
+    * plus a Lloyd's loop over at most the sample cap. Training is a
+    * once-per-artifact cost (the [[IvfIndex.trainTwoLevel]] posture);
+    * at corpus scale the m counts, not the Lloyd's flops, are the term
+    * that grows. */
   def trainPq(emb: DataFrame, m: Int, ksub: Int, iters: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxTrainVectors: Int = 1 << 16): PqModel = {
@@ -183,9 +187,13 @@ object Pq {
       call_function("pq_adc_score", codes, table,
         lit(CodebookCodec.packInts(model.offsets)))
     else
+      // coalesce matches the kernel's defensive rule: an out-of-range
+      // lookup (codes from a DIFFERENT model — the contract forbids it)
+      // contributes nothing, instead of element_at's NULL poisoning the
+      // whole fold and diverging the routes.
       aggregate(
         zip_with(codes, typedlit(model.offsets.toSeq),
-          (c, o) => element_at(table, o + c + 1)),
+          (c, o) => coalesce(element_at(table, o + c + 1), lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
 
   /** ADC approximate top-k through the two-level inverted file — the
@@ -207,12 +215,19 @@ object Pq {
                    vecCol: String = "embedding"): DataFrame = {
     require(kNeighbors >= 1, s"kNeighbors must be >= 1 (got $kNeighbors)")
     val session = queries.sparkSession
+    // table and probe set are projected BEFORE the cell explode: a
+    // projection above the Generate would re-evaluate pq_adc_table once
+    // per probed cell (nprobe tables per query) and broadcast nprobe
+    // copies of each table; below it, the Generate just duplicates the
+    // computed array reference (one table per query, as documented).
     val probes = Similarity.prep(queries, vecCol)
-      .withColumn("cell", explode(
-        IvfIndex.probeCells2(col("vd"), ivf, nprobe, coarseProbe, session)))
       .select(col(idCol).as("q_id"),
         adcTableCol(col("vd"), model, session).as("qtab"),
-        col("nrm").as("qnrm"), col("cell"))
+        col("nrm").as("qnrm"),
+        IvfIndex.probeCells2(col("vd"), ivf, nprobe, coarseProbe, session)
+          .as("cells"))
+      .select(col("q_id"), col("qtab"), col("qnrm"),
+        explode(col("cells")).as("cell"))
     val sims = pqIdx.join(broadcast(probes), Seq("cell"))
       .where(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol).as("n_id"),

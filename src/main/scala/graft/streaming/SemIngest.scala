@@ -58,15 +58,28 @@ object SemIngest {
   /** Bootstrap ONLY: train the two-level book on the seed corpus (fine
     * cells sized to it via `kTotal`), persist model + vectors + index
     * in the generation-0 layout. Refuses a directory that already
-    * carries a committed [[reseed]] generation — the gen-0 artifact it
-    * would write is invisible behind the newer generation (use
-    * [[reseed]] to re-quantize an existing corpus). */
+    * carries a committed [[reseed]] generation (the gen-0 artifact it
+    * would write is invisible behind the newer generation) AND one with
+    * committed batch dirs: re-seeding over b<k> dirs would rewrite only
+    * `model`/`seed` while the batch index rows keep the OLD book's cell
+    * ids — two quantizations compared as one cell space, silently wrong
+    * verdicts. Use [[reseed]] to re-quantize an existing corpus. */
   def seed(embs: DataFrame, corpusDir: String, kTotal: Int, iters: Int = 3,
            coarseK: Int = IvfIndex.DefaultCoarseK): Unit = {
     val spark = embs.sparkSession
     require(artifact(spark, corpusDir)._1 == s"$corpusDir/model",
       s"$corpusDir already carries a reseed generation — seed() is " +
         "bootstrap-only; use reseed() to re-quantize an existing corpus")
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("vecs", "index").foreach { sub =>
+      val batches = CompactDirs.visibleDirs(fs, new Path(root, sub))
+        .filter(_.getName != "seed")
+      require(batches.isEmpty,
+        s"$corpusDir/$sub already holds committed batch dirs " +
+          s"(${batches.map(_.getName).mkString(", ")}) — seed() is " +
+          "bootstrap-only; use reseed() to re-quantize an existing corpus")
+    }
     val m2 = IvfIndex.trainTwoLevel(embs, kTotal, iters, coarseK = coarseK)
     IvfIndex.saveModel2(m2, s"$corpusDir/model")(spark)
     embs.write.mode("overwrite").parquet(s"$corpusDir/vecs/seed")
@@ -104,28 +117,55 @@ object SemIngest {
   private val GenPrefix = "gen_"
   private val GenStaging = "_gen_"
 
+  /** Committed generation dirs with their parsed ordinals — a name that
+    * merely starts with `gen_` but does not parse (a stray `gen_backup/`)
+    * is NOT a generation and never resolves (it would otherwise either
+    * shadow the legacy artifact or rank as generation 0). */
+  private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        if (!p.getName.startsWith(GenPrefix)) None
+        else p.getName.stripPrefix(GenPrefix).toLongOption.map(_ -> p)
+      }
+
   /** Resolve the CURRENT quantizer artifact — `(modelDir, indexRoot)`:
-    * the newest committed `gen_<t>` when a [[reseed]] has run, else the
-    * generation-0 seed-time layout. A generation is published by ONE
-    * rename (`_gen_<t>` → `gen_<t>`), so the resolved model and index
-    * always belong to the same training — there is no window where a
-    * reader can pair a new book with an old inverted file. Superseded
-    * generations are never resolved again (newest wins) and are swept
-    * lazily by the next reseed. */
+    * the highest-numbered committed `gen_<n>` when a [[reseed]] has
+    * run, else the generation-0 seed-time layout. A generation is
+    * published by ONE rename (`_gen_<n>` → `gen_<n>`), so the resolved
+    * model and index always belong to the same training — there is no
+    * window where a reader can pair a new book with an old inverted
+    * file. Ordinals are SEQUENTIAL (max existing + 1, assigned by
+    * reseed), not wall-clock: a clock-derived ordinal would let a stale
+    * superseded generation outrank a newer one after a reboot (the
+    * nanoTime origin is per-boot and arbitrary), silently resurrecting
+    * a dead book. Superseded generations are never resolved again
+    * (highest wins) and are swept lazily by the next reseed. */
   private def artifact(spark: SparkSession, corpusDir: String)
   : (String, String) = {
     val root = new Path(corpusDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val gens =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith(GenPrefix))
+    val gens = committedGens(fs, root)
     if (gens.isEmpty) (s"$corpusDir/model", s"$corpusDir/index")
     else {
-      val newest = gens.maxBy(
-        _.getName.stripPrefix(GenPrefix).toLongOption.getOrElse(0L))
+      val newest = gens.maxBy(_._1)._2
       (s"$newest/model", s"$newest/index")
     }
+  }
+
+  /** Shared resolve-and-heal for the read entry points ([[search]],
+    * [[contamination]], [[occupancy]]): the current generation's model,
+    * its model dir (for the design sidecar), and the crash-healed
+    * readable index dirs. */
+  private def loadArtifact(spark: SparkSession, corpusDir: String)
+  : (String, IvfIndex.Model2, Seq[String]) = {
+    val (modelDir, indexRoot) = artifact(spark, corpusDir)
+    val m2 = IvfIndex.loadModel2(modelDir)(spark)
+    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
+      .map(_.toString)
+    require(dirs.nonEmpty, s"no index under $indexRoot")
+    (modelDir, m2, dirs)
   }
 
   /** Index directories visible to `batchId`: `seed` plus `b<k>` for
@@ -195,11 +235,7 @@ object SemIngest {
     * bounds recall hard. */
   def search(spark: SparkSession, corpusDir: String, queries: DataFrame,
              kNeighbors: Int, nprobe: Int, coarseProbe: Int = 2): DataFrame = {
-    val (modelDir, indexRoot) = artifact(spark, corpusDir)
-    val m2 = IvfIndex.loadModel2(modelDir)(spark)
-    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
-      .map(_.toString)
-    require(dirs.nonEmpty, s"no index under $indexRoot")
+    val (_, m2, dirs) = loadArtifact(spark, corpusDir)
     IvfIndex.knn2OnIndex(spark.read.parquet(dirs: _*), queries, m2,
       kNeighbors, nprobe, coarseProbe)
   }
@@ -215,11 +251,7 @@ object SemIngest {
   def contamination(spark: SparkSession, corpusDir: String, test: DataFrame,
                     thresholdMicro: Long, nprobe: Int,
                     coarseProbe: Int = 2): DataFrame = {
-    val (modelDir, indexRoot) = artifact(spark, corpusDir)
-    val m2 = IvfIndex.loadModel2(modelDir)(spark)
-    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
-      .map(_.toString)
-    require(dirs.nonEmpty, s"no index under $indexRoot")
+    val (_, m2, dirs) = loadArtifact(spark, corpusDir)
     Similarity.semContaminationOnIndex(spark.read.parquet(dirs: _*), test,
       m2, thresholdMicro, nprobe, coarseProbe)
   }
@@ -255,11 +287,7 @@ object SemIngest {
   val ReseedAdvisoryFactor = 4.0
 
   def occupancy(spark: SparkSession, corpusDir: String): Occupancy = {
-    val (modelDir, indexRoot) = artifact(spark, corpusDir)
-    val m2 = IvfIndex.loadModel2(modelDir)(spark)
-    val dirs = CompactDirs.readableDirs(spark, new Path(indexRoot))
-      .map(_.toString)
-    require(dirs.nonEmpty, s"no index under $indexRoot")
+    val (modelDir, m2, dirs) = loadArtifact(spark, corpusDir)
     val counts = spark.read.parquet(dirs: _*)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .select("n").collect().map(_.getLong(0)).sorted
@@ -351,8 +379,13 @@ object SemIngest {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val all = corpus(spark, corpusDir)
     val m2 = IvfIndex.trainTwoLevel(all, kTotal, iters, coarseK = coarseK)
-    val t = System.nanoTime()
+    // SEQUENTIAL ordinal (max committed + 1), never wall-clock: a
+    // clock-derived name would let a stale crash-survivor generation
+    // outrank a newer commit after a reboot (nanoTime's origin is
+    // per-boot and arbitrary) — resolution must follow commit order.
+    val t = committedGens(fs, root).map(_._1).maxOption.getOrElse(0L) + 1
     val staging = new Path(root, s"$GenStaging$t")
+    if (fs.exists(staging)) fs.delete(staging, true) // crashed same-ordinal attempt
     IvfIndex.saveModel2(m2, s"$staging/model")(spark)
     mutated()
     IvfIndex.index2(all, m2)
@@ -373,9 +406,13 @@ object SemIngest {
     Seq(new Path(root, "model"), new Path(root, "index"),
         new Path(root, "design"))
       .filter(fs.exists).foreach { p => fs.delete(p, true); mutated() }
+    // only PARSED generations are ours to sweep — a stray gen_<nonnum>
+    // dir was never resolvable and is not this engine's to delete
+    committedGens(fs, root).map(_._2)
+      .filter(_.getName != committed.getName)
+      .foreach { p => fs.delete(p, true); mutated() }
     fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith(GenStaging) ||
-        (p.getName.startsWith(GenPrefix) && p.getName != committed.getName))
+      .filter(_.getName.startsWith(GenStaging))
       .foreach { p => fs.delete(p, true); mutated() }
   }
 }

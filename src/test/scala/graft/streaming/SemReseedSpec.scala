@@ -115,6 +115,38 @@ class SemReseedSpec extends SparkSpec {
     assert(SemIngest.occupancy(spark, dir) === fresh)
   }
 
+  test("seed is bootstrap-only: refuses committed generations AND committed batch dirs") {
+    val dir = grownCorpus() // has vecs/b0,b1 — re-seeding would pair the
+    // new book with batch index rows coded in the OLD cell space
+    val e = intercept[IllegalArgumentException] {
+      SemIngest.seed(mkEmbs(1L -> base(0)), dir, kTotal = 2, coarseK = 1)
+    }
+    assert(e.getMessage.contains("batch dirs"))
+    SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      SemIngest.seed(mkEmbs(1L -> base(0)), dir, kTotal = 2, coarseK = 1)
+    }
+    assert(e2.getMessage.contains("reseed generation"))
+  }
+
+  test("generation hygiene: sequential ordinals, stray non-numeric gen_ dirs never resolve") {
+    val dir = grownCorpus()
+    // a stray gen_backup/ must not shadow the legacy artifact (it would
+    // resolve to a dir with no model) nor rank as a generation
+    assert(new java.io.File(s"$dir/gen_backup").mkdir())
+    assert(SemIngest.occupancy(spark, dir).vectors === 7L) // legacy resolves
+    SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2)
+    // ordinals are commit-ordered (max+1), not wall-clock: first commit
+    // is gen_1, the next gen_2 — a reboot cannot reorder them
+    assert(topNames(dir).contains("gen_1"))
+    SemIngest.reseed(spark, dir, kTotal = 8, coarseK = 2)
+    val names = topNames(dir)
+    assert(names.contains("gen_2") && !names.contains("gen_1"))
+    // the stray dir survives sweeps untouched and still never resolves
+    assert(names.contains("gen_backup"))
+    assert(SemIngest.occupancy(spark, dir).vectors === 7L)
+  }
+
   test("reseed crash before the commit rename leaves the OLD artifact fully live") {
     val dir = grownCorpus()
     val before = SemIngest.occupancy(spark, dir)
