@@ -36,10 +36,10 @@ import graft.functions.{IvfIndex, Similarity}
   * corpusDir/model/             Model2 codebooks    (generation 0, by seed)
   * corpusDir/index/seed|b<k>/   index2 rows         (vec_id, vd, nrm, cell)
   * corpusDir/vecs/seed|b<k>/    accepted vectors    (parquet, all gens)
-  * corpusDir/gen_<t>/model      re-seeded codebooks ([[reseed]])
-  * corpusDir/gen_<t>/index/...  their re-quantized index
+  * corpusDir/gen_<n>/model      re-seeded codebooks ([[reseed]])
+  * corpusDir/gen_<n>/index/...  their re-quantized index
   * }}}
-  * The CURRENT artifact is the newest committed `gen_<t>` if any reseed
+  * The CURRENT artifact is the newest committed `gen_<n>` if any reseed
   * has run, else the generation-0 layout; `vecs/` is generation-free
   * (vectors never change under re-quantization).
   *
@@ -338,7 +338,7 @@ object SemIngest {
     *
     * Publication is crash-atomic by construction: the new model and its
     * re-built index are staged together under one invisible
-    * `_gen_<t>` dir, then committed by a SINGLE rename to `gen_<t>` —
+    * `_gen_<n>` dir, then committed by a SINGLE rename to `gen_<n>` —
     * the only mutation readers can observe. A crash before the rename
     * leaves the old artifact fully intact (the staging dir is invisible
     * and swept by the next reseed); a crash after it leaves the new
