@@ -739,6 +739,52 @@ object ProbeFamily {
             queries, m2, pq, 10, shortlist = 50, nprobe = np).count(); out
         }
         out
+      case "pq_adc_ab" =>
+        // A/B the knnOnPqIndex probe-side shape: table projected BELOW
+        // the cell explode (current) vs ABOVE it (the pre-r16-review
+        // shape). Adjudicated r16: the two are WITHIN WINDOW NOISE at
+        // x40 (walls 2.4-7.8 s across reps of both, and even the
+        // untouched exact_knn2 phase swung 2.5-6.9 s in the same
+        // session — an io/CPU window, the documented afternoon class);
+        // below-generate is retained on construction (nprobe x fewer
+        // pq_adc_table builds per query, no per-cell recompute), not on
+        // a measured wall delta.
+        import graft.functions.Pq
+        import org.apache.spark.sql.expressions.Window
+        val embsN = ScaleSmoke.replicateEmbsRotated(
+          graft.Tables.embeddings(spark, sfDir), n)
+        val base = s"/tmp/graft_pq_${sfKey}_x$n"
+        val m2 = IvfIndex.loadModel2(s"$base/model")(spark)
+        val pq = Pq.loadModelPq(s"$base/pqmodel")(spark)
+        val queries = embsN.where(col("vec_id") < 20)
+        val np = math.max(8, m2.k / m2.coarse.k)
+        var out = 0L
+        phase(s"below_generate np=$np") {
+          out = Pq.knnOnPqIndex(spark.read.parquet(s"$base/pqidx"),
+            queries, m2, pq, 10, np).count(); out
+        }
+        phase(s"above_generate np=$np") {
+          val session = spark
+          val probes = Similarity.prep(queries, "embedding")
+            .withColumn("cell", explode(
+              IvfIndex.probeCells2(col("vd"), m2, np, 2, session)))
+            .select(col("vec_id").as("q_id"),
+              Pq.adcTableCol(col("vd"), pq, session).as("qtab"),
+              col("nrm").as("qnrm"), col("cell"))
+          val sims = spark.read.parquet(s"$base/pqidx")
+            .join(broadcast(probes), Seq("cell"))
+            .where(col("q_id") =!= col("vec_id"))
+            .select(col("q_id"), col("vec_id").as("n_id"),
+              floor(lit(1e6) * Pq.adcScoreCol(col("codes"), col("qtab"), pq, session)
+                / (col("qnrm") * col("nrm"))).cast("long").as("sim_adc_micro"))
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("sim_adc_micro").desc, col("n_id"))
+          out = sims.withColumn("rn", row_number().over(w))
+            .where(col("rn") <= 10)
+            .select(col("q_id"), col("n_id"), col("sim_adc_micro")).count()
+          out
+        }
+        out
       case "sem_contam" =>
         // semantic decontamination at depth: corpus = rotated replicas
         // x n, held-out suite = the 20 base query vectors, book sized
