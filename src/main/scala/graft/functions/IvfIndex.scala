@@ -100,25 +100,42 @@ object IvfIndex {
     // corpus is prepared exactly once whether or not the cap engages; the
     // sample is a filter VIEW over the cached prep (no second cache)
     val full = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
-    val total = full.count()
-    val p =
-      if (total <= maxTrainVectors) full
-      else {
-        val keep = math.max(1L, maxTrainVectors * SampleDomain / total)
-        val sampled =
-          full.where(pmod(xxhash64(col(idCol)), lit(SampleDomain)) < keep)
-        // a cap near k could undershoot the seed count — fall back whole
-        if (sampled.limit(k).count() < k) full else sampled
-      }
-    try {
+    val p = trainSample(full, full.count(), k, maxTrainVectors, idCol)
+    try lloyd(p, k, iters, idCol, emb.sparkSession)
+    finally full.unpersist()
+  }
+
+  /** The deterministic hash-sample view [[train]] caps its Lloyd's loop
+    * with (whole corpus below the cap; fallback to whole when the cap
+    * would undershoot the seed count). Exposed so a caller training
+    * SEVERAL books over one cached prep ([[Pq.trainPq]]) pays the
+    * corpus scan and count once instead of per book. */
+  private[functions] def trainSample(full: DataFrame, total: Long, k: Int,
+                                     maxTrainVectors: Int,
+                                     idCol: String): DataFrame =
+    if (total <= maxTrainVectors) full
+    else {
+      val keep = math.max(1L, maxTrainVectors * SampleDomain / total)
+      val sampled =
+        full.where(pmod(xxhash64(col(idCol)), lit(SampleDomain)) < keep)
+      // a cap near k could undershoot the seed count — fall back whole
+      if (sampled.limit(k).count() < k) full else sampled
+    }
+
+  /** The Lloyd's loop over an already-prepared (idCol, vd) frame —
+    * [[train]]'s body after cache/sample; input rows should be backed
+    * by a cache the CALLER owns. */
+  private[functions] def lloyd(p: DataFrame, k: Int, iters: Int,
+                               idCol: String,
+                               session: SparkSession): Model = {
       var centroids = p.orderBy(col(idCol)).limit(k).select(col("vd"))
         .collect().map(_.getSeq[Double](0).toArray)
       val dim = centroids.headOption.map(_.length).getOrElse(0)
-      val native = emb.sparkSession.catalog.functionExists("vec_sum_fixed")
+      val native = session.catalog.functionExists("vec_sum_fixed")
       (1 to iters).foreach { _ =>
         val model = Model(centroids)
         val assigned = p.withColumn("cell",
-          assignCol(col("vd"), model, emb.sparkSession))
+          assignCol(col("vd"), model, session))
         // per-cell per-dimension sums WITHOUT exploding the corpus by dim:
         // the one-buffer [[expr.VecSumFixed]] aggregate sums whole vectors
         // per update call (k·(dim+1) longs across the exchange); the
@@ -171,7 +188,6 @@ object IvfIndex {
         centroids = next
       }
       Model(centroids)
-    } finally full.unpersist()
   }
 
   /** KERNEL-LESS-session fallback boundary (since r15 the registered

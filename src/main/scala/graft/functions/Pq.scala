@@ -68,31 +68,39 @@ object Pq {
   /** Train `m` sub-books of (up to) `ksub` cells each: slice the
     * corpus's double vector into even contiguous sub-vectors (first
     * `dim % m` sub-spaces one dim wider) and run the deterministic
-    * sample-capped [[IvfIndex.train]] per slice — m driver-sequenced
-    * runs, each one corpus count (train's cache-then-cap handshake)
-    * plus a Lloyd's loop over at most the sample cap. Training is a
-    * once-per-artifact cost (the [[IvfIndex.trainTwoLevel]] posture);
-    * at corpus scale the m counts, not the Lloyd's flops, are the term
-    * that grows. */
+    * sample-capped Lloyd's loop ([[IvfIndex.lloyd]]) per slice over ONE
+    * shared cached prep: the corpus is scanned, prepared, and counted
+    * once, the deterministic hash sample is drawn once, and each book's
+    * loop runs over a slice VIEW of the cached rows — m × iters
+    * cell-bounded aggregation jobs, never m corpus scans. Books are
+    * bit-identical to training each slice independently (same sample
+    * ids, same seed rows, same fixed-point folds). Training is a
+    * once-per-artifact cost (the [[IvfIndex.trainTwoLevel]] posture). */
   def trainPq(emb: DataFrame, m: Int, ksub: Int, iters: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxTrainVectors: Int = 1 << 16): PqModel = {
     require(m >= 1, s"m must be >= 1 (got $m)")
     require(ksub >= 1, s"ksub must be >= 1 (got $ksub)")
-    val dim = emb.select(size(col(vecCol))).where(col(vecCol).isNotNull)
-      .head().getInt(0)
-    require(dim >= m, s"embedding dim $dim must be >= m sub-spaces ($m)")
-    val base = dim / m
-    val rem = dim % m
-    val dims = Array.tabulate(m)(s => if (s < rem) base + 1 else base)
-    val starts = dims.scanLeft(0)(_ + _).init
-    val vd = Similarity.toDoubleVec(col(vecCol))
-    val books = Array.tabulate(m) { s =>
-      val sliced = emb.select(col(idCol),
-        slice(vd, starts(s) + 1, dims(s)).as("_sub"))
-      IvfIndex.train(sliced, ksub, iters, idCol, "_sub", maxTrainVectors)
-    }
-    PqModel(books)
+    require(maxTrainVectors >= ksub,
+      s"maxTrainVectors ($maxTrainVectors) must be >= ksub ($ksub)")
+    val full = Similarity.prep(emb, vecCol)
+      .select(col(idCol), col("vd")).cache()
+    try {
+      val dim = full.select(size(col("vd"))).where(col("vd").isNotNull)
+        .head().getInt(0)
+      require(dim >= m, s"embedding dim $dim must be >= m sub-spaces ($m)")
+      val base = dim / m
+      val rem = dim % m
+      val dims = Array.tabulate(m)(s => if (s < rem) base + 1 else base)
+      val starts = dims.scanLeft(0)(_ + _).init
+      val sample = IvfIndex.trainSample(full, full.count(), ksub,
+        maxTrainVectors, idCol)
+      PqModel(Array.tabulate(m) { s =>
+        val sliced = sample.select(col(idCol),
+          slice(col("vd"), starts(s) + 1, dims(s)).as("vd"))
+        IvfIndex.lloyd(sliced, ksub, iters, idCol, emb.sparkSession)
+      })
+    } finally full.unpersist()
   }
 
   /** Persist next to the inverted file ([[IvfIndex.saveModel2]]
