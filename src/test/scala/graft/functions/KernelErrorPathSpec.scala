@@ -93,6 +93,54 @@ class KernelErrorPathSpec extends SparkSpec {
       two.sql.contains("<codebooks>"))
   }
 
+  test("pq_adc_table with a COLUMN codebook fails analysis with the 'to be a literal' message") {
+    val df = Seq((Seq(1.0, 0.0), Seq(Seq(Seq(1.0), Seq(0.0)))))
+      .toDF("v", "books")
+    val e = intercept[AnalysisException] {
+      df.select(call_function("pq_adc_table", col("v"), col("books"))).collect()
+    }
+    assert(e.getMessage.contains("to be a literal"),
+      s"expected the checkInputDataTypes message, got: ${e.getMessage}")
+  }
+
+  test("pq_adc_score with COLUMN offsets fails analysis; mistyped inputs get the type message") {
+    val df = Seq((Seq(0, 1), Seq(1.0, 2.0, 3.0), Seq(0, 2)))
+      .toDF("codes", "tab", "offs")
+    val e = intercept[AnalysisException] {
+      df.select(call_function("pq_adc_score", col("codes"), col("tab"),
+        col("offs"))).collect()
+    }
+    assert(e.getMessage.contains("to be a literal"),
+      s"expected the checkInputDataTypes message, got: ${e.getMessage}")
+    val e2 = intercept[AnalysisException] {
+      df.select(call_function("pq_adc_score", col("tab"), col("codes"),
+        lit(42))).collect()
+    }
+    assert(e2.getMessage.contains("requires"),
+      s"expected the type-requirements message, got: ${e2.getMessage}")
+  }
+
+  test("PQ kernel renderings are payload-free on non-foldable operands and report shape when packed") {
+    import graft.functions.expr.{CodebookCodec, PqAdcScore, PqAdcTable}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    val vec = AttributeReference("v", ArrayType(DoubleType))()
+    val booksAttr = AttributeReference("b",
+      ArrayType(ArrayType(ArrayType(DoubleType))))()
+    assert(PqAdcTable(vec, booksAttr).toString.contains("<books>"))
+    assert(PqAdcTable(vec, booksAttr).sql.contains("<books>"))
+    val packed = Literal(CodebookCodec.packNested(Array(
+      Array(Array(1.0), Array(0.5)), Array(Array(0.0))))) // m=2, 3 cells
+    assert(PqAdcTable(vec, packed).toString.contains("m=2 cells=3"))
+    val codes = AttributeReference("c", ArrayType(IntegerType))()
+    val tab = AttributeReference("t", ArrayType(DoubleType))()
+    val offAttr = AttributeReference("o", ArrayType(IntegerType))()
+    assert(PqAdcScore(codes, tab, offAttr).toString.contains("<offsets>"))
+    assert(PqAdcScore(codes, tab,
+      Literal(CodebookCodec.packInts(Array(0, 2)))).toString
+      .contains("m=2"))
+  }
+
   test("nearest_cell_2 rendering reports the TOTAL fine-cell count, not the coarse count") {
     import graft.functions.expr.CodebookCodec
     import org.apache.spark.sql.catalyst.expressions.Literal
