@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.AnalysisException
-import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, NearestCellsTwoLevel, PqAdcScore, PqAdcTable, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
+import graft.functions.expr.{AnchorWindowHashes, AnchorWindowPosHashes, BinCountAgg, BpeMergePair, CharHist16, MinhashBands, NearestCell, NearestCellTwoLevel, NearestCells, NearestCellsTwoLevel, PqAdcScore, PqAdcTable, Simhash16, TrigramShingles, VecDot, VecSumFixed, WordRepStats, WordStats, WordTermCounts}
 import graft.functions.TextFunctions
 
 /** Engine extensions: custom Catalyst expressions registered through the
@@ -86,6 +86,10 @@ object GraftExtensions {
         children(3), children(4),
         intLit("nearest_cells_2", children(5), 6),
         intLit("nearest_cells_2", children(6), 7))
+    }),
+    ("bpe_merge", classOf[BpeMergePair], (children: Seq[Expression]) => {
+      arity("bpe_merge", children, 3)
+      BpeMergePair(children.head, children(1), children(2))
     }),
     ("pq_adc_table", classOf[PqAdcTable], (children: Seq[Expression]) => {
       arity("pq_adc_table", children, 2)

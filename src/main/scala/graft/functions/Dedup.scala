@@ -687,23 +687,11 @@ object Dedup {
     labels.withColumnRenamed("label", "canonical_id")
   }
 
-  /** `localCheckpoint` a frame eagerly and hand back the persisted RDDs
-    * that now back it, found by walking the physical plan's RDD
-    * dependency graph from `queryExecution.toRdd` down to the first
-    * storage-bearing ancestors (the checkpoint blocks; the walk stops at
-    * them, so unrelated persisted RDDs deeper in a lineage are never
-    * touched). This is the unpersist handle `Dataset` itself does not
-    * expose: `Dataset.unpersist` only talks to the CacheManager, which
-    * knows nothing about checkpoint blocks. */
-  private def trackedLocalCheckpoint(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val cp = df.localCheckpoint()
-    val out = scala.collection.mutable.Buffer[RDD[_]]()
-    def walk(r: RDD[_]): Unit =
-      if (r.getStorageLevel != StorageLevel.NONE) out += r
-      else r.dependencies.foreach(d => walk(d.rdd))
-    walk(cp.queryExecution.toRdd)
-    (cp, out.toSeq)
-  }
+  /** See [[CheckpointUtil.trackedLocalCheckpoint]] — the shared
+    * iterative-loop device (moved there when the BPE merge loop became
+    * its second user). */
+  private def trackedLocalCheckpoint(df: DataFrame): (DataFrame, Seq[RDD[_]]) =
+    CheckpointUtil.trackedLocalCheckpoint(df)
 
   /** Final checkpointed label tables of every [[connectedComponents]]
     * call in this JVM — everything else the algorithm pins is freed

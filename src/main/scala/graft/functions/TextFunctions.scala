@@ -651,6 +651,100 @@ object TextFunctions {
       .orderBy(col("cnt").desc, col("pair")).limit(k)
   }
 
+  /** BPE tokenizer induction (Sennrich et al. 2016) — the FULL merge
+    * loop [[bpePairStats]] computes only the first step of: starting
+    * from per-character symbols, repeatedly find the corpus's most
+    * frequent adjacent symbol pair and merge it, emitting the ranked
+    * merge table a tokenizer is built from.
+    *
+    * Semantics match the reference implementation: pair counts are
+    * per-occurrence over the symbol sequences WEIGHTED by word-type
+    * frequency (every adjacent position counts — `[a,a,a]` contributes
+    * `(a,a)` twice); the merge rewrite is greedy LEFT-TO-RIGHT
+    * non-overlapping (`[a,a,a]` → `[aa,a]`) via the codegen'd
+    * [[graft.functions.expr.BpeMergePair]] kernel. Ties break
+    * deterministically: count desc, then (left, right) lexicographic
+    * asc — iteration 1 therefore reproduces [[bpePairStats]]' top pair
+    * exactly (spec-pinned). Merge frequencies are non-increasing across
+    * ranks (every pair a merge creates or keeps occurs within or beside
+    * an occurrence of the merged pair — also spec-pinned), so `merges`
+    * doubles as a min-frequency cutoff lever.
+    *
+    * Scale shape: the CORPUS is touched exactly once (the word-type
+    * count — one token-keyed partial-agg exchange); the loop state is
+    * the TYPE VOCABULARY (word, count, symbols), orders of magnitude
+    * smaller than the corpus and independent of its row count. Each of
+    * the K iterations is one cell-bounded pair aggregation (partial agg
+    * over (left, right) cells) + a driver-side take-1 + one map-side
+    * kernel rewrite, with the state [[CheckpointUtil]]-checkpointed and
+    * the previous round's blocks freed as soon as the next materializes
+    * — per-round plan cost stays O(1), storage stays one vocabulary
+    * table. Stops early when no pair remains (fully merged vocabulary).
+    *
+    * Output: (rank, left, right, merged, freq) — rank 1-based in merge
+    * order, `freq` the pair's weighted count at its merge step. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, merges: Int,
+               textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    require(merges >= 1, s"merges must be >= 1 (got $merges)")
+    val spark = docs.sparkSession
+    val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var (seg, segBlocks) = CheckpointUtil.trackedLocalCheckpoint(
+      docs.select(explode(words(normText(col(textCol)))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), chars.as("syms")))
+    val found = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (rank <- 1 to merges if !exhausted) {
+      val pairRows = seg
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(syms[j - 1] AS l, syms[j] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (pairRows.isEmpty) exhausted = true
+      else {
+        val best = pairRows.head
+        val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        found += ((rank, l, r, f))
+        val mergeCol =
+          if (spark.catalog.functionExists("bpe_merge"))
+            call_function("bpe_merge", col("syms"), lit(l), lit(r))
+          else bpeMergeTwin(col("syms"), l, r)
+        val (next, nextBlocks) = CheckpointUtil.trackedLocalCheckpoint(
+          seg.select(col("cnt"), mergeCol.as("syms")))
+        segBlocks.foreach(_.unpersist(blocking = false))
+        seg = next
+        segBlocks = nextBlocks
+      }
+    }
+    segBlocks.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    found.toSeq.toDF("rank", "left", "right", "freq")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("freq"))
+  }
+
+  /** The composable [[expr.BpeMergePair]] twin for kernel-less sessions
+    * (parity-pinned in BpeTrainSpec): an `aggregate` fold that merges
+    * when the accumulated tail is `l` and the incoming symbol is `r`.
+    * Non-overlap needs no explicit guard: a just-merged tail is `l+r`,
+    * which can never equal `l` (r is nonempty), so a consumed position
+    * cannot seed the next match — the kernel's scan rule exactly.
+    * Interpreted per vocab row, never the hot path. */
+  private[graft] def bpeMergeTwin(syms: Column, l: String, r: String): Column =
+    aggregate(syms, expr("CAST(array() AS ARRAY<STRING>)"),
+      (acc, x) => {
+        val prevIsL = size(acc) > 0 && element_at(acc, -1) === lit(l)
+        when(prevIsL && (x === lit(r)),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x)))
+      })
+
   /** PMI collocation mining (the word2vec/word2phrase phrase-induction
     * score, Mikolov et al. 2013): top-k word bigrams by
     * `PMI ∝ N · n_ab / (n_a · n_b)` — pairs that co-occur far more than
