@@ -728,6 +728,44 @@ object TextFunctions {
         concat(col("left"), col("right")).as("merged"), col("freq"))
   }
 
+  /** Apply a trained merge table ([[bpeTrain]]'s output) to a corpus —
+    * the tokenizer's ENCODE side: each word type is segmented by
+    * replaying the K merges in rank order (K chained [[expr.BpeMergePair]]
+    * rewrites composed into ONE projection — the merge list is
+    * K-bounded and collected like a codebook), then tokens join back to
+    * the corpus word stream by word type (the p24/p43 hot-key class AQE
+    * skew-splits). The corpus is never re-scanned per merge: merges
+    * fold into the per-TYPE segmentation, types being orders of
+    * magnitude fewer than tokens.
+    *
+    * Output: (idCol, word_idx, sym_idx, token) — one row per emitted
+    * sub-word token, (word_idx, sym_idx) the in-document order, exactly
+    * reassemblable (spec-pinned: tokens re-concatenate to their word). */
+  def bpeSegment(docs: org.apache.spark.sql.DataFrame,
+                 mergeTable: org.apache.spark.sql.DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val merges = mergeTable.orderBy(col("rank"))
+      .select(col("left").cast("string"), col("right").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val useKernel = spark.catalog.functionExists("bpe_merge")
+    val segCol = merges.foldLeft(chars) { case (c, (l, r)) =>
+      if (useKernel) call_function("bpe_merge", c, lit(l), lit(r))
+      else bpeMergeTwin(c, l, r)
+    }
+    val vocab = docs
+      .select(explode(words(normText(col(textCol)))).as("word")).distinct()
+      .select(col("word"), segCol.as("syms"))
+    docs
+      .select(col(idCol), posexplode(words(normText(col(textCol))))
+        .as(Seq("word_idx", "word")))
+      .join(vocab, Seq("word"))
+      .select(col(idCol), col("word_idx"),
+        posexplode(col("syms")).as(Seq("sym_idx", "token")))
+  }
+
   /** The composable [[expr.BpeMergePair]] twin for kernel-less sessions
     * (parity-pinned in BpeTrainSpec): an `aggregate` fold that merges
     * when the accumulated tail is `l` and the incoming symbol is `r`.

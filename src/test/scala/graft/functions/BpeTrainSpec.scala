@@ -71,6 +71,38 @@ class BpeTrainSpec extends SparkSpec {
     joined.foreach { case (w, m) => assert(w === m) }
   }
 
+  test("bpeSegment: trained merges replay per word type; tokens reassemble exactly") {
+    val corpus = docsOf("aaab aaab ab", "ab ba")
+    // stop at 3: rank 4 would merge the tail pair (b,a) too
+    val merges = TextFunctions.bpeTrain(corpus, merges = 3)
+    val seg = TextFunctions.bpeSegment(corpus, merges)
+      .orderBy("doc_id", "word_idx", "sym_idx")
+      .select("doc_id", "word_idx", "token")
+      .as[(Long, Int, String)].collect().toSeq
+    // trained merges: (a,a), (a,b), (aa,ab) — so aaab=[aaab], ab=[ab],
+    // ba stays [b,a] (its pair was cut off by merges=3): two tokens at
+    // word_idx 1, sym order preserved
+    assert(seg === Seq(
+      (0L, 0, "aaab"), (0L, 1, "aaab"), (0L, 2, "ab"),
+      (1L, 0, "ab"), (1L, 1, "b"), (1L, 1, "a")))
+
+    // reassembly invariant on the real corpus: per (doc, word) the
+    // emitted tokens concatenate back to the word, in order
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text").limit(50)
+    val trained = TextFunctions.bpeTrain(docs, merges = 8)
+    val rows = TextFunctions.bpeSegment(docs, trained)
+    val rejoined = rows
+      .groupBy(col("doc_id"), col("word_idx"))
+      .agg(concat_ws("", array_sort(collect_list(
+        struct(col("sym_idx"), col("token")))).getField("token")).as("w"))
+    val original = docs.select(col("doc_id"),
+        posexplode(TextFunctions.words(TextFunctions.normText(col("text"))))
+          .as(Seq("word_idx", "word")))
+    val mismatches = rejoined.join(original, Seq("doc_id", "word_idx"))
+      .where(col("w") =!= col("word")).count()
+    assert(mismatches === 0L)
+  }
+
   test("real corpus: K ranked merges, frequencies non-increasing, symbols grow") {
     val merges = TextFunctions.bpeTrain(
         Tables.documents(spark, sf()).select("doc_id", "text"), merges = 15)
