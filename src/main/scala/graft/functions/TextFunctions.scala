@@ -680,6 +680,10 @@ object TextFunctions {
     * the previous round's blocks freed as soon as the next materializes
     * — per-round plan cost stays O(1), storage stays one vocabulary
     * table. Stops early when no pair remains (fully merged vocabulary).
+    * Measured (ProbeFamily `bpe_train`, K=30 over word-tagged doc
+    * replicas, BPE_LOCAL_r16): min wall ×1/×10/×40/×100 =
+    * 5.6/5.2/6.6/7.6 s — NEAR FLAT for 100× the corpus, ~0.3 MB
+    * shuffled per run at ×100.
     *
     * Output: (rank, left, right, merged, freq) — rank 1-based in merge
     * order, `freq` the pair's weighted count at its merge step. */

@@ -739,6 +739,18 @@ object ProbeFamily {
             queries, m2, pq, 10, shortlist = 50, nprobe = np).count(); out
         }
         out
+      case "bpe_train" =>
+        // BPE merge-loop cost at depth: K=30 merges over docs x n.
+        // The loop state is the TYPE vocabulary — replicateDocsDistinct
+        // word-tags its replicas, so vocab grows ~linearly with n here
+        // (the worst case; a real crawl's vocab grows sub-linearly).
+        // Expected shape: one corpus-sized vocab build, then K
+        // vocab-bounded (pair-agg + rewrite) rounds.
+        val t = TF.bpeTrain(probeDocs(), merges = 30)
+          .agg(sum(col("freq")), count(lit(1))).head()
+        println(s"[probe] bpe_train x$n merges=${t.getLong(1)} " +
+          s"freq_sum=${t.getLong(0)}")
+        t.getLong(0)
       case "pq_adc_ab" =>
         // A/B the knnOnPqIndex probe-side shape: table projected BELOW
         // the cell explode (current) vs ABOVE it (the pre-r16-review
