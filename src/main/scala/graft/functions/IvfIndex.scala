@@ -74,7 +74,7 @@ object IvfIndex {
     * partitioning/parallelism (a double `avg` would accumulate in shuffle
     * order and drift between local[4] and a 1000-executor run). Inputs
     * are unit-ish floats: |v|·2^40 · corpus ≪ 2^63. */
-  private val FixedPointScale = 1L << 40
+  private[functions] val FixedPointScale = 1L << 40
 
   /** Sample-domain for the train cap: hash-mod keeps the choice of
     * training vectors deterministic at any partitioning. */
@@ -94,15 +94,29 @@ object IvfIndex {
   def train(emb: DataFrame, k: Int, iters: Int,
             idCol: String = "vec_id", vecCol: String = "embedding",
             maxTrainVectors: Int = 1 << 16): Model = {
-    require(maxTrainVectors >= k,
-      s"maxTrainVectors ($maxTrainVectors) must be >= k ($k)")
     // cache BEFORE counting: the count materializes the cache, so the
     // corpus is prepared exactly once whether or not the cap engages; the
     // sample is a filter VIEW over the cached prep (no second cache)
     val full = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
-    val p = trainSample(full, full.count(), k, maxTrainVectors, idCol)
-    try lloyd(p, k, iters, idCol, emb.sparkSession)
+    try trainPrepped(full, full.count(), k, iters, idCol, emb.sparkSession,
+      maxTrainVectors)
     finally full.unpersist()
+  }
+
+  /** [[train]]'s body after prep/cache/count — exposed so a caller that
+    * already holds a cached (idCol, vd) prep and its count
+    * ([[trainTwoLevel]], [[Pq.trainPq]]) trains over it without paying a
+    * second corpus scan + count (r16: the coarse book and the fine loop
+    * each prepped and counted the same corpus). Same sample, same seeds,
+    * same folds — bit-identical to [[train]]. */
+  private[functions] def trainPrepped(full: DataFrame, total: Long, k: Int,
+                                      iters: Int, idCol: String,
+                                      session: SparkSession,
+                                      maxTrainVectors: Int = 1 << 16): Model = {
+    require(maxTrainVectors >= k,
+      s"maxTrainVectors ($maxTrainVectors) must be >= k ($k)")
+    lloyd(trainSample(full, total, k, maxTrainVectors, idCol), k, iters,
+      idCol, session)
   }
 
   /** The deterministic hash-sample view [[train]] caps its Lloyd's loop
@@ -443,16 +457,19 @@ object IvfIndex {
     require(maxTrainPerCell >= 1,
       s"maxTrainPerCell must be >= 1 (got $maxTrainPerCell)")
     val cK = math.min(coarseK, kTotal)
-    val coarse = train(emb, cK, iters, idCol, vecCol)
-    val fineK = math.max(1, (kTotal + cK - 1) / cK)
-    if (fineK == 1)
-      return Model2(coarse, coarse.centroids.map(c => Model(Array(c))))
     val spark = emb.sparkSession
     val native = spark.catalog.functionExists("vec_sum_fixed")
+    // ONE cached prep + count serves both the coarse training and the
+    // fine loop (r16: [[train]] used to prep/cache/count its own copy of
+    // the same corpus — two scans, two counts, identical rows)
     val prepped = Similarity.prep(emb, vecCol).select(col(idCol), col("vd")).cache()
     var cellSample: DataFrame = null
     try {
       val total = prepped.count()
+      val coarse = trainPrepped(prepped, total, cK, iters, idCol, spark)
+      val fineK = math.max(1, (kTotal + cK - 1) / cK)
+      if (fineK == 1)
+        return Model2(coarse, coarse.centroids.map(c => Model(Array(c))))
       val capTotal = cK.toLong * maxTrainPerCell
       val sampled =
         if (total <= capTotal) prepped

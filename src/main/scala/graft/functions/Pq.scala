@@ -83,6 +83,7 @@ object Pq {
     require(ksub >= 1, s"ksub must be >= 1 (got $ksub)")
     require(maxTrainVectors >= ksub,
       s"maxTrainVectors ($maxTrainVectors) must be >= ksub ($ksub)")
+    val session = emb.sparkSession
     val full = Similarity.prep(emb, vecCol)
       .select(col(idCol), col("vd")).cache()
     try {
@@ -95,12 +96,70 @@ object Pq {
       val starts = dims.scanLeft(0)(_ + _).init
       val sample = IvfIndex.trainSample(full, full.count(), ksub,
         maxTrainVectors, idCol)
-      PqModel(Array.tabulate(m) { s =>
-        val sliced = sample.select(col(idCol),
-          slice(col("vd"), starts(s) + 1, dims(s)).as("vd"))
-        IvfIndex.lloyd(sliced, ksub, iters, idCol, emb.sparkSession)
-      })
+      // Hot path: ALL m merge loops fused — one seed collect and one
+      // aggregation job PER ITERATION cover every sub-book (r16: the
+      // per-book lloyd calls ran m·(1 seed + iters agg) = 32 tiny
+      // driver-synchronous jobs at contract m=8/iters=3, and the job
+      // scheduling — not the flops — was ~80% of p59's cost). The
+      // kernel-less fallback keeps the per-book lloyd as the parity
+      // anchor (PqSpec pins the fused/per-book routes bit-identical).
+      if (session.catalog.functionExists("vec_sum_fixed"))
+        trainPqFused(sample, m, ksub, iters, dims, starts, idCol, session)
+      else
+        PqModel(Array.tabulate(m) { s =>
+          val sliced = sample.select(col(idCol),
+            slice(col("vd"), starts(s) + 1, dims(s)).as("vd"))
+          IvfIndex.lloyd(sliced, ksub, iters, idCol, session)
+        })
     } finally full.unpersist()
+  }
+
+  /** The fused Lloyd's loop over every sub-space at once. Bit-identical
+    * to training each slice independently: seeds are the ksub lowest-id
+    * sampled vectors (one collect, sliced driver-side — the same rows
+    * each per-book `orderBy(id).limit(ksub)` selects), each iteration
+    * assigns every (vector, sub-space) pair its nearest cell with the
+    * SAME per-book packed-literal kernel expression, and the per-(sub,
+    * cell) fixed-point long sums are order-independent, so one exchange
+    * carrying m·ksub·(dim/m+1) longs replaces m exchanges of
+    * ksub·(dim/m+1). */
+  private def trainPqFused(sample: DataFrame, m: Int, ksub: Int, iters: Int,
+                           dims: Array[Int], starts: Array[Int],
+                           idCol: String, session: SparkSession): PqModel = {
+    val seedRows = sample.orderBy(col(idCol)).limit(ksub)
+      .select(col("vd")).collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seedRows.map(v => v.slice(starts(s), starts(s) + dims(s))))
+    (1 to iters).foreach { _ =>
+      val entries = array((0 until m).map { s =>
+        val svd = slice(col("vd"), starts(s) + 1, dims(s))
+        struct(lit(s).as("sub"),
+          IvfIndex.assignCol(svd, IvfIndex.Model(books(s)), session).as("cell"),
+          svd.as("svd"))
+      }.toIndexedSeq: _*)
+      val next = books.map(_.map(_.clone()))
+      sample.select(explode(entries).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+          col("e.svd").as("svd"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(call_function("vec_sum_fixed", col("svd"),
+          lit(IvfIndex.FixedPointScale)).as("s"), count(col("svd")).as("n"))
+        .collect().foreach { r =>
+          val sub = r.getAs[Int]("sub")
+          val cell = r.getAs[Int]("cell")
+          val n = r.getAs[Long]("n")
+          val sv = r.getSeq[Long](r.fieldIndex("s"))
+          if (n > 0 && cell >= 0 && cell < next(sub).length) {
+            var i = 0
+            while (i < dims(sub) && i < sv.length) {
+              next(sub)(cell)(i) = sv(i).toDouble / IvfIndex.FixedPointScale / n
+              i += 1
+            }
+          }
+        }
+      books = next
+    }
+    PqModel(books.map(IvfIndex.Model(_)))
   }
 
   /** Persist next to the inverted file ([[IvfIndex.saveModel2]]

@@ -115,8 +115,14 @@ object Similarity {
     * Output: (vec_a, vec_b, sim_micro). */
   def cosineNearDupPairs(emb: DataFrame, thresholdMicro: Long,
                          idCol: String = "vec_id"): DataFrame = {
-    val a = prep(emb).select(col(idCol).as("vec_a"), col("vd").as("avd"), col("nrm").as("anrm"))
-    val b = prep(emb).select(col(idCol).as("vec_b"), col("vd").as("bvd"), col("nrm").as("bnrm"))
+    // spread before prep: the exhaustive pair scan's probe side is a
+    // nested-loop over the (broadcast) other side, so BOTH the vector
+    // prep and the pair dot-products otherwise run inside a single-task
+    // local scan stage (measured r16: 0.48→0.18 s at sf0.1; no-op at
+    // cluster scan parallelism — see [[Scans.spread]])
+    val spreadEmb = Scans.spread(emb)
+    val a = prep(spreadEmb).select(col(idCol).as("vec_a"), col("vd").as("avd"), col("nrm").as("anrm"))
+    val b = prep(spreadEmb).select(col(idCol).as("vec_b"), col("vd").as("bvd"), col("nrm").as("bnrm"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         simMicroPre(col("avd"), col("bvd"), col("anrm"), col("bnrm"), emb.sparkSession).as("sim_micro"))

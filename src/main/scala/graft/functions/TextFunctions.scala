@@ -884,11 +884,16 @@ object TextFunctions {
     // composition 9.04 s vs inline 5.05 s min at x40). With the derive
     // inline under explode the rule never fires, in any session.
     val bgSet = array_distinct(bigrams(words(normText(col(textCol)))))
-    val novel = docs
+    // spread before the bigram derivation: it runs TWICE (novelty stream
+    // + per-doc sizes) and otherwise single-task in a local scan stage
+    // (measured r16: 1.75→0.83 s at sf0.1; no-op at cluster scan
+    // parallelism — see [[Scans.spread]])
+    val spreadDocs = Scans.spread(docs)
+    val novel = spreadDocs
       .select(col(idCol).as("_id"), explode(bgSet).as("_bg"))
       .groupBy(col("_bg")).agg(min(col("_id")).as("_first"))
       .groupBy(col("_first")).agg(count(lit(1)).as("novel_cnt"))
-    docs
+    spreadDocs
       .select(col(idCol),
         coalesce(size(bgSet), lit(0)).cast("long").as("n_bigrams"))
       .join(novel, col(idCol) === col("_first"), "left")

@@ -1,0 +1,102 @@
+package graft.tools
+
+import graft._
+import graft.functions.{Dedup, IvfIndex, Pq, Similarity, TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-16 optimization profiler: quantify (a) the single-task scan
+  * bottleneck (every sf table is a one-row-group parquet, so all
+  * map-side kernel work before the first exchange runs on ONE core) by
+  * A/B-ing representative heavy queries against a spread input, and
+  * (b) the per-component cost of p59 (trainPq / index2Pq / ADC search).
+  * Min-of-N in one JVM — the matched-window device for targeted A/Bs. */
+object ProfileR16 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    def minOf(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $tag%-36s min ${ts.min}%.2f s  (all ${ts.map(t => f"$t%.2f").mkString(",")})")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+    val par = spark.sparkContext.defaultParallelism
+    println(s"[prof] defaultParallelism=$par")
+    for ((n, df) <- Seq("documents" -> docs, "embeddings" -> embs,
+        "events" -> Tables.events(spark, dir), "lineitem" -> Tables.lineitem(spark, dir)))
+      println(s"[prof] scan partitions $n = ${df.rdd.getNumPartitions}")
+
+    def spread(df: DataFrame): DataFrame = df.repartition(par)
+
+    // warm-up (JIT + codegen)
+    noop(Dedup.ngramJaccardPairs(Tables.documents(spark, "/root/testdata/sf0.001"), 800))
+
+    minOf("p6 ngramJaccardPairs as-is")(noop(Dedup.ngramJaccardPairs(docs, 800)))
+    minOf("p6 ngramJaccardPairs spread")(noop(Dedup.ngramJaccardPairs(spread(docs), 800)))
+    minOf("p7 minhash as-is")(noop(Dedup.minhashLsh(docs, 8, 800)))
+    minOf("p7 minhash spread")(noop(Dedup.minhashLsh(spread(docs), 8, 800)))
+    minOf("p51 ngramNovelty as-is")(noop(TF.ngramNovelty(docs)))
+    minOf("p51 ngramNovelty spread")(noop(TF.ngramNovelty(spread(docs))))
+    minOf("p43 bigramLm as-is")(noop(TF.bigramLmScore(docs)))
+    minOf("p43 bigramLm spread")(noop(TF.bigramLmScore(spread(docs))))
+    minOf("p54 jaccardEstimate as-is")(noop(Dedup.minhashJaccardEstimate(docs, 8, 500)))
+    minOf("p54 jaccardEstimate spread")(noop(Dedup.minhashJaccardEstimate(spread(docs), 8, 500)))
+
+    minOf("p13 cosinePairs as-is")(noop(Similarity.cosineNearDupPairs(embs, 450000L)))
+    minOf("p13 cosinePairs spread")(noop(Similarity.cosineNearDupPairs(spread(embs), 450000L)))
+    minOf("p22 nearDupClusters as-is")(noop(Dedup.nearDupClusters(docs, 8, 800)))
+    minOf("p22 nearDupClusters spread")(noop(Dedup.nearDupClusters(spread(docs), 8, 800)))
+    minOf("p46 spanScrub as-is")(noop(Dedup.duplicateSpanScrub(docs, 48, 2L)))
+    minOf("p46 spanScrub spread")(noop(Dedup.duplicateSpanScrub(spread(docs), 48, 2L)))
+    minOf("p37 crossCorpus as-is")(noop {
+      val newDocs = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      Dedup.crossCorpusPairs(newDocs,
+        Dedup.lshIndex(docs.where(pmod(col("doc_id"), lit(4)) =!= 0), 8), 8, 800)
+    })
+    minOf("p37 crossCorpus spread")(noop {
+      val d = spread(docs)
+      val newDocs = d.where(pmod(col("doc_id"), lit(4)) === 0)
+      Dedup.crossCorpusPairs(newDocs,
+        Dedup.lshIndex(d.where(pmod(col("doc_id"), lit(4)) =!= 0), 8), 8, 800)
+    })
+    def p45Body(d: DataFrame): DataFrame = d
+      .withColumn("lang_guess", TF.langGuess(TF.words(TF.normText(col("text")))))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+    minOf("p45 langidEval as-is")(noop(p45Body(docs)))
+    minOf("p45 langidEval spread")(noop(p45Body(spread(docs))))
+    def p4Body(d: DataFrame): DataFrame = {
+      val dd = d.withColumn("norm", TF.normText(col("text")))
+        .withColumn("ws", TF.words(col("norm")))
+      TF.withSimhash16(dd, col("ws"), "simhash")
+        .select(col("doc_id"), TF.fingerprint(col("norm")).as("fp"), col("simhash"),
+          TF.rollingHash(col("norm")).as("rollhash"))
+        .orderBy("doc_id")
+    }
+    minOf("p4 fingerprint as-is")(noop(p4Body(docs)))
+    minOf("p4 fingerprint spread")(noop(p4Body(spread(docs))))
+    minOf("p24 tfidf as-is")(noop(TF.tfidfTopK(
+      docs.withColumn("_ws", TF.words(TF.normText(col("text")))), col("_ws"), 5)))
+    minOf("p24 tfidf spread")(noop(TF.tfidfTopK(
+      spread(docs).withColumn("_ws", TF.words(TF.normText(col("text")))), col("_ws"), 5)))
+
+    // p59 components
+    minOf("p59 trainPq")(Pq.trainPq(embs, 8, 16, iters = 3))
+    val pq = Pq.trainPq(embs, 8, 16, iters = 3)
+    minOf("p56 trainTwoLevel")(IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 3, coarseK = 4))
+    val m2 = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 3, coarseK = 4)
+    minOf("p12 train flat")(IvfIndex.train(embs, k = 16, iters = 3))
+    minOf("p59 index2Pq")(noop(Pq.index2Pq(embs, m2, pq)))
+    minOf("p59 search (index+adc)")(noop(
+      Pq.knnOnPqIndex(Pq.index2Pq(embs, m2, pq), embs.where(col("vec_id") < 20),
+        m2, pq, 3, nprobe = 4, coarseProbe = 2)))
+    spark.stop()
+  }
+}

@@ -83,6 +83,24 @@ class PqSpec extends SparkSpec {
     })
   }
 
+  test("trainPq: fused all-books loop bit-identical to independent per-book lloyd") {
+    // the r16 hot path fuses every sub-book's merge loop into one
+    // aggregation job per iteration; this pin re-trains each slice
+    // through the standalone lloyd (the kernel-less fallback's shape)
+    // and requires byte-equal books
+    val full = Similarity.prep(embs).select(col("vec_id"), col("vd"))
+    val perBook = Array.tabulate(M) { s =>
+      IvfIndex.lloyd(full.select(col("vec_id"),
+        slice(col("vd"), pq.starts(s) + 1, pq.subDims(s)).as("vd")),
+        Ksub, 2, "vec_id", spark)
+    }
+    assert(pq.books.zip(perBook).forall { case (a, b) =>
+      a.k == b.k && a.centroids.zip(b.centroids).forall { case (x, y) =>
+        x.sameElements(y)
+      }
+    })
+  }
+
   test("encode: codes match the per-sub-space argmin oracle; table kernel == composable twin") {
     val coded = Pq.encode(embs, pq)
       .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect()
