@@ -87,6 +87,84 @@ object ProfileR16 {
     minOf("p24 tfidf spread")(noop(TF.tfidfTopK(
       spread(docs).withColumn("_ws", TF.words(TF.normText(col("text")))), col("_ws"), 5)))
 
+    minOf("p55 bpePairs as-is")(noop(TF.bpePairStats(docs, 40)))
+    minOf("p55 bpePairs spread")(noop(TF.bpePairStats(spread(docs), 40)))
+    minOf("p31 vocabCoverage as-is")(noop(TF.vocabCoverage(docs, 100)))
+    minOf("p31 vocabCoverage spread")(noop(TF.vocabCoverage(spread(docs), 100)))
+    minOf("p47 dsir as-is")(noop(TF.dsirScores(docs, col("lang") === "en")))
+    minOf("p47 dsir spread")(noop(TF.dsirScores(spread(docs), col("lang") === "en")))
+    minOf("p50 heavyHitters as-is")(noop(graft.functions.Sketches.heavyHitters(
+      docs.select(explode(TF.words(TF.normText(col("text")))).as("_w")), col("_w"), 5)))
+    minOf("p50 heavyHitters spread")(noop(graft.functions.Sketches.heavyHitters(
+      spread(docs).select(explode(TF.words(TF.normText(col("text")))).as("_w")), col("_w"), 5)))
+    minOf("p48 kmv as-is")(noop(graft.functions.Sketches.kmvDistinct(
+      docs.select(col("source"), explode(TF.words(TF.normText(col("text")))).as("_w")),
+      "source", col("_w"))))
+    minOf("p48 kmv spread")(noop(graft.functions.Sketches.kmvDistinct(
+      spread(docs).select(col("source"), explode(TF.words(TF.normText(col("text")))).as("_w")),
+      "source", col("_w"))))
+    // p43 tf-weighted variant (word_term_counts over the bigram array):
+    // same model, occurrence counts as tf-weighted sums
+    def p43Wt(d: DataFrame): DataFrame = {
+      val bgArr = TF.bigrams(TF.words(TF.normText(col("text"))))
+      val wt = d.select(col("doc_id"),
+          explode(call_function("word_term_counts", bgArr)).as("_wt"))
+        .select(col("doc_id"), col("_wt.word").as("_bg"), col("_wt.tf").as("_tf"))
+      val c2 = wt.groupBy(col("_bg")).agg(sum(col("_tf")).as("_n2"))
+      val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+        .agg(sum(col("_n2")).as("_n1"))
+      val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
+        .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
+      val perDoc = wt.join(model, "_bg")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("_tf")).as("n_bigrams"), sum(col("_ppm") * col("_tf")).as("_s"))
+      d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("_s div n_bigrams"), lit(0L)).as("score_ppm"))
+    }
+    minOf("p43 current")(noop(TF.bigramLmScore(docs)))
+    minOf("p43 tf-weighted")(noop(p43Wt(docs)))
+    minOf("p43 tf-weighted spread")(noop(p43Wt(spread(docs))))
+    locally { // equality check: tf-weighted == current, row for row
+      val a = TF.bigramLmScore(docs).orderBy("doc_id").collect()
+      val b = p43Wt(docs).orderBy("doc_id").collect()
+      println(s"[prof] p43 variant equal = ${a.sameElements(b)} (${a.length} rows)")
+    }
+
+    def p30Body(dq: DataFrame, dc: DataFrame): DataFrame = {
+      val q = dq.withColumn("_st", call_function("word_stats", col("text")))
+        .withColumn("word_cnt", col("_st.word_cnt"))
+        .withColumn("stop_milli", TF.milli(col("_st.stop_hits"), col("word_cnt")))
+        .withColumn("awc", TF.centi(col("_st.alpha_chars"), col("word_cnt")))
+        .select(col("doc_id"),
+          TF.qualityScore(col("word_cnt"), col("stop_milli"), col("awc")).as("quality"))
+      Dedup.keepBest(q, Dedup.nearDupClusters(dc, 8, 800)).orderBy("kept_id")
+    }
+    minOf("p30 as-is")(noop(p30Body(docs, docs)))
+    minOf("p30 quality-spread")(noop(p30Body(spread(docs), docs)))
+    def p17Body(d: DataFrame): DataFrame = {
+      val dd = d.withColumn("norm", TF.normText(col("text")))
+        .withColumn("ws", TF.words(col("norm")))
+        .withColumn("word_cnt", TF.wordCount(col("ws")))
+        .withColumn("stop_milli", TF.milli(TF.setHits(col("ws"), TF.Stopwords), col("word_cnt")))
+        .withColumn("awc", TF.centi(TF.alphaChars(col("norm")), col("word_cnt")))
+        .withColumn("quality", TF.qualityScore(col("word_cnt"), col("stop_milli"), col("awc")))
+      dd.filter(col("quality") >= 2)
+        .withColumn("split", TF.splitLabel(TF.splitBucket(col("doc_id"))))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(TF.bpeTokenCount(col("text"))).as("bpe_tokens"))
+        .orderBy("split", "lang")
+    }
+    minOf("p17ish as-is")(noop(p17Body(docs)))
+    minOf("p17ish spread")(noop(p17Body(spread(docs))))
+    def p14Body(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      TF.matchCount(col("text"), "[0-9]{3}-[0-9]{2}-[0-9]{4}").as("ent_hits"),
+      TF.matchCount(col("text"), TF.EmailRe).as("email_hits"),
+      md5(TF.redact(TF.redact(col("text"), "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ENT>"), TF.EmailRe, "<EMAIL>")).as("h"))
+    minOf("p14ish as-is")(noop(p14Body(docs)))
+    minOf("p14ish spread")(noop(p14Body(spread(docs))))
+
     // p59 components
     minOf("p59 trainPq")(Pq.trainPq(embs, 8, 16, iters = 3))
     val pq = Pq.trainPq(embs, 8, 16, iters = 3)
