@@ -165,6 +165,48 @@ object ProfileR16 {
     minOf("p14ish as-is")(noop(p14Body(docs)))
     minOf("p14ish spread")(noop(p14Body(spread(docs))))
 
+    // q36 histogram-based variant: one cells→hist chain reused by both
+    // sides, norms carried THROUGH the bin join (drops the two norm-join
+    // subtrees and one corpus re-aggregation)
+    val events = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val HourUs = 3600L * 1000000L
+    def q36Hist(ev: DataFrame): DataFrame = {
+      val cells = Similarity.activityCells(ev, "user_id", "ts_us", HourUs, 24)
+      val hist = Similarity.activityHistograms(cells, "user_id")
+        .withColumn("_nrm", sqrt(aggregate(col("hist"), lit(0L),
+          (a, x) => a + x * x).cast("double")))
+      val a0 = hist.where(col("user_id") < 20)
+        .select(col("user_id").as("q_id"), col("_nrm").as("_na"),
+          posexplode(col("hist")).as(Seq("_h", "_ca")))
+        .where(col("_ca") =!= 0)
+      val b = hist
+        .select(col("user_id").as("n_id"), col("_nrm").as("_nb"),
+          posexplode(col("hist")).as(Seq("_h", "_cb")))
+        .where(col("_cb") =!= 0)
+      val dots = b.join(broadcast(a0), Seq("_h"))
+        .where(col("n_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("n_id"), col("_na"), col("_nb"))
+        .agg(sum(col("_ca") * col("_cb")).as("_dot"))
+      val sims = dots.select(col("q_id"), col("n_id"),
+        floor(lit(1e6) * col("_dot") / (col("_na") * col("_nb")))
+          .cast("long").as("sim_micro"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("sim_micro").desc, col("n_id"))
+      sims.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("sim_micro"))
+    }
+    minOf("q36 current")(noop(Similarity.activityCosineTopK(
+      events, "user_id", "ts_us", HourUs, col("user_id") < 20, 3)))
+    minOf("q36 hist-variant")(noop(q36Hist(events)))
+    locally {
+      val a = Similarity.activityCosineTopK(events, "user_id", "ts_us",
+        HourUs, col("user_id") < 20, 3).orderBy("q_id", "rk").collect()
+      val b = q36Hist(events).orderBy("q_id", "rk").collect()
+      println(s"[prof] q36 variant equal = ${a.sameElements(b)} (${a.length} rows)")
+    }
+
     // p59 components
     minOf("p59 trainPq")(Pq.trainPq(embs, 8, 16, iters = 3))
     val pq = Pq.trainPq(embs, 8, 16, iters = 3)

@@ -56,10 +56,25 @@ class PlanShapeSpec extends SparkSpec {
     // p15 joined this set when WordRepStats replaced its explode+agg+join
     // formulation (four hash exchanges) with a per-row pass
     for (q <- Seq("p1_text_stats", "p2_quality_score", "p3_langid",
-      "p4_fingerprint", "p14_redact", "p15_repetition", "p16_hash_split")) {
+      "p15_repetition", "p16_hash_split")) {
       val ex = exchanges(plan(q))
       assert(ex.size == 1 && ex.head.contains("rangepartitioning"),
         s"$q should be map-side pure + one range exchange, got:\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("p4/p14 heavy kernel stacks: one scan-spread round-robin, one range ORDER BY") {
+    // r16: the fingerprint/simhash/rollhash and regex-redact stacks gained
+    // a scale-adaptive Scans.spread (single-row-group local scans would
+    // otherwise run the kernels in ONE task); the spread must plan as a
+    // round-robin repartition, never a hash exchange of derived columns,
+    // and the only other exchange stays the deterministic ORDER BY
+    for (q <- Seq("p4_fingerprint", "p14_redact")) {
+      val ex = exchanges(plan(q))
+      assert(ex.size == 2 &&
+        ex.count(_.contains("RoundRobinPartitioning")) == 1 &&
+        ex.count(_.contains("rangepartitioning")) == 1,
+        s"$q should be spread + map-side kernels + one range exchange, got:\n${ex.mkString("\n")}")
     }
   }
 
