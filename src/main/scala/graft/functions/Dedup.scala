@@ -626,6 +626,69 @@ object Dedup {
     val (edges, edgeBlocks) = trackedLocalCheckpoint(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // Size-gated driver fast path (r16): a BOUNDED Long-id edge list
+    // union-finds on the driver in one collect instead of 4-6
+    // driver-synchronous checkpoint/probe jobs — at sf0.1 the whole
+    // near-dup graph is a few hundred edges and the distributed loop's
+    // cost was pure job scheduling (~1 s of p22/p30). The gate keeps the
+    // collect in the repo's bounded-collect class (≤2·2^17 rows of two
+    // longs ≈ 4 MB); a dirtier-than-threshold corpus (the 100 TB
+    // posture) takes the checkpointed loop below, and the two routes are
+    // parity-pinned in DedupSpec (same min-id canonicals, the loop's
+    // own long-standing union-find oracle). The count runs on the
+    // already-materialized checkpoint blocks — one cheap job.
+    if (pairs.schema("doc_a").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.count() <= 2L * DriverCcMaxEdges) {
+      val rows = edges.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        try return ccDriverLong(rows, pairs.sparkSession)
+        finally edgeBlocks.foreach(_.unpersist(blocking = false))
+      // nulls (out of contract, but cheap to honor): fall through to the
+      // loop, which groups them exactly as before
+    }
+    ccLoop(edges, edgeBlocks, maxIters)
+  }
+
+  /** Max PAIR rows [[connectedComponents]] resolves driver-side; above
+    * it (or for non-Long ids) the distributed pointer-jumping loop
+    * runs. 2^17 pairs of two longs is ~2 MB collected — the bounded-
+    * collect class. */
+  private[functions] val DriverCcMaxEdges: Long = 1L << 17
+
+  /** Driver union-find over a collected doubled edge list: canonical =
+    * component-minimum id, identical to the loop's converged min-label
+    * fold (and to DedupSpec's independent union-find oracle). */
+  private def ccDriverLong(rows: Array[org.apache.spark.sql.Row],
+                           spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    val verts = new java.util.LinkedHashSet[java.lang.Long]()
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      verts.add(a); verts.add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    verts.forEach(v => out += ((v.longValue, find(v.longValue))))
+    out.toSeq.toDF("doc_id", "canonical_id")
+  }
+
+  /** The distributed pointer-jumping loop against an already-
+    * checkpointed doubled edge list (the pre-r16 [[connectedComponents]]
+    * body; [[ccDistributed]] is the spec hook that forces this route). */
+  private def ccLoop(edges: DataFrame, edgeBlocks: Seq[RDD[_]],
+                     maxIters: Int): DataFrame = {
     var (labels, labelBlocks) = trackedLocalCheckpoint(edges
       .select(col("src").as("doc_id"), least(col("src"), col("dst")).as("label"))
       .groupBy("doc_id").agg(min("label").as("label")))
@@ -689,6 +752,19 @@ object Dedup {
           "component diameter)")
     ccLedger.synchronized { ccLedger ++= labelBlocks }
     labels.withColumnRenamed("label", "canonical_id")
+  }
+
+  /** [[connectedComponents]] forced down the distributed pointer-jumping
+    * loop regardless of size/id-type (spec hook: the loop's convergence,
+    * maxIters, and string-id contracts are pinned against THIS route;
+    * the public entry takes the driver fast path on bounded Long-id
+    * graphs and is parity-pinned against it). */
+  private[functions] def ccDistributed(pairs: DataFrame,
+                                       maxIters: Int = 20): DataFrame = {
+    val (edges, edgeBlocks) = trackedLocalCheckpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    ccLoop(edges, edgeBlocks, maxIters)
   }
 
   /** See [[CheckpointUtil.trackedLocalCheckpoint]] — the shared

@@ -98,21 +98,39 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: a 200-link chain converges inside default maxIters (pointer jumping)") {
     // plain one-hop propagation needs diameter rounds (200 > the default
-    // 20) — the label-of-label jump makes it logarithmic
+    // 20) — the label-of-label jump makes it logarithmic. Forced down the
+    // distributed loop (the public entry union-finds bounded Long graphs
+    // on the driver since r16; the loop contract is pinned here).
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    val got = Dedup.ccDistributed(chain).as[(Long, Long)].collect()
     assert(got.length === 201)
     assert(got.forall(_._2 === 0L))
   }
 
   test("connectedComponents fails loudly when maxIters is too small to converge") {
     // exiting at maxIters with unconverged labels would hand callers
-    // per-segment (wrong) clusters with no signal
+    // per-segment (wrong) clusters with no signal (distributed-loop
+    // contract — the driver fast path has no iteration cap to trip)
     val chain = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 1)
+      Dedup.ccDistributed(chain, maxIters = 1)
     }
     assert(e.getMessage.contains("converge"))
+  }
+
+  test("connectedComponents: driver fast path and distributed loop are row-identical") {
+    // the r16 public entry resolves bounded Long-id graphs driver-side;
+    // both routes must produce the same (doc_id, min-id canonical) set
+    // on chains, cycles, merges, and reversed edges
+    val rnd = new scala.util.Random(4242)
+    val edges = ((1 to 150).map { _ =>
+      (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)
+    }.filter(e => e._1 != e._2) ++ Seq((500L, 501L), (502L, 501L)))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val loop = Dedup.ccDistributed(pairs).as[(Long, Long)].collect().toMap
+    assert(fast === loop)
+    graft.functions.Dedup.releaseCcLabels()
   }
 
   test("connectedComponents handles non-numeric ids (typed null carry, not a long sentinel)") {
@@ -296,14 +314,23 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCcLabels()
     def live(): Int = spark.sparkContext.getPersistentRDDs.size
     val baseline = live()
-    val perCall = new scala.collection.mutable.ArrayBuffer[Int]
+    // r16: the public entry resolves bounded Long-id graphs driver-side
+    // and must leave NOTHING pinned (edges checkpoint freed on exit, no
+    // label table exists)
     (1 to 3).foreach { _ =>
       Dedup.nearDupClusters(docs, Bands, 800).count()
+    }
+    assert(live() === baseline,
+      "the driver fast path must leave no checkpoint blocks pinned")
+    // the distributed loop keeps its one returned label table per call
+    // (lineage truncated — freeing it would make the result
+    // unrecomputable) until the ledger is drained
+    val pairs = Dedup.minhashLsh(docs, Bands, 800).select("doc_a", "doc_b")
+    val perCall = new scala.collection.mutable.ArrayBuffer[Int]
+    (1 to 3).foreach { _ =>
+      Dedup.ccDistributed(pairs).count()
       perCall += live() - baseline
     }
-    // each call may leave ONLY its returned label table's blocks (one
-    // tracked checkpoint), never the edges or per-round intermediates:
-    // growth must be exactly linear in calls, one checkpoint table each
     assert(perCall(0) >= 1, "expected the returned label table to stay pinned")
     assert(perCall.toSeq === Seq(perCall(0), 2 * perCall(0), 3 * perCall(0)),
       s"per-round intermediates leaked: persistent-RDD growth $perCall")
