@@ -787,7 +787,12 @@ object PipelineQueries {
     * hash minima per source — the mergeable-cardinality posture for
     * vocabulary monitoring (vs p18/p31's exact vocab passes). */
   private def p48(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
+    // spread before the tokenize+explode feeding the sketch hash — the
+    // only site that won the spread A/B at BOTH core counts (32: 0.71→
+    // 0.63, 8: 0.63→0.46 s; p50's identical-looking heavy-hitters body
+    // LOSES at 32 cores because its downstream bucket agg dominates —
+    // see [[Scans.spread]])
+    val tok = Scans.spread(docs(s, dir))
       .select(col("source"), explode(TF.words(TF.normText(col("text")))).as("_w"))
     graft.functions.Sketches.kmvDistinct(tok, "source", col("_w")).orderBy("source")
   }

@@ -207,6 +207,30 @@ object ProfileR16 {
       println(s"[prof] q36 variant equal = ${a.sameElements(b)} (${a.length} rows)")
     }
 
+    // p56/p57/p58 tails (model pretrained outside the timed region)
+    locally {
+      val m2pre = IvfIndex.trainTwoLevel(embs, kTotal = 16, iters = 3, coarseK = 4)
+      minOf("p56 semDedup2 only")(noop(
+        Similarity.semDedup2(embs, m2pre, 450000L).orderBy("vec_id")))
+      minOf("p57 knn2 only")(noop(
+        IvfIndex.knn2(embs, m2pre, col("vec_id") < 20, 3, nprobe = 4,
+          coarseProbe = 2).orderBy("q_id", "n_id")))
+      minOf("p58 semContamination only")(noop(
+        Similarity.semContamination(embs.where(col("vec_id") >= 20),
+          embs.where(col("vec_id") < 20), m2pre, 350000L, nprobe = 8,
+          coarseProbe = 2).orderBy("vec_id")))
+    }
+    def p33Body(d: DataFrame): DataFrame = {
+      val sh = Dedup.shingleArrays(d).withColumn("bucket", TF.splitBucket(col("sid")))
+      val train = sh.where(col("bucket") < 90)
+        .select(col("sid").as("train_id"), explode(col("shs")).as("sh"))
+      val test = sh.where(col("bucket") >= 95)
+        .select(col("sid").as("test_id"), explode(col("shs")).as("sh"))
+      Dedup.contaminationPairs(train, test, 3L).orderBy("train_id", "test_id")
+    }
+    minOf("p33 as-is")(noop(p33Body(docs)))
+    minOf("p33 spread")(noop(p33Body(spread(docs))))
+
     // p59 components
     minOf("p59 trainPq")(Pq.trainPq(embs, 8, 16, iters = 3))
     val pq = Pq.trainPq(embs, 8, 16, iters = 3)
