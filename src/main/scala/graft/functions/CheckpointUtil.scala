@@ -32,4 +32,22 @@ private[graft] object CheckpointUtil {
     walk(cp.queryExecution.toRdd)
     (cp, out.toSeq)
   }
+
+  /** Session-wide ledger for checkpoint blocks that back a RETURNED
+    * frame (freeing them inside the producing call would make the
+    * result unrecomputable — lineage is truncated). Registered blocks
+    * are drained by [[releaseRegistered]], which
+    * [[Dedup.releaseCcLabels]] calls — the hook the bench/smoke
+    * harnesses (and long-lived ingest sessions) already invoke between
+    * queries/passes. The CC label ledger in [[Dedup]] predates this one
+    * and keeps its own buffer; both drain through the same call. */
+  private val ledger = scala.collection.mutable.Buffer[RDD[_]]()
+
+  def register(blocks: Seq[RDD[_]]): Unit =
+    ledger.synchronized { ledger ++= blocks }
+
+  def releaseRegistered(): Unit = ledger.synchronized {
+    ledger.foreach(_.unpersist(blocking = false))
+    ledger.clear()
+  }
 }

@@ -786,9 +786,15 @@ object Dedup {
     * never be recomputed. The bench/smoke harnesses call this between
     * timed queries; a long-lived ingest session should call it at the end
     * of each dedup pass. */
-  def releaseCcLabels(): Unit = ccLedger.synchronized {
-    ccLedger.foreach(_.unpersist(blocking = false))
-    ccLedger.clear()
+  def releaseCcLabels(): Unit = {
+    ccLedger.synchronized {
+      ccLedger.foreach(_.unpersist(blocking = false))
+      ccLedger.clear()
+    }
+    // r16: other operators (the q37 activity-LSH index) register their
+    // returned-frame checkpoint blocks in the shared CheckpointUtil
+    // ledger; this call is the one release hook every harness invokes
+    CheckpointUtil.releaseRegistered()
   }
 
   /** Near-dup clusters end-to-end: [[minhashLsh]] pairs →

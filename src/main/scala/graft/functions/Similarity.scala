@@ -622,9 +622,22 @@ object Similarity {
                             bins: Int = 24,
                             broadcastQueries: Boolean = true): DataFrame = {
     require(hourUs > 0, s"need positive hour width, got $hourUs")
-    activityCosineTopKLshProbe(
-      activityLshIndex(events, keyCol, tsCol, hourUs, tables, bits, bins),
-      keyCol, queryPred, k, broadcastQueries)
+    // Checkpoint the index ONCE (r16): the probe references it four ways
+    // (corpus signatures, query signatures, query histograms, corpus
+    // histograms), and without truncation each consumer re-derives the
+    // full events aggregation — 2–4 corpus scans per query (AQE stage
+    // reuse dedupes only the two unfiltered copies). The index is
+    // key-bounded (one row per key — the same artifact the ingest loop
+    // persists to parquet via activityLshIndexMerge), so materializing
+    // it is the CC-labels storage class, and at 100 TB it replaces
+    // repeated full event-corpus scans with one. Blocks are registered
+    // in the shared ledger drained by [[Dedup.releaseCcLabels]].
+    // Measured (ProfileR16, sf0.1 min-of-5): 1.08 → 0.50 s, output
+    // row-identical.
+    val (idx, blocks) = CheckpointUtil.trackedLocalCheckpoint(
+      activityLshIndex(events, keyCol, tsCol, hourUs, tables, bits, bins))
+    CheckpointUtil.register(blocks)
+    activityCosineTopKLshProbe(idx, keyCol, queryPred, k, broadcastQueries)
   }
 
   /** Persistable signature INDEX of a keyed event corpus' activity

@@ -231,6 +231,28 @@ object ProfileR16 {
     minOf("p33 as-is")(noop(p33Body(docs)))
     minOf("p33 spread")(noop(p33Body(spread(docs))))
 
+    // q37: localCheckpoint the per-user LSH index (one row per key) so
+    // its 4 consumers read one materialization instead of re-deriving
+    minOf("q37 current")(noop(Similarity.activityCosineTopKLsh(
+      events, "user_id", "ts_us", HourUs, col("user_id") < 20, 3)
+      .orderBy("q_id", "rk")))
+    minOf("q37 ckpt-index")(noop {
+      val (idx, blocks) = graft.functions.CheckpointUtil.trackedLocalCheckpoint(
+        Similarity.activityLshIndex(events, "user_id", "ts_us", HourUs))
+      val out = Similarity.activityCosineTopKLshProbe(
+        idx, "user_id", col("user_id") < 20, 3).orderBy("q_id", "rk")
+      out
+    })
+    locally {
+      val a = Similarity.activityCosineTopKLsh(events, "user_id", "ts_us",
+        HourUs, col("user_id") < 20, 3).orderBy("q_id", "rk").collect()
+      val (idx, _) = graft.functions.CheckpointUtil.trackedLocalCheckpoint(
+        Similarity.activityLshIndex(events, "user_id", "ts_us", HourUs))
+      val b = Similarity.activityCosineTopKLshProbe(
+        idx, "user_id", col("user_id") < 20, 3).orderBy("q_id", "rk").collect()
+      println(s"[prof] q37 ckpt variant equal = ${a.sameElements(b)} (${a.length} rows)")
+    }
+
     // p59 components
     minOf("p59 trainPq")(Pq.trainPq(embs, 8, 16, iters = 3))
     val pq = Pq.trainPq(embs, 8, 16, iters = 3)

@@ -358,10 +358,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global stage in cohort similarity:\n$p")
   }
 
-  test("q37 cohort similarity LSH: query signatures broadcast, no global stage") {
+  test("q37 cohort similarity LSH: one checkpointed index feeds all four probe sides") {
+    // r16: the per-key LSH index is localCheckpoint'ed once and its four
+    // consumers (corpus/query signatures, corpus/query histograms) read
+    // the materialization as ExistingRDD scans instead of re-deriving
+    // the events aggregation 2-4x (1.08 -> 0.50 s measured)
     val p = plan("q37_user_similarity_lsh")
     assert(p.contains("BroadcastHashJoin"), s"query sigs/hists must broadcast:\n$p")
-    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.split("Scan ExistingRDD").length - 1 >= 4,
+      s"probe sides must consume the one checkpointed index:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"probe must not re-derive the index from the events scan:\n$p")
     assert(!p.contains("SinglePartition"), s"global stage in the LSH route:\n$p")
   }
 
