@@ -617,6 +617,12 @@ object Dedup {
     * executor storage to baseline — repeated dedup passes in a
     * long-lived session (a bench session runs ~8 CC passes) otherwise
     * accumulate one vertex-set table per call.
+    *
+    * Durability: localCheckpoint truncates lineage and stores blocks on
+    * executors, so on a cluster an executor loss mid-query fails the CC
+    * pass and the caller retries it — the bounded-state trade (and the
+    * `spark.checkpoint.dir` reliable-checkpoint alternative) is
+    * documented on [[CheckpointUtil]].
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // checkpoint the edge list ONCE: it is referenced by every round's
@@ -885,27 +891,34 @@ object Dedup {
     *
     * `docsQ` = (idCol, qualityCol) for the whole corpus; `clusters` =
     * (doc_id, canonical_id, cluster_sz) as produced by
-    * [[nearDupClusters]]. Scale shape: the clustered set is tiny
-    * relative to the corpus (it holds only docs with a near-dup), so
-    * both joins broadcast it under AQE — the keeper argmax is a
-    * struct-min aggregation (fully partial-aggregated, never a window)
-    * over that small set, and the singleton pass-through is a broadcast
-    * anti-join. The corpus itself never shuffles here at all. */
+    * [[nearDupClusters]]. Scale shape (r17): ONE pass over `docsQ` — a
+    * left broadcast join tags each doc with its cluster (the clustered
+    * set is tiny relative to the corpus: only docs with a near-dup);
+    * singletons become their own one-member cluster
+    * (`coalesce(canonical_id, id)`), and a single struct-min aggregation
+    * keyed on the canonical id emits keeper and pass-through rows
+    * uniformly. The former shape joined `docsQ` twice (keeper join +
+    * singleton anti-join), so a computed quality column — typically the
+    * full per-doc quality kernel over text — was evaluated over the
+    * corpus twice; now the kernel runs once and the one exchange carries
+    * only (canonical, quality, id) cells, never text. Mostly-singleton
+    * keys means partial aggregation barely reduces, but a narrow
+    * cell shuffle is far cheaper than a second corpus-wide text scan +
+    * kernel pass at any scale. Measured (ProfileR17, sf0.1 min-of-N
+    * matched windows): p30 2.40 → 1.68 s; output row-identical
+    * (DedupSpec semantics pins unchanged). */
   def keepBest(docsQ: DataFrame, clusters: DataFrame,
-               idCol: String = "doc_id", qualityCol: String = "quality"): DataFrame = {
-    val clustered = clusters
-      .join(docsQ.select(col(idCol), col(qualityCol)), idCol)
-    val keepers = clustered
-      .groupBy(col("canonical_id"))
+               idCol: String = "doc_id", qualityCol: String = "quality"): DataFrame =
+    docsQ.select(col(idCol), col(qualityCol))
+      .join(broadcast(clusters), Seq(idCol), "left")
+      .select(coalesce(col("canonical_id"), col(idCol)).as("_canon"),
+        coalesce(col("cluster_sz"), lit(1L)).as("_csz"),
+        col(qualityCol), col(idCol))
+      .groupBy(col("_canon"))
       .agg(min(struct((-col(qualityCol)).as("qn"), col(idCol).as("id"))).as("_k"),
-        max(col("cluster_sz")).as("cluster_sz"))
+        max(col("_csz")).as("cluster_sz"))
       .select(col("_k.id").as("kept_id"), (-col("_k.qn")).as(qualityCol),
         col("cluster_sz"))
-    val singles = docsQ.select(col(idCol), col(qualityCol))
-      .join(clusters.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol).as("kept_id"), col(qualityCol), lit(1L).as("cluster_sz"))
-    keepers.unionByName(singles)
-  }
 
   /** Per-doc COMPONENT min-hash array (bands·RowsPerBand entries, one
     * per (band, row) hash function) — the un-concatenated form of

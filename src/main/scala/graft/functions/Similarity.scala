@@ -462,7 +462,24 @@ object Similarity {
                          salts: Int = 1, bins: Int = 24): DataFrame = {
     require(hourUs > 0 && k >= 1, s"need positive hour width and k, got $hourUs/$k")
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val cells = activityCells(events, keyCol, tsCol, hourUs, bins)
+    // Checkpoint the cells ONCE (r17, the q37 device applied to the exact
+    // route): the probe references the cell table four ways (query side,
+    // corpus side, and the norm table joined back twice), and without
+    // truncation each consumer re-derives the full events aggregation —
+    // the filtered query side gets its predicate pushed below the
+    // exchange, so AQE stage reuse cannot dedupe it. Cells are
+    // key×bins-bounded (the persistable-index storage class), so at
+    // 100 TB this replaces 4 full event-corpus scans per query with one;
+    // locally it measures a wash-to-slight-win (ProfileR17 min-of-8:
+    // 0.61 → 0.59 s — the corpus aggregation is cheap at sf0.1). Blocks
+    // register in the shared ledger drained by [[Dedup.releaseCcLabels]]
+    // — consume the returned frame before releasing (lineage is
+    // truncated; a released result cannot be recomputed). Construction
+    // is eager from here on (the checkpoint runs the events aggregation
+    // at call time), the activityCosineTopKLsh convention.
+    val (cells, cellBlocks) = CheckpointUtil.trackedLocalCheckpoint(
+      activityCells(events, keyCol, tsCol, hourUs, bins))
+    CheckpointUtil.register(cellBlocks)
     val norms = cells.groupBy(col(keyCol))
       .agg(sqrt(sum(col("_c") * col("_c")).cast("double")).as("_nrm"))
     val a0 = cells.where(queryPred)
@@ -633,7 +650,9 @@ object Similarity {
     // repeated full event-corpus scans with one. Blocks are registered
     // in the shared ledger drained by [[Dedup.releaseCcLabels]].
     // Measured (ProfileR16, sf0.1 min-of-5): 1.08 → 0.50 s, output
-    // row-identical.
+    // row-identical. Durability: executor-loss makes the truncated-
+    // lineage index unrecomputable → query-level retry; the bounded-
+    // state trade is documented on [[CheckpointUtil]].
     val (idx, blocks) = CheckpointUtil.trackedLocalCheckpoint(
       activityLshIndex(events, keyCol, tsCol, hourUs, tables, bits, bins))
     CheckpointUtil.register(blocks)

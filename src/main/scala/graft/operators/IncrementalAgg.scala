@@ -131,14 +131,30 @@ object IncrementalAgg {
                      granularities: Seq[(String, Long)], opCol: String = "_op",
                      beforePrefix: String = "before_"): Seq[(String, DataFrame)] = {
     val g = granularities.head._2
-    val pos = changes.where(col(opCol).isin("insert", "update"))
-      .select(col(keyCol).as("_k"), col(tsCol).as("_t"),
-        col(valueCol).cast("decimal(18,2)").as("_v"), lit(1L).as("_s"))
-    val neg = changes.where(col(opCol).isin("update", "delete"))
-      .select(col(beforePrefix + keyCol).as("_k"), col(beforePrefix + tsCol).as("_t"),
+    // ONE pass over the change set (r17): the former pos/neg union
+    // filtered `changes` twice with different predicates, so a computed
+    // change set (e.g. a SnapshotDiff, itself a full-outer join of two
+    // corpus scans) was derived twice per fold — the filters push below
+    // the diff's exchanges, so AQE stage reuse cannot dedupe them. Each
+    // change row instead EXPLODES into its signed cell contributions
+    // (after-image +1 for insert/update, before-image −1 for
+    // update/delete); same contribution multiset, one derivation.
+    // Measured (ProfileR17, sf0.1 min-of-5 matched window): q35
+    // 1.30 → 1.15 s, plan 5 → 3 events scans; bit-identical output
+    // (decimal sums are order-independent; IncrementalAggSpec pins
+    // advanceChanges == rollup of the after-table).
+    val contrib = changes.select(explode(array(
+      struct(col(keyCol).as("_k"), col(tsCol).as("_t"),
+        col(valueCol).cast("decimal(18,2)").as("_v"), lit(1L).as("_s"),
+        col(opCol).isin("insert", "update").as("_keep")),
+      struct(col(beforePrefix + keyCol).as("_k"), col(beforePrefix + tsCol).as("_t"),
         (-col(beforePrefix + valueCol)).cast("decimal(18,2)").as("_v"),
-        lit(-1L).as("_s"))
-    val cells = pos.unionByName(neg)
+        lit(-1L).as("_s"),
+        col(opCol).isin("update", "delete").as("_keep")))).as("_c"))
+      .where(col("_c._keep"))
+      .select(col("_c._k").as("_k"), col("_c._t").as("_t"),
+        col("_c._v").as("_v"), col("_c._s").as("_s"))
+    val cells = contrib
       .groupBy(col("_k"), bucketStart(col("_t"), g).as("bucket_start"))
       .agg(sum(col("_s")).as("cnt"), sum(col("_v")).as("sum_dec"))
       .withColumnRenamed("_k", keyCol)

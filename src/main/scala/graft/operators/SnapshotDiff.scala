@@ -135,9 +135,24 @@ object SnapshotDiff {
 
   private def prunedDiff(before: DataFrame, after: DataFrame, dirty: DataFrame,
                          pk: Seq[String], buckets: Int): DataFrame = {
+    // Materialize the dirty-bucket set ONCE (r17): both prune sides
+    // broadcast `dirty`, whose subtree is the two full digest scans —
+    // and the planner does not reuse the two broadcast exchanges, so
+    // without truncation every digest pass ran twice (q28's plan showed
+    // 6 source scans for a 4-scan algorithm). The set is ≤ `buckets`
+    // rows of one long — the bounded-index storage class — and at 100 TB
+    // this removes two full snapshot scans per pruned diff. Blocks
+    // register in the shared ledger drained by
+    // [[graft.functions.Dedup.releaseCcLabels]]; consume the returned
+    // frame before releasing. The diff becomes eager at call time (the
+    // digest aggregation runs when the frame is built), like the bloom
+    // sketch in [[graft.functions.Dedup.contaminationPairs]].
+    val (dirtyCp, blocks) =
+      graft.functions.CheckpointUtil.trackedLocalCheckpoint(dirty)
+    graft.functions.CheckpointUtil.register(blocks)
     def prune(df: DataFrame): DataFrame =
       df.withColumn("_bkt", bucketOf(pk, buckets))
-        .join(broadcast(dirty), "_bkt").drop("_bkt")
+        .join(broadcast(dirtyCp), "_bkt").drop("_bkt")
     diff(prune(before), prune(after), pk)
   }
 

@@ -36,7 +36,14 @@ object SnapshotCapture {
   /** One capture round: the change set (envelope convention — feeds
     * [[JdbcApply]] unchanged) and the commit that publishes this round's
     * snapshot as the new baseline. Call `commit()` only after `changes`
-    * has been fully applied/persisted downstream. */
+    * has been fully applied/persisted downstream.
+    *
+    * Storage note (r17): on a non-bootstrap round `changes` comes from
+    * the digest-pruned diff, whose dirty-bucket set is checkpointed and
+    * registered in the session ledger — after consuming `changes` and
+    * committing, call [[graft.functions.CheckpointUtil.releaseRegistered]]
+    * (the self-contained entries below do) so a long-lived capture loop
+    * never accumulates per-round bucket tables. */
   final case class CaptureRound(round: Long, changes: DataFrame, commit: () => Unit)
 
   /** Run one round against `source` (evaluated exactly once, into this
@@ -89,7 +96,13 @@ object SnapshotCapture {
       JdbcApply(target, targetTable, pk)(r.changes, r.round)
       r.commit()
       n
-    } finally { r.changes.unpersist(blocking = false); () }
+    } finally {
+      r.changes.unpersist(blocking = false)
+      // per-round epilogue: the change set is consumed, so the pruned
+      // diff's registered dirty-bucket blocks can be freed — a scheduled
+      // loop otherwise retains one bucket table per round
+      graft.functions.CheckpointUtil.releaseRegistered()
+    }
   }
 
   /** One capture round that also MAINTAINS an aggregation ladder
@@ -144,6 +157,9 @@ object SnapshotCapture {
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     r.commit()
+    // per-round epilogue: the change set has been folded and the ladder
+    // persisted — free the pruned diff's registered dirty-bucket blocks
+    graft.functions.CheckpointUtil.releaseRegistered()
     (r.round, IncrementalAgg.ladder(
       spark.read.parquet(new Path(roundDir, "ladder").toString),
       keyCol, granularities))

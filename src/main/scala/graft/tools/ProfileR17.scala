@@ -259,6 +259,40 @@ object ProfileR17 {
       Similarity.lshKnn(embs, col("vec_id") < 20, 3).orderBy("q_id", "n_id"))(
       lshKnnCkpt(embs).orderBy("q_id", "n_id"))
 
+    // ---------- round 2: head-to-head and checkpoint variants ----------
+    ab("p30b onepass/ckpt-q")(noop(p30OnePass()))(noop(p30Ckpt()))
+    def q28DirtyCkpt(): DataFrame = {
+      val (b, a) = q28Sides()
+      val buckets = 4096
+      val (dirty, blocks) = CheckpointUtil.trackedLocalCheckpoint(
+        SnapshotDiff.dirtyBuckets(
+          SnapshotDiff.bucketDigests(b, Seq("o_orderkey"), buckets),
+          SnapshotDiff.bucketDigests(a, Seq("o_orderkey"), buckets)))
+      CheckpointUtil.register(blocks)
+      def prune(df: DataFrame): DataFrame =
+        df.withColumn("_bkt", pmod(xxhash64(col("o_orderkey")), lit(buckets.toLong)))
+          .join(broadcast(dirty), "_bkt").drop("_bkt")
+      SnapshotDiff.diff(prune(b), prune(a), Seq("o_orderkey")).orderBy("o_orderkey")
+    }
+    ab("q28b current/ckpt-dirty")(noop(q28Current()))(noop(q28DirtyCkpt()))
+    eq("q28b current/ckpt-dirty")(q28Current())(q28DirtyCkpt())
+    def q28LocalRel(): DataFrame = {
+      import spark.implicits._
+      val (b, a) = q28Sides()
+      val buckets = 4096
+      val dirtySeq = SnapshotDiff.dirtyBuckets(
+        SnapshotDiff.bucketDigests(b, Seq("o_orderkey"), buckets),
+        SnapshotDiff.bucketDigests(a, Seq("o_orderkey"), buckets))
+        .collect().map(_.getLong(0)).toSeq
+      val dirty = dirtySeq.toDF("_bkt")
+      def prune(df: DataFrame): DataFrame =
+        df.withColumn("_bkt", pmod(xxhash64(col("o_orderkey")), lit(buckets.toLong)))
+          .join(broadcast(dirty), "_bkt").drop("_bkt")
+      SnapshotDiff.diff(prune(b), prune(a), Seq("o_orderkey")).orderBy("o_orderkey")
+    }
+    ab("q28c current/local-rel")(noop(q28Current()))(noop(q28LocalRel()))
+    eq("q28c current/local-rel")(q28Current())(q28LocalRel())
+
     // ---------- p33: re-measure spread on the shingle source ----------
     def p33Body(d: DataFrame): DataFrame = {
       val sh = Dedup.shingleArrays(d).withColumn("bucket", TF.splitBucket(col("sid")))

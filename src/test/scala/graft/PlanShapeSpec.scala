@@ -132,11 +132,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"AQE did not broadcast the probe side:\n$p")
   }
 
-  test("p30 keeper selection: clustered set broadcasts on both joins (AQE final plan)") {
-    // the clustered set rides checkpointed RDDs (unknown static stats), so
-    // the broadcast decision is AQE's — assert the adaptive final plan:
-    // quality join AND singleton anti-join both broadcast the small side,
-    // leaving the corpus scan shuffle-free in this query
+  test("p30 keeper selection: one corpus pass — single broadcast left join, single keeper aggregation") {
+    // r17 keepBest shape: the quality kernel runs ONCE (one left
+    // broadcast join tags docs with their cluster; singletons fold into
+    // the same struct-min aggregation) — the former keeper-join +
+    // singleton-anti-join pair evaluated the per-doc quality kernel over
+    // the corpus twice
     val df = SparkEntry.queries("p30_dedup_keep")(spark, sf())
     df.collect()
     val whole = df.queryExecution.executedPlan.toString
@@ -145,9 +146,13 @@ class PlanShapeSpec extends SparkSpec {
     // section too — assert only on what actually ran
     val p = whole.split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"), s"clustered set not broadcast:\n$p")
-    assert(p.contains("LeftAnti"), s"singleton pass-through should be an anti-join:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"one-pass keeper selection needs no anti-join (quality kernel would run twice):\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no join in keeper selection may sort-merge the corpus:\n$p")
+    // exactly one evaluation of the quality kernel over the corpus
+    assert(p.sliding("word_stats".length).count(_ == "word_stats") <= 1,
+      s"quality kernel must be evaluated once:\n$p")
   }
 
   test("q26 snapshot diff: one full-outer join on the PK, no window or extra exchange") {

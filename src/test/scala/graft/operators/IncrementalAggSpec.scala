@@ -160,6 +160,27 @@ class IncrementalAggSpec extends SparkSpec {
     assert(r2 === 2L && levels(l2) === ladderOf(s2))
   }
 
+  test("capture-loop epilogue: a committed round retains no registered checkpoint blocks") {
+    // the digest-pruned diff checkpoints its dirty-bucket set and
+    // registers the blocks; the self-contained capture entries release
+    // them per round, so a scheduled loop never accumulates bucket tables
+    import graft.streaming.SnapshotCapture
+    graft.functions.Dedup.releaseCcLabels() // baseline: drain prior tests
+    val grans = Seq("b" -> 100L)
+    val state = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val s0 = (1 to 40).map(i => (i.toLong, (i % 3).toLong, i.toLong * 7 - 120, i / 4.0))
+    SnapshotCapture.captureIntoLadder(spark,
+      s0.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", grans)
+    // round 1 takes the digest-pruned diff path (a committed prior round)
+    val s1 = s0.filterNot(_._1 % 9 == 0) ++ Seq((201L, 1L, 333L, 4.25))
+    SnapshotCapture.captureIntoLadder(spark,
+      s1.toDF("event_id", "key", "ts", "value"), Seq("event_id"), state,
+      "key", "ts", "value", grans)
+    assert(graft.functions.CheckpointUtil.registeredCount === 0,
+      "a committed capture round must leave zero registered checkpoint blocks")
+  }
+
   test("captureIntoLadder: changing the finest grain between rounds re-bootstraps, not mixed-grain-merges") {
     import graft.streaming.SnapshotCapture
     val state = java.nio.file.Files.createTempDirectory("graft_lgrain").toString
