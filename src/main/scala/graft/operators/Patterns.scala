@@ -419,13 +419,23 @@ object Patterns {
     * Shape: the time bound rides a RANGE frame (events expired at
     * `ts − T` counted from unbounded-preceding — ties on ts stay
     * consistent with the (ts, id) total order because an expired event's
-    * ts is strictly smaller), the count cap turns into a dynamic-length
+    * ts is strictly smaller); the count cap turns into a dynamic-length
     * suffix sum computed as a difference of running sums
-    * (`cum[i] − cum[i − win_cnt]`) via a self-join on (key, rn) — Spark
-    * window frames cannot vary per row, but the join's both sides
-    * already hash-cluster on the key, so no NEW exchange is introduced
-    * (hashpartitioning(key) satisfies the join's clustering); sums ride
-    * decimal, the repo-wide float-order contract. */
+    * (`cum[i] − cum[i − win_cnt]`). Spark window frames cannot vary per
+    * row, but `win_cnt` is BOUNDED by the window length `n`, so for the
+    * Siddhi-sized `n` this operator exists for (a small constant) the
+    * back-reference is `element_at(array(lag(cum,1)..lag(cum,n)),
+    * win_cnt)` — n lags over the already-established (key) ordering, no
+    * join, no second derivation of the windowed stream (r17: the former
+    * self-join re-derived the scan + exchange + window chain for the
+    * probe side; q31 0.52 → 0.44 s min and the plan drops one scan, one
+    * exchange and two window passes). Past [[TimeLengthMaxLagChain]] the
+    * original (key, rn) self-join takes over — a thousand-branch lag
+    * array would blow codegen past spark.sql.codegen.maxFields for no
+    * win — both sides of that join hash-cluster on the key, so even
+    * there no NEW exchange is introduced. Sums ride decimal, the
+    * repo-wide float-order contract; route parity is pinned in
+    * PatternsSpec. */
   def timeLengthWindow(events: DataFrame, keyCol: String, tsCol: String,
                        idCol: String, valueCol: String, spanUs: Long,
                        n: Int): DataFrame = {
@@ -439,15 +449,26 @@ object Patterns {
       .withColumn("_expired", count(lit(1)).over(expiredFrame))
       .withColumn("_wcnt", least(col("_rn") - col("_expired"), lit(n.toLong)))
       .withColumn("_cum", sum(col(valueCol).cast("decimal(18,2)")).over(cum))
-    val prev = base.select(col(keyCol).as("_pk"), col("_rn").as("_prn"),
-      col("_cum").as("_pcum"))
-    base
-      .join(prev, col(keyCol) === col("_pk") &&
-        (col("_rn") - col("_wcnt")) === col("_prn"), "left")
+    val withPrev =
+      if (n <= TimeLengthMaxLagChain)
+        base.withColumn("_pcum", element_at(
+          array((1 to n).map(k => lag(col("_cum"), k).over(order)): _*),
+          col("_wcnt").cast("int")))
+      else {
+        val prev = base.select(col(keyCol).as("_pk"), col("_rn").as("_prn"),
+          col("_cum").as("_pcum"))
+        base.join(prev, col(keyCol) === col("_pk") &&
+          (col("_rn") - col("_wcnt")) === col("_prn"), "left")
+      }
+    withPrev
       .select(col(keyCol), col(idCol).as("id"), col("_wcnt").as("win_cnt"),
         (col("_cum") - coalesce(col("_pcum"), lit(0).cast("decimal(18,2)")))
           .cast("double").as("win_sum"))
   }
+
+  /** Largest count bound resolved by [[timeLengthWindow]]'s lag-chain
+    * route; larger windows take the (key, rn) self-join. */
+  private[operators] val TimeLengthMaxLagChain = 64
 
   /** Sort window `s#window.sort(n, value, 'asc')` — the window that
     * holds the n BEST events by sort order seen so far (an arriving

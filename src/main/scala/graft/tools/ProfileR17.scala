@@ -293,6 +293,63 @@ object ProfileR17 {
     ab("q28c current/local-rel")(noop(q28Current()))(noop(q28LocalRel()))
     eq("q28c current/local-rel")(q28Current())(q28LocalRel())
 
+    // ---------- q31: lag-chain instead of the windowed self-join ----------
+    def q31Current(): DataFrame =
+      graft.operators.Patterns.timeLengthWindow(
+        events.where(col("event_type") === "purchase"),
+        "user_id", "ts_us", "event_id", "value", 12L * HourUs, 5)
+        .withColumnRenamed("id", "event_id")
+        .orderBy("user_id", "event_id")
+    def q31LagChain(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val n = 5
+      val spanUs = 12L * HourUs
+      val ev = events.where(col("event_type") === "purchase")
+      val order = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val expiredFrame = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(Window.unboundedPreceding, -spanUs)
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("_rn", row_number().over(order).cast("long"))
+        .withColumn("_expired", count(lit(1)).over(expiredFrame))
+        .withColumn("_wcnt", least(col("_rn") - col("_expired"), lit(n.toLong)))
+        .withColumn("_cum", sum(col("value").cast("decimal(18,2)")).over(cum))
+        .withColumn("_pcum", element_at(
+          array((1 to n).map(k => lag(col("_cum"), k).over(order)): _*),
+          col("_wcnt").cast("int")))
+        .select(col("user_id"), col("event_id"), col("_wcnt").as("win_cnt"),
+          (col("_cum") - coalesce(col("_pcum"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("win_sum"))
+        .orderBy("user_id", "event_id")
+    }
+    ab("q31 current/lag-chain")(noop(q31Current()))(noop(q31LagChain()))
+    eq("q31 current/lag-chain")(q31Current())(q31LagChain())
+
+    // ---------- p6: checkpoint shArr across the SMJ self-join sides ----------
+    def p6Ckpt(): DataFrame = {
+      val (shArr, blocks) = CheckpointUtil.trackedLocalCheckpoint(
+        Dedup.shingleArrays(docs))
+      CheckpointUtil.register(blocks)
+      val sh = shArr.select(col("sid"), explode(col("shs")).as("sh"))
+      val a = sh.toDF("doc_a", "sh").hint("merge")
+      val b = sh.toDF("doc_b", "sh").hint("merge")
+      val inter = a.join(b, Seq("sh")).where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val sizes = shArr.select(col("sid"), size(col("shs")).cast("long").as("n"))
+      inter
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jacc_milli",
+          floor(lit(1000.0) * col("inter") / (col("na") + col("nb") - col("inter"))).cast("long"))
+        .where(col("jacc_milli") >= 800)
+        .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
+        .orderBy("doc_a", "doc_b")
+    }
+    ab("p6 current/ckpt-shArr")(
+      noop(Dedup.ngramJaccardPairs(docs, 800).orderBy("doc_a", "doc_b")))(
+      noop(p6Ckpt()))
+    eq("p6 current/ckpt-shArr")(
+      Dedup.ngramJaccardPairs(docs, 800).orderBy("doc_a", "doc_b"))(p6Ckpt())
+
     // ---------- p33: re-measure spread on the shingle source ----------
     def p33Body(d: DataFrame): DataFrame = {
       val sh = Dedup.shingleArrays(d).withColumn("bucket", TF.splitBucket(col("sid")))

@@ -473,6 +473,29 @@ class PatternsSpec extends SparkSpec {
     assert(got.find(_._2 == 6L).get === ((1L, 6L, 1L, 6.0)))
   }
 
+  test("timeLengthWindow: self-join route (n past the lag-chain bound) matches the same oracle") {
+    import spark.implicits._
+    // n = 70 > TimeLengthMaxLagChain forces the (key, rn) self-join route
+    // (r17: small n resolves through an element_at(lag-array) back-
+    // reference instead); same brute-force oracle as the small-n test,
+    // with both bounds exercised — span 800 admits up to 80 of key 1's
+    // 10µs-spaced events, the count cap trims that to 70, and early rows
+    // are rn-capped
+    val n = 70
+    val evs = (1 to 90).map(i => (1L, i.toLong * 10, i.toLong)) ++
+      (1 to 5).map(i => (2L, i.toLong * 500, (100 + i).toLong))
+    val df = evs.toDF("key", "ts", "id").withColumn("value", col("id").cast("double"))
+    val got = Patterns.timeLengthWindow(df, "key", "ts", "id", "value", 800L, n)
+      .orderBy("key", "id").as[(Long, Long, Long, Double)].collect().toSeq
+    val want = evs.map { case (k, ts, id) =>
+      val win = evs.filter(e => e._1 == k && e._2 > ts - 800 &&
+        (e._2 < ts || (e._2 == ts && e._3 <= id)))
+        .sortBy(e => (e._2, e._3)).takeRight(n)
+      (k, id, win.size.toLong, win.map(_._3.toDouble).sum)
+    }.sortBy(e => (e._1, e._2))
+    assert(got === want)
+  }
+
   test("delayWindow: released set is the ts' <= ts - T cut, tie-safe, dark at start") {
     import spark.implicits._
     // T = 100µs; two events share ts=100 (both see only ts=0's release)
