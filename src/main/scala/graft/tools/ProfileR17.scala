@@ -324,6 +324,43 @@ object ProfileR17 {
     ab("q31 current/lag-chain")(noop(q31Current()))(noop(q31LagChain()))
     eq("q31 current/lag-chain")(q31Current())(q31LagChain())
 
+    // ---------- keepBest at depth: old two-join vs r17 one-pass ----------
+    // the one-pass shape trades the old second corpus text scan + kernel
+    // for a narrow (canonical, quality, id) cell shuffle — probe both at
+    // xK replicated corpora (small clustered set, the realistic regime)
+    // to show the new shuffle stays linear and ahead
+    def oldKeepBest(docsQ: DataFrame, clusters: DataFrame): DataFrame = {
+      val clustered = clusters.join(docsQ.select(col("doc_id"), col("quality")), "doc_id")
+      val keepers = clustered
+        .groupBy(col("canonical_id"))
+        .agg(min(struct((-col("quality")).as("qn"), col("doc_id").as("id"))).as("_k"),
+          max(col("cluster_sz")).as("cluster_sz"))
+        .select(col("_k.id").as("kept_id"), (-col("_k.qn")).as("quality"),
+          col("cluster_sz"))
+      val singles = docsQ.select(col("doc_id"), col("quality"))
+        .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("kept_id"), col("quality"), lit(1L).as("cluster_sz"))
+      keepers.unionByName(singles)
+    }
+    for (k <- Seq(10, 40)) {
+      if (want(s"keepBest x$k")) {
+        val docsX = docs.select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(k - 1))).as("_r"))
+          .select((col("doc_id") * k + col("_r")).as("doc_id"), col("text"))
+        val qx = p30Quality(docsX)
+        // remap the small cluster set into replica-0's scaled id space
+        val clusters = Dedup.nearDupClusters(docs, 8, 800)
+          .select((col("doc_id") * k).as("doc_id"),
+            (col("canonical_id") * k).as("canonical_id"), col("cluster_sz"))
+        ab(s"keepBest x$k old/onepass")(
+          noop(oldKeepBest(qx, clusters)))(
+          noop(Dedup.keepBest(qx, clusters)))
+        eq(s"keepBest x$k old/onepass")(
+          oldKeepBest(qx, clusters).orderBy("kept_id"))(
+          Dedup.keepBest(qx, clusters).orderBy("kept_id"))
+      }
+    }
+
     // ---------- p6: checkpoint shArr across the SMJ self-join sides ----------
     def p6Ckpt(): DataFrame = {
       val (shArr, blocks) = CheckpointUtil.trackedLocalCheckpoint(
