@@ -528,7 +528,16 @@ object TextFunctions {
       .agg(sum(col("_n2")).as("_n1"))
     val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
       .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
-    val perDoc = bg.join(model, "_bg")
+    // merge hint (r17, the ngramJaccardPairs convention): Catalyst sizes
+    // the exploded bigram stream as the small scan underneath and was
+    // BUILDING the perDoc join on it — a broadcast collect of the whole
+    // blown-up stream, the Generate row-estimate trap documented on
+    // [[graft.functions.Dedup.ngramJaccardPairs]]. Sort-merge on _bg is
+    // the shape that survives the mid-size regime where the estimate
+    // still clears the broadcast threshold but the stream no longer
+    // fits; measured local-neutral (ProfileR17 min-of-6: 1.32 vs 1.32 s,
+    // rows equal)
+    val perDoc = bg.hint("merge").join(model, "_bg")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")

@@ -361,6 +361,36 @@ object ProfileR17 {
       }
     }
 
+    // ---------- p43: the perDoc join broadcasts the EXPLODED STREAM ----------
+    // (Generate row-estimate trap: Catalyst sizes the blown-up bigram
+    // stream as its small scan underneath and builds the join on it —
+    // a full-corpus broadcast collect). Variants: broadcast the
+    // vocab-sized model instead, or merge-hint the stream side.
+    def p43Body(join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      val bg = docs
+        .select(col("doc_id"), explode(TF.bigrams(TF.words(TF.normText(col("text"))))).as("_bg"))
+      val c2 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_n2"))
+      val c1 = c2.groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+        .agg(sum(col("_n2")).as("_n1"))
+      val model = c2.join(c1, substring_index(col("_bg"), " ", 1) === col("_w1"))
+        .select(col("_bg"), expr("_n2 * 1000000 div _n1").as("_ppm"))
+      val perDoc = join(bg, model)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("_ppm")).as("_s"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(expr("_s div n_bigrams"), lit(0L)).as("score_ppm"))
+        .orderBy("doc_id")
+    }
+    val p43Cur = () => p43Body((bg, model) => bg.join(model, "_bg"))
+    val p43BcModel = () => p43Body((bg, model) => bg.join(broadcast(model), "_bg"))
+    val p43Merge = () => p43Body((bg, model) => bg.hint("merge").join(model, "_bg"))
+    ab("p43 current/bc-model")(noop(p43Cur()))(noop(p43BcModel()))
+    ab("p43 current/merge")(noop(p43Cur()))(noop(p43Merge()))
+    eq("p43 current/bc-model")(p43Cur())(p43BcModel())
+    eq("p43 current/merge")(p43Cur())(p43Merge())
+
     // ---------- p6: checkpoint shArr across the SMJ self-join sides ----------
     def p6Ckpt(): DataFrame = {
       val (shArr, blocks) = CheckpointUtil.trackedLocalCheckpoint(
